@@ -1,0 +1,62 @@
+"""MariaDB-dialect function layer.
+
+Reference analogue: the funcexp dispatch table (utils/funcexp/funcexp.cpp:67-263,
+~150 scalar functions) plus the aggregate set (utils/rowgroup/rowaggregation.h:65-119).
+Most map one-to-one onto pyspark.sql.functions; this module holds the ones
+whose MariaDB semantics need composition or a thin wrapper. Everything here
+stays JVM-side (no Python UDFs) so plans keep whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+
+def group_concat(
+    col: Column | str,
+    separator: str = ",",
+    *,
+    order_by: Column | str | None = None,
+    ascending: bool = True,
+    distinct: bool = False,
+) -> Column:
+    """MariaDB GROUP_CONCAT([DISTINCT] col [ORDER BY ...] [SEPARATOR sep]).
+
+    Reference: dbcon/joblist/groupconcat.cpp (ordered string concat agg).
+    Spark-first: collect_list → sort_array → array_join; the ordered variant
+    collects (key, value) structs so sort_array orders by the key.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    if order_by is None:
+        items = F.collect_set(col) if distinct else F.collect_list(col)
+        return F.array_join(F.sort_array(items), separator)
+    key = F.col(order_by) if isinstance(order_by, str) else order_by
+    pairs = F.collect_list(F.struct(key.alias("k"), col.alias("v")))
+    ordered = F.sort_array(pairs, asc=ascending)
+    vals = F.transform(ordered, lambda s: s["v"])
+    if distinct:
+        vals = F.array_distinct(vals)
+    return F.array_join(vals, separator)
+
+
+def json_arrayagg(col: Column | str) -> Column:
+    """MariaDB JSON_ARRAYAGG (dbcon/joblist/jsonarrayagg.h:51)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.to_json(F.sort_array(F.collect_list(col)))
+
+
+def div(a: Column, b: Column) -> Column:
+    """MariaDB integer division ``a DIV b`` (funcexp func_div): truncated
+    integer quotient, NULL on divide-by-zero."""
+    return F.when(b != 0, (a / b).cast("long"))
+
+
+def ifnull(a: Column, b: Column) -> Column:
+    """MariaDB IFNULL(a, b) == COALESCE(a, b)."""
+    return F.coalesce(a, b)
+
+
+def if_(cond: Column, then: Column, otherwise: Column) -> Column:
+    """MariaDB IF(cond, a, b) (func_if.cpp)."""
+    return F.when(cond, then).otherwise(otherwise)

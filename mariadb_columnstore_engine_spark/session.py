@@ -1,0 +1,89 @@
+"""SparkSession factory with engine defaults.
+
+The reference engine's ExeMgr + ResourceManager decide at runtime how much
+memory a join may use, whether a join side is small enough to broadcast to
+every PM, and when to spill (dbcon/joblist/resourcemanager.cpp,
+tuplehashjoin.h:503 ``joinIsTooBig``). On Spark those decisions belong to
+Catalyst/AQE; our job is only to switch the right knobs on. These defaults
+are written for a large multi-executor cluster and degrade gracefully on
+local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Engine defaults — every entry is a plain Spark conf so users can override
+#: any of them through their own builder or spark-submit --conf.
+ENGINE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime re-planning replaces the reference's
+    # ResourceManager heuristics (broadcast vs UM join vs disk join).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    # Cost-based optimizer ≈ reference's statistics-guided join ordering
+    # (dbcon/joblist/jlf_tuplejoblist.cpp:1607-1850).
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # Broadcast threshold ≈ PM-join small-side limit
+    # (primitives/primproc/batchprimitiveprocessor.h:311-319).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet scan: pushdown + vectorized reader ≈ ColumnCommand SIMD
+    # kernels + casual-partitioning extent elimination
+    # (primitives/linux-port/column.cpp, dbcon/joblist/lbidlist.cpp:698).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.recordLevelFilter.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Arrow for any Python-side exchange (pandas UDFs = the UDF SDK path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The reference stores naive (no-tz) datetimes; pin UTC so TimestampType
+    # never shifts values between writers and readers.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS); read as int64 nanos and
+    # convert explicitly (catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Turn full-precision decimal ops on (reference supports DECIMAL(38)
+    # via int128, datatypes/mcs_int128.h:56).
+    "spark.sql.decimalOperations.allowPrecisionLoss": "false",
+}
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(int(cpus), 1)
+    return os.cpu_count() or 8
+
+
+def configure(
+    builder: SparkSession.Builder,
+    *,
+    shuffle_partitions: int | None = None,
+) -> SparkSession.Builder:
+    """Apply engine defaults onto an existing builder."""
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    n = shuffle_partitions or _default_parallelism()
+    return builder.config("spark.sql.shuffle.partitions", str(n))
+
+
+def get_session(
+    app_name: str = "mcs-spark",
+    master: str | None = None,
+    *,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults applied."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{_default_parallelism()}]"
+    builder = builder.master(master)
+    builder = configure(builder, shuffle_partitions=shuffle_partitions)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query through Spark AND its oracle SQL through DuckDB
+over the same parquet fixtures, then compares:
+  1. row count
+  2. schema (column names, sorted)
+  3. order-insensitive value comparison (exact; floats must already be
+     rounded inside the queries themselves — see plans/tpch.py float policy)
+
+Usage:  python tools/check_parity.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from mariadb_columnstore_engine_spark.catalog import TABLES
+from mariadb_columnstore_engine_spark.plans import load_all
+from mariadb_columnstore_engine_spark.session import get_session
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # -0.0 == 0.0
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):  # Row/struct collected as dict
+        return tuple((k, _norm_cell(v[k])) for k in sorted(v))
+    return v
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+    specs = load_all()
+    names = [
+        n for n in specs if not filters or any(f in n for f in filters)
+    ]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_session("parity-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema spark={sorted(scols)} duck={sorted(ocols)}")
+        if not problems:
+            a = _normalize(srows, scols)
+            b = _normalize(orows, ocols)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} failed, "
+          f"{len(names)} total")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
