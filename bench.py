@@ -1,0 +1,80 @@
+"""Headline benchmark harness.
+
+Runs every ``bench=True`` query from the registry against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": 0.1}
+
+Per query: one untimed warmup run (JVM/codegen/page-cache warmup — the
+reference's sysbench harness likewise reports steady-state q/s,
+benchmarks/bench.sh:20-28), then the median of ``BENCH_REPEATS`` timed
+runs. Timing covers full plan execution via ``collect()``; every headline
+query returns a small aggregate, so driver-side transfer is negligible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mariadb_columnstore_engine_spark.plans import load_all
+from mariadb_columnstore_engine_spark.session import get_session
+
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    specs = [s for s in load_all().values() if s.bench]
+    spark = get_session(
+        "mcs-spark-bench",
+        extra_conf={
+            # Local-bench heap: the default 1g driver heap causes GC noise
+            # in local mode where the driver hosts all executor threads.
+            "spark.driver.memory": "24g",
+            # Scan-partition sizing scaled to the fixture: at sf0.1 the
+            # biggest table is ~11 MB, so the production default (128 MB)
+            # would give every scan a single task. 2 MB splits fan the scan
+            # across cores. At cluster scale the ENGINE_CONF default stands.
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for spec in sorted(specs, key=lambda s: s.name):
+        for _ in range(2):  # JIT/codegen/page-cache warmup, untimed
+            spec.fn(spark, sf_dir).collect()
+        runs = []
+        for _ in range(BENCH_REPEATS):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[spec.name] = round(statistics.median(runs), 4)
+        print(f"# {spec.name}: {timings[spec.name]:.3f}s "
+              f"(runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -46,9 +46,15 @@ _TS_NTZ_FROM_NANOS = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical quirks."""
     if name == "events":
-        # Session-level legacy flag; settable at runtime, required to decode
-        # TIMESTAMP(NANOS). Harmless for every other table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Session-level legacy flag required to decode TIMESTAMP(NANOS).
+        # Deliberately NOT restored after the read: SQLConf is consulted at
+        # execution time too, so reverting it would break a later collect()
+        # of the returned (lazy) DataFrame. The flag only affects parquet
+        # nanos columns, which no other fixture table has. Sessions built
+        # via session.get_session carry it from ENGINE_CONF already; this
+        # runtime set covers vanilla sessions (e.g. the driver's).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr(_TS_NTZ_FROM_NANOS))

@@ -47,9 +47,17 @@ def json_arrayagg(col: Column | str) -> Column:
 
 
 def div(a: Column, b: Column) -> Column:
-    """MariaDB integer division ``a DIV b`` (funcexp func_div): truncated
-    integer quotient, NULL on divide-by-zero."""
-    return F.when(b != 0, (a / b).cast("long"))
+    """MariaDB integer division ``a DIV b`` (funcexp func_intdiv): exact
+    truncated-toward-zero integer quotient, NULL on divide-by-zero.
+
+    Exactness: ``a - a % b`` is exactly divisible by ``b`` and ``%`` takes
+    the dividend's sign in both engines, so the quotient is the truncated
+    one. The division runs in decimal(38,0), not double, so BIGINT operands
+    beyond 2^53 don't round (the round-1 bug this replaces).
+    """
+    da = a.cast("decimal(38,0)")
+    db = b.cast("decimal(38,0)")
+    return F.when(b != 0, ((da - da % db) / db).cast("long"))
 
 
 def ifnull(a: Column, b: Column) -> Column:

@@ -44,6 +44,28 @@ def query(name: str, *, oracle: str | None, section: str, bench: bool = False):
     return deco
 
 
+def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None:
+    """Register a query whose Spark plan IS the oracle SQL, executed through
+    ``spark.sql`` over registered temp views.
+
+    This is the reference's main entry point — SQL text pushed down whole
+    (dbcon/mysql/ha_mcs_pushdown.cpp:762 create_columnstore_select_handler)
+    — so running the identical statement through Spark's parser/analyzer
+    and through DuckDB checks the full SQL front end, not just DataFrame
+    plan construction. Only the ANSI subset both engines parse identically
+    is used in these strings.
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mariadb_columnstore_engine_spark.catalog import Catalog
+
+        Catalog(spark, sf_dir).register_views()
+        return spark.sql(sql)
+
+    fn.__name__ = f"sql_{name}"
+    QUERIES[name] = QuerySpec(name, fn, sql, section, bench)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every plan module (each registers its queries on import)."""
     from mariadb_columnstore_engine_spark.plans import (  # noqa: F401

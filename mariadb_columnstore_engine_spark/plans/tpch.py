@@ -14,7 +14,18 @@ TakeOrderedAndProject.
 Float policy for oracle parity: aggregate outputs are rounded in BOTH the
 Spark plan and the DuckDB SQL (2 dp for currency sums, 6 dp for averages).
 Summation order differs between engines; rounding absorbs the ~1e-9
-relative float drift while keeping values bit-comparable.
+relative float drift while keeping values bit-comparable. Top-k queries
+order by the UNROUNDED aggregate (plus a key tiebreak) in both engines and
+round only in the final projection, so a value sitting on a .xx5 rounding
+boundary near the LIMIT cutoff cannot select different rows per engine.
+
+Scale policy: explicit ``F.broadcast`` hints are used only for the
+constant-size dimensions (region: 5 rows, nation: 25 rows at every SF).
+customer/supplier/orders grow linearly with SF, so their join strategy is
+left to AQE (session.py enables it), which broadcasts while the runtime
+size fits ``autoBroadcastJoinThreshold`` and falls back to shuffle joins
+beyond — the same decision the reference's ResourceManager makes between
+PM (broadcast) and UM (partitioned) joins (tuplehashjoin.h:503).
 """
 
 from __future__ import annotations
@@ -51,7 +62,9 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        t.lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        t.lineitem.where(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -82,29 +95,38 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
     LIMIT 10
     """,
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     cust = t.customer.where(F.col("c_mktsegment") == "BUILDING")
-    orders = t.orders.where(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00"))
-    li = t.lineitem.where(F.col("l_shipdate") > F.lit("1996-03-15 00:00:00"))
+    orders = t.orders.where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = t.lineitem.where(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer is the small side at every SF: broadcast ≈ the PM join
-        # that ships the hash table to every worker.
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # No broadcast hint: customer grows with SF, so AQE picks broadcast
+        # while it fits and shuffle-hash beyond (≈ PM vs UM join choice).
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_revenue"
+            )
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .orderBy(F.desc("_revenue"), "l_orderkey")
         .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("_revenue", 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
 
 
@@ -131,15 +153,16 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     orders = t.orders.where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     region = t.region.where(F.col("r_name") == "ASIA")
     return (
         t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        # supplier scales with SF — no hint; AQE decides (see module policy).
         .join(
-            F.broadcast(t.supplier),
+            t.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -172,8 +195,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     return (
         t.lineitem.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -201,15 +224,15 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
     LIMIT 20
     """,
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     orders = t.orders.where(
-        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00"))
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     li = t.lineitem.where(F.col("l_returnflag") == "R")
     return (
@@ -218,11 +241,17 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_revenue"
+            )
         )
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .orderBy(F.desc("_revenue"), "c_custkey")
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("_revenue", 2).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
     )

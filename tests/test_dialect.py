@@ -1,0 +1,79 @@
+"""Unit tests for the MariaDB-dialect function layer.
+
+Pins the semantics VERDICT r1 flagged as untested: GROUP_CONCAT ordering,
+JSON_ARRAYAGG determinism, and exact integer DIV beyond 2^53.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mariadb_columnstore_engine_spark.functions import dialect
+
+
+def test_group_concat_default_sorts_for_determinism(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["v"])
+    out = df.agg(dialect.group_concat("v").alias("g")).collect()[0].g
+    # MariaDB without ORDER BY is implementation-ordered; we pin sorted
+    # order so results are deterministic and oracle-checkable.
+    assert out == "a,b,c"
+
+
+def test_group_concat_order_by_and_separator(spark):
+    df = spark.createDataFrame([(2, "b"), (1, "a"), (3, "c")], ["k", "v"])
+    out = df.agg(
+        dialect.group_concat("v", "|", order_by="k", ascending=False).alias("g")
+    ).collect()[0].g
+    assert out == "c|b|a"
+
+
+def test_group_concat_distinct(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("b",)], ["v"])
+    out = df.agg(dialect.group_concat("v", distinct=True).alias("g")).collect()[0].g
+    assert out == "a,b"
+
+
+def test_group_concat_distinct_with_order_keeps_first_by_key(spark):
+    # Pinned semantics (differs from MariaDB, which orders distinct VALUES):
+    # values sort by the ORDER BY key; duplicates keep first occurrence.
+    df = spark.createDataFrame([(3, "a"), (1, "b"), (2, "a")], ["k", "v"])
+    out = df.agg(
+        dialect.group_concat("v", order_by="k", distinct=True).alias("g")
+    ).collect()[0].g
+    assert out == "b,a"
+
+
+def test_json_arrayagg_sorted(spark):
+    df = spark.createDataFrame([(2,), (1,)], ["v"])
+    out = df.agg(dialect.json_arrayagg("v").alias("j")).collect()[0].j
+    assert out == "[1,2]"
+
+
+def test_div_exact_beyond_double_precision(spark):
+    # 2^60 + 1 is not representable in double; double-division DIV would
+    # round. Decimal path must return the exact truncated quotient.
+    big = (1 << 60) + 1
+    df = spark.createDataFrame([(big, 2)], ["a", "b"])
+    out = df.select(dialect.div(F.col("a"), F.col("b")).alias("q")).collect()[0].q
+    assert out == big // 2
+
+
+def test_div_truncates_toward_zero_and_null_on_zero(spark):
+    df = spark.createDataFrame([(-7, 2), (7, -2), (5, 0)], ["a", "b"])
+    out = [
+        r.q
+        for r in df.select(dialect.div(F.col("a"), F.col("b")).alias("q"))
+        .orderBy("a")
+        .collect()
+    ]
+    # MariaDB DIV truncates toward zero: -7 DIV 2 = -3 (not floor's -4).
+    assert out == [-3, None, -3]
+
+
+def test_if_and_ifnull(spark):
+    df = spark.createDataFrame([(None, 5)], "a int, b int")
+    row = df.select(
+        dialect.ifnull(F.col("a"), F.col("b")).alias("x"),
+        dialect.if_(F.col("b") > 1, F.lit("y"), F.lit("n")).alias("y"),
+    ).collect()[0]
+    assert row.x == 5 and row.y == "y"

@@ -7,7 +7,12 @@ over the same parquet fixtures, then compares:
   3. order-insensitive value comparison (exact; floats must already be
      rounded inside the queries themselves — see plans/tpch.py float policy)
 
-Usage:  python tools/check_parity.py [sf_dir] [name_filter ...]
+Runs under a VANILLA SparkSession by default — the same environment the
+driver's gate uses — so conf-dependent behavior differences can't pass
+locally and fail the gate. Pass --tuned to use the engine session
+(session.get_session) for bench-style runs.
+
+Usage:  python tools/check_parity.py [--tuned] [sf_dir] [name_filter ...]
 """
 
 from __future__ import annotations
@@ -52,8 +57,11 @@ def _normalize(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = sys.argv[1:]
+    tuned = "--tuned" in args
+    args = [a for a in args if a != "--tuned"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
     specs = load_all()
     names = [
         n for n in specs if not filters or any(f in n for f in filters)
@@ -65,7 +73,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_session("parity-check")
+    if tuned:
+        spark = get_session("parity-check")
+    else:  # replicate the driver's vanilla session
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("parity-check-vanilla")
+            .master("local[8]")
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     n_pass = n_fail = n_rowsonly = 0
