@@ -60,6 +60,24 @@ def div(a: Column, b: Column) -> Column:
     return F.when(b != 0, ((da - da % db) / db).cast("long"))
 
 
+def cast_signed(col: Column) -> Column:
+    """MariaDB CAST(x AS SIGNED) for fractional inputs (func_cast.cpp):
+    rounds half away from zero, unlike Spark's truncating cast. Implemented
+    as round-to-0-places (Spark round = HALF_UP, away from zero) then an
+    exact integral cast."""
+    return F.round(col, 0).cast("long")
+
+
+def greatest_mariadb(*cols: Column) -> Column:
+    """MariaDB GREATEST returns NULL if ANY argument is NULL (func_case.cpp
+    least/greatest family); Spark/DuckDB ``greatest`` skip NULLs."""
+    any_null = None
+    for c in cols:
+        n = c.isNull()
+        any_null = n if any_null is None else (any_null | n)
+    return F.when(~any_null, F.greatest(*cols))
+
+
 def ifnull(a: Column, b: Column) -> Column:
     """MariaDB IFNULL(a, b) == COALESCE(a, b)."""
     return F.coalesce(a, b)

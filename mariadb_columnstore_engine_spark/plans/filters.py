@@ -1,1 +1,191 @@
-"""Placeholder — populated in this round."""
+"""Predicate/filter surface: LIKE, IN, NULL semantics, column-vs-column,
+compound boolean trees, metadata pseudo-columns.
+
+Reference analogue: ColumnCommand applies vectorized compare filters with
+op codes COMPARE_EQ/NE/LT/GT/LE/GE/LIKE/NLIKE and BOP AND/OR combination
+(primitives/primproc/columncommand.h:43, dbcon/joblist/primitivemsg.h:
+56-57); string LIKE predicates run as pDictionaryScan over dictionary
+blocks (primitivestep.h:671); column-vs-column comparison is
+FilterCommand (primitives/primproc/filtercommand.h:37); pseudo-columns
+idbdbroot/idbpm/idbextentid map to Spark's metadata functions
+(dbcon/mysql/ha_pseudocolumn.cpp:33-44).
+
+Every filter here lands in the parquet scan as a pushed predicate where
+the type allows (`.explain` → PushedFilters); the fixtures carry no NULLs,
+so null-semantics probes inject them via ``nullif`` identically in both
+engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mariadb_columnstore_engine_spark.catalog import Catalog
+from mariadb_columnstore_engine_spark.plans.registry import query
+
+
+@query(
+    "filter_like_patterns",
+    section="§2.2 LIKE / NOT LIKE ≈ pDictionaryScan (primitivestep.h:671)",
+    oracle="""
+    SELECT count(CASE WHEN p_type LIKE 'S%' THEN 1 END)      AS n_prefix,
+           count(CASE WHEN p_name LIKE '%idge%' THEN 1 END)  AS n_infix,
+           count(CASE WHEN p_name LIKE '%t' THEN 1 END)      AS n_suffix,
+           count(CASE WHEN p_brand LIKE 'Brand#_3' THEN 1 END) AS n_underscore,
+           count(CASE WHEN p_type NOT LIKE 'PROMO%' THEN 1 END) AS n_not_like
+    FROM part
+    """,
+)
+def like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    return t.part.agg(
+        cnt(F.col("p_type").like("S%")).alias("n_prefix"),
+        cnt(F.col("p_name").like("%idge%")).alias("n_infix"),
+        cnt(F.col("p_name").like("%t")).alias("n_suffix"),
+        cnt(F.col("p_brand").like("Brand#_3")).alias("n_underscore"),
+        cnt(~F.col("p_type").like("PROMO%")).alias("n_not_like"),
+    )
+
+
+@query(
+    "filter_in_null_semantics",
+    section="§2.2 IN list, IS [NOT] NULL, null-safe equality "
+    "(NULL-aware compare ops, joblisttypes.h:60-86 null magics)",
+    oracle="""
+    WITH probed AS (
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'P') AS status_or_null,
+               o_orderpriority
+        FROM orders
+    )
+    SELECT count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS n_in,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS n_not_in,
+           count(CASE WHEN status_or_null IS NULL THEN 1 END) AS n_null,
+           count(CASE WHEN status_or_null IS NOT NULL THEN 1 END) AS n_not_null,
+           count(CASE WHEN status_or_null IS NOT DISTINCT FROM NULL
+                      THEN 1 END) AS n_null_safe_eq
+    FROM probed
+    """,
+)
+def in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    probed = t.orders.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_or_null"),
+        "o_orderpriority",
+    )
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    prio = F.col("o_orderpriority")
+    sn = F.col("status_or_null")
+    return probed.agg(
+        cnt(prio.isin("1-URGENT", "2-HIGH")).alias("n_in"),
+        cnt(~prio.isin("1-URGENT", "2-HIGH")).alias("n_not_in"),
+        cnt(sn.isNull()).alias("n_null"),
+        cnt(sn.isNotNull()).alias("n_not_null"),
+        cnt(sn.eqNullSafe(F.lit(None))).alias("n_null_safe_eq"),
+    )
+
+
+@query(
+    "filter_col_vs_col",
+    section="§2.2 column-vs-column filter = FilterCommand "
+    "(primitives/primproc/filtercommand.h:37)",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE l_discount > l_tax
+      AND l_extendedprice > 1000 * (l_quantity + 1)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def col_vs_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.where(
+            (F.col("l_discount") > F.col("l_tax"))
+            & (F.col("l_extendedprice") > 1000 * (F.col("l_quantity") + 1))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "filter_compound_boolean_tree",
+    section="§2.2 BOP AND/OR predicate trees (TPC-H Q19 shape; "
+    "jlf_execplantojoblist.cpp:1477 doSimpleFilter chains)",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 15 AND 35)
+       OR (p_type LIKE 'ECONOMY%' AND l_quantity >= 40)
+    """,
+)
+def compound_boolean_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(15, 35)
+        )
+        | (F.col("p_type").like("ECONOMY%") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "filter_metadata_pseudocols",
+    section="§2.1 PseudoColStep → input_file_name metadata column "
+    "(ha_pseudocolumn.cpp:33-44 idbdbroot/idbsegment analogues)",
+    oracle="""
+    -- The oracle pins the EXPECTED metadata value: every region row must
+    -- report its source file's basename. (DuckDB's filename=true needs a
+    -- raw read_parquet call, unavailable through the driver's views.)
+    SELECT 'region.parquet' AS file_name, count(*) AS n FROM region
+    """,
+)
+def metadata_pseudocols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.region.select(
+            F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("file_name")
+        )
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("file_name")
+    )

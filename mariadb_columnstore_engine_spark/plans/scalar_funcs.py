@@ -1,1 +1,301 @@
-"""Placeholder — populated in this round."""
+"""Scalar-function library coverage: the §2.8 categories as matrix queries.
+
+Reference analogue: the funcexp dispatch table registers ~150 scalar
+functions (utils/funcexp/funcexp.cpp:67-263, one func_*.cpp per function).
+Each query below covers one category with a battery of functions evaluated
+over fixture columns, so one green CORRECTNESS row evidences the whole
+batch against DuckDB.
+
+Float policy: transcendentals (exp/ln/sin/...) are evaluated on inputs
+normalized into [0,1) so outputs are O(1) and 6-dp rounding sits ~1e10
+ulps above any libm last-digit divergence between the JVM and DuckDB.
+
+Timezone policy: only wall-clock-invariant datetime functions are
+compared (year/month/.../date_format); epoch-based ones
+(unix_timestamp) are session-timezone-dependent and are pinned by unit
+tests under the UTC engine session instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mariadb_columnstore_engine_spark.catalog import Catalog
+from mariadb_columnstore_engine_spark.functions import dialect
+from mariadb_columnstore_engine_spark.plans.registry import query
+
+
+@query(
+    "sf_math_matrix",
+    section="§2.8 math functions (func_math.cpp, funcexp.cpp:67-69)",
+    oracle="""
+    SELECT n_nationkey,
+           abs(n_nationkey - 12)                    AS abs_v,
+           ceil(n_nationkey / 4.0)                  AS ceil_v,
+           floor(n_nationkey / 4.0)                 AS floor_v,
+           round(n_nationkey / 7.0, 3)              AS round_v,
+           round(exp(n_nationkey / 25.0), 6)        AS exp_v,
+           round(ln(n_nationkey + 1.0), 6)          AS ln_v,
+           round(log10(n_nationkey + 1.0), 6)       AS log10_v,
+           round(pow(n_nationkey / 25.0, 2), 6)     AS pow_v,
+           round(sqrt(n_nationkey), 6)              AS sqrt_v,
+           mod(n_nationkey, 7)                      AS mod_v,
+           sign(n_nationkey - 12)                   AS sign_v,
+           round(sin(n_nationkey / 25.0), 6)        AS sin_v,
+           round(cos(n_nationkey / 25.0), 6)        AS cos_v,
+           round(atan2(n_nationkey / 25.0, 1.0), 6) AS atan2_v,
+           round(radians(n_nationkey), 6)           AS radians_v,
+           round(degrees(n_nationkey / 25.0), 6)    AS degrees_v
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def math_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    k = F.col("n_nationkey")
+    x = k / 25.0
+    return t.nation.select(
+        k,
+        F.abs(k - 12).alias("abs_v"),
+        F.ceil(k / 4.0).alias("ceil_v"),
+        F.floor(k / 4.0).alias("floor_v"),
+        F.round(k / 7.0, 3).alias("round_v"),
+        F.round(F.exp(x), 6).alias("exp_v"),
+        F.round(F.log(k + 1.0), 6).alias("ln_v"),
+        F.round(F.log10(k + 1.0), 6).alias("log10_v"),
+        F.round(F.pow(x, 2), 6).alias("pow_v"),
+        F.round(F.sqrt(k.cast("double")), 6).alias("sqrt_v"),
+        (k % 7).alias("mod_v"),
+        F.signum(k - 12).cast("double").alias("sign_v"),
+        F.round(F.sin(x), 6).alias("sin_v"),
+        F.round(F.cos(x), 6).alias("cos_v"),
+        F.round(F.atan2(x, F.lit(1.0)), 6).alias("atan2_v"),
+        F.round(F.radians(k), 6).alias("radians_v"),
+        F.round(F.degrees(x), 6).alias("degrees_v"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "sf_bitwise_matrix",
+    section="§2.8 bitwise ops <<, >>, |, &, ^, bit_count (func_bitwise.cpp)",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey | 5        AS bor,
+           n_nationkey & 5        AS band,
+           xor(n_nationkey, 5)    AS bxor,
+           n_nationkey << 2       AS shl,
+           n_nationkey >> 1       AS shr,
+           bit_count(n_nationkey) AS bcnt
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def bitwise_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    k = F.col("n_nationkey")
+    return t.nation.select(
+        k,
+        k.bitwiseOR(5).alias("bor"),
+        k.bitwiseAND(5).alias("band"),
+        k.bitwiseXOR(5).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        F.bit_count(k).alias("bcnt"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "sf_string_matrix",
+    section="§2.8 string functions (func_substr.cpp, func_regexp.cpp, ...)",
+    oracle="""
+    SELECT n_nationkey,
+           concat(n_name, '-', CAST(n_regionkey AS VARCHAR)) AS concat_v,
+           concat_ws('/', n_name, 'X')           AS concat_ws_v,
+           substr(n_name, 3, 4)                  AS substr_v,
+           left(n_name, 3)                       AS left_v,
+           right(n_name, 2)                      AS right_v,
+           length(n_name)                        AS len_v,
+           lower(n_name)                         AS lower_v,
+           lpad(n_name, 12, '*')                 AS lpad_v,
+           rpad(n_name, 12, '#')                 AS rpad_v,
+           trim(concat('  ', n_name, '  '))      AS trim_v,
+           ltrim(concat('  ', n_name))           AS ltrim_v,
+           repeat(left(n_name, 2), 3)            AS repeat_v,
+           replace(n_name, 'NATION', 'NAT')      AS replace_v,
+           reverse(n_name)                       AS reverse_v,
+           instr(n_name, 'ION')                  AS instr_v,
+           ascii(n_name)                         AS ascii_v,
+           md5(n_name)                           AS md5_v,
+           sha256(n_name)                        AS sha256_v,
+           regexp_replace(n_name, '[0-9]+', '#') AS re_replace_v,
+           regexp_extract(n_name, '[0-9]+')      AS re_extract_v,
+           split_part(n_name, '_', 2)            AS substr_index_v
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def string_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    n = F.col("n_name")
+    return t.nation.select(
+        "n_nationkey",
+        F.concat(n, F.lit("-"), F.col("n_regionkey").cast("string")).alias(
+            "concat_v"
+        ),
+        F.concat_ws("/", n, F.lit("X")).alias("concat_ws_v"),
+        F.substring(n, 3, 4).alias("substr_v"),
+        F.substring(n, 1, 3).alias("left_v"),
+        F.expr("right(n_name, 2)").alias("right_v"),
+        F.length(n).alias("len_v"),
+        F.lower(n).alias("lower_v"),
+        F.lpad(n, 12, "*").alias("lpad_v"),
+        F.rpad(n, 12, "#").alias("rpad_v"),
+        F.trim(F.concat(F.lit("  "), n, F.lit("  "))).alias("trim_v"),
+        F.ltrim(F.concat(F.lit("  "), n)).alias("ltrim_v"),
+        F.repeat(F.substring(n, 1, 2), 3).alias("repeat_v"),
+        F.replace(n, F.lit("NATION"), F.lit("NAT")).alias("replace_v"),
+        F.reverse(n).alias("reverse_v"),
+        F.instr(n, "ION").alias("instr_v"),
+        F.ascii(n).alias("ascii_v"),
+        F.md5(n).alias("md5_v"),
+        F.sha2(n, 256).alias("sha256_v"),
+        F.regexp_replace(n, "[0-9]+", "#").alias("re_replace_v"),
+        F.regexp_extract(n, "[0-9]+", 0).alias("re_extract_v"),
+        # MariaDB substring_index(n, '_', -1) ≡ last field
+        F.substring_index(n, "_", -1).alias("substr_index_v"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "sf_datetime_matrix",
+    section="§2.8 date/time functions (func_date_add.cpp family)",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                         AS y,
+           quarter(o_orderdate)                      AS q,
+           month(o_orderdate)                        AS m,
+           day(o_orderdate)                          AS d,
+           dayofweek(o_orderdate) + 1                AS dow,
+           dayofyear(o_orderdate)                    AS doy,
+           weekofyear(o_orderdate)                   AS woy,
+           last_day(CAST(o_orderdate AS DATE))       AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30            AS plus_30d,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+               AS days_to_98,
+           strftime(o_orderdate, '%Y-%m')            AS ym,
+           make_date(2024, 2, 29)                    AS leap_day
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def datetime_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    od = F.col("o_orderdate")
+    return (
+        t.orders.where(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.year(od).alias("y"),
+            F.quarter(od).alias("q"),
+            F.month(od).alias("m"),
+            F.dayofmonth(od).alias("d"),
+            F.dayofweek(od).alias("dow"),  # 1=Sunday, = DuckDB dow+1
+            F.dayofyear(od).alias("doy"),
+            F.weekofyear(od).alias("woy"),
+            F.last_day(od).alias("month_end"),
+            F.trunc(od, "month").alias("month_start"),
+            F.date_add(od.cast("date"), 30).alias("plus_30d"),
+            F.datediff(F.lit("1998-01-01").cast("date"), od.cast("date")).alias(
+                "days_to_98"
+            ),
+            F.date_format(od, "yyyy-MM").alias("ym"),
+            F.make_date(F.lit(2024), F.lit(2), F.lit(29)).alias("leap_day"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "sf_conditional_cast_matrix",
+    section="§2.8 CASE/IF/IFNULL/NULLIF/COALESCE/GREATEST/LEAST + cast "
+    "semantics (func_case.cpp, func_in.cpp, func_cast.cpp; exercises "
+    "dialect.cast_signed / if_ / ifnull)",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 'B'
+                             WHEN 'MACHINERY' THEN 'M' ELSE '?' END AS seg_code,
+           CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END   AS if_v,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT')  AS ifnull_v,
+           greatest(c_acctbal, 5000.0)                            AS greatest_v,
+           least(c_nationkey, 10)                                 AS least_v,
+           CAST(round(c_acctbal, 0) AS BIGINT)                    AS cast_signed_v,
+           CAST(c_custkey AS VARCHAR)                             AS cast_str_v,
+           CAST(CAST(c_custkey AS VARCHAR) AS BIGINT)             AS cast_back_v
+    FROM customer
+    WHERE c_custkey < 100
+    ORDER BY c_custkey
+    """,
+)
+def conditional_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    bal = F.col("c_acctbal")
+    return (
+        t.customer.where(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            F.when(bal < 0, "neg")
+            .when(bal < 5000, "low")
+            .otherwise("high")
+            .alias("bal_band"),
+            F.when(F.col("c_mktsegment") == "BUILDING", "B")
+            .when(F.col("c_mktsegment") == "MACHINERY", "M")
+            .otherwise("?")
+            .alias("seg_code"),
+            dialect.if_(bal > 0, F.lit("pos"), F.lit("nonpos")).alias("if_v"),
+            dialect.ifnull(
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                F.lit("DEFAULT"),
+            ).alias("ifnull_v"),
+            F.greatest(bal, F.lit(5000.0)).alias("greatest_v"),
+            F.least(F.col("c_nationkey"), F.lit(10)).alias("least_v"),
+            dialect.cast_signed(bal).alias("cast_signed_v"),
+            F.col("c_custkey").cast("string").alias("cast_str_v"),
+            F.col("c_custkey").cast("string").cast("bigint").alias("cast_back_v"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "sf_json_events",
+    section="§2.8 JSON functions over events.props "
+    "(utils/funcexp/func_json_*.cpp, 28 fns → get_json_object/from_json)",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(json_extract_string(props, '$.missing'))         AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.get_json_object("props", "$.missing")).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

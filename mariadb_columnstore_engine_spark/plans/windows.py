@@ -1,1 +1,306 @@
-"""Placeholder — populated in this round."""
+"""Window-function surface: the full §2.5 matrix.
+
+Reference analogue: WindowFunctionStep partitions/sorts on the UM and
+dispatches per-partition functions (dbcon/joblist/windowfunctionstep.h:67,
+sort specs windowfunctionstep.cpp:646-676); function ids at
+utils/windowfunction/windowfunctiontype.h:62-101 — ROW_NUMBER
+(wf_row_number.cpp), RANK family (wf_ranking.cpp), LAG/LEAD
+(wf_lead_lag.cpp), NTILE (wf_ntile.cpp), FIRST/LAST/NTH_VALUE
+(wf_nth_value.cpp), SUM/AVG/MIN/MAX/COUNT (wf_sum_avg.cpp, wf_min_max.cpp,
+wf_count.cpp), STDDEV/VAR (wf_stats.cpp), PERCENTILE_CONT/DISC
+(wf_percentile.cpp); ROWS and RANGE frames incl. value offsets
+(frameboundrow.cpp, frameboundrange.cpp).
+
+On Spark: ``Window.partitionBy().orderBy()`` with
+``rowsBetween``/``rangeBetween``. Every ORDER BY carries a unique key
+tiebreak so row-dependent functions (row_number, lag, frames) are
+deterministic under ties — the reference has the same requirement
+(idborderby.cpp comparator chains).
+
+Scale note: window partitions here are bounded (per-customer, per-status
+slices); a window over an unbounded 100 TB partition would need
+pre-bucketing, which ``Window.partitionBy`` expresses directly as the
+shuffle key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mariadb_columnstore_engine_spark.catalog import Catalog
+from mariadb_columnstore_engine_spark.plans.registry import query, sql_query
+
+
+@query(
+    "win_ranking_family",
+    section="§2.5 ROW_NUMBER / RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_totalprice > 480000
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderstatus, rn
+    """,
+)
+def ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        t.orders.where(F.col("o_totalprice") > 480000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
+@query(
+    "win_lag_lead",
+    section="§2.5 LAG / LEAD incl. default values (wf_lead_lag.cpp)",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)           OVER w AS prev_price,
+           lead(o_totalprice, 1, 0.0)  OVER w AS next_price,
+           lag(o_totalprice, 2)        OVER w AS prev2_price
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.where(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1, 0.0).over(w).alias("next_price"),
+            F.lag("o_totalprice", 2).over(w).alias("prev2_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "win_ntile_first_last_nth",
+    section="§2.5 NTILE, FIRST_VALUE / LAST_VALUE / NTH_VALUE w/ full frame",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           ntile(4) OVER w AS quartile,
+           first_value(s_name) OVER w AS poorest,
+           last_value(s_name) OVER (PARTITION BY s_nationkey
+                ORDER BY s_acctbal, s_suppkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS richest,
+           nth_value(s_name, 2) OVER (PARTITION BY s_nationkey
+                ORDER BY s_acctbal, s_suppkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_poorest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_nationkey, s_acctbal, s_suppkey
+    """,
+)
+def ntile_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t.supplier.select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("s_name").over(w).alias("poorest"),
+            F.last("s_name").over(w_full).alias("richest"),
+            F.nth_value("s_name", 2).over(w_full).alias("second_poorest"),
+        )
+        .orderBy("s_nationkey", "s_acctbal", "s_suppkey")
+    )
+
+
+@query(
+    "win_rows_frame_running",
+    section="§2.5 ROWS frames: running total + moving average "
+    "(frameboundrow.cpp)",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+               AS moving_avg3,
+           count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS nth_order
+    FROM orders
+    WHERE o_custkey < 30
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def rows_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w.rowsBetween(-2, Window.currentRow)
+    return (
+        t.orders.where(F.col("o_custkey") < 30)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+            F.round(F.avg("o_totalprice").over(w_mov), 2).alias("moving_avg3"),
+            F.count(F.lit(1)).over(w_run).alias("nth_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "win_range_frame_value_offset",
+    section="§2.5 RANGE frame with value offset (frameboundrange.cpp:413)",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+               AS n_within_10k,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING), 2)
+               AS sum_within_10k
+    FROM orders
+    WHERE o_totalprice > 490000
+    ORDER BY o_orderstatus, o_totalprice, o_orderkey
+    """,
+)
+def range_frame_value_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return (
+        t.orders.where(F.col("o_totalprice") > 490000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.count(F.lit(1))
+            .over(w.rangeBetween(-10000, Window.currentRow))
+            .alias("n_within_10k"),
+            F.round(
+                F.sum("o_totalprice").over(w.rangeBetween(-10000, 10000)), 2
+            ).alias("sum_within_10k"),
+        )
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    )
+
+
+@query(
+    "win_stats_over_partition",
+    section="§2.5 STDDEV / VAR as window functions (wf_stats.cpp)",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 2)
+               AS std_in_status,
+           round(min(o_totalprice) OVER (PARTITION BY o_orderstatus), 2)
+               AS min_in_status,
+           round(max(o_totalprice) OVER (PARTITION BY o_orderstatus), 2)
+               AS max_in_status
+    FROM orders
+    WHERE o_totalprice > 490000
+    ORDER BY o_orderstatus, o_orderkey
+    """,
+)
+def stats_over_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus")
+    return (
+        t.orders.where(F.col("o_totalprice") > 490000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.stddev_samp("o_totalprice").over(w), 2).alias(
+                "std_in_status"
+            ),
+            F.round(F.min("o_totalprice").over(w), 2).alias("min_in_status"),
+            F.round(F.max("o_totalprice").over(w), 2).alias("max_in_status"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+    )
+
+
+sql_query(
+    "win_percentiles_within_group",
+    """
+    SELECT o_orderstatus,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS p25,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS p50,
+           round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS p90,
+           round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS p50_disc
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    section="§2.5 PERCENTILE_CONT / PERCENTILE_DISC WITHIN GROUP "
+    "(wf_percentile.cpp:388)",
+)
+
+
+@query(
+    "win_topn_per_group",
+    section="§2.5 row_number top-n-per-group (the reference regression "
+    "corpus's most common window idiom)",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) ranked
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return (
+        t.customer.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
