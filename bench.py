@@ -53,8 +53,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for spec in sorted(specs, key=lambda s: s.name):
-        for _ in range(2):  # JIT/codegen/page-cache warmup, untimed
-            spec.fn(spark, sf_dir).collect()
+        spec.fn(spark, sf_dir).collect()  # JIT/codegen warmup, untimed
         runs = []
         for _ in range(BENCH_REPEATS):
             t0 = time.perf_counter()

@@ -83,6 +83,57 @@ def ifnull(a: Column, b: Column) -> Column:
     return F.coalesce(a, b)
 
 
+def inet_aton(col: Column) -> Column:
+    """MariaDB INET_ATON (func_inet_aton.cpp): dotted-quad IPv4 → number.
+    Pure JVM arithmetic on split parts; NULL for malformed input falls out
+    of the casts."""
+    p = F.split(col, r"\.")
+    part = lambda i: F.element_at(p, i).cast("long")  # noqa: E731
+    return (
+        part(1) * 16777216 + part(2) * 65536 + part(3) * 256 + part(4)
+    )
+
+
+def inet_ntoa(col: Column) -> Column:
+    """MariaDB INET_NTOA: number → dotted-quad IPv4."""
+    n = col.cast("long")
+    return F.concat_ws(
+        ".",
+        (F.shiftright(n, 24).bitwiseAND(255)).cast("string"),
+        (F.shiftright(n, 16).bitwiseAND(255)).cast("string"),
+        (F.shiftright(n, 8).bitwiseAND(255)).cast("string"),
+        (n.bitwiseAND(255)).cast("string"),
+    )
+
+
 def if_(cond: Column, then: Column, otherwise: Column) -> Column:
     """MariaDB IF(cond, a, b) (func_if.cpp)."""
     return F.when(cond, then).otherwise(otherwise)
+
+
+# --- Oracle-mode variants (sql_mode=ORACLE; funcexp *_oracle entries) ---
+
+
+def concat_oracle(*cols: Column) -> Column:
+    """Oracle-mode CONCAT (func_concat.cpp concat_oracle): NULL arguments
+    are treated as empty strings instead of nullifying the result."""
+    return F.concat(*[F.coalesce(c, F.lit("")) for c in cols])
+
+
+def nvl(a: Column, b: Column) -> Column:
+    """Oracle-mode NVL ≡ IFNULL/COALESCE."""
+    return F.coalesce(a, b)
+
+
+def decode_oracle(expr: Column, *pairs: Column) -> Column:
+    """Oracle-mode DECODE(expr, s1, r1[, s2, r2 ...][, default])
+    (func_case.cpp decode_oracle). NULL search values match NULL exprs
+    (unlike CASE equality) — implemented with null-safe equality."""
+    default = pairs[-1] if len(pairs) % 2 == 1 else F.lit(None)
+    out = None
+    for i in range(0, len(pairs) - (len(pairs) % 2), 2):
+        cond = expr.eqNullSafe(pairs[i])
+        out = F.when(cond, pairs[i + 1]) if out is None else out.when(
+            cond, pairs[i + 1]
+        )
+    return default if out is None else out.otherwise(default)

@@ -1,1 +1,185 @@
-"""Placeholder — populated in this round."""
+"""Event-time windowing over the ``events`` table.
+
+The reference is a pure batch engine with no streaming operators
+(SURVEY §2.10), so these event-time semantics are defined Spark-first:
+``window()`` / ``session_window()`` as batch expressions — the same
+operators Structured Streaming would run incrementally (streaming/ wires
+that up). Timestamps ride on catalog.load_table's exact NANOS→NTZ
+normalization, so DuckDB (TIMESTAMP_NS cast to µs TIMESTAMP) is
+bit-identical.
+
+Session semantics pinned by the oracle: a new session starts when the gap
+from the previous event is >= the 30-minute gap (Spark's session end is
+last_event + gap, exclusive); session_end = last_event + gap.
+
+Scale notes: tumbling/sliding windows are pure map-side bucket assignment
+before a keyed aggregation — one shuffle on (window, key), no skew risk
+beyond the key's own. Sessionization shuffles once on user_id; per-user
+event counts are bounded, which is exactly the partitioning a 100 TB
+run needs (users ≫ executors).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mariadb_columnstore_engine_spark.catalog import Catalog
+from mariadb_columnstore_engine_spark.plans.registry import query
+
+
+@query(
+    "events_tumbling_window",
+    section="LLM-pipeline: event-time tumbling window (Spark window(); "
+    "no reference analogue — batch-only engine, SURVEY §2.10)",
+    bench=True,
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_window",
+    section="LLM-pipeline: sliding window (2h window, 1h slide) — each "
+    "event lands in two overlapping windows",
+    oracle="""
+    WITH e AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS b,
+               value
+        FROM events
+    ), w AS (
+        SELECT b AS window_start, value FROM e
+        UNION ALL
+        SELECT b - INTERVAL '1 hour' AS window_start, value FROM e
+    )
+    SELECT window_start, count(*) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents
+    FROM w
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_cents"
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_sessionization",
+    section="LLM-pipeline: gap-based sessionization via session_window() "
+    "(oracle: lag + cumulative-sum gaps-and-islands)",
+    bench=True,
+    oracle="""
+    WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+    ), marked AS (
+        SELECT user_id, t, value,
+               CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ), sessions AS (
+        SELECT user_id, t, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(t) AS session_start,
+           max(t) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS session_cents
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.session_window("ts", "30 minutes").alias("s"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("session_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "events_daily_activity",
+    section="LLM-pipeline: daily tumbling window w/ distinct users + JSON "
+    "prop aggregation (events.props via get_json_object, JVM-side)",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias(
+                "sum_k"
+            ),
+        )
+        .select(F.col("w.start").alias("day"), "n_events", "n_users",
+                "total_cents", "sum_k")
+        .orderBy("day")
+    )

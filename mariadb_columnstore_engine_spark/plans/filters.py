@@ -189,3 +189,33 @@ def metadata_pseudocols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("file_name")
     )
+
+
+@query(
+    "filter_constant_select_literals",
+    section="§2.2 TupleConstantOnlyStep: SELECT <literals> with no table "
+    "(tupleconstantstep.h:112)",
+    oracle="""
+    SELECT 42 AS answer, 'engine' AS tag,
+           CAST(round(3.14159, 2) AS DOUBLE) AS pi2,
+           CAST(NULL AS INTEGER) AS nothing
+    """,
+)
+def constant_select_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1).select(
+        F.lit(42).alias("answer"),
+        F.lit("engine").alias("tag"),
+        F.round(F.lit(3.14159), 2).alias("pi2"),
+        F.lit(None).cast("int").alias("nothing"),
+    )
+
+
+@query(
+    "filter_constant_false",
+    section="§2.2 TupleConstantBooleanStep: WHERE 1=0 constant-false scan "
+    "elision (tupleconstantstep.h:139)",
+    oracle="SELECT r_regionkey, r_name FROM region WHERE 1 = 0",
+)
+def constant_false(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.region.where(F.lit(1) == 0).select("r_regionkey", "r_name")

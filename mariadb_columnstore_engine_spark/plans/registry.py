@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         events_plans,
         text_plans,
         similarity_plans,
+        udf_plans,
     )
 
     return QUERIES

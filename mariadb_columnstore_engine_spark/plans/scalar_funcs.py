@@ -299,3 +299,80 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sf_network_misc",
+    section="§2.8 network/misc fns: INET_ATON / INET_NTOA round-trip "
+    "(func_inet_aton.cpp; exercises dialect.inet_aton/inet_ntoa)",
+    oracle="""
+    WITH ips AS (
+        SELECT n_nationkey,
+               concat('10.0.', CAST(n_regionkey AS VARCHAR), '.',
+                      CAST(n_nationkey AS VARCHAR)) AS ip
+        FROM nation
+    )
+    SELECT n_nationkey, ip,
+           CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+             + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+             + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+             + CAST(split_part(ip, '.', 4) AS BIGINT) AS ip_num,
+           ip AS roundtrip
+    FROM ips
+    ORDER BY n_nationkey
+    """,
+)
+def network_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    ips = t.nation.select(
+        "n_nationkey",
+        F.concat(
+            F.lit("10.0."),
+            F.col("n_regionkey").cast("string"),
+            F.lit("."),
+            F.col("n_nationkey").cast("string"),
+        ).alias("ip"),
+    )
+    num = dialect.inet_aton(F.col("ip"))
+    return ips.select(
+        "n_nationkey",
+        "ip",
+        num.alias("ip_num"),
+        dialect.inet_ntoa(num).alias("roundtrip"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "sf_json_construct",
+    section="§2.8 JSON construction + introspection: json_object/"
+    "json_array/json_length analogues (func_json_*.cpp → to_json/"
+    "from_json/json_array_length)",
+    oracle="""
+    SELECT n_nationkey,
+           to_json(struct_pack(key := n_nationkey, name := n_name))
+               AS obj_json,
+           to_json([n_nationkey, n_regionkey]) AS arr_json,
+           json_array_length(to_json([n_nationkey, n_regionkey]))
+               AS arr_len,
+           json_extract_string(
+               to_json(struct_pack(key := n_nationkey, name := n_name)),
+               '$.name') AS name_back
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    obj = F.to_json(
+        F.struct(
+            F.col("n_nationkey").alias("key"), F.col("n_name").alias("name")
+        )
+    )
+    arr = F.to_json(F.array(F.col("n_nationkey"), F.col("n_regionkey")))
+    return t.nation.select(
+        "n_nationkey",
+        obj.alias("obj_json"),
+        arr.alias("arr_json"),
+        F.json_array_length(arr).alias("arr_len"),
+        F.get_json_object(obj, "$.name").alias("name_back"),
+    ).orderBy("n_nationkey")

@@ -1,1 +1,272 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over the ``embeddings`` table (ArrayType(Float)).
+
+No reference analogue (north-star extension): brute-force cosine top-k as
+the correctness baseline, plus a random-hyperplane LSH-bucketed ANN
+variant as the scale path.
+
+Numeric parity policy: cosine is computed explicitly in DOUBLE with the
+same left-to-right accumulation in both engines (Spark
+zip_with+aggregate, DuckDB list_transform+list_sum), so results are
+bit-identical; outputs are additionally rounded to 6 dp and ranked with a
+vec_id tiebreak.
+
+LSH planes are ±1 hyperplanes materialized as LITERAL arrays generated in
+Python from md5 — deterministic, dependency-free, and identical in the
+Spark plan and the oracle SQL. At 100 TB you would precompute the plane
+matrix the same way (it is tiny: n_planes × dim) and broadcast it; bucket
+assignment stays map-side, and only same-bucket candidates are joined —
+NO all-pairs cartesian in the ANN path. An IVF variant would swap the
+hash bucket for a k-means cell id; the plan shape (bucket join + exact
+rerank) is unchanged.
+
+The brute-force baseline joins a CONSTANT-SIZE probe set (broadcast) to
+the corpus — linear in corpus size, embarrassingly parallel; that is the
+correct scale shape for "score this fixed query batch", not for all-pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from mariadb_columnstore_engine_spark.catalog import Catalog
+from mariadb_columnstore_engine_spark.plans.registry import query
+
+DIM = 64
+# 2^N_PLANES buckets; sized so the fixture corpus (500 vecs) keeps ~8
+# candidates per bucket. At larger corpus sizes raise it to hold bucket
+# density roughly constant (planes ∝ log2(N / target_bucket_size)).
+N_PLANES = 6
+N_PROBES = 10
+TOP_K = 5
+
+
+def _plane_sign(p: int, i: int) -> int:
+    """Deterministic ±1 from md5 — same constants in Spark and oracle."""
+    h = int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:6], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+PLANES: list[list[int]] = [
+    [_plane_sign(p, i) for i in range(DIM)] for p in range(N_PLANES)
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-accumulation double dot product (drift-free parity)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, {n} + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    d = _SQL_DOT.format(n=DIM, a=a, b=b)
+    na = _SQL_DOT.format(n=DIM, a=a, b=a)
+    nb = _SQL_DOT.format(n=DIM, a=b, b=b)
+    return f"({d}) / sqrt(({na}) * ({nb}))"
+
+
+@query(
+    "sim_bruteforce_cosine_topk",
+    section="LLM-pipeline: brute-force cosine top-k for a constant probe "
+    "set (broadcast probe × corpus scan; linear, no all-pairs)",
+    bench=True,
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+        WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+        SELECT probe_id, e.vec_id AS neighbor_id,
+               {_sql_cos('pe', 'e.embedding')} AS cos
+        FROM probes JOIN embeddings e ON e.vec_id <> probe_id
+    ),
+    ranked AS (
+        SELECT probe_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, rank
+    FROM ranked
+    WHERE rank <= {TOP_K}
+    ORDER BY probe_id, rank
+    """,
+)
+def bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        _as_double(F.col("embedding")).alias("pe"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("ne"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.join(F.broadcast(probes))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine(F.col("pe"), F.col("ne")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.select(
+            "probe_id",
+            "neighbor_id",
+            "cos",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"),
+                "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+def _lsh_sql() -> str:
+    plane_lits = [
+        "[" + ", ".join(str(s) for s in PLANES[p]) + "]"
+        for p in range(N_PLANES)
+    ]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN ({_SQL_DOT.format(n=DIM, a='embedding', b=plane_lits[p])})"
+        f" > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, {bucket_terms} AS bucket
+        FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
+               FROM sig WHERE vec_id < {N_PROBES}),
+    cands AS (
+        SELECT p.probe_id, p.pe, s.vec_id AS neighbor_id, s.embedding AS ne
+        FROM probes p JOIN sig s
+          ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
+    ),
+    scored AS (
+        SELECT probe_id, neighbor_id, {_sql_cos('pe', 'ne')} AS cos
+        FROM cands
+    ),
+    ranked AS (
+        SELECT probe_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, rank
+    FROM ranked
+    WHERE rank <= 3
+    ORDER BY probe_id, rank
+    """
+
+
+@query(
+    "sim_lsh_ann_topk",
+    section="LLM-pipeline: random-hyperplane LSH ANN — map-side bucket "
+    "signature, same-bucket candidate join, exact cosine rerank "
+    "(the 100 TB path: no cartesian, candidates ∝ bucket density)",
+    oracle=_lsh_sql(),
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    bucket = None
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(float(s)) for s in PLANES[p]])
+        term = F.when(_dot(F.col("e"), plane) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    sig = emb.select("vec_id", "e", bucket.alias("bucket"))
+    probes = sig.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("bucket").alias("pbucket"),
+    )
+    cands = sig.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pbucket"))
+        & (F.col("vec_id") != F.col("probe_id")),
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("pe"), F.col("e")).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cands.select(
+            "probe_id", "neighbor_id", "cos",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"),
+                "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+@query(
+    "sim_embedding_stats",
+    section="LLM-pipeline: ArrayType column stats — L2 norms, per-label "
+    "aggregates (zip_with/aggregate, JVM-side)",
+    oracle=f"""
+    WITH n AS (
+        SELECT label,
+               sqrt({_SQL_DOT.format(n=DIM, a='embedding', b='embedding')})
+                   AS l2
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(l2), 6) AS avg_norm,
+           round(min(l2), 6) AS min_norm,
+           round(max(l2), 6) AS max_norm
+    FROM n
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    e = _as_double(F.col("embedding"))
+    n = t.embeddings.select(
+        "label", F.sqrt(_dot(e, e)).alias("l2")
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("l2"), 6).alias("avg_norm"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

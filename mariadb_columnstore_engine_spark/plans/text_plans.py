@@ -1,1 +1,542 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis + deduplication pillars over the ``documents`` table.
+
+No reference analogue (the reference is a SQL OLAP engine); these are the
+LLM-training-data operators the brief adds as first-class components:
+exact dedup, MinHash+LSH banded near-dup, SimHash, n-gram Jaccard,
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is built from JVM-side functions (split/transform/array_* /
+md5) — no Python UDFs — so plans keep whole-stage codegen.
+
+Portable hashing for oracle parity: shingle hash = first 6 hex digits of
+md5 parsed as a 24-bit int, identical in Spark
+(conv(substr(md5(s),1,6),16,10)) and DuckDB
+(('0x'||substr(md5(s),1,6))::BIGINT). MinHash permutations use fixed
+(a,b) constants mod P (prime < 2^24), so every product stays < 2^48 —
+no int64 overflow in either engine. A production deployment would swap
+xxhash64 for md5 (same plan shape, one fewer hex round-trip).
+
+Scale design (the part that must survive 100 TB):
+- NO all-pairs crossJoin anywhere. Candidate generation is a shuffle on
+  the band key (MinHash), byte band (SimHash), or shared shingle
+  (n-gram Jaccard) — each candidate bucket is tiny by construction.
+- Signatures are per-document map-side work (one pass over tokens).
+- The verify stage joins candidate PAIRS (a sparse set) back to
+  per-doc shingle arrays — proportional to near-dup density, not N².
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from mariadb_columnstore_engine_spark.catalog import Catalog
+from mariadb_columnstore_engine_spark.plans.registry import query
+
+# ---- portable MinHash parameters (shared by Spark plan and oracle SQL) ----
+
+P = 16777213  # largest prime < 2^24
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+HASH_AB: list[tuple[int, int]] = [
+    ((2654435761 * (j + 1)) % P or 1, (40503 * (j + 1) * 65537 + 17) % P)
+    for j in range(N_HASHES)
+]
+JACCARD_THRESHOLD = 0.8
+
+STOPWORDS = ("a", "the")
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _shingles(tokens: Column) -> Column:
+    """Distinct word trigrams (the dedup shingle unit)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - 2, F.lit(0)))
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tokens, i),
+            F.element_at(tokens, i + 1),
+            F.element_at(tokens, i + 2),
+        ),
+    )
+    return F.array_distinct(tri)
+
+
+def _hash24(col: Column) -> Column:
+    """Portable 24-bit shingle hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long")
+
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+_SQL_H24 = "('0x' || substr(md5({s}), 1, 6))::BIGINT"
+
+
+@query(
+    "text_token_stats",
+    section="LLM-pipeline: token counting + vocabulary stats per language",
+    oracle="""
+    WITH d AS (SELECT lang, n_chars, string_split(text, ' ') AS w
+               FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           sum(len(w)) AS total_tokens,
+           round(avg(len(w)), 4) AS avg_tokens,
+           round(avg(len(list_distinct(w))), 4) AS avg_unique_tokens,
+           round(avg(len(list_distinct(w)) * 1.0 / len(w)), 6)
+               AS avg_ttr,
+           round(avg(n_chars * 1.0 / len(w)), 6) AS avg_chars_per_token
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = _tokens(F.col("text"))
+    d = t.documents.select(
+        "lang",
+        "n_chars",
+        F.size(w).alias("n_tok"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_uniq"), 4).alias("avg_unique_tokens"),
+            F.round(F.avg(F.col("n_uniq") / F.col("n_tok")), 6).alias(
+                "avg_ttr"
+            ),
+            F.round(F.avg(F.col("n_chars") / F.col("n_tok")), 6).alias(
+                "avg_chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_scores",
+    section="LLM-pipeline: heuristic quality scoring "
+    "(length / stopword-ratio / type-token-ratio features)",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id < 100),
+    feats AS (
+        SELECT doc_id,
+               len(w) AS n_tok,
+               len(list_filter(w, t -> t IN ('a', 'the'))) * 1.0 / len(w)
+                   AS stop_ratio,
+               len(list_distinct(w)) * 1.0 / len(w) AS ttr
+        FROM d
+    )
+    SELECT doc_id, n_tok, round(stop_ratio, 6) AS stop_ratio,
+           round(ttr, 6) AS ttr,
+           round(0.4 * least(n_tok / 50.0, 1.0)
+                 + 0.3 * (1.0 - stop_ratio) + 0.3 * ttr, 6) AS quality
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = _tokens(F.col("text"))
+    feats = t.documents.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.size(w).alias("n_tok"),
+        (
+            F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+            / F.size(w)
+        ).alias("stop_raw"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("ttr_raw"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_tok",
+        F.round("stop_raw", 6).alias("stop_ratio"),
+        F.round("ttr_raw", 6).alias("ttr"),
+        F.round(
+            0.4 * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
+            + 0.3 * (1.0 - F.col("stop_raw"))
+            + 0.3 * F.col("ttr_raw"),
+            6,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_language_id_heuristic",
+    section="LLM-pipeline: marker-token language-ID heuristic vs labeled "
+    "lang (confusion counts; rules identical in both engines)",
+    oracle="""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+    pred AS (
+        SELECT lang,
+               CASE
+                 WHEN len(list_filter(w, t -> t IN ('the', 'a'))) >= 2
+                     THEN 'en'
+                 WHEN list_contains(w, 'spark') THEN 'tech'
+                 ELSE 'other'
+               END AS predicted
+        FROM d
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM pred
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = _tokens(F.col("text"))
+    pred = t.documents.select(
+        "lang",
+        F.when(
+            F.size(F.filter(w, lambda x: x.isin("the", "a"))) >= 2, "en"
+        )
+        .when(F.array_contains(w, "spark"), "tech")
+        .otherwise("other")
+        .alias("predicted"),
+    )
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "text_fingerprint_exact_dedup",
+    section="LLM-pipeline: content fingerprinting (md5 of normalized text) "
+    "+ exact dedup stats per source (hash-groupBy, one shuffle)",
+    oracle="""
+    WITH fp AS (
+        SELECT source,
+               md5(lower(trim(text))) AS fingerprint
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT fingerprint) AS n_unique,
+           count(*) - count(DISTINCT fingerprint) AS n_exact_dups
+    FROM fp
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    fp = t.documents.select(
+        "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fingerprint").alias("n_unique"),
+            (F.count(F.lit(1)) - F.count_distinct("fingerprint")).alias(
+                "n_exact_dups"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_ngram_jaccard_pairs",
+    section="LLM-pipeline: n-gram Jaccard near-dup pairs; candidate "
+    "generation via shared-shingle join (NO crossJoin — pairs only "
+    "materialize for docs sharing a trigram)",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(shared * 1.0 / (len(x.sh) + len(y.sh) - shared), 4)
+               AS jaccard
+    FROM pairs
+    JOIN docs x ON x.doc_id = doc_a
+    JOIN docs y ON y.doc_id = doc_b
+    WHERE shared * 1.0 / (len(x.sh) + len(y.sh) - shared)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
+    )
+    tok = docs.select("doc_id", F.explode("sh").alias("s"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.col("shared") / (F.size("sh_a") + F.size("sh_b") - F.col("shared"))
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n               ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {P})) AS m{j}"
+        for j, (a, b) in enumerate(HASH_AB)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {k} AS band_id, concat_ws('_', {cols}) AS key"
+        " FROM mh".format(
+            k=k,
+            cols=", ".join(
+                f"m{j}"
+                for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)
+            ),
+        )
+        for k in range(N_BANDS)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    hashed AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> {_SQL_H24.format(s='s')}) AS hs
+        FROM docs
+    ),
+    mh AS (
+        SELECT doc_id, sh,
+               {mins}
+        FROM hashed
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(x.sh, y.sh)) AS inter,
+               len(x.sh) AS na, len(y.sh) AS nb
+        FROM cands
+        JOIN mh x ON x.doc_id = doc_a
+        JOIN mh y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM verified
+    WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "text_minhash_lsh_dedup",
+    section="LLM-pipeline: MinHash signatures → banded LSH bucketing → "
+    "within-bucket exact-Jaccard verify. Candidate generation shuffles on "
+    "the band key only; signature computation is map-side; NO crossJoin.",
+    bench=True,
+    oracle=_minhash_sql(),
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    # Shingle arrays are referenced by the verify stage and (via the
+    # signature) by both sides of the band self-join. cache() makes the
+    # shingle/md5 work run ONCE instead of once per reference — the Spark
+    # expression of "materialize the signature table", which a 100 TB
+    # deployment would make an explicit write to storage.
+    docs = t.documents.select(
+        "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
+    ).cache()
+    # Signatures via explode + 16 min-aggregates: ONE hash evaluation per
+    # shingle (inlining md5 into 16 array_min projections costs 16 hash
+    # passes), one map-side-combined shuffle on doc_id.
+    tok = docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", _hash24(F.col("s")).alias("h")
+    )
+    mh_cols = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{j}")
+        for j, (a, b) in enumerate(HASH_AB)
+    ]
+    mh = tok.groupBy("doc_id").agg(*mh_cols).join(docs, "doc_id").cache()
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"m{j}")
+                    for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)
+                ],
+            ).alias("key"),
+        )
+        for k in range(N_BANDS)
+    ]
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = mh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = mh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cands.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(24)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(24)
+    )
+    byte_bands = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, simhash, {k} AS band_id,"
+        f" (simhash >> {8 * k}) & 255 AS key FROM sig"
+        for k in range(3)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    h AS (SELECT doc_id, {_SQL_H24.format(s='s')} AS h FROM tok),
+    bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM h
+        GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {recon} AS simhash FROM bits),
+    bands AS (
+{byte_bands}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                        b.doc_id AS doc_b, b.simhash AS sig_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "text_simhash_neardup",
+    section="LLM-pipeline: 24-bit SimHash near-dup pairs; byte-band "
+    "candidate generation + Hamming-distance verify (bit_count(xor)); "
+    "NO crossJoin",
+    oracle=_simhash_sql(),
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
+    )
+    h = docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", _hash24(F.col("s")).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(24)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(24):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+        sim = term if sim is None else sim + term
+    sig = bits.select("doc_id", sim.cast("long").alias("simhash"))
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band_id"),
+            F.shiftright("simhash", 8 * k).bitwiseAND(255).alias("key"),
+        )
+        for k in range(3)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band_id", "bk.key")
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    )
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .where(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

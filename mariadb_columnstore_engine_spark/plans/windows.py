@@ -304,3 +304,31 @@ def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+@query(
+    "win_distinct_agg_over_partition",
+    section="§2.5 DISTINCT window aggregates (windowfunctiontype.h DISTINCT "
+    "variants) — Spark expresses them as size(collect_set()) over w",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           count(DISTINCT o_orderpriority)
+               OVER (PARTITION BY o_orderstatus) AS n_prios_in_status
+    FROM orders
+    WHERE o_totalprice > 490000
+    ORDER BY o_orderstatus, o_orderkey
+    """,
+)
+def distinct_agg_over_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus")
+    return (
+        t.orders.where(F.col("o_totalprice") > 490000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.size(F.collect_set("o_orderpriority").over(w)).cast("long")
+            .alias("n_prios_in_status"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+    )

@@ -1,0 +1,85 @@
+"""Structured-Streaming wiring for the ``events`` pipeline.
+
+The reference has NO streaming operators (SURVEY §2.10 — pure batch OLAP),
+so this module is Spark-native surface: the same event-time expressions
+used by plans/events_plans.py (window / session_window), run incrementally
+with watermarks. Batch and streaming share the aggregation expressions,
+so the pytest suite can assert stream(availableNow) == batch on the same
+input — Spark's unified-API guarantee.
+
+Scale notes: watermark + windowed agg keeps state bounded by (watermark
+horizon × key cardinality); sessionization state is per-user and merges
+windows, the canonical applyInPandasWithState-free path since Spark 3.2.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: Schema for streamed event batches (ts already normalized to TIMESTAMP;
+#: streaming readers get plain µs parquet written by our own pipeline, not
+#: the driver's nanos fixture).
+EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def windowed_counts(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window counts per event_type with late-data bound —
+    the streaming twin of plans/events_plans.tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, *, gap: str = "30 minutes",
+                watermark: str = "1 hour") -> DataFrame:
+    """Streaming gap-sessionization (session_window merges state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, *, checkpoint: str,
+                      query_name: str) -> None:
+    """Drain everything currently in the source into an in-memory sink
+    (complete mode) and stop — the batch-parity test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -77,3 +77,66 @@ def test_if_and_ifnull(spark):
         dialect.if_(F.col("b") > 1, F.lit("y"), F.lit("n")).alias("y"),
     ).collect()[0]
     assert row.x == 5 and row.y == "y"
+
+
+def test_concat_oracle_null_as_empty(spark):
+    df = spark.createDataFrame([("a", None)], "x string, y string")
+    out = df.select(
+        dialect.concat_oracle(F.col("x"), F.col("y"), F.lit("z")).alias("c")
+    ).collect()[0].c
+    assert out == "az"  # plain concat would return NULL
+
+
+def test_decode_oracle_null_matches_null(spark):
+    df = spark.createDataFrame([(None,), (1,), (2,)], "x int")
+    out = [
+        r.d
+        for r in df.select(
+            "x",
+            dialect.decode_oracle(
+                F.col("x"),
+                F.lit(None).cast("int"), F.lit("was-null"),
+                F.lit(1), F.lit("one"),
+                F.lit("other"),
+            ).alias("d"),
+        )
+        .orderBy(F.col("x").asc_nulls_first())
+        .collect()
+    ]
+    assert out == ["was-null", "one", "other"]
+
+
+def test_inet_aton_ntoa_roundtrip(spark):
+    df = spark.createDataFrame([("192.168.1.10",)], "ip string")
+    row = df.select(
+        dialect.inet_aton(F.col("ip")).alias("n"),
+        dialect.inet_ntoa(dialect.inet_aton(F.col("ip"))).alias("rt"),
+    ).collect()[0]
+    assert row.n == 192 * 16777216 + 168 * 65536 + 256 + 10
+    assert row.rt == "192.168.1.10"
+
+
+def test_greatest_mariadb_null_propagates(spark):
+    df = spark.createDataFrame([(1, None), (3, 2)], "a int, b int")
+    out = [
+        r.g
+        for r in df.select(
+            dialect.greatest_mariadb(F.col("a"), F.col("b")).alias("g")
+        )
+        .orderBy("a")
+        .collect()
+    ]
+    assert out == [None, 3]  # Spark's greatest would give [1, 3]
+
+
+def test_cast_signed_rounds_half_away(spark):
+    df = spark.createDataFrame(
+        [(2.5,), (-2.5,), (2.4,)], "x double"
+    )
+    out = [
+        r.c
+        for r in df.select(dialect.cast_signed(F.col("x")).alias("c"))
+        .orderBy("x")
+        .collect()
+    ]
+    assert out == [-3, 2, 3]  # MariaDB CAST(2.5 AS SIGNED)=3, not trunc 2

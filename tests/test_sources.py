@@ -1,0 +1,112 @@
+"""Ingest (cpimport analogue), DDL, and DML round-trip tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mariadb_columnstore_engine_spark.sources import ingest
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,grp,val\n"
+        + "\n".join(f"{i},{i % 3},{i * 1.5}" for i in range(100))
+        + "\n"
+    )
+    return str(p)
+
+
+def test_bulk_load_csv_roundtrip(spark, tmp_path, csv_dir):
+    dest = str(tmp_path / "out_parquet")
+    ingest.bulk_load_csv(
+        spark,
+        csv_dir,
+        "id BIGINT, grp INT, val DOUBLE",
+        dest,
+        cluster_by=["grp", "id"],
+    )
+    df = spark.read.parquet(dest)
+    assert df.count() == 100
+    assert dict(df.dtypes) == {"id": "bigint", "grp": "int", "val": "double"}
+    total = df.agg(F.sum("id")).collect()[0][0]
+    assert total == sum(range(100))
+
+
+def test_bulk_load_partition_by(spark, tmp_path, csv_dir):
+    dest = str(tmp_path / "out_part")
+    ingest.bulk_load_csv(
+        spark,
+        csv_dir,
+        "id BIGINT, grp INT, val DOUBLE",
+        dest,
+        partition_by=["grp"],
+    )
+    # partition pruning: reading one hive partition sees only its rows
+    one = spark.read.parquet(dest).where(F.col("grp") == 1)
+    assert one.count() == sum(1 for i in range(100) if i % 3 == 1)
+
+
+def test_create_table_and_insert_select(spark, tmp_path, csv_dir):
+    dest = str(tmp_path / "tbl")
+    ingest.bulk_load_csv(
+        spark, csv_dir, "id BIGINT, grp INT, val DOUBLE", dest
+    )
+    ingest.create_table(spark, "ingest_test_tbl", dest)
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM ingest_test_tbl").collect()[0].n
+        assert n == 100
+        # INSERT INTO ... SELECT (append) doubles the rows
+        ingest.insert_into_select(
+            spark.sql("SELECT * FROM ingest_test_tbl WHERE grp = 0"), dest
+        )
+        spark.sql("REFRESH TABLE ingest_test_tbl")
+        n2 = spark.sql("SELECT count(*) AS n FROM ingest_test_tbl").collect()[0].n
+        assert n2 == 100 + sum(1 for i in range(100) if i % 3 == 0)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_test_tbl")
+
+
+def test_clustering_produces_sorted_rowgroups(spark, tmp_path, csv_dir):
+    dest = str(tmp_path / "clustered")
+    ingest.bulk_load_csv(
+        spark,
+        csv_dir,
+        "id BIGINT, grp INT, val DOUBLE",
+        dest,
+        cluster_by=["id"],
+    )
+    # each output file's ids must be a contiguous sorted range (the
+    # property that makes row-group min/max pruning selective)
+    files = (
+        spark.read.parquet(dest)
+        .select("id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
+             F.count("id").alias("n"))
+        .collect()
+    )
+    for r in files:
+        assert r.n == r.hi - r.lo + 1, "file id-range not contiguous"
+
+
+def test_analyze_table_populates_cbo_stats(spark, tmp_path, csv_dir):
+    dest = str(tmp_path / "stats_tbl")
+    ingest.bulk_load_csv(
+        spark, csv_dir, "id BIGINT, grp INT, val DOUBLE", dest
+    )
+    ingest.create_table(spark, "stats_test_tbl", dest)
+    try:
+        ingest.analyze_table(spark, "stats_test_tbl", columns=["id", "grp"])
+        detail = {
+            r.col_name: r.data_type
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED stats_test_tbl"
+            ).collect()
+        }
+        assert "Statistics" in detail, "ANALYZE produced no table stats"
+        assert "rows" in detail["Statistics"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_test_tbl")
