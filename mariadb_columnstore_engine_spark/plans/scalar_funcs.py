@@ -376,3 +376,77 @@ def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_array_length(arr).alias("arr_len"),
         F.get_json_object(obj, "$.name").alias("name_back"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "sf_decimal38_matrix",
+    section="§2.8/§1.2 DECIMAL(38) arithmetic — the reference's int128 "
+    "flagship type (datatypes/mcs_decimal.h:117-120, mcs_int128.h:56); "
+    "every output pinned to an explicit decimal type in both engines",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(18,4)) AS p,
+           CAST(l_discount AS DECIMAL(18,4)) AS d,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8)) AS pd,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                + CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,4))
+               AS p_plus_q,
+           CAST(CAST(l_extendedprice AS DECIMAL(38,10)) / 8
+                AS DECIMAL(38,10)) AS p_div8
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def decimal38_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    p18 = F.col("l_extendedprice").cast("decimal(18,4)")
+    d18 = F.col("l_discount").cast("decimal(18,4)")
+    q18 = F.col("l_quantity").cast("decimal(18,4)")
+    return (
+        t.lineitem.where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            p18.alias("p"),
+            d18.alias("d"),
+            (p18 * d18).cast("decimal(38,8)").alias("pd"),
+            (p18 + q18).cast("decimal(38,4)").alias("p_plus_q"),
+            (F.col("l_extendedprice").cast("decimal(38,10)") / 8)
+            .cast("decimal(38,10)")
+            .alias("p_div8"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "sf_decimal38_agg",
+    section="§2.8/§2.4 exact decimal SUM at precision 38 (no float drift "
+    "by construction — the reference's int128 accumulation analogue)",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS total_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def decimal38_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

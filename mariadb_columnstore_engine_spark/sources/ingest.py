@@ -81,6 +81,35 @@ def insert_into_select(df: DataFrame, dest: str, *, mode: str = "append") -> Non
     df.write.mode(mode).parquet(dest)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (+ optionally sorted) table.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — each task reads matching bucket files from both
+    sides. This is the Spark analogue of the reference keeping all data
+    PM-local and re-converging on the UM (ColumnStore has no shuffle at
+    all, SURVEY §4): pre-partition once at write time, then every
+    key-aligned join/aggregation is exchange-free. At 100 TB, bucketing
+    the fact table on its dominant join key removes the biggest shuffle
+    from every query that uses it.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
 def analyze_table(spark: SparkSession, name: str,
                   columns: list[str] | None = None) -> None:
     """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS] — feeds the CBO

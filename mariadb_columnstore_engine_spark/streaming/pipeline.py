@@ -70,6 +70,45 @@ def sessionized(events: DataFrame, *, gap: str = "30 minutes",
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total) maintained in state across
+    micro-batches — the applyInPandasWithState path the brief prescribes
+    for operators Spark's built-ins can't express. Each update emits the
+    user's current running totals.
+
+    Scale notes: state is per-user (bounded per key); the state store
+    shuffles once on user_id. Production would add a timeout
+    (GroupStateTimeout.ProcessingTimeTimeout) to expire idle users.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        cnt, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [cnt],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, "
+        "total_value DOUBLE",
+        stateStructType="cnt BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, *, checkpoint: str,
                       query_name: str) -> None:
     """Drain everything currently in the source into an in-memory sink

@@ -63,3 +63,41 @@ def test_stream_sessionization_runs(spark, sf_dir, tmp_path):
     n_events = spark.read.parquet(src).count()
     assert rows.tot == n_events, "every event must land in exactly 1 session"
     assert rows.n > 0
+
+
+def test_stateful_user_totals_match_batch(spark, sf_dir, tmp_path):
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = pipeline.stateful_user_totals(
+        pipeline.read_event_stream(spark, src)
+    )
+    final = {}
+
+    def upsert(batch_df, _batch_id):
+        for r in batch_df.collect():
+            final[r.user_id] = (r.n_events, r.total_value)
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = {
+        r.user_id: (r.n, r.t)
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    # counts must match exactly; totals accumulate in the same order only
+    # within state, so compare to 2dp tolerance
+    for uid, (n, t) in expected.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - t) < 0.05
