@@ -83,6 +83,34 @@ def ifnull(a: Column, b: Column) -> Column:
     return F.coalesce(a, b)
 
 
+def sec_to_time(col: Column) -> Column:
+    """MariaDB SEC_TO_TIME (func_sec_to_time): seconds → 'HH:MM:SS'
+    string (the reference's TIME is interval-like, SURVEY §1.2 — we
+    render the canonical string form). Negative inputs get a '-' sign
+    like MariaDB."""
+    secs = col.cast("long")
+    a = F.abs(secs)
+    body = F.concat_ws(
+        ":",
+        F.lpad((a / 3600).cast("long").cast("string"), 2, "0"),
+        F.lpad(((a % 3600) / 60).cast("long").cast("string"), 2, "0"),
+        F.lpad((a % 60).cast("string"), 2, "0"),
+    )
+    return F.when(secs < 0, F.concat(F.lit("-"), body)).otherwise(body)
+
+
+def time_to_sec(col: Column) -> Column:
+    """MariaDB TIME_TO_SEC: 'HH:MM:SS' string → seconds (sign-aware)."""
+    neg = col.startswith("-")
+    p = F.split(F.regexp_replace(col, "^-", ""), ":")
+    secs = (
+        F.element_at(p, 1).cast("long") * 3600
+        + F.element_at(p, 2).cast("long") * 60
+        + F.element_at(p, 3).cast("long")
+    )
+    return F.when(neg, -secs).otherwise(secs)
+
+
 def inet_aton(col: Column) -> Column:
     """MariaDB INET_ATON (func_inet_aton.cpp): dotted-quad IPv4 → number.
     Pure JVM arithmetic on split parts; NULL for malformed input falls out

@@ -1,0 +1,47 @@
+"""Skew-mitigation helpers: salted two-stage aggregation.
+
+AQE's skew-join splitting (enabled in session.py) covers joins; for
+aggregations over a heavily skewed key, salting splits each hot key
+across ``n_salts`` reducers and a second, much smaller aggregation
+merges the partials — the classic two-stage pattern. The reference has
+no shuffle at all (all rows of a key converge on the UM), so its skew
+ceiling is a single node; salting is what makes the same aggregate
+scale past one reducer on Spark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: Callable[[], list[Column]],
+    *,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``partial_aggs``: stage-1 aggregate columns (must be algebraic —
+    SUM/COUNT/MIN/MAX — so stage 2 can merge them); ``final_aggs``: a
+    callable returning the stage-2 merge expressions over the stage-1
+    output columns. The salt is derived deterministically (hash of
+    ``salt_source`` or of all non-key columns via ``spark_partition_id``
+    fallback), never ``rand()`` — plans stay reproducible.
+    """
+    if salt_source is not None:
+        salt = F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*partial_aggs)
+    )
+    return stage1.groupBy(*keys).agg(*final_aggs())

@@ -270,3 +270,208 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# Separate plane bank for pair mining (3 bands x 4 planes): banded OR
+# boosts recall at moderate cosine exactly like MinHash banding.
+PAIR_BANDS = 3
+PAIR_ROWS = 4
+PAIR_PLANES: list[list[int]] = [
+    [_plane_sign(100 + p, i) for i in range(DIM)]
+    for p in range(PAIR_BANDS * PAIR_ROWS)
+]
+COSINE_PAIR_THRESHOLD = 0.4
+
+
+def _pair_sql() -> str:
+    plane_lits = [
+        "[" + ", ".join(str(s) for s in PAIR_PLANES[p]) + "]"
+        for p in range(PAIR_BANDS * PAIR_ROWS)
+    ]
+
+    def band_key(k: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({_SQL_DOT.format(n=DIM, a='embedding', b=plane_lits[k * PAIR_ROWS + r])})"
+            f" > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(PAIR_ROWS)
+        )
+
+    bands = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, embedding, {k} AS band_id,"
+        f" {band_key(k)} AS key FROM embeddings"
+        for k in range(PAIR_BANDS)
+    )
+    return f"""
+    WITH bands AS (
+{bands}
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+                     AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT vec_a, vec_b, {_sql_cos('x.embedding', 'y.embedding')} AS cos
+        FROM cands
+        JOIN embeddings x ON x.vec_id = vec_a
+        JOIN embeddings y ON y.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cosine
+    FROM scored
+    WHERE cos >= {COSINE_PAIR_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@query(
+    "sim_cosine_neardup_pairs",
+    section="LLM-pipeline: embedding-cosine near-dup PAIR mining — banded "
+    "random-hyperplane LSH candidates (3 bands x 4 planes, OR-amplified "
+    "recall) + exact rerank; NO all-pairs cartesian",
+    oracle=_pair_sql(),
+)
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    band_structs = []
+    for k in range(PAIR_BANDS):
+        key = None
+        for r in range(PAIR_ROWS):
+            plane = F.array(
+                *[F.lit(float(s)) for s in PAIR_PLANES[k * PAIR_ROWS + r]]
+            )
+            bit = F.when(_dot(F.col("e"), plane) > 0, F.lit(1 << r)).otherwise(0)
+            key = bit if key is None else key + bit
+        band_structs.append(
+            F.struct(F.lit(k).alias("band_id"), key.alias("key"))
+        )
+    bands = emb.select(
+        "vec_id", "e", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("vec_id", "e", "bk.band_id", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        cands.join(x, "vec_a")
+        .join(y, "vec_b")
+        .where(cos >= COSINE_PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+N_CELLS = 16
+
+
+@query(
+    "sim_ivf_ann_topk",
+    section="LLM-pipeline: IVF-flat ANN — coarse quantizer (16 fixed "
+    "centroids), map-side cell assignment, within-cell candidates + exact "
+    "rerank. The k-means-trained variant swaps the centroid source only; "
+    "plan shape (broadcast centroids -> cell join -> rerank) is identical",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
+        WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT e.vec_id, e.embedding, s.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.embedding', 's.ce')} DESC,
+                                s.cell_id) AS rn
+            FROM embeddings e CROSS JOIN seeds s
+        ) ranked WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, embedding AS pe, cell_id
+               FROM assigned WHERE vec_id < {N_PROBES}),
+    cands AS (
+        SELECT p.probe_id, p.pe, a.vec_id AS neighbor_id,
+               a.embedding AS ne
+        FROM probes p JOIN assigned a
+          ON a.cell_id = p.cell_id AND a.vec_id <> p.probe_id
+    ),
+    ranked AS (
+        SELECT probe_id, neighbor_id,
+               {_sql_cos('pe', 'ne')} AS cos,
+               row_number() OVER (PARTITION BY probe_id
+                   ORDER BY {_sql_cos('pe', 'ne')} DESC, neighbor_id)
+                   AS rank
+        FROM cands
+    )
+    SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, rank
+    FROM ranked
+    WHERE rank <= 3
+    ORDER BY probe_id, rank
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    seeds = emb.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), "cell_id"
+    )
+    assigned = (
+        emb.join(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "e",
+            "cell_id",
+            _cosine(F.col("e"), F.col("ce")).alias("cell_cos"),
+        )
+        .select(
+            "vec_id", "e", "cell_id",
+            F.row_number().over(w_assign).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    probes = assigned.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("cell_id").alias("pcell"),
+    )
+    cands = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell_id") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("probe_id")),
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("pe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cands.select(
+            "probe_id", "neighbor_id", "cos",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"),
+                "rank")
+        .orderBy("probe_id", "rank")
+    )

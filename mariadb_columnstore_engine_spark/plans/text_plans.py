@@ -540,3 +540,81 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "text_bpe_regex_tokens",
+    section="LLM-pipeline: BPE-ish regex token counting (word pieces / "
+    "digit runs / punctuation as separate tokens) vs whitespace tokens",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_ws,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                   AS n_bpe
+        FROM documents
+    )
+    SELECT lang, sum(n_ws) AS total_ws_tokens,
+           sum(n_bpe) AS total_bpe_tokens,
+           round(avg(n_bpe * 1.0 / n_ws), 6) AS bpe_per_word
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    d = t.documents.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).alias("n_bpe"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg(F.col("n_bpe") / F.col("n_ws")), 6).alias(
+                "bpe_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_rolling_hash_fingerprint",
+    section="LLM-pipeline: polynomial rolling-hash document fingerprint "
+    "(base-31 over char codes mod P — JVM aggregate, no UDF)",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0, list_transform(string_split(text, ''),
+                                              c -> ascii(c))),
+               (acc, c) -> (acc * 31 + c) % {P}
+           ) AS rolling_fp,
+           length(text) AS n_chars_text
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    codes = F.transform(F.split(F.col("text"), ""), F.ascii)
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % P
+    )
+    return (
+        t.documents.where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            fp.alias("rolling_fp"),
+            F.length("text").alias("n_chars_text"),
+        )
+        .orderBy("doc_id")
+    )

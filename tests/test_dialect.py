@@ -140,3 +140,19 @@ def test_cast_signed_rounds_half_away(spark):
         .collect()
     ]
     assert out == [-3, 2, 3]  # MariaDB CAST(2.5 AS SIGNED)=3, not trunc 2
+
+
+def test_sec_to_time_and_back(spark):
+    df = spark.createDataFrame([(3661,), (-90,), (0,)], "s long")
+    rows = {
+        r.s: (r.t, r.back)
+        for r in df.select(
+            "s",
+            dialect.sec_to_time(F.col("s")).alias("t"),
+            dialect.time_to_sec(dialect.sec_to_time(F.col("s"))).alias("back"),
+        ).collect()
+    }
+    assert rows[3661][0] == "01:01:01"
+    assert rows[-90][0] == "-00:01:30"
+    assert rows[0][0] == "00:00:00"
+    assert all(back == s for s, (_, back) in rows.items())
