@@ -90,11 +90,12 @@ def sec_to_time(col: Column) -> Column:
     like MariaDB."""
     secs = col.cast("long")
     a = F.abs(secs)
-    body = F.concat_ws(
-        ":",
-        F.lpad((a / 3600).cast("long").cast("string"), 2, "0"),
-        F.lpad(((a % 3600) / 60).cast("long").cast("string"), 2, "0"),
-        F.lpad((a % 60).cast("string"), 2, "0"),
+    # format_string pads without truncating (lpad would cut 100+ hours)
+    body = F.format_string(
+        "%02d:%02d:%02d",
+        (a / 3600).cast("long"),
+        ((a % 3600) / 60).cast("long"),
+        a % 60,
     )
     return F.when(secs < 0, F.concat(F.lit("-"), body)).otherwise(body)
 

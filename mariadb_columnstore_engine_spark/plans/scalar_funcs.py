@@ -450,3 +450,100 @@ def decimal38_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sf_string_matrix2",
+    section="§2.8 string functions batch 2: locate/find_in_set/elt/field/"
+    "space/strcmp/chr/hex/translate (funcexp long tail)",
+    oracle="""
+    SELECT n_nationkey,
+           strpos(n_name, 'TION')                       AS locate_v,
+           list_position(string_split('NATION_1,NATION_3,NATION_5', ','),
+                         n_name)                        AS find_in_set_v,
+           (['alpha', 'beta', 'gamma'])[(n_nationkey % 3) + 1] AS elt_v,
+           CASE n_name WHEN 'NATION_1' THEN 1
+                       WHEN 'NATION_2' THEN 2 ELSE 0 END AS field_v,
+           repeat(' ', n_nationkey % 4) || 'x'          AS space_v,
+           CASE WHEN n_name < 'NATION_2' THEN -1
+                WHEN n_name > 'NATION_2' THEN 1 ELSE 0 END AS strcmp_v,
+           chr(65 + (n_nationkey % 26))                 AS chr_v,
+           to_hex(n_nationkey * 255)                    AS hex_v,
+           translate(n_name, 'NAT', 'nat')              AS translate_v
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def string_matrix2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    n = F.col("n_name")
+    k = F.col("n_nationkey")
+    return t.nation.select(
+        "n_nationkey",
+        F.locate("TION", n).alias("locate_v"),
+        # MariaDB FIND_IN_SET(needle, csv-list)
+        F.coalesce(
+            F.expr("find_in_set(n_name, 'NATION_1,NATION_3,NATION_5')"),
+            F.lit(0),
+        ).alias("find_in_set_v"),
+        # MariaDB ELT(index, ...) — 1-based pick from a literal list
+        F.element_at(
+            F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma")),
+            (k % 3 + 1).cast("int"),
+        ).alias("elt_v"),
+        # MariaDB FIELD(x, v1, v2, ...) — position of x in the list
+        F.when(n == "NATION_1", 1)
+        .when(n == "NATION_2", 2)
+        .otherwise(0)
+        .alias("field_v"),
+        F.concat(F.repeat(F.lit(" "), (k % 4).cast("int")), F.lit("x")).alias(
+            "space_v"
+        ),
+        F.when(n < "NATION_2", -1)
+        .when(n > "NATION_2", 1)
+        .otherwise(0)
+        .alias("strcmp_v"),
+        F.chr(65 + (k % 26)).alias("chr_v"),
+        F.hex(k * 255).alias("hex_v"),
+        F.translate(n, "NAT", "nat").alias("translate_v"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "sf_datetime_matrix2",
+    section="§2.8 date/time batch 2: unix_timestamp/from_unixtime/"
+    "add_months/weekday/timediff analogues (UTC-pinned fixtures make "
+    "epoch functions engine-invariant)",
+    oracle="""
+    SELECT o_orderkey,
+           epoch(o_orderdate)::BIGINT                   AS epoch_s,
+           CAST(to_timestamp(epoch(o_orderdate)::BIGINT) AS TIMESTAMP)
+               AS from_unix,
+           (CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH)::DATE
+               AS plus_3m,
+           isodow(o_orderdate) - 1                      AS weekday_v,
+           epoch(TIMESTAMP '1998-01-01 00:00:00')::BIGINT
+             - epoch(o_orderdate)::BIGINT               AS secs_to_98
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+)
+def datetime_matrix2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    od = F.col("o_orderdate")
+    return (
+        t.orders.where(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp(od).alias("epoch_s"),
+            F.to_timestamp(F.unix_timestamp(od)).alias("from_unix"),
+            F.add_months(od.cast("date"), 3).alias("plus_3m"),
+            F.weekday(od).alias("weekday_v"),  # 0 = Monday, = isodow - 1
+            (
+                F.unix_timestamp(F.lit("1998-01-01 00:00:00").cast("timestamp"))
+                - F.unix_timestamp(od)
+            ).alias("secs_to_98"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the dialect layer.
+
+The reference ships no randomized tests (SURVEY §5) — this is a
+deliberate upgrade: each property batches all generated cases into one
+DataFrame so a property run costs one Spark job, not one per example.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mariadb_columnstore_engine_spark.functions import dialect
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_int64 = st.integers(min_value=-(2**62), max_value=2**62)
+
+
+@given(
+    st.lists(
+        st.tuples(_int64, _int64.filter(lambda x: x != 0)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_div_truncates_toward_zero_exactly(spark, cases):
+    df = spark.createDataFrame(cases, "a long, b long")
+    rows = df.select(
+        "a", "b", dialect.div(F.col("a"), F.col("b")).alias("q")
+    ).collect()
+    for r in rows:
+        expected = abs(r.a) // abs(r.b)
+        if (r.a < 0) != (r.b < 0):
+            expected = -expected
+        assert r.q == expected, (r.a, r.b, r.q, expected)
+
+
+@given(
+    st.lists(
+        st.tuples(*[st.integers(0, 255)] * 4), min_size=1, max_size=50
+    )
+)
+@settings(**_SETTINGS)
+def test_inet_aton_ntoa_roundtrip_property(spark, quads):
+    ips = [(".".join(map(str, q)),) for q in quads]
+    df = spark.createDataFrame(ips, "ip string")
+    rows = df.select(
+        "ip",
+        dialect.inet_ntoa(dialect.inet_aton(F.col("ip"))).alias("rt"),
+        dialect.inet_aton(F.col("ip")).alias("n"),
+    ).collect()
+    for r in rows:
+        assert r.rt == r.ip
+        a, b, c, d = map(int, r.ip.split("."))
+        assert r.n == (a << 24) + (b << 16) + (c << 8) + d
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(86400 * 10), max_value=86400 * 10),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_sec_to_time_roundtrip_property(spark, secs):
+    df = spark.createDataFrame([(s,) for s in secs], "s long")
+    rows = df.select(
+        "s",
+        dialect.time_to_sec(dialect.sec_to_time(F.col("s"))).alias("back"),
+    ).collect()
+    for r in rows:
+        assert r.back == r.s
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_group_concat_default_is_sorted_join(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = df.agg(dialect.group_concat("v", "|").alias("g")).collect()[0].g
+    assert out == "|".join(sorted(values))
