@@ -45,3 +45,31 @@ def salted_agg(
         .agg(*partial_aggs)
     )
     return stage1.groupBy(*keys).agg(*final_aggs())
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the small side is replicated ``n_salts``
+    times (explode over the salt range), the skewed side gets a
+    deterministic salt from hashing its whole row, and the join runs on
+    (key, salt) — each hot key fans across n_salts reducers.
+
+    Prefer AQE's skew-join splitting when it triggers; this explicit
+    variant is for joins AQE cannot split (e.g. a key so hot one
+    partition exceeds executor memory even after splitting) and costs a
+    small-side blow-up of n_salts.
+    """
+    salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
+    small_rep = small.withColumn("_salt", F.explode(salt_vals))
+    skewed_salted = skewed.withColumn(
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)),
+    )
+    joined = skewed_salted.join(small_rep, [key, "_salt"], how)
+    return joined.drop("_salt")

@@ -356,3 +356,32 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_group_concat_distinct",
+    section="§2.4 GROUP_CONCAT(DISTINCT ... ORDER BY) "
+    "(groupconcat.h DISTINCT path; exercises dialect.group_concat)",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def group_concat_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            dialect.group_concat("c_mktsegment", ",", distinct=True).alias(
+                "segments"
+            )
+        )
+        .orderBy("n_regionkey")
+    )

@@ -133,3 +133,29 @@ sql_query(
     section="§2.6 DISTINCT + ORDER BY + LIMIT/OFFSET annex "
     "(tupleannexstep.cpp:467,516-540)",
 )
+
+
+@query(
+    "setop_order_nulls_first_last",
+    section="§2.6 NULLS FIRST/LAST ordering (IdbOrderBy comparator, "
+    "idborderby.cpp; NULLs injected via nullif)",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null
+    FROM orders
+    WHERE o_orderkey < 40
+    ORDER BY status_or_null NULLS FIRST, o_orderkey DESC
+    """,
+)
+def order_nulls_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderkey") < 40)
+        .select(
+            "o_orderkey",
+            F.nullif("o_orderstatus", F.lit("P")).alias("status_or_null"),
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("o_orderkey").desc(),
+        )
+    )

@@ -332,3 +332,65 @@ def distinct_agg_over_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderkey")
     )
+
+
+@query(
+    "win_regr_over_partition",
+    section="§2.5 REGR_* family as window functions "
+    "(windowfunctiontype.h:92-100, utils/regr/)",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(regr_slope(l_extendedprice, l_quantity)
+                 OVER (PARTITION BY l_returnflag), 4) AS slope_in_flag,
+           round(corr(l_extendedprice, l_quantity)
+                 OVER (PARTITION BY l_returnflag), 6) AS corr_in_flag
+    FROM lineitem
+    WHERE l_orderkey < 50
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def regr_over_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("l_returnflag")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        t.lineitem.where(F.col("l_orderkey") < 50)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.regr_slope(y, x).over(w), 4).alias("slope_in_flag"),
+            F.round(F.corr(y, x).over(w), 6).alias("corr_in_flag"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "win_pandas_udaf_over_window",
+    section="§2.5/§2.11 UDAF-as-window-function (wf_udaf.cpp) — pandas "
+    "GROUPED_AGG UDF over an unbounded partition frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(median(o_totalprice)
+                 OVER (PARTITION BY o_orderstatus), 4) AS median_in_status
+    FROM orders
+    WHERE o_totalprice > 490000
+    ORDER BY o_orderkey
+    """,
+)
+def pandas_udaf_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.functions.udf import median_udaf
+
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus")
+    return (
+        t.orders.where(F.col("o_totalprice") > 490000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(median_udaf("o_totalprice").over(w), 4).alias(
+                "median_in_status"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

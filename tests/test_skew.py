@@ -36,3 +36,27 @@ def test_salted_agg_matches_direct(spark, sf_dir):
         r.l_returnflag: (r.n, round(r.s, 2)) for r in salted.collect()
     }
     assert got == direct
+
+
+def test_salted_join_matches_direct(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    direct = (
+        li.join(supp, "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    from mariadb_columnstore_engine_spark.operators.skew import salted_join
+
+    salted = (
+        salted_join(li, supp, "l_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    d = {r.s_nationkey: (r.n, round(r.q, 2)) for r in direct.collect()}
+    s = {r.s_nationkey: (r.n, round(r.q, 2)) for r in salted.collect()}
+    assert s == d
