@@ -183,3 +183,45 @@ def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_cents", "sum_k")
         .orderBy("day")
     )
+
+
+@query(
+    "events_asof_join",
+    section="LLM-pipeline/custom operator: AS-OF join (no Spark/reference "
+    "native op; union-and-carry window composition, oracle = DuckDB's "
+    "native ASOF LEFT JOIN). One shuffle on the by-key.",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase' AND user_id < 30
+    ),
+    signups AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           s.value AS asof_value, s.ts AS asof_ts
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.operators.asof import asof_join
+
+    t = Catalog(spark, sf_dir)
+    purchases = t.events.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
+    ).select("event_id", "user_id", "ts", "value")
+    signups = t.events.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        signups,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value", "ts"],
+    ).orderBy("event_id")
