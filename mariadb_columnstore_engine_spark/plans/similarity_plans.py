@@ -274,6 +274,10 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Separate plane bank for pair mining (3 bands x 4 planes): banded OR
 # boosts recall at moderate cosine exactly like MinHash banding.
+# Scaling: 4-bit band keys give 16 buckets/band — sized for the sf0.01
+# gate corpus (500 vecs, ~30/bucket). Grow PAIR_ROWS with the corpus
+# (rows ∝ log2(N / target_bucket_size)) to keep candidate pairs linear;
+# the recall loss per added row trades against rerank cost.
 PAIR_BANDS = 3
 PAIR_ROWS = 4
 PAIR_PLANES: list[list[int]] = [
@@ -333,9 +337,12 @@ def _pair_sql() -> str:
 )
 def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
+    # cache(): the embedding table is referenced by both band self-join
+    # sides AND the two rerank joins — without it the 12 plane dot
+    # products recompute once per reference (the minhash lesson).
     emb = t.embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
+    ).cache()
     band_structs = []
     for k in range(PAIR_BANDS):
         key = None
