@@ -68,6 +68,35 @@ def cast_signed(col: Column) -> Column:
     return F.round(col, 0).cast("long")
 
 
+def cast_signed_str(col: Column) -> Column:
+    """MariaDB CAST(<string> AS SIGNED) truncation semantics
+    (func_cast.cpp): a leading numeric prefix parses, trailing garbage is
+    ignored ('12abc' → 12, 'abc' → 0). Spark's cast returns NULL for any
+    malformed string; this extracts the prefix explicitly."""
+    prefix = F.regexp_extract(F.trim(col), r"^[+-]?\d+", 0)
+    return F.coalesce(
+        F.when(prefix != "", prefix.cast("long")), F.lit(0)
+    )
+
+
+def zero_date_to_null(col: Column) -> Column:
+    """MariaDB zero-date ('0000-00-00') handling: Spark/Parquet cannot
+    represent year 0, so ingest maps zero dates to NULL — the documented
+    engine difference (SURVEY §7 hard parts). Also catches '0000-00-00
+    00:00:00' timestamps."""
+    return F.when(~col.cast("string").startswith("0000-00-00"), col)
+
+
+def least_mariadb(*cols: Column) -> Column:
+    """MariaDB LEAST returns NULL if ANY argument is NULL; Spark/DuckDB
+    skip NULLs (same contract as greatest_mariadb)."""
+    any_null = None
+    for c in cols:
+        n = c.isNull()
+        any_null = n if any_null is None else (any_null | n)
+    return F.when(~any_null, F.least(*cols))
+
+
 def greatest_mariadb(*cols: Column) -> Column:
     """MariaDB GREATEST returns NULL if ANY argument is NULL (func_case.cpp
     least/greatest family); Spark/DuckDB ``greatest`` skip NULLs."""

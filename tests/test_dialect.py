@@ -156,3 +156,31 @@ def test_sec_to_time_and_back(spark):
     assert rows[-90][0] == "-00:01:30"
     assert rows[0][0] == "00:00:00"
     assert all(back == s for s, (_, back) in rows.items())
+
+
+def test_cast_signed_str_truncation(spark):
+    df = spark.createDataFrame(
+        [("12abc",), ("abc",), ("-7x",), (" 42 ",), ("",)], "s string"
+    )
+    out = {r.s: r.c for r in df.select(
+        "s", dialect.cast_signed_str(F.col("s")).alias("c")
+    ).collect()}
+    assert out == {"12abc": 12, "abc": 0, "-7x": -7, " 42 ": 42, "": 0}
+
+
+def test_zero_date_to_null(spark):
+    df = spark.createDataFrame(
+        [("0000-00-00",), ("1996-01-05",)], "d string"
+    )
+    out = [r.v for r in df.select(
+        dialect.zero_date_to_null(F.col("d")).alias("v")
+    ).orderBy("d").collect()]
+    assert out == [None, "1996-01-05"]
+
+
+def test_least_mariadb_null_propagates(spark):
+    df = spark.createDataFrame([(1, None), (3, 2)], "a int, b int")
+    out = [r.l for r in df.select(
+        dialect.least_mariadb(F.col("a"), F.col("b")).alias("l")
+    ).orderBy("a").collect()]
+    assert out == [None, 2]
