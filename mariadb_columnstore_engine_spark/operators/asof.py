@@ -9,8 +9,11 @@ union-and-carry pattern:
 2. union them into one keyed stream,
 3. one shuffle: window over (by-key, ordered by event time, right rows
    first on ties for >= semantics),
-4. ``last(value, ignorenulls=True)`` carries the latest right-hand value
-   forward onto every left row.
+4. ``last(struct(values), ignorenulls=True)`` carries the latest
+   right-hand ROW forward onto every left row. The carry is one struct
+   (non-null exactly on right rows), not per-column ``last`` calls —
+   per-column carries would skip a genuinely-NULL value on the matched
+   right row and resurrect a stale value from an older one.
 
 Cost: ONE shuffle of left+right on the by-key — same order as the
 equi-join lower bound; no range-explosion, no per-row probes. At 100 TB
@@ -45,15 +48,18 @@ def asof_join(
         F.col(by).alias("_by"),
         F.col(right_ts).alias("_t"),
         F.lit(r_marker).alias("_side"),
-        F.lit(None).cast("long").alias("_left_row"),
+        # right rows are identified by _is_left IS NULL; a constant marker
+        # (not monotonically_increasing_id) — id-stability caveats under
+        # task retry make ids a needless risk in a correctness operator
+        F.lit(None).cast("int").alias("_is_left"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
     l_cols = left.columns
-    l = left.withColumn("_left_row", F.monotonically_increasing_id()).select(
+    l = left.select(
         F.col(by).alias("_by"),
         F.col(left_ts).alias("_t"),
         F.lit(l_marker).alias("_side"),
-        "_left_row",
+        F.lit(1).alias("_is_left"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}")
           for c in value_cols],
         *[F.col(c) for c in l_cols],
@@ -63,14 +69,20 @@ def asof_join(
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l.unionByName(r, allowMissingColumns=True).select(
-        "*",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+    # One struct per right row (non-null exactly on right rows, even when
+    # every value inside is NULL) so per-column NULLs ride along with the
+    # matched row instead of being skipped by ignorenulls.
+    carry_src = F.when(
+        F.col("_is_left").isNull(),
+        F.struct(*[F.col(f"_v_{c}").alias(c) for c in value_cols]),
     )
-    out = carried.where(F.col("_left_row").isNotNull()).select(
-        *l_cols, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols]
+    carried = (
+        l.unionByName(r, allowMissingColumns=True)
+        .withColumn("_vrow", carry_src)
+        .select("*", F.last("_vrow", ignorenulls=True).over(w).alias("_asof"))
+    )
+    out = carried.where(F.col("_is_left").isNotNull()).select(
+        *l_cols,
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
     )
     return out

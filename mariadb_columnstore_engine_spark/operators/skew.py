@@ -38,7 +38,15 @@ def salted_agg(
     if salt_source is not None:
         salt = F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
     else:
-        salt = F.pmod(F.spark_partition_id(), F.lit(n_salts))
+        # content-derived fallback: hash every non-key column so a hot key
+        # concentrated in one input partition still fans across reducers
+        # (a partition-id salt would give it a single salt value there)
+        non_key = [F.col(c) for c in df.columns if c not in keys]
+        salt = (
+            F.pmod(F.hash(*non_key), F.lit(n_salts))
+            if non_key
+            else F.pmod(F.spark_partition_id(), F.lit(n_salts))
+        )
     stage1 = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
@@ -64,7 +72,18 @@ def salted_join(
     variant is for joins AQE cannot split (e.g. a key so hot one
     partition exceeds executor memory even after splitting) and costs a
     small-side blow-up of n_salts.
+
+    Only ``inner`` / ``left`` (skewed side preserved) are sound under
+    replication: for right/full/right-semi variants every unmatched
+    replicated small-side row would surface ``n_salts`` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the small side is "
+            f"replicated {n_salts}×, so only joins that preserve/probe the "
+            "skewed side (inner/left/left_semi/left_anti) are sound"
+        )
     salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
     small_rep = small.withColumn("_salt", F.explode(salt_vals))
     skewed_salted = skewed.withColumn(

@@ -12,8 +12,82 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pyarrow as pa
 
 from mariadb_columnstore_engine_spark.catalog import TABLES
+
+
+def arrow_type_category(t: pa.DataType) -> str:
+    """Collapse an Arrow type to the equivalence class the driver's
+    type-sensitive value hash distinguishes.
+
+    Python-side, int8..int64 all surface as ``int`` and string /
+    large_string both as ``str`` — but decimal128 surfaces as
+    ``decimal.Decimal`` which hashes differently from ``int``/``float``
+    (the round-2 failure mode: DuckDB sum(INTEGER) → HUGEINT →
+    decimal128(38,0) vs Spark int64)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal(s={t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_type_category(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def spark_type_category(dt) -> str:
+    """Same equivalence classes, from a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal(s={dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_type_category(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    return dt.simpleString()
+
+
+def type_problems(spark_schema, arrow_schema: pa.Schema) -> list[str]:
+    """Column-by-column wire-type comparison (Spark schema vs the Arrow
+    schema DuckDB materializes). Catches hash-affecting mismatches the
+    Python-value comparison can't see (duckdb.fetchall() flattens HUGEINT
+    and DECIMAL to int/Decimal before we ever look)."""
+    s = {f.name: spark_type_category(f.dataType) for f in spark_schema.fields}
+    o = {f.name: arrow_type_category(f.type) for f in arrow_schema}
+    return [
+        f"type[{name}] spark={s[name]} duck={o[name]}"
+        for name in sorted(set(s) & set(o))
+        if s[name] != o[name]
+    ]
 
 
 def norm_cell(v):
@@ -62,7 +136,9 @@ def compare(spark, con, spec, sf_dir: str) -> list[str]:
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()
 
-    problems: list[str] = []
+    problems: list[str] = type_problems(
+        sdf.schema, con.execute(spec.oracle).arrow().schema
+    )
     if len(srows) != len(orows):
         problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
     if sorted(scols) != sorted(ocols):

@@ -94,7 +94,7 @@ def stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(DISTINCT l_partkey)   AS n_parts,
            count(DISTINCT l_suppkey)   AS n_supps,
-           sum(DISTINCT l_linenumber)  AS sum_distinct_line,
+           CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_line,
            round(avg(DISTINCT l_quantity), 6) AS avg_distinct_qty,
            count(*) AS n_rows
     FROM lineitem
@@ -270,7 +270,8 @@ sql_query(
     oracle="""
     SELECT count(*) AS n_all,
            count(nullif(o_orderstatus, 'P')) AS n_not_p,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_p
     FROM orders
     """,
 )
@@ -345,15 +346,33 @@ def regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    section="§2.4 approx-distinct (bonus over reference — exact-only there); "
-    "HLL sketches differ per engine, so rows-only check",
-    oracle=None,
+    section="§2.4 approx-distinct (bonus over reference — exact-only there). "
+    "HLL sketches differ per engine, so the hash-comparable contract is a "
+    "bounded-relative-error boolean: |approx − exact| / exact ≤ 5% (Spark's "
+    "default rsd is 0.05); the oracle computes exact counts and TRUE.",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
+    approx = F.approx_count_distinct("l_partkey")
+    exact = F.count_distinct("l_partkey")
     return (
         t.lineitem.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            exact.alias("exact_parts"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                / exact.cast("double")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
         .orderBy("l_returnflag")
     )
 

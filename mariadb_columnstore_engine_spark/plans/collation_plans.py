@@ -1,0 +1,145 @@
+"""Collation-aware comparison / ordering / LIKE (§2.8 + SURVEY §5).
+
+Reference analogue: the engine is collation-serious — every string
+compare routes through a charset/collation handler
+(utils/common/collation.h wraps the server's CHARSET_INFO; the MTR
+matrices mysql-test/columnstore/basic/t/ctype_cmp_*.test pin =, <, LIKE
+under latin1_swedish_ci, utf8mb4_general_ci, …). Binary-only comparison
+is the immediate user-visible gap for accented / case-folded text.
+
+Spark-first mapping: Spark 4 ships ICU collations natively —
+``collate(col, 'UTF8_LCASE')`` makes =, ORDER BY, and LIKE
+case-insensitive JVM-side (no UDF, predicate stays codegen'd). The
+oracle mirrors with DuckDB's ``lower()`` / ``ILIKE`` which agree with
+UTF8_LCASE (= lowercase-then-binary) on the injected charset.
+
+Accent-insensitivity is expressed as explicit fold maps (translate),
+identical in both engines, because DuckDB's strip_accents and ICU's AI
+collations disagree on some mappings — the pinned contract is the fold
+map, which is also what the reference's per-collation weight tables are.
+
+The fixture corpus is pure ASCII, so case/accent variants are derived
+deterministically from nation names with the same expressions in both
+engines (no synthesized inputs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mariadb_columnstore_engine_spark.catalog import Catalog
+from mariadb_columnstore_engine_spark.plans.registry import query
+
+# accent fold map, pinned identically in both engines
+_ACC_FROM = "aeiou"
+_ACC_TO = "áéíóú"
+
+
+@query(
+    "collation_ci_battery",
+    section="§2.8 collation-aware =, ORDER BY, LIKE (utils/common/"
+    "collation.h; MTR ctype_cmp_* matrices) — Spark 4 ICU UTF8_LCASE "
+    "collation vs DuckDB lower()/ILIKE",
+    oracle=f"""
+    WITH v AS (
+        SELECT n_nationkey,
+               upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+                   AS title_name,
+               translate(lower(n_name), '{_ACC_FROM}', '{_ACC_TO}')
+                   AS accented
+        FROM nation
+    )
+    SELECT n_nationkey, title_name, accented,
+           (lower(title_name) = lower((SELECT lower(n_name) FROM nation n2
+                WHERE n2.n_nationkey = v.n_nationkey))) AS ci_eq_self,
+           title_name ILIKE '%an%'                      AS ci_like_an,
+           title_name ILIKE 'c%'                        AS ci_starts_c,
+           (translate(accented, '{_ACC_TO}', '{_ACC_FROM}')
+                = lower(title_name))                    AS ai_eq_folded,
+           CAST(row_number() OVER (
+                ORDER BY lower(title_name), title_name) AS BIGINT)
+               AS ci_rank
+    FROM v
+    ORDER BY n_nationkey
+    """,
+)
+def collation_ci_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    title = F.concat(
+        F.upper(F.substring("n_name", 1, 1)),
+        F.lower(F.expr("substr(n_name, 2)")),
+    )
+    accented = F.translate(F.lower(F.col("n_name")), _ACC_FROM, _ACC_TO)
+    v = t.nation.select(
+        "n_nationkey",
+        title.alias("title_name"),
+        accented.alias("accented"),
+    )
+    # ICU case-insensitive collation: =, LIKE and ORDER BY all route
+    # through the collation JVM-side (no lower() rewrite needed in the
+    # predicate — Catalyst keeps it codegen'd and pushable)
+    ci = F.collate(F.col("title_name"), "UTF8_LCASE")
+    w = Window.orderBy(ci, F.col("title_name"))
+    return v.select(
+        "n_nationkey",
+        "title_name",
+        "accented",
+        (ci == F.collate(F.lower("title_name"), "UTF8_LCASE")).alias(
+            "ci_eq_self"
+        ),
+        ci.like("%AN%").alias("ci_like_an"),
+        ci.like("C%").alias("ci_starts_c"),
+        (
+            F.translate(F.col("accented"), _ACC_TO, _ACC_FROM)
+            == F.lower(F.col("title_name"))
+        ).alias("ai_eq_folded"),
+        F.row_number().over(w).cast("long").alias("ci_rank"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "collation_ci_join_group",
+    section="§2.8 collation in join keys + grouping (collation.h "
+    "CHARSET_INFO-driven hash/compare in joins and aggregation; MTR "
+    "ctype_* join cases) — UTF8_LCASE group-by key vs DuckDB lower()",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg_mixed,
+               c_acctbal
+        FROM customer
+    )
+    SELECT lower(seg_mixed) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+               AS total_bal
+    FROM c
+    GROUP BY lower(seg_mixed)
+    ORDER BY segment
+    """,
+)
+def collation_ci_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-case group keys must collapse under a CI collation: half the
+    customers get an uppercased segment, half lowercased; grouping on the
+    UTF8_LCASE-collated key yields exactly the 5 canonical segments."""
+    t = Catalog(spark, sf_dir)
+    seg_mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    c = t.customer.select(seg_mixed.alias("seg_mixed"), cents.alias("cents"))
+    # group on the collated key; emit the canonical (lowercased) form
+    return (
+        c.groupBy(F.collate(F.col("seg_mixed"), "UTF8_LCASE").alias("_k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_bal"),
+        )
+        .select(
+            F.lower(F.col("_k")).cast("string").alias("segment"),
+            "n_customers",
+            "total_bal",
+        )
+        .orderBy("segment")
+    )

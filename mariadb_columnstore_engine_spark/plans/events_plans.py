@@ -38,7 +38,7 @@ from mariadb_columnstore_engine_spark.plans.registry import query
                AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
@@ -79,7 +79,7 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b - INTERVAL '1 hour' AS window_start, value FROM e
     )
     SELECT window_start, count(*) AS n_events,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
     FROM w
     GROUP BY window_start
     ORDER BY window_start
@@ -125,7 +125,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(t) AS session_start,
            max(t) + INTERVAL '30 minutes' AS session_end,
            count(*) AS n_events,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) AS session_cents
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS session_cents
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_start
@@ -160,8 +160,8 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY day
     ORDER BY day

@@ -32,8 +32,8 @@ from mariadb_columnstore_engine_spark.plans.registry import query
     oracle="""
     SELECT n_nationkey,
            abs(n_nationkey - 12)                    AS abs_v,
-           ceil(n_nationkey / 4.0)                  AS ceil_v,
-           floor(n_nationkey / 4.0)                 AS floor_v,
+           CAST(ceil(n_nationkey / 4.0) AS BIGINT)  AS ceil_v,
+           CAST(floor(n_nationkey / 4.0) AS BIGINT) AS floor_v,
            round(n_nationkey / 7.0, 3)              AS round_v,
            round(exp(n_nationkey / 25.0), 6)        AS exp_v,
            round(ln(n_nationkey + 1.0), 6)          AS ln_v,
@@ -41,7 +41,7 @@ from mariadb_columnstore_engine_spark.plans.registry import query
            round(pow(n_nationkey / 25.0, 2), 6)     AS pow_v,
            round(sqrt(n_nationkey), 6)              AS sqrt_v,
            mod(n_nationkey, 7)                      AS mod_v,
-           sign(n_nationkey - 12)                   AS sign_v,
+           CAST(sign(n_nationkey - 12) AS DOUBLE)   AS sign_v,
            round(sin(n_nationkey / 25.0), 6)        AS sin_v,
            round(cos(n_nationkey / 25.0), 6)        AS cos_v,
            round(atan2(n_nationkey / 25.0, 1.0), 6) AS atan2_v,
@@ -277,7 +277,8 @@ def conditional_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(utils/funcexp/func_json_*.cpp, 28 fns → get_json_object/from_json)",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(json_extract_string(props, '$.missing'))         AS n_missing
@@ -546,4 +547,207 @@ def datetime_matrix2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_to_98"),
         )
         .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "sf_json_long_tail",
+    section="§2.8 JSON modification/introspection long tail "
+    "(utils/funcexp/func_json_*.cpp: json_set/json_insert/json_remove/"
+    "json_merge_patch/json_contains_path/json_valid/json_keys/"
+    "json_length/json_overlaps) — Spark-first as from_json → "
+    "withField/dropFields → to_json compositions plus the native "
+    "json_object_keys / json_array_length / arrays_overlap built-ins",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               props
+        FROM events WHERE event_id < 50
+    )
+    SELECT event_id,
+           -- json_set: overwrite existing $.k, read it back
+           CAST(json_extract_string(json_merge_patch(props,
+                json_object('k', k * 2)), '$.k') AS BIGINT) AS set_k,
+           -- json_insert: new key lands, existing key is NOT clobbered
+           CAST(json_extract_string(json_merge_patch(props,
+                json_object('m', k + 5)), '$.m') AS BIGINT) AS insert_m,
+           CAST(json_extract_string(json_merge_patch(props,
+                json_object('m', k + 5)), '$.k') AS BIGINT) AS keep_k,
+           -- json_remove: null patch deletes the key
+           CAST(len(json_keys(json_merge_patch(props, '{"k": null}')))
+                AS BIGINT) AS n_keys_after_remove,
+           -- json_contains_path before/after removal
+           list_contains(json_keys(props), 'k')         AS has_k,
+           list_contains(json_keys(json_merge_patch(props, '{"k": null}')),
+                         'k')                           AS has_k_removed,
+           -- json_valid on a corrupted document
+           json_valid(props)                            AS valid_doc,
+           json_valid('x' || props)                     AS valid_corrupt,
+           -- json_keys / json_length analogues
+           json_keys(json_merge_patch(props, json_object('m', 1)))
+                                                        AS keys_after_insert,
+           CAST(json_array_length(json_array(k % 5, k % 7, 3))
+                AS BIGINT)                              AS arr_len,
+           -- json_overlaps: [k%5, k%7, 3] vs [k%3, 4, 3]
+           len(list_intersect([k % 5, k % 7, 3], [k % 3, 4, 3])) > 0
+                                                        AS arrays_overlap_v
+    FROM e
+    ORDER BY event_id
+    """,
+)
+def json_long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON modification via typed struct round-trips: parse once with
+    from_json, mutate with withField/dropFields (Catalyst-native, no
+    string re-parsing per function), re-serialize only where a document
+    is the output. Outputs are extracted scalars/booleans so the parity
+    check is wire-type-stable."""
+    t = Catalog(spark, sf_dir)
+    e = t.events.where(F.col("event_id") < 50).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.from_json("props", "k BIGINT").alias("doc"),
+        "props",
+    )
+    doc = F.col("doc")
+    k = F.col("k")
+    set_doc = doc.withField("k", k * 2)
+    ins_doc = doc.withField("m", k + 5)  # new key: insert semantics
+    # json_remove analogue at the key-set level (dropFields refuses to
+    # empty a struct; removing the only key yields {} → zero keys)
+    keys_after_remove = F.array_remove(F.json_object_keys("props"), "k")
+    arr1 = F.array(k % 5, k % 7, F.lit(3))
+    arr2 = F.array(k % 3, F.lit(4), F.lit(3))
+    return e.select(
+        "event_id",
+        set_doc.getField("k").alias("set_k"),
+        ins_doc.getField("m").alias("insert_m"),
+        ins_doc.getField("k").alias("keep_k"),
+        F.size(keys_after_remove).cast("long").alias("n_keys_after_remove"),
+        F.array_contains(F.json_object_keys("props"), "k").alias("has_k"),
+        F.array_contains(keys_after_remove, "k").alias("has_k_removed"),
+        F.json_object_keys("props").isNotNull().alias("valid_doc"),
+        # leading garbage: Spark's parser tolerates TRAILING garbage
+        # (lenient tail), so corruption is injected at the head where
+        # both engines agree the document is invalid
+        F.json_object_keys(F.concat(F.lit("x"), "props"))
+        .isNotNull()
+        .alias("valid_corrupt"),
+        F.json_object_keys(F.to_json(ins_doc)).alias("keys_after_insert"),
+        F.json_array_length(F.to_json(arr1)).cast("long").alias("arr_len"),
+        F.arrays_overlap(arr1, arr2).alias("arrays_overlap_v"),
+    ).orderBy("event_id")
+
+
+@query(
+    "sf_unsigned_semantics",
+    section="§2.8/§1.2 unsigned integer semantics — UBIGINT carried as "
+    "DECIMAL(20,0) (datatypes/mcs_datatype_basic.h:53-86 UTINYINT..UBIGINT "
+    "ranges; SURVEY §1.2 u64→Decimal(20,0) carriage). Full-range u64 "
+    "values round-trip exactly; aggregates widen to DECIMAL(38,0).",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(max(CAST(18446744073709551615 AS DECIMAL(20,0))
+                    - CAST(l_orderkey AS DECIMAL(20,0)))
+                AS DECIMAL(20,0)) AS max_u64_desc,
+           CAST(min(CAST(9223372036854775808 AS DECIMAL(20,0))
+                    + CAST(l_orderkey AS DECIMAL(20,0)))
+                AS DECIMAL(20,0)) AS min_above_i64,
+           CAST(sum(CAST(18446744073709551615 AS DECIMAL(20,0))
+                    - CAST(l_orderkey AS DECIMAL(20,0)))
+                AS DECIMAL(38,0)) AS sum_u64,
+           CAST(max(CAST(l_orderkey AS DECIMAL(20,0)) * 4294967296)
+                AS DECIMAL(20,0)) AS max_u32_shifted,
+           CAST(mod(max(CAST(18446744073709551615 AS DECIMAL(20,0))
+                        - CAST(l_orderkey AS DECIMAL(20,0))), 97)
+                AS DECIMAL(20,0)) AS mod_97
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def unsigned_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UBIGINT values exceed int64, so the engine carries them as
+    DECIMAL(20,0) (exact to 2^64-1) — the same carriage the reference
+    gives u64 via int128 storage. Every output is pinned to an explicit
+    decimal type in both engines so the wire types hash identically."""
+    t = Catalog(spark, sf_dir)
+    u64_max = F.lit("18446744073709551615").cast("decimal(20,0)")
+    i64_edge = F.lit("9223372036854775808").cast("decimal(20,0)")
+    okey = F.col("l_orderkey").cast("decimal(20,0)")
+    d20 = "decimal(20,0)"
+    return (
+        t.lineitem.where(F.col("l_orderkey") < 1000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(u64_max - okey).cast(d20).alias("max_u64_desc"),
+            F.min(i64_edge + okey).cast(d20).alias("min_above_i64"),
+            F.sum(u64_max - okey).cast("decimal(38,0)").alias("sum_u64"),
+            F.max(okey * F.lit(4294967296)).cast(d20).alias(
+                "max_u32_shifted"
+            ),
+            F.pmod(F.max(u64_max - okey), F.lit(97)).cast(d20).alias(
+                "mod_97"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sf_oracle_mode_dialect",
+    section="§2.8 Oracle-mode dialect functions (sql_mode=ORACLE funcexp "
+    "entries: func_concat.cpp concat_oracle, NVL, func_case.cpp "
+    "decode_oracle with NULL-matching search values)",
+    oracle="""
+    SELECT c_custkey,
+           -- concat_oracle: NULL arguments become '' instead of
+           -- nullifying the result
+           coalesce(c_name, '') || '|'
+             || coalesce(CASE WHEN c_acctbal < 0 THEN NULL
+                              ELSE c_mktsegment END, '') AS tagged,
+           -- NVL
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL
+                         ELSE round(c_acctbal, 2) END, -1.0) AS bal_nvl,
+           -- DECODE incl. NULL search matching NULL expr
+           CASE
+             WHEN CASE WHEN c_acctbal < 0 THEN NULL
+                       ELSE c_mktsegment END IS NULL THEN 'UNKNOWN'
+             WHEN c_mktsegment = 'BUILDING' THEN 'B'
+             WHEN c_mktsegment = 'AUTOMOBILE' THEN 'A'
+             ELSE '?'
+           END AS seg_code
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+)
+def oracle_mode_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    seg_or_null = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("c_mktsegment")
+    )
+    return (
+        t.customer.where(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            dialect.concat_oracle(
+                F.col("c_name"), F.lit("|"), seg_or_null
+            ).alias("tagged"),
+            dialect.nvl(
+                F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+                    F.round("c_acctbal", 2)
+                ),
+                F.lit(-1.0),
+            ).alias("bal_nvl"),
+            dialect.decode_oracle(
+                seg_or_null,
+                F.lit(None), F.lit("UNKNOWN"),
+                F.lit("BUILDING"), F.lit("B"),
+                F.lit("AUTOMOBILE"), F.lit("A"),
+                F.lit("?"),
+            ).alias("seg_code"),
+        )
+        .orderBy("c_custkey")
     )

@@ -53,8 +53,15 @@ def _tokens(col: Column) -> Column:
 
 
 def _shingles(tokens: Column) -> Column:
-    """Distinct word trigrams (the dedup shingle unit)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - 2, F.lit(0)))
+    """Distinct word trigrams (the dedup shingle unit).
+
+    Guarded for short documents: Spark's ``sequence(1, 0)`` yields a
+    DESCENDING ``[1, 0]`` (not an empty array), so an ungated build would
+    hit index 0 in ``element_at`` and crash on any doc with < 3 tokens.
+    DuckDB's ``range(1, len-1)`` is empty for the same input, so the gate
+    also keeps both engines aligned.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - 2)
     tri = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -64,7 +71,9 @@ def _shingles(tokens: Column) -> Column:
             F.element_at(tokens, i + 2),
         ),
     )
-    return F.array_distinct(tri)
+    return F.when(F.size(tokens) >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _hash24(col: Column) -> Column:
@@ -86,7 +95,7 @@ _SQL_H24 = "('0x' || substr(md5({s}), 1, 6))::BIGINT"
     WITH d AS (SELECT lang, n_chars, string_split(text, ' ') AS w
                FROM documents)
     SELECT lang, count(*) AS n_docs,
-           sum(len(w)) AS total_tokens,
+           CAST(sum(len(w)) AS BIGINT) AS total_tokens,
            round(avg(len(w)), 4) AS avg_tokens,
            round(avg(len(list_distinct(w))), 4) AS avg_unique_tokens,
            round(avg(len(list_distinct(w)) * 1.0 / len(w)), 6)
@@ -250,30 +259,48 @@ def fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A shingle shared by d documents emits d(d-1)/2 candidate rows in the
+# shared-shingle self-join — so one boilerplate trigram ("terms of
+# service") is a quadratic mega-bucket at corpus scale. Shingles with
+# document frequency > DF_CAP are excluded from CANDIDATE GENERATION
+# only; the verify stage recomputes exact Jaccard over the FULL shingle
+# sets, so scores are exact. The (documented) semantic is: a pair is
+# reported only if it shares ≥1 discriminative (df ≤ DF_CAP) shingle —
+# the same contract as stop-shingle filtering in production dedup
+# pipelines. Identical cap in the DuckDB oracle.
+DF_CAP = 50
+
+
 @query(
     "text_ngram_jaccard_pairs",
     section="LLM-pipeline: n-gram Jaccard near-dup pairs; candidate "
-    "generation via shared-shingle join (NO crossJoin — pairs only "
-    "materialize for docs sharing a trigram)",
+    "generation via shared-DISCRIMINATIVE-shingle join (df ≤ DF_CAP "
+    "bounds each shingle's candidate fan-out at DF_CAP²; NO crossJoin), "
+    "exact Jaccard recomputed over full shingle sets in the verify stage",
     oracle=f"""
     WITH docs AS (
         SELECT doc_id, {_SQL_SHINGLES} AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     ),
     tok AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    hot AS (SELECT s FROM tok GROUP BY s HAVING count(*) > {DF_CAP}),
+    rare AS (SELECT doc_id, s FROM tok ANTI JOIN hot USING (s)),
     pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY doc_a, doc_b
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(x.sh, y.sh)) AS inter,
+               len(x.sh) AS na, len(y.sh) AS nb
+        FROM pairs
+        JOIN docs x ON x.doc_id = doc_a
+        JOIN docs y ON y.doc_id = doc_b
     )
     SELECT doc_a, doc_b,
-           round(shared * 1.0 / (len(x.sh) + len(y.sh) - shared), 4)
-               AS jaccard
-    FROM pairs
-    JOIN docs x ON x.doc_id = doc_a
-    JOIN docs y ON y.doc_id = doc_b
-    WHERE shared * 1.0 / (len(x.sh) + len(y.sh) - shared)
-          >= {JACCARD_THRESHOLD}
+           round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM verified
+    WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
 )
@@ -281,24 +308,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     docs = t.documents.select(
         "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
-    )
+    ).cache()  # referenced 3× (tok + both verify sides); at 100 TB this
+    # becomes an explicit shingle-table write, same as the minhash plan
     tok = docs.select("doc_id", F.explode("sh").alias("s"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    # hot-shingle list is tiny by construction (only df > DF_CAP survive)
+    # → broadcast anti-join, no extra shuffle of tok
+    hot = (
+        tok.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > DF_CAP)
+        .select("s")
+    )
+    rare = tok.join(F.broadcast(hot), "s", "left_anti")
+    a = rare.alias("a")
+    b = rare.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .distinct()
     )
     x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.col("shared") / (F.size("sh_a") + F.size("sh_b") - F.col("shared"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
         pairs.join(x, "doc_a")
         .join(y, "doc_b")
@@ -554,8 +592,8 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_bpe
         FROM documents
     )
-    SELECT lang, sum(n_ws) AS total_ws_tokens,
-           sum(n_bpe) AS total_bpe_tokens,
+    SELECT lang, CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
            round(avg(n_bpe * 1.0 / n_ws), 6) AS bpe_per_word
     FROM d
     GROUP BY lang

@@ -25,13 +25,26 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
+def _as_bool(predicate: Column) -> Column:
+    """SQL three-valued predicate → two-valued row selector.
+
+    A WHERE predicate that evaluates to NULL selects nothing, but
+    ``df.where(~predicate)`` also drops NULL rows — so an ungated
+    complement split loses NULL-predicate rows from BOTH branches.
+    Coalescing to FALSE makes the TRUE/complement split exhaustive.
+    """
+    import pyspark.sql.functions as F
+
+    return F.coalesce(predicate, F.lit(False))
+
+
 def _rewrite(spark: SparkSession, path: str,
              transform, partition_filter: Column | None) -> int:
     """Common copy-on-write machinery; returns the new row count."""
     df = spark.read.parquet(path)
     if partition_filter is not None:
-        untouched = df.where(~partition_filter)
-        scoped = df.where(partition_filter)
+        untouched = df.where(~_as_bool(partition_filter))
+        scoped = df.where(_as_bool(partition_filter))
     else:
         untouched = None
         scoped = df
@@ -52,9 +65,14 @@ def _rewrite(spark: SparkSession, path: str,
 
 def delete_where(spark: SparkSession, path: str, predicate: Column,
                  *, partition_filter: Column | None = None) -> int:
-    """DELETE FROM <path> WHERE predicate (copy-on-write)."""
+    """DELETE FROM <path> WHERE predicate (copy-on-write).
+
+    SQL DELETE removes only predicate=TRUE rows; rows where the predicate
+    is NULL (e.g. ``col = x`` on a NULL col) are KEPT.
+    """
     return _rewrite(
-        spark, path, lambda df: df.where(~predicate), partition_filter
+        spark, path, lambda df: df.where(~_as_bool(predicate)),
+        partition_filter,
     )
 
 

@@ -1,0 +1,82 @@
+"""As-of join edge cases: NULL values on the matched row, timestamp
+ties (inclusive vs exclusive), and probes with no prior right row.
+
+These pin the round-3 fixes: the carry is one struct per right row (so a
+genuinely-NULL value on the matched right row is returned as NULL, not a
+stale value from an older row), and left rows are marked with a constant
+rather than monotonically_increasing_id.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from mariadb_columnstore_engine_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _fixture(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:00:00"), 10.0, "m1"),
+            ("A", _ts("2024-01-01 10:00:00"), None, "m2"),  # NULL price
+            ("A", _ts("2024-01-01 11:00:00"), 30.0, None),  # NULL venue
+            ("B", _ts("2024-01-01 12:00:00"), 99.0, "mB"),
+        ],
+        "sym string, qts timestamp, price double, venue string",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:30:00"), 1),  # matches 09:00 quote
+            ("A", _ts("2024-01-01 10:00:00"), 2),  # tie with NULL-price row
+            ("A", _ts("2024-01-01 10:30:00"), 3),  # matches NULL-price row
+            ("A", _ts("2024-01-01 11:30:00"), 4),  # matches NULL-venue row
+            ("B", _ts("2024-01-01 11:00:00"), 5),  # no prior quote for B
+            ("C", _ts("2024-01-01 12:00:00"), 6),  # key with no quotes
+        ],
+        "sym string, tts timestamp, trade_id int",
+    )
+    return quotes, trades
+
+
+def _run(spark, inclusive):
+    quotes, trades = _fixture(spark)
+    out = asof_join(
+        trades,
+        quotes,
+        by="sym",
+        left_ts="tts",
+        right_ts="qts",
+        value_cols=["price", "venue"],
+        inclusive=inclusive,
+    )
+    return {r.trade_id: (r.asof_price, r.asof_venue) for r in out.collect()}
+
+
+def test_null_value_on_matched_row_is_not_skipped(spark):
+    got = _run(spark, inclusive=True)
+    # trade 3's latest prior quote (10:00) has price NULL: a per-column
+    # ignorenulls carry would resurrect 9:00's 10.0 — must be NULL
+    assert got[3] == (None, "m2")
+    # trade 4 matches the 11:00 quote whose venue is NULL
+    assert got[4] == (30.0, None)
+
+
+def test_inclusive_tie_takes_equal_timestamp_row(spark):
+    got = _run(spark, inclusive=True)
+    assert got[2] == (None, "m2")  # 10:00 trade sees the 10:00 quote
+
+
+def test_exclusive_tie_takes_strictly_earlier_row(spark):
+    got = _run(spark, inclusive=False)
+    assert got[2] == (10.0, "m1")  # 10:00 trade must NOT see 10:00 quote
+
+
+def test_no_prior_right_row_yields_nulls(spark):
+    got = _run(spark, inclusive=True)
+    assert got[5] == (None, None)  # B trade before B's only quote
+    assert got[6] == (None, None)  # key never quoted
+    assert len(got) == 6  # every left row survives (LEFT semantics)

@@ -55,3 +55,40 @@ def test_update_with_partition_filter_only_rewrites_scope(spark, tmp_path):
     df = spark.read.parquet(path)
     assert df.count() == 100
     assert df.where(F.col("val") == -1.0).count() == 3  # ids 1,5,9
+
+
+def _seed_with_nulls(spark, tmp_path) -> str:
+    """Rows 0-9; col 'maybe' is NULL on even ids."""
+    path = str(tmp_path / "dml_nulls")
+    spark.range(10).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 1, F.col("id")).alias("maybe"),
+    ).write.parquet(path)
+    return path
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    # SQL DELETE removes predicate=TRUE rows only; `maybe = 3` is NULL
+    # (not TRUE) for the five NULL rows, so they must survive.
+    path = _seed_with_nulls(spark, tmp_path)
+    n = dml.delete_where(spark, path, F.col("maybe") == 3)
+    assert n == 9  # only id=3 deleted; NULL-predicate rows kept
+    ids = {r.id for r in spark.read.parquet(path).collect()}
+    assert ids == set(range(10)) - {3}
+
+
+def test_partition_filter_null_rows_not_lost(spark, tmp_path):
+    # A NULL-valued partition_filter column must not drop rows from both
+    # the scoped and untouched branches of the copy-on-write split.
+    path = _seed_with_nulls(spark, tmp_path)
+    dml.update_where(
+        spark,
+        path,
+        F.col("maybe") == 5,
+        {"id": F.lit(500)},
+        partition_filter=F.col("maybe") > 2,
+    )
+    df = spark.read.parquet(path)
+    assert df.count() == 10  # nothing silently lost
+    assert df.where(F.col("id") == 500).count() == 1
+    assert df.where(F.col("id") == 5).count() == 0

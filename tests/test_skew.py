@@ -60,3 +60,47 @@ def test_salted_join_matches_direct(spark, sf_dir):
     d = {r.s_nationkey: (r.n, round(r.q, 2)) for r in direct.collect()}
     s = {r.s_nationkey: (r.n, round(r.q, 2)) for r in salted.collect()}
     assert s == d
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark, sf_dir):
+    """Replicating the small side n_salts times makes right/full outer
+    (and right-semi) joins emit unmatched small rows n_salts times, so
+    the operator must refuse them."""
+    import pytest
+
+    from mariadb_columnstore_engine_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    for how in ("right", "full", "outer", "cross"):
+        with pytest.raises(ValueError):
+            salted_join(li, supp, "l_suppkey", how=how)
+
+
+def test_salted_agg_content_hash_fallback_spreads_hot_key(spark):
+    """Without salt_source the salt derives from row CONTENT, so a hot
+    key packed into one input partition still fans across reducers."""
+    from mariadb_columnstore_engine_spark.operators.skew import salted_agg
+
+    # one key, one input partition — the motivating worst case
+    df = spark.range(0, 1000, 1, 1).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    stage1_salts = (
+        df.withColumn(
+            "_salt", F.pmod(F.hash(F.col("v")), F.lit(8))
+        ).select("_salt").distinct().count()
+    )
+    assert stage1_salts > 1  # content hash actually spreads
+
+    out = salted_agg(
+        df,
+        ["k"],
+        [F.count(F.lit(1)).alias("pn"), F.sum("v").alias("ps")],
+        lambda: [F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+        n_salts=8,
+    )
+    row = out.collect()[0]
+    assert (row.n, row.s) == (1000, sum(range(1000)))

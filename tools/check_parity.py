@@ -27,6 +27,7 @@ import duckdb
 sys.path.insert(0, ".")
 
 from mariadb_columnstore_engine_spark.catalog import TABLES
+from mariadb_columnstore_engine_spark.oracle import type_problems
 from mariadb_columnstore_engine_spark.plans import load_all
 from mariadb_columnstore_engine_spark.session import get_session
 
@@ -113,7 +114,11 @@ def main() -> int:
             n_fail += 1
             continue
 
-        problems = []
+        # Wire-type check (driver's value hash is type-sensitive; duckdb
+        # fetchall() flattens HUGEINT/DECIMAL so only Arrow exposes it).
+        problems = type_problems(
+            sdf.schema, con.execute(spec.oracle).arrow().schema
+        )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(scols) != sorted(ocols):
