@@ -195,3 +195,22 @@ def decode_oracle(expr: Column, *pairs: Column) -> Column:
             cond, pairs[i + 1]
         )
     return default if out is None else out.otherwise(default)
+
+
+# --- Period arithmetic (func_period_add.cpp, func_period_diff.cpp) ---
+
+
+def _period_months(p: Column) -> Column:
+    """YYYYMM period → absolute month count."""
+    return (p.cast("long") / 100).cast("long") * 12 + p.cast("long") % 100 - 1
+
+
+def period_add(p: Column, n: Column) -> Column:
+    """MariaDB PERIOD_ADD(P, N): add N months to period P (YYYYMM)."""
+    m = _period_months(p) + n.cast("long")
+    return ((m / 12).cast("long") * 100 + m % 12 + 1).cast("long")
+
+
+def period_diff(p1: Column, p2: Column) -> Column:
+    """MariaDB PERIOD_DIFF(P1, P2): months between periods (YYYYMM)."""
+    return _period_months(p1) - _period_months(p2)

@@ -751,3 +751,272 @@ def oracle_mode_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "sf_string_matrix3",
+    section="§2.8 string long tail (funcexp func_elt.cpp, "
+    "func_find_in_set.cpp, func_conv.cpp, func_insert.cpp, "
+    "func_regexp_instr/substr.cpp, func_substring_index.cpp, sha2, "
+    "levenshtein; chr/space/strcmp/quote) — all JVM-side builtins",
+    oracle="""
+    SELECT p_partkey,
+           list_extract(['alpha','beta','gamma'],
+                        CAST(p_partkey % 3 + 1 AS INT))       AS elt_v,
+           CAST(coalesce(list_position(
+                string_split('widget,bolt,rod,gear', ','),
+                string_split(p_name, ' ')[2]), 0) AS INT)      AS find_in_set_v,
+           '[' || repeat(' ', CAST(p_partkey % 3 AS INT)) || ']' AS space_v,
+           chr(CAST(65 + p_partkey % 26 AS INT))              AS char_v,
+           to_base(CAST(p_partkey * 7 AS INT), 16)            AS conv_hex,
+           substr(p_name, 1, 2) || 'XY' || substr(p_name, 5)  AS insert_v,
+           CAST(coalesce(nullif(regexp_extract(p_brand, '[0-9]+', 0), ''),
+                '0') AS BIGINT)                               AS regexp_substr_num,
+           CAST(strpos(p_brand, regexp_extract(p_brand, '[0-9]+', 0))
+                AS INT)                                       AS regexp_instr_v,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+'))
+                AS INT)                                       AS regexp_count_v,
+           array_to_string(list_slice(string_split(p_name, ' '), 1, 1), ' ')
+                                                              AS substr_index_v,
+           sha256(p_name)                                     AS sha2_v,
+           CAST(levenshtein(string_split(p_name, ' ')[1], 'large') AS INT)
+                                                              AS leven_v,
+           CASE WHEN p_type < p_brand THEN -1
+                WHEN p_type > p_brand THEN 1 ELSE 0 END       AS strcmp_v,
+           '''' || replace(p_name, '''', '\''') || ''''       AS quote_v,
+           decode(unhex(hex(p_name)))                         AS unhex_rt
+    FROM part
+    WHERE p_partkey < 120
+    ORDER BY p_partkey
+    """,
+)
+def string_matrix3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    k = F.col("p_partkey")
+    first_word = F.substring_index("p_name", " ", 1)
+    brand_num = F.regexp_substr("p_brand", F.lit("[0-9]+"))
+    return (
+        t.part.where(k < 120)
+        .select(
+            k,
+            F.elt(
+                (k % 3 + 1).cast("int"),
+                F.lit("alpha"), F.lit("beta"), F.lit("gamma"),
+            ).alias("elt_v"),
+            F.expr(
+                "find_in_set(split(p_name, ' ')[1], 'widget,bolt,rod,gear')"
+            ).alias("find_in_set_v"),
+            F.concat(
+                F.lit("["), F.expr("space(CAST(p_partkey % 3 AS INT))"),
+                F.lit("]"),
+            ).alias("space_v"),
+            F.char(F.lit(65) + k % 26).alias("char_v"),
+            F.conv((k * 7).cast("string"), 10, 16).alias("conv_hex"),
+            F.overlay("p_name", F.lit("XY"), F.lit(3), F.lit(2)).alias(
+                "insert_v"
+            ),
+            F.coalesce(F.nullif(brand_num, F.lit("")), F.lit("0"))
+            .cast("long")
+            .alias("regexp_substr_num"),
+            F.regexp_instr("p_brand", F.lit("[0-9]+")).alias(
+                "regexp_instr_v"
+            ),
+            F.regexp_count("p_name", F.lit("[aeiou]+")).alias(
+                "regexp_count_v"
+            ),
+            first_word.alias("substr_index_v"),
+            F.sha2("p_name", 256).alias("sha2_v"),
+            F.levenshtein(first_word, F.lit("large")).alias("leven_v"),
+            F.when(F.col("p_type") < F.col("p_brand"), -1)
+            .when(F.col("p_type") > F.col("p_brand"), 1)
+            .otherwise(0)
+            .alias("strcmp_v"),
+            F.concat(
+                F.lit("'"), F.regexp_replace("p_name", "'", "\\\\'"),
+                F.lit("'"),
+            ).alias("quote_v"),
+            F.decode(F.unhex(F.hex(F.col("p_name").cast("binary"))), "UTF-8")
+            .alias("unhex_rt"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "sf_datetime_matrix3",
+    section="§2.8 date/time long tail (func_dayname.cpp, func_monthname, "
+    "func_weekday, func_yearweek, func_to_days/from_days, "
+    "func_period_add/period_diff, func_makedate, func_maketime, "
+    "func_str_to_date, func_timestampdiff, func_next_day analogues, "
+    "convert_tz with fixed offset)",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                      CAST(o_orderdate AS TIMESTAMP) AS ts
+               FROM orders WHERE o_orderkey < 300)
+    SELECT o_orderkey,
+           dayname(d)                                        AS dayname_v,
+           monthname(d)                                      AS monthname_v,
+           CAST(isodow(d) - 1 AS INT)                        AS weekday_v,
+           CAST(isoyear(d) * 100 + week(d) AS INT)           AS yearweek_iso,
+           CAST(date_diff('day', DATE '1970-01-01', d) + 719528 AS BIGINT)
+                                                             AS to_days_v,
+           CAST(DATE '1970-01-01' + INTERVAL (date_diff('day',
+                DATE '1970-01-01', d)) DAY AS DATE)          AS from_days_rt,
+           CAST(((year(d) * 12 + month(d) - 1 + 14) // 12) * 100
+                + ((year(d) * 12 + month(d) - 1 + 14) % 12) + 1
+                AS BIGINT)                                   AS period_add_14,
+           CAST((year(d) * 12 + month(d)) - (2000 * 12 + 1) AS BIGINT)
+                                                             AS period_diff_v,
+           CAST(make_date(year(d), 1, 1)
+                + INTERVAL (dayofyear(d) - 1) DAY AS DATE)   AS makedate_rt,
+           lpad(CAST(CAST(o_orderkey % 24 AS INT) AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(CAST(o_orderkey % 60 AS INT) AS VARCHAR), 2, '0')
+             || ':00'                                        AS maketime_v,
+           CAST(strptime(strftime(d, '%d/%m/%Y'), '%d/%m/%Y') AS DATE)
+                                                             AS str_to_date_rt,
+           CAST(date_diff('day', DATE '1995-06-15', d) AS BIGINT)
+                                                             AS tsdiff_days,
+           -- TIMESTAMPDIFF(MONTH) = FULL months elapsed; DuckDB's
+           -- date_diff('month') counts month-boundary crossings, so
+           -- subtract one when the day-of-month hasn't been reached
+           CAST(CASE WHEN d >= DATE '1995-06-15'
+                     THEN date_diff('month', DATE '1995-06-15', d)
+                          - CASE WHEN day(d) < 15 THEN 1 ELSE 0 END
+                     ELSE -(date_diff('month', d, DATE '1995-06-15')
+                          - CASE WHEN 15 < day(d) THEN 1 ELSE 0 END)
+                END AS BIGINT)                               AS tsdiff_months,
+           CAST(d + INTERVAL (CASE WHEN isodow(d) = 1 THEN 7
+                                   ELSE (8 - isodow(d)) % 7 END) DAY
+                AS DATE)                                     AS next_monday,
+           ts + INTERVAL 330 MINUTE                          AS convert_tz_ist
+    FROM o
+    ORDER BY o_orderkey
+    """,
+)
+def datetime_matrix3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    d = F.col("d")
+    key = F.col("o_orderkey")
+    period = F.year(d) * 100 + F.month(d)
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "EEEE").alias("dayname_v"),
+        F.date_format(d, "MMMM").alias("monthname_v"),
+        # MariaDB WEEKDAY: Monday=0 (func_weekday.cpp)
+        ((F.dayofweek(d) + 5) % 7).cast("int").alias("weekday_v"),
+        (F.expr("extract(YEAROFWEEK FROM d)") * 100 + F.weekofyear(d))
+        .cast("int")
+        .alias("yearweek_iso"),
+        # TO_DAYS epoch: to_days('1970-01-01') = 719528 (func_to_days.cpp)
+        (F.datediff(d, F.lit("1970-01-01").cast("date")) + 719528)
+        .cast("long")
+        .alias("to_days_v"),
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.datediff(d, F.lit("1970-01-01").cast("date")),
+        ).alias("from_days_rt"),
+        dialect.period_add(period, F.lit(14)).alias("period_add_14"),
+        dialect.period_diff(period, F.lit(200001)).alias("period_diff_v"),
+        F.date_add(F.make_date(F.year(d), F.lit(1), F.lit(1)),
+                   F.dayofyear(d) - 1).alias("makedate_rt"),
+        dialect.sec_to_time(
+            (key % 24) * 3600 + (key % 60) * 60
+        ).alias("maketime_v"),
+        F.to_date(F.date_format(d, "dd/MM/yyyy"), "dd/MM/yyyy").alias(
+            "str_to_date_rt"
+        ),
+        F.datediff(d, F.lit("1995-06-15").cast("date"))
+        .cast("long")
+        .alias("tsdiff_days"),
+        # TIMESTAMPDIFF(MONTH): whole months elapsed, sign-symmetric
+        F.when(
+            d >= F.lit("1995-06-15").cast("date"),
+            F.floor(F.months_between(d, F.lit("1995-06-15").cast("date"))),
+        )
+        .otherwise(
+            -F.floor(F.months_between(F.lit("1995-06-15").cast("date"), d))
+        )
+        .cast("long")
+        .alias("tsdiff_months"),
+        F.next_day(d, "Mon").alias("next_monday"),
+        # CONVERT_TZ with a fixed +05:30 offset (deterministic, no DST)
+        F.from_utc_timestamp(F.col("ts"), "+05:30").alias("convert_tz_ist"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "sf_json_matrix2",
+    section="§2.8 JSON battery 2 over a constructed nested document "
+    "(func_json_value.cpp, func_json_query, func_json_unquote, "
+    "func_json_array_append, func_json_replace, func_json_exists, "
+    "func_json_equals analogues) — document built identically in both "
+    "engines, mutations via typed from_json/withField round-trips",
+    oracle="""
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    docs AS (
+        SELECT k,
+               json_object('a', k,
+                           'b', json_array(k % 3, k % 5),
+                           'c', json_object('d', k * 2,
+                                            'e', 'x' || k))::VARCHAR AS doc
+        FROM n
+    )
+    SELECT k,
+           CAST(json_extract(doc, '$.c.d') AS BIGINT)     AS json_value_cd,
+           json_extract(doc, '$.c')::VARCHAR              AS json_query_c,
+           json_extract_string(doc, '$.c.e')              AS json_unquote_e,
+           to_json([k % 3, k % 5, k % 7])::VARCHAR        AS arr_appended,
+           CAST(json_extract(json_object('a', k, 'b', json_array(k % 3, k % 5),
+                'c', json_object('d', k * 10, 'e', 'x' || k)), '$.c.d')
+                AS BIGINT)                                AS replaced_cd,
+           json_extract_string(json_object('a', k,
+                'b', json_array(k % 3, k % 5),
+                'c', json_object('d', k * 10, 'e', 'x' || k)), '$.c.e')
+                                                          AS replaced_keep_e,
+           json_extract(doc, '$.c.d') IS NOT NULL         AS exists_cd,
+           json_extract(doc, '$.zz') IS NOT NULL          AS exists_zz,
+           (json_extract(doc, '$')::VARCHAR = doc)        AS json_equals_rt
+    FROM docs
+    ORDER BY k
+    """,
+)
+def json_matrix2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    k = F.col("n_nationkey").alias("k")
+    n = t.nation.select(k)
+    doc = F.to_json(
+        F.struct(
+            F.col("k").alias("a"),
+            F.array(F.col("k") % 3, F.col("k") % 5).alias("b"),
+            F.struct(
+                (F.col("k") * 2).alias("d"),
+                F.concat(F.lit("x"), F.col("k")).alias("e"),
+            ).alias("c"),
+        )
+    )
+    docs = n.select("k", doc.alias("doc"))
+    schema = "a BIGINT, b ARRAY<BIGINT>, c STRUCT<d: BIGINT, e: STRING>"
+    parsed = F.from_json("doc", schema)
+    b_arr = F.from_json(F.get_json_object("doc", "$.b"), "ARRAY<BIGINT>")
+    replaced = parsed.withField(
+        "c", parsed.getField("c").withField("d", F.col("k") * 10)
+    )
+    return docs.select(
+        "k",
+        F.get_json_object("doc", "$.c.d").cast("long").alias("json_value_cd"),
+        F.get_json_object("doc", "$.c").alias("json_query_c"),
+        F.get_json_object("doc", "$.c.e").alias("json_unquote_e"),
+        F.to_json(F.concat(b_arr, F.array(F.col("k") % 7))).alias(
+            "arr_appended"
+        ),
+        replaced.getField("c").getField("d").alias("replaced_cd"),
+        replaced.getField("c").getField("e").alias("replaced_keep_e"),
+        F.get_json_object("doc", "$.c.d").isNotNull().alias("exists_cd"),
+        F.get_json_object("doc", "$.zz").isNotNull().alias("exists_zz"),
+        (F.to_json(parsed) == F.col("doc")).alias("json_equals_rt"),
+    ).orderBy("k")

@@ -117,3 +117,52 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", F.round("z", 6).alias("z"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "udtf_split_sentences",
+    section="§2.11 Python UDTF (Spark 4 bonus — the reference has no UDTF "
+    "surface, SURVEY §2.11): lateral table function exploding each "
+    "document into sentences with per-sentence stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, '. ') AS sents
+        FROM documents WHERE doc_id < 200
+    ),
+    tok AS (
+        SELECT doc_id,
+               generate_subscripts(sents, 1) AS sent_idx,
+               unnest(sents) AS sentence
+        FROM d
+    )
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+           CAST(len(string_split(sentence, ' ')) AS INT) AS n_tokens
+    FROM tok
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF built lazily (decorating at import time would need an active
+    session for return-type parsing — same pitfall as @pandas_udf)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx INT, sentence STRING, n_tokens INT")
+    class SplitSentences:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i + 1, s, len(s.split(" "))
+
+    spark.udtf.register("mcs_split_sentences", SplitSentences)
+    t = Catalog(spark, sf_dir)
+    t.documents.where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_tokens
+        FROM _udtf_docs d, LATERAL mcs_split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )

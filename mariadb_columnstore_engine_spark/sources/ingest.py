@@ -54,6 +54,29 @@ def bulk_load_csv(
         .schema(schema)
         .csv(src)
     )
+    write_parquet(
+        df, dest, cluster_by=cluster_by, partition_by=partition_by,
+        codec=codec, mode=mode,
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    dest: str,
+    *,
+    cluster_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    codec: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with the engine's two physical-layout levers.
+
+    ``cluster_by``: range-repartition + in-partition sort so row-group
+    min/max stats are selective (≈ extent-map casual partitioning,
+    dbcon/joblist/lbidlist.cpp:698). ``partition_by``: hive-style
+    directory partitioning for planning-time partition pruning (≈ the
+    reference's partition DDL, dbcon/ddlpackage/droppartition.cpp).
+    """
     writer_df = df
     if cluster_by:
         writer_df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
