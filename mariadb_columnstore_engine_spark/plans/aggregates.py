@@ -404,3 +404,34 @@ def group_concat_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "agg_approx_percentile",
+    section="§2.4 approx-percentile (bonus, pairs with "
+    "agg_approx_count_distinct): sketch values differ per engine, so the "
+    "hash-comparable contract is exact percentile + a bounded-relative-"
+    "error boolean |approx − exact| / exact ≤ 5%",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           TRUE AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    exact = F.expr("percentile(o_totalprice, 0.5)")
+    approx = F.percentile_approx("o_totalprice", 0.5, 10000)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(exact, 4).alias("exact_p50"),
+            (F.abs(approx - exact) / exact <= F.lit(0.05)).alias(
+                "approx_within_5pct"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

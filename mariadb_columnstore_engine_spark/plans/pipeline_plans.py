@@ -1,0 +1,222 @@
+"""Training-data pipeline operators over ``documents`` (LLM-pipeline
+pillar, beyond the reference's own surface).
+
+Three pipeline primitives every corpus build needs, each deterministic
+and oracle-checked:
+
+* hash split — stable train/val/test assignment from a salted md5 of the
+  document key. No RNG, no shuffle: reproducible across runs, engines,
+  and cluster sizes; at 100 TB the split is a map-side projection that
+  parquet-writes into three directories.
+* mixture weighting — per-source sampling rates applied with the same
+  salted-hash construction (hash bucket < rate), the standard way corpus
+  mixtures are downsampled without materializing an RNG state.
+* quality → dedup → budget — the end-to-end shape: heuristic quality
+  gate, exact near-zero-cost fingerprint dedup (min doc_id survives),
+  then a per-language token budget enforced with a cumulative-sum window
+  (ordered by doc_id so it is deterministic). One shuffle per stage
+  (dedup groupBy, budget window) — both on bounded keys.
+
+Hashing portability: 24-bit md5 prefix via the shared _hash24 idiom
+(values < 2^48, exact in any engine; see text_plans module docstring).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from mariadb_columnstore_engine_spark.catalog import Catalog
+from mariadb_columnstore_engine_spark.plans.registry import query
+
+
+def _bucket(col: Column, salt: str, mod: int) -> Column:
+    """Deterministic [0, mod) bucket from a salted 24-bit md5 prefix."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 6), 16, 10)
+    return h.cast("long") % mod
+
+
+def _sql_bucket(expr: str, salt: str, mod: int) -> str:
+    return f"('0x' || substr(md5('{salt}' || {expr}), 1, 6))::BIGINT % {mod}"
+
+
+_SPLIT_SALT = "split-v1"
+_MIX_SALT = "mix-v1"
+#: per-language mixture rates out of 100 (en downsampled, rest kept/half)
+_MIX_RATES = {"en": 40, "de": 100, "es": 50, "fr": 50, "zh": 100}
+
+
+@query(
+    "pipeline_hash_split",
+    section="LLM-pipeline: deterministic train/val/test split (90/5/5) "
+    "from a salted hash of doc_id — reproducible, RNG-free, map-side",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, len(string_split(text, ' ')) AS n_tokens,
+               {_sql_bucket("CAST(doc_id AS VARCHAR)", _SPLIT_SALT, 100)}
+                   AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM d
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    bucket = _bucket(F.col("doc_id").cast("string"), _SPLIT_SALT, 100)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise(
+            "test"
+        )
+    )
+    return (
+        t.documents.select(
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "lang",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "pipeline_mixture_weights",
+    section="LLM-pipeline: corpus mixture weighting — per-language "
+    "sampling rates via salted hash bucket < rate (deterministic "
+    "downsampling, no RNG state)",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               {_sql_bucket("CAST(doc_id AS VARCHAR)", _MIX_SALT, 100)}
+                   AS bucket,
+               CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))}
+                    ELSE 0 END AS rate
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(sum(CASE WHEN bucket < rate THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS sampled_tokens
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    bucket = _bucket(F.col("doc_id").cast("string"), _MIX_SALT, 100)
+    rate = F.lit(0)
+    for k, v in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    keep = (bucket < rate).cast("long")
+    return (
+        t.documents.select(
+            "lang",
+            keep.alias("keep"),
+            (keep * F.size(F.split("text", " "))).alias("kept_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").cast("long").alias("n_sampled"),
+            F.sum("kept_tokens").cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "pipeline_quality_dedup_budget",
+    section="LLM-pipeline: end-to-end corpus build — quality gate "
+    "(length / mean-token-length / unique-ratio heuristics), exact "
+    "fingerprint dedup (min doc_id survives), per-language token budget "
+    "via deterministic cumulative-sum window",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, md5(text) AS fp,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS uniq_ratio,
+               length(text) * 1.0 / len(string_split(text, ' '))
+                   AS mean_tok_len
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= 5 AND mean_tok_len < 12 AND uniq_ratio > 0.3
+    ),
+    dedup AS (
+        SELECT * FROM quality
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    budgeted AS (
+        SELECT lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS running
+        FROM dedup
+    )
+    SELECT lang,
+           count(*) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS budget_tokens
+    FROM budgeted
+    WHERE running <= 5000
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def quality_dedup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    toks = F.split("text", " ")
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+        (F.length("text") / F.size(toks)).alias("mean_tok_len"),
+    )
+    quality = scored.where(
+        (F.col("n_tokens") >= 5)
+        & (F.col("mean_tok_len") < 12)
+        & (F.col("uniq_ratio") > 0.3)
+    )
+    dedup = (
+        quality.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    running = F.sum("n_tokens").over(
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dedup.withColumn("running", running)
+        .where(F.col("running") <= 5000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("budget_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -126,18 +126,19 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_ngram_jaccard_pairs",
     "text_minhash_lsh_dedup",
     "text_simhash_neardup",
-    "text_bpe_regex_tokens",
-    "text_rolling_hash_fingerprint",
+    # LLM pillar: training-corpus pipeline primitives
+    "pipeline_hash_split",
+    "pipeline_mixture_weights",
+    "pipeline_quality_dedup_budget",
     # LLM pillar: embeddings / similarity search
     "sim_bruteforce_cosine_topk",
     "sim_lsh_ann_topk",
-    "sim_embedding_stats",
     "sim_cosine_neardup_pairs",
     "sim_ivf_ann_topk",
     # LLM pillar: UDF surface + multimodal
     "udf_pandas_median",
     "multimodal_media_features",
-    "udf_apply_in_pandas_zscore",
+    "udtf_split_sentences",
 )
 
 
@@ -157,6 +158,7 @@ def load_all() -> dict[str, QuerySpec]:
         events_plans,
         text_plans,
         similarity_plans,
+        pipeline_plans,
         udf_plans,
     )
 

@@ -24,7 +24,9 @@ FAMILY_PREFIXES = (
     "events_",     # LLM pillar: event-time
     "text_",       # LLM pillar: text/dedup
     "sim_",        # LLM pillar: similarity
+    "pipeline_",   # LLM pillar: corpus-build primitives
     "udf_",        # §2.11
+    "udtf_",       # §2.11 UDTF
 )
 
 
