@@ -493,3 +493,151 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    section="§2.3 LEFT OUTER join with ON-clause extra predicate, §2.4 "
+    "two-level aggregation (TPC-H Q13 adapted: o_orderpriority filter "
+    "replaces the comment NOT LIKE; fixtures carry no o_comment)",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    section="§2.2 disjunctive multi-table predicates (TPC-H Q19 adapted "
+    "to fixture columns: brand/size/type OR-branches). The OR of ANDs "
+    "must still push the join-independent part into the scans",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 5 AND 25)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 50
+           AND l_quantity BETWEEN 1 AND 30)
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(1, 30)
+        )
+    )
+    return (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    section="§2.9 EXISTS + NOT EXISTS double correlation (TPC-H Q21 "
+    "adapted: returned-items variant — fixtures carry no commit/receipt "
+    "dates, so 'late' is l_returnflag = 'R'). Spark-first rewrite: the "
+    "two correlated self-joins collapse into ONE per-order aggregate "
+    "(distinct suppliers / distinct returning suppliers) joined back — "
+    "one shuffle instead of two self-join probes "
+    "(jlf_subquery.cpp:372,392 EXISTS→SEMI; 637 NOT EXISTS→ANTI)",
+    oracle="""
+    SELECT s_name, n_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name, n_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    # Per-order stats: EXISTS(other supplier) ⇔ n_supp ≥ 2;
+    # NOT EXISTS(other returning supplier) ⇔ n_ret_supp = 1 (l1 itself
+    # is a returning row, so a singleton returning set is exactly l1's).
+    order_stats = t.lineitem.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    l1 = t.lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    forders = t.orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    return (
+        l1.join(forders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            order_stats.where(
+                (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

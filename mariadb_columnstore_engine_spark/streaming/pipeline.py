@@ -122,3 +122,19 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str,
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on ingest: drop re-delivered events by key
+    within the watermark horizon (``dropDuplicates`` keeps per-key state;
+    the watermark bounds it — the streaming twin of the batch
+    fingerprint-dedup pillar, and the standard at-least-once → effectively-
+    once ingest pattern for a training-data feed).
+
+    Scale notes: state is one entry per distinct key inside the horizon;
+    keys older than the watermark are evicted, so state is bounded by
+    (arrival rate × horizon), not by stream length.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
+    )

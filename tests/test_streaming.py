@@ -101,3 +101,29 @@ def test_stateful_user_totals_match_batch(spark, sf_dir, tmp_path):
     for uid, (n, t) in expected.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - t) < 0.05
+
+
+def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """At-least-once redelivery (every file written twice) must collapse
+    to the exact distinct set after streaming dedup."""
+    src = str(tmp_path / "events_dup_src")
+    ev = Catalog(spark, sf_dir).events
+    ev.repartition(2).write.parquet(src)
+    ev.repartition(3).write.mode("append").parquet(src)  # redelivery
+
+    deduped = pipeline.dedup_stream(pipeline.read_event_stream(spark, src))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS nd "
+        "FROM dedup_stream_out"
+    ).collect()[0]
+    expected = ev.select("event_id").distinct().count()
+    assert got.n == got.nd == expected
