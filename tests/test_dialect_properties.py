@@ -96,3 +96,33 @@ def test_group_concat_default_is_sorted_join(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "v string")
     out = df.agg(dialect.group_concat("v", "|").alias("g")).collect()[0].g
     assert out == "|".join(sorted(values))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1900, max_value=2100),
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=-600, max_value=600),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_period_add_diff_roundtrip(spark, cases):
+    """PERIOD_DIFF(PERIOD_ADD(p, n), p) == n, and the added period is
+    always a valid YYYYMM (month in 1..12)."""
+    df = spark.createDataFrame(
+        [(y * 100 + m, n) for y, m, n in cases], "p long, n long"
+    )
+    rows = df.select(
+        "n",
+        dialect.period_add(F.col("p"), F.col("n")).alias("added"),
+        dialect.period_diff(
+            dialect.period_add(F.col("p"), F.col("n")), F.col("p")
+        ).alias("diff"),
+    ).collect()
+    for r in rows:
+        assert r.diff == r.n
+        assert 1 <= r.added % 100 <= 12
