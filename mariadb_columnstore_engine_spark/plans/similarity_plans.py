@@ -482,3 +482,110 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rank")
         .orderBy("probe_id", "rank")
     )
+
+
+K_CLUSTERS = 8
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map each vector to its max-cosine centroid (ties → lower cid).
+    Centroids are broadcast (tiny: K × DIM), so assignment is map-side —
+    the scan stays linear and shuffle-free at any corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    return (
+        emb.join(F.broadcast(cents))
+        .select(
+            "vec_id", "e", "cid", _cosine(F.col("e"), F.col("ce")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "sim_kmeans_two_iterations",
+    section="LLM-pipeline: iterative algorithm under the oracle gate — "
+    "two deterministic Lloyd iterations (fixed seeds = vec_id < K, "
+    "argmax-cosine assignment with cid tiebreak, centroid update "
+    "QUANTIZED to 6 dp so mean-accumulation-order noise cannot leak "
+    "into the next assignment). Per-iteration cost: broadcast K×DIM "
+    "centroids + linear scan (assignment), one shuffle on (cid, dim) "
+    "(update) — no all-pairs, corpus never re-shuffled on itself",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding AS e FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id < {K_CLUSTERS}),
+    a1 AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT emb.vec_id, emb.e, s.cid,
+                   row_number() OVER (PARTITION BY emb.vec_id
+                       ORDER BY {_sql_cos('emb.e', 's.ce')} DESC, s.cid)
+                       AS rn
+            FROM emb CROSS JOIN seeds s
+        ) r WHERE rn = 1
+    ),
+    dims AS (SELECT cid, generate_subscripts(e, 1) AS dim,
+                    unnest(e)::DOUBLE AS v
+             FROM a1),
+    c1 AS (
+        SELECT cid, list(m ORDER BY dim) AS ce FROM (
+            SELECT cid, dim, round(avg(v), 6) AS m
+            FROM dims GROUP BY cid, dim
+        ) t GROUP BY cid
+    ),
+    a2 AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT emb.vec_id, emb.e, c.cid,
+                   row_number() OVER (PARTITION BY emb.vec_id
+                       ORDER BY {_sql_cos('emb.e', 'c.ce')} DESC, c.cid)
+                       AS rn
+            FROM emb CROSS JOIN c1 c
+        ) r WHERE rn = 1
+    )
+    SELECT a2.cid AS cluster_id,
+           count(*) AS n_members,
+           round(list_sum(c1.ce), 6) AS centroid_sum,
+           round(avg({_sql_cos('a2.e', 'c1.ce')}), 4) AS mean_cos
+    FROM a2 JOIN c1 ON a2.cid = c1.cid
+    GROUP BY cluster_id, c1.ce
+    ORDER BY cluster_id
+    """,
+)
+def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    seeds = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    a1 = _assign(emb, seeds)
+    c1 = (
+        a1.select("cid", F.posexplode("e").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("ce")
+        )
+    )
+    a2 = _assign(emb, c1)
+    centroid_sum = F.aggregate(
+        F.col("ce"), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        a2.join(c1, "cid")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.first(centroid_sum), 6).alias("centroid_sum"),
+            F.round(F.avg("cos"), 4).alias("mean_cos"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -28,6 +28,10 @@ ENGINE_CONF: dict[str, str] = {
     # (dbcon/joblist/jlf_tuplejoblist.cpp:1607-1850).
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # Equi-height histograms on ANALYZE ... FOR COLUMNS ≈ the reference's
+    # MCV/histogram column stats (utils/common/statistics.h:44-129).
+    # Costs one extra scan per ANALYZE, which is already an explicit op.
+    "spark.sql.statistics.histogram.enabled": "true",
     # Broadcast threshold ≈ PM-join small-side limit
     # (primitives/primproc/batchprimitiveprocessor.h:311-319).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -106,3 +106,20 @@ def test_cbo_join_reorder_changes_plan(spark, analyzed_tables):
     assert plan != plan_off, (
         "join reorder made no difference with stats present:\n" + plan
     )
+
+
+def test_analyze_builds_column_histograms(spark, analyzed_tables):
+    """FOR COLUMNS with histogram conf on must materialize equi-height
+    histograms (the reference's MCV-style stats, statistics.h:44-129)."""
+    assert (
+        spark.conf.get("spark.sql.statistics.histogram.enabled") == "true"
+    )
+    ingest.analyze_table(spark, "cbo_big", columns=["v"])
+    desc = {
+        r.info_name: r.info_value
+        for r in spark.sql("DESCRIBE EXTENDED cbo_big v").collect()
+    }
+    assert desc.get("distinct_count") not in (None, "NULL")
+    assert "histogram" in {k.lower() for k in desc} or any(
+        "bin" in k.lower() for k in desc
+    ), desc
