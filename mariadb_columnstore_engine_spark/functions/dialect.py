@@ -214,3 +214,20 @@ def period_add(p: Column, n: Column) -> Column:
 def period_diff(p1: Column, p2: Column) -> Column:
     """MariaDB PERIOD_DIFF(P1, P2): months between periods (YYYYMM)."""
     return _period_months(p1) - _period_months(p2)
+
+
+def add_time(ts: Column, time_str: Column) -> Column:
+    """MariaDB ADDTIME(ts, 'HH:MM:SS') (func_add_time.cpp): shift a
+    timestamp by a TIME-string offset (sign-aware via time_to_sec)."""
+    secs = time_to_sec(time_str)
+    return F.timestamp_add("SECOND", secs, ts)
+
+
+def timediff(a: Column, b: Column) -> Column:
+    """MariaDB TIMEDIFF(a, b) → signed 'HH:MM:SS' string (TIME render,
+    same contract as sec_to_time). The TIMESTAMP hop makes it work for
+    TIMESTAMP_NTZ inputs too (NTZ → long is not a valid direct cast)."""
+    delta = a.cast("timestamp").cast("long") - b.cast("timestamp").cast(
+        "long"
+    )
+    return sec_to_time(delta)

@@ -96,3 +96,73 @@ def extract_media_features(df: DataFrame, media_col: str = "media",
     return df.select(id_col, media_col).mapInPandas(
         batches, schema=MEDIA_FEATURES_SCHEMA
     )
+
+
+#: Output schema of the frame sampler (one row per sampled frame).
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, frame_bytes BIGINT, frame_checksum BIGINT"
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 3,
+                  media_col: str = "media",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling: one input payload → ``n_frames`` output rows
+    (evenly-spaced byte slices as the deterministic stand-in for video
+    frame extraction — a real deployment decodes with ffmpeg/PyAV and
+    samples at timestamps; the Spark contract is identical: mapInPandas
+    with a 1→N row fan-out, Arrow batches both ways).
+
+    Frame *i* of a ``L``-byte payload is ``buf[i*L//n : (i+1)*L//n]`` —
+    integer arithmetic chosen so an oracle can recompute the exact same
+    slices. The checksum is the repo's portable 24-bit md5, computed
+    over the frame's UPPERCASE-HEX encoding (not raw bytes) because the
+    oracle engine's md5 only accepts strings; hex(bytes) is the shared
+    exact representation.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [],
+                    "frame_checksum": []}
+            for doc_id, buf in zip(pdf[id_col], pdf[media_col]):
+                buf = bytes(buf)
+                n = len(buf)
+                for i in range(n_frames):
+                    frame = buf[i * n // n_frames: (i + 1) * n // n_frames]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(len(frame))
+                    rows["frame_checksum"].append(
+                        int(
+                            hashlib.md5(
+                                frame.hex().upper().encode()
+                            ).hexdigest()[:6],
+                            16,
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def resize_media(df: DataFrame, stride: int = 4,
+                 media_col: str = "media") -> DataFrame:
+    """Resize/downsample plumbing: binary in → smaller binary out
+    (every ``stride``-th byte as the deterministic fake for an image
+    resize; a real deployment decodes, resizes, re-encodes). Exercises
+    the binary→binary Arrow round trip and keeps the payload column
+    type opaque to the rest of the plan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[media_col] = [
+                bytes(b)[::stride] for b in pdf[media_col]
+            ]
+            yield pdf
+
+    # schema unchanged: same columns, payload just smaller
+    return df.mapInPandas(batches, schema=df.schema)

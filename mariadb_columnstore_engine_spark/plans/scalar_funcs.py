@@ -1020,3 +1020,59 @@ def json_matrix2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("doc", "$.zz").isNotNull().alias("exists_zz"),
         (F.to_json(parsed) == F.col("doc")).alias("json_equals_rt"),
     ).orderBy("k")
+
+
+@query(
+    "sf_time_matrix",
+    section="§2.8 TIME semantics (func_add_time.cpp, func_timediff.cpp, "
+    "func_time_format, func_sec_to_time/time_to_sec, hour/minute/second/"
+    "microsecond) — the reference's TIME type rendered as the canonical "
+    "'HH:MM:SS' string contract (SURVEY §1.2)",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t
+               FROM events WHERE event_id < 300)
+    SELECT event_id,
+           hour(t)                                      AS hour_v,
+           minute(t)                                    AS minute_v,
+           CAST(second(t) AS INT)                       AS second_v,
+           CAST(strftime(t, '%f') AS INT)               AS micros_v,
+           t + INTERVAL 5400 SECOND                     AS addtime_v,
+           t - INTERVAL 5400 SECOND                     AS subtime_neg_v,
+           -- format (not lpad): hours can exceed 2 digits and lpad
+           -- TRUNCATES; MariaDB TIME renders unbounded hours
+           format('{:02d}:{:02d}:{:02d}',
+                  date_diff('second',
+                      TIMESTAMP '2024-01-01 00:00:00', t) // 3600,
+                  date_diff('second',
+                      TIMESTAMP '2024-01-01 00:00:00', t) % 3600 // 60,
+                  date_diff('second',
+                      TIMESTAMP '2024-01-01 00:00:00', t) % 60)
+                                                        AS timediff_v,
+           strftime(t, '%H:%M')                         AS time_format_v,
+           hour(t) * 3600 + minute(t) * 60
+               + CAST(second(t) AS INT)                 AS time_to_sec_v
+    FROM e
+    ORDER BY event_id
+    """,
+)
+def time_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    e = t.events.where(F.col("event_id") < 300).select(
+        "event_id", F.col("ts").alias("t")
+    )
+    ts = F.col("t")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    return e.select(
+        "event_id",
+        F.hour(ts).alias("hour_v"),
+        F.minute(ts).alias("minute_v"),
+        F.second(ts).cast("int").alias("second_v"),
+        F.date_format(ts, "SSSSSS").cast("int").alias("micros_v"),
+        dialect.add_time(ts, F.lit("01:30:00")).alias("addtime_v"),
+        dialect.add_time(ts, F.lit("-01:30:00")).alias("subtime_neg_v"),
+        dialect.timediff(ts, anchor).alias("timediff_v"),
+        F.date_format(ts, "HH:mm").alias("time_format_v"),
+        dialect.time_to_sec(F.date_format(ts, "HH:mm:ss")).alias(
+            "time_to_sec_v"
+        ),
+    ).orderBy("event_id")

@@ -20,6 +20,7 @@ from mariadb_columnstore_engine_spark.functions.udf import (
 from mariadb_columnstore_engine_spark.operators.multimodal import (
     attach_binary,
     extract_media_features,
+    sample_frames,
 )
 from mariadb_columnstore_engine_spark.plans.registry import query
 
@@ -166,3 +167,37 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sent_idx
         """
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    section="LLM-pipeline: multimodal frame sampling — mapInPandas 1→N "
+    "row fan-out over opaque binary payloads (deterministic byte-slice "
+    "frames standing in for video frame extraction; checksum = portable "
+    "24-bit md5 over the frame's hex encoding)",
+    oracle="""
+    WITH e AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS L
+        FROM documents WHERE doc_id < 40
+    ),
+    f AS (SELECT doc_id, h, L, unnest([0, 1, 2]) AS frame_idx FROM e),
+    sliced AS (
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST((frame_idx + 1) * L // 3 - frame_idx * L // 3
+                    AS BIGINT) AS frame_bytes,
+               substr(h, (frame_idx * L // 3) * 2 + 1,
+                      ((frame_idx + 1) * L // 3 - frame_idx * L // 3) * 2)
+                   AS frame_hex
+        FROM f
+    )
+    SELECT doc_id, frame_idx, frame_bytes,
+           ('0x' || substr(md5(frame_hex), 1, 6))::BIGINT AS frame_checksum
+    FROM sliced
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    docs = attach_binary(t.documents.where(F.col("doc_id") < 40))
+    return sample_frames(docs, n_frames=3).orderBy("doc_id", "frame_idx")

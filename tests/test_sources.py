@@ -110,3 +110,30 @@ def test_analyze_table_populates_cbo_stats(spark, tmp_path, csv_dir):
         assert "rows" in detail["Statistics"]
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_test_tbl")
+
+
+def test_resize_media_shrinks_payload_keeps_schema(spark, sf_dir):
+    from mariadb_columnstore_engine_spark.operators.multimodal import (
+        attach_binary,
+        resize_media,
+    )
+    import pyspark.sql.functions as F
+
+    docs = attach_binary(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    )
+    resized = resize_media(docs, stride=4)
+    assert resized.schema == docs.schema
+    rows = (
+        docs.select("doc_id", F.length("media").alias("n"))
+        .join(
+            resized.select(
+                "doc_id", F.length("media").alias("n_resized")
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.n_resized == (r.n + 3) // 4
