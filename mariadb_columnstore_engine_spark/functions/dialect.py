@@ -231,3 +231,13 @@ def timediff(a: Column, b: Column) -> Column:
         "long"
     )
     return sec_to_time(delta)
+
+
+def truncate_number(col: Column, d: int) -> Column:
+    """MariaDB TRUNCATE(X, D) (func_truncate.cpp): truncate toward zero
+    to D decimal places (negative D truncates left of the point)."""
+    p = F.lit(10.0) ** d
+    scaled = col * p
+    return F.when(col >= 0, F.floor(scaled) / p).otherwise(
+        F.ceil(scaled) / p
+    )
