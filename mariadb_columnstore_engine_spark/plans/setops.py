@@ -159,3 +159,50 @@ def order_nulls_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").desc(),
         )
     )
+
+
+@query(
+    "setop_intersect_all",
+    section="§2.7 INTERSECT ALL (bag semantics; free upgrade — reference "
+    "has no INTERSECT at all, server fallback)",
+    oracle="""
+    SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    ) i
+    ORDER BY nk
+    """,
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    a = t.customer.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    b = t.supplier.where(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return a.intersectAll(b).orderBy("nk")
+
+
+@query(
+    "setop_except_distinct",
+    section="§2.7 EXCEPT (set semantics — pairs with setop_except_all)",
+    oracle="""
+    SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9900
+        EXCEPT
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+    ) e
+    ORDER BY nk
+    """,
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    a = t.customer.where(F.col("c_acctbal") > 9900).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    b = t.supplier.where(F.col("s_acctbal") > 8000).select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return a.subtract(b).orderBy("nk")
