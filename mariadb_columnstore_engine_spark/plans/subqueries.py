@@ -215,3 +215,49 @@ def derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "subq_recursive_bfs_reachability",
+    section="§2.9 recursive CTE analogue — MariaDB WITH RECURSIVE is NOT "
+    "pushed down by the reference (server fallback); Spark has no "
+    "recursive CTE, so the engine provides a bounded-fixpoint BFS "
+    "operator (operators/graph.py: distributed join per iteration, "
+    "cache+count lineage cuts). Oracle = DuckDB's native WITH RECURSIVE "
+    "over the same derived edge table",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT n_nationkey AS src, (n_nationkey * 2 + 1) % 25 AS dst
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * 3 + 7) % 25 FROM nation
+    ),
+    r AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        UNION
+        SELECT e.dst, r.depth + 1
+        FROM r JOIN e ON e.src = r.node
+        WHERE r.depth < 20
+    )
+    SELECT node, CAST(min(depth) AS INT) AS depth
+    FROM r GROUP BY node ORDER BY node
+    """,
+)
+def recursive_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.operators.graph import (
+        bfs_reachability,
+    )
+
+    t = Catalog(spark, sf_dir)
+    k = F.col("n_nationkey")
+    edges = t.nation.select(
+        k.alias("src"), ((k * 2 + 1) % 25).alias("dst")
+    ).unionByName(
+        t.nation.select(k.alias("src"), ((k * 3 + 7) % 25).alias("dst"))
+    )
+    start = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return (
+        bfs_reachability(edges, start, max_iter=20)
+        .select("node", F.col("depth").cast("int").alias("depth"))
+        .orderBy("node")
+    )
