@@ -220,3 +220,71 @@ def quality_dedup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: upsampling rates in hundredths (zh 2.5×, de 1.2×, en 0.4×, ...)
+_UP_RATES = {"en": 40, "de": 120, "es": 100, "fr": 150, "zh": 250}
+
+
+@query(
+    "pipeline_mixture_upsample",
+    section="LLM-pipeline: mixture weighting with rates > 1 — integer "
+    "part replicates every doc, fractional part is hash-gated, so a "
+    "2.5× language emits 2 copies of every doc plus a deterministic "
+    "half of the corpus a 3rd time. Map-side explode(array_repeat), "
+    "no RNG, no shuffle before the audit aggregation",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               {_sql_bucket("CAST(doc_id AS VARCHAR)", _MIX_SALT, 100)}
+                   AS bucket,
+               CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_UP_RATES.items()))}
+                    ELSE 0 END AS rate
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, n_tokens,
+               rate // 100
+                 + CASE WHEN bucket < rate % 100 THEN 1 ELSE 0 END
+                   AS n_copies
+        FROM d
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_emitted,
+           CAST(sum(n_copies * n_tokens) AS BIGINT) AS emitted_tokens
+    FROM c
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    bucket = _bucket(F.col("doc_id").cast("string"), _MIX_SALT, 100)
+    rate = F.lit(0)
+    for k, v in sorted(_UP_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    n_copies = (rate / 100).cast("long") + (bucket < rate % 100).cast(
+        "long"
+    )
+    # The materializing form a corpus build would run is
+    # explode(array_repeat(struct, n_copies)) — map-side, 0 copies drop
+    # the row. The audit below aggregates the copy counts directly so
+    # the oracle stays cheap; tests pin that explode agrees.
+    return (
+        t.documents.select(
+            "lang",
+            n_copies.alias("n_copies"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").cast("long").alias("n_emitted"),
+            F.sum(F.col("n_copies") * F.col("n_tokens"))
+            .cast("long")
+            .alias("emitted_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -53,3 +53,36 @@ def test_shingles_match_duckdb_on_short_docs(spark, duck):
         ).collect()
     ]
     assert spark_sh == duck_sh
+
+
+def test_mixture_upsample_explode_matches_audit(spark, sf_dir):
+    """explode(array_repeat(...)) materialization emits exactly the
+    n_emitted count the audit aggregation reports."""
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.plans.pipeline_plans import (
+        mixture_upsample,
+        _MIX_SALT,
+        _UP_RATES,
+        _bucket,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = _bucket(F.col("doc_id").cast("string"), _MIX_SALT, 100)
+    rate = F.lit(0)
+    for k, v in sorted(_UP_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    n_copies = (rate / 100).cast("long") + (bucket < rate % 100).cast("long")
+    exploded = (
+        docs.select("lang", n_copies.alias("n"))
+        .select("lang", F.explode(F.array_repeat(F.lit(1), F.col("n").cast("int"))).alias("_"))
+        .groupBy("lang")
+        .count()
+    )
+    got = {r.lang: r["count"] for r in exploded.collect()}
+    audit = {
+        r.lang: r.n_emitted
+        for r in mixture_upsample(spark, sf_dir).collect()
+    }
+    for lang, n in audit.items():
+        assert got.get(lang, 0) == n
