@@ -20,23 +20,30 @@ def group_concat(
     order_by: Column | str | None = None,
     ascending: bool = True,
     distinct: bool = False,
+    limit: int | None = None,
 ) -> Column:
-    """MariaDB GROUP_CONCAT([DISTINCT] col [ORDER BY ...] [SEPARATOR sep]).
+    """MariaDB GROUP_CONCAT([DISTINCT] col [ORDER BY ...] [LIMIT n]
+    [SEPARATOR sep]).
 
-    Reference: dbcon/joblist/groupconcat.cpp (ordered string concat agg).
-    Spark-first: collect_list → sort_array → array_join; the ordered variant
-    collects (key, value) structs so sort_array orders by the key.
+    Reference: dbcon/joblist/groupconcat.cpp (ordered string concat agg;
+    LIMIT is the MariaDB 10.6 extension). Spark-first: collect_list →
+    sort_array → array_join; the ordered variant collects (key, value)
+    structs so sort_array orders by the key; LIMIT is a slice AFTER
+    ordering/dedup, matching MariaDB (first n of the ordered list).
     """
     col = F.col(col) if isinstance(col, str) else col
     if order_by is None:
         items = F.collect_set(col) if distinct else F.collect_list(col)
-        return F.array_join(F.sort_array(items), separator)
-    key = F.col(order_by) if isinstance(order_by, str) else order_by
-    pairs = F.collect_list(F.struct(key.alias("k"), col.alias("v")))
-    ordered = F.sort_array(pairs, asc=ascending)
-    vals = F.transform(ordered, lambda s: s["v"])
-    if distinct:
-        vals = F.array_distinct(vals)
+        vals = F.sort_array(items)
+    else:
+        key = F.col(order_by) if isinstance(order_by, str) else order_by
+        pairs = F.collect_list(F.struct(key.alias("k"), col.alias("v")))
+        ordered = F.sort_array(pairs, asc=ascending)
+        vals = F.transform(ordered, lambda s: s["v"])
+        if distinct:
+            vals = F.array_distinct(vals)
+    if limit is not None:
+        vals = F.slice(vals, 1, limit)
     return F.array_join(vals, separator)
 
 

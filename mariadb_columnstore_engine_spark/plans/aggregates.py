@@ -435,3 +435,30 @@ def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_group_concat_limit",
+    section="§2.4 GROUP_CONCAT ... LIMIT (groupconcat.cpp; MariaDB 10.6 "
+    "extension) — first n of the ordered list per group",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(
+               list_slice(list(n_name ORDER BY n_name), 1, 3), '|')
+               AS top3_names
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def group_concat_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.nation.groupBy("n_regionkey")
+        .agg(
+            dialect.group_concat(
+                "n_name", "|", order_by="n_name", limit=3
+            ).alias("top3_names")
+        )
+        .orderBy("n_regionkey")
+    )

@@ -641,3 +641,135 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    section="§2.3 6-table join + conditional aggregation (TPC-H Q8 "
+    "adapted: market share of one nation inside one region's customers "
+    "for one part type; volume in exact cents for hash-stable division)",
+    oracle="""
+    WITH vol AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT) AS cents,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN cents ELSE 0 END) AS DOUBLE)
+                 / sum(cents), 6) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    n1 = t.nation.alias("n1")
+    n2 = t.nation.alias("n2")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    vol = (
+        t.part.where(F.col("p_type") == "PROMO")
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(n1),
+            F.col("c_nationkey") == F.col("n1.n_nationkey"),
+        )
+        .join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(n2),
+            F.col("s_nationkey") == F.col("n2.n_nationkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            cents.alias("cents"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(
+            0
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                nation_cents.cast("double") / F.sum("cents"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    section="§2.9 view + scalar-max selection (TPC-H Q15: revenue view, "
+    "suppliers achieving the maximum). Spark-first: the view is a CTE "
+    "DataFrame, max is a scalar subquery — no double scan of lineitem "
+    "beyond the two the spec itself requires",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                    * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_cents / 100.0, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    revenue = (
+        t.lineitem.where(
+            (F.col("l_shipdate")
+             >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents).cast("long").alias("total_cents"))
+    )
+    max_rev = revenue.agg(F.max("total_cents").alias("m"))
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            F.col("total_cents") == F.col("m"),
+        )
+        .join(t.supplier, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents") / 100.0, 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
