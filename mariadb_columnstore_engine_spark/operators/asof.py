@@ -37,11 +37,18 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     inclusive: bool = True,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row's ``value_cols`` from the
     latest ``right_ts`` <= (or < if inclusive=False) ``left_ts`` within
     the same ``by`` key. Left rows with no prior right row get NULLs
-    (ASOF LEFT JOIN semantics)."""
+    (ASOF LEFT JOIN semantics).
+
+    ``tolerance_seconds`` bounds the match gap: a prior right row older
+    than the bound is treated as no match (the production variant —
+    "latest sensor reading, but only if fresher than N seconds"). The
+    bound is applied to the carried match after the single shuffle, so
+    the cost model is unchanged."""
     # right rows sort before left rows on ts ties iff inclusive
     r_marker, l_marker = (0, 1) if inclusive else (1, 0)
     r = right.select(
@@ -74,15 +81,24 @@ def asof_join(
     # matched row instead of being skipped by ignorenulls.
     carry_src = F.when(
         F.col("_is_left").isNull(),
-        F.struct(*[F.col(f"_v_{c}").alias(c) for c in value_cols]),
+        F.struct(
+            F.col("_t").alias("_rt"),
+            *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        ),
     )
     carried = (
         l.unionByName(r, allowMissingColumns=True)
         .withColumn("_vrow", carry_src)
         .select("*", F.last("_vrow", ignorenulls=True).over(w).alias("_asof"))
     )
+    match = F.col("_asof")
+    if tolerance_seconds is not None:
+        gap = F.col("_t").cast("timestamp").cast("double") - F.col(
+            "_asof._rt"
+        ).cast("timestamp").cast("double")
+        match = F.when(gap <= tolerance_seconds, F.col("_asof"))
     out = carried.where(F.col("_is_left").isNotNull()).select(
         *l_cols,
-        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
+        *[match.getField(c).alias(f"asof_{c}") for c in value_cols],
     )
     return out

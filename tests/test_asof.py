@@ -80,3 +80,26 @@ def test_no_prior_right_row_yields_nulls(spark):
     assert got[5] == (None, None)  # B trade before B's only quote
     assert got[6] == (None, None)  # key never quoted
     assert len(got) == 6  # every left row survives (LEFT semantics)
+
+
+def test_asof_tolerance_bounds_match_gap(spark):
+    """A prior right row older than the tolerance is no match; within
+    tolerance it matches normally."""
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 02:00:00")],
+        "k long, lts string",
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0)],
+        "k long, rts string, v double",
+    ).select(
+        "k", F.col("rts").cast("timestamp").alias("rts"), "v"
+    )
+    out = asof_join(
+        left, right, by="k", left_ts="lts", right_ts="rts",
+        value_cols=["v"], tolerance_seconds=1800.0,
+    )
+    got = {r.lts.strftime("%H:%M"): r.asof_v for r in out.collect()}
+    assert got == {"00:10": 7.0, "02:00": None}
