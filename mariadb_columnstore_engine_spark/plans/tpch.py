@@ -773,3 +773,125 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "tpch_q9_product_profit",
+    section="§2.4 profit aggregation over a 5-table join (TPC-H Q9 "
+    "adapted: fixtures ship no partsupp, so supply cost is derived as "
+    "60% of p_retailprice — the join/expression/group shape is intact; "
+    "profit summed in exact cents)",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(CAST(sum(CAST(round(
+               (l_extendedprice * (1 - l_discount)
+                - p_retailprice * 0.6 * l_quantity) * 100, 0)
+               AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    -- group by the source column: bare "nation" would resolve to the
+    -- TABLE nation, not the output alias
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("long")
+    return (
+        t.part.where(F.col("p_name").like("%widget%"))
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit_cents).cast("long") / 100.0, 2).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q20_excess_shippers",
+    section="§2.9 nested IN-subquery chain (TPC-H Q20 adapted: partsupp "
+    "availqty becomes lineitem-derived volume — suppliers who shipped "
+    "more than half of some widget part's 1996 volume; supplier IN "
+    "(... part IN (...) ... correlated half-volume threshold ...))",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l1.l_suppkey FROM lineitem l1
+        WHERE l1.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+        )
+        AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l1.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        -- correlation must name the OUTER alias: a bare l_partkey
+        -- inside the subquery binds to l2 (always-true self-compare)
+        HAVING sum(l1.l_quantity) > (
+            SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l2.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        )
+    )
+    ORDER BY s_name
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated half-volume HAVING decorrelates into one window
+    over (partkey): per-(supplier, part) volume vs 0.5 × per-part total,
+    computed in a single pass — no per-row re-aggregation probe."""
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    widget_parts = t.part.where(F.col("p_name").like("%widget%")).select(
+        "p_partkey"
+    )
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).join(
+        F.broadcast(widget_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("sp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    shippers = (
+        per_sp.withColumn("part_qty", F.sum("sp_qty").over(w))
+        .where(F.col("sp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(
+            shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
