@@ -895,3 +895,87 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    section="§2.9 correlated MIN scalar subquery over a 5-table join "
+    "(TPC-H Q2 adapted: fixtures ship no partsupp, so supply cost is the "
+    "lineitem-derived min unit price per (supplier, part); reference runs "
+    "Q2 in its devregression corpus). The correlated "
+    "``= (SELECT min(...) WHERE c2.l_partkey = p_partkey)`` decorrelates "
+    "into one per-part min aggregate joined back on cost equality — the "
+    "equality compares UNROUNDED doubles, which are bit-identical across "
+    "engines because both compute min over the same IEEE quotients.",
+    oracle="""
+    WITH eu_supp AS (
+        SELECT s_suppkey, s_acctbal, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part
+    JOIN cost ON p_partkey = cost.l_partkey
+    JOIN eu_supp ON s_suppkey = cost.l_suppkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%ANDARD'
+      AND unit_cost = (
+          SELECT min(c2.unit_cost)
+          FROM cost c2
+          JOIN eu_supp e2 ON e2.s_suppkey = c2.l_suppkey
+          WHERE c2.l_partkey = part.p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per qualifying part within a region.
+
+    Scale shape: lineitem aggregates once on (l_partkey, l_suppkey) —
+    the only big shuffle; nation/region are broadcast constants and the
+    per-part min is a second tiny aggregate on the already-reduced cost
+    table. The correlated subquery never re-probes lineitem.
+    """
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    eu_supp = (
+        t.supplier.join(
+            F.broadcast(
+                t.nation.join(
+                    t.region.where(F.col("r_name") == "EUROPE"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cost = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    eu_cost = cost.join(
+        eu_supp, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eu_cost.withColumn(
+        "min_cost", F.min("unit_cost").over(w)
+    ).where(F.col("unit_cost") == F.col("min_cost"))
+    return (
+        t.part.where(
+            F.col("p_size").between(10, 20) & F.col("p_type").like("%ANDARD")
+        )
+        .join(best, F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )

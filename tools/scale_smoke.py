@@ -29,7 +29,15 @@ def main() -> int:
     from mariadb_columnstore_engine_spark.plans import load_all
     from mariadb_columnstore_engine_spark.session import get_session
 
-    spark = get_session("scale-smoke", shuffle_partitions=32)
+    # Local mode hosts driver + all executor threads in ONE heap; the
+    # engine's 64 MB broadcast threshold assumes a real driver heap, so
+    # size it like bench.py does (the default 1g OOMs broadcasting the
+    # amplified doc tables).
+    spark = get_session(
+        "scale-smoke",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
