@@ -1,0 +1,199 @@
+"""MariaDB JSON function long tail, as pure JVM column expressions.
+
+The reference ships 28 JSON functions (utils/funcexp/func_json_*.cpp,
+jsonhelpers.cpp). Spark covers extraction/construction natively
+(get_json_object, from_json/to_json, json_array_length,
+json_object_keys); this module adds the MariaDB-specific tail —
+json_type, json_depth, json_quote, json_search, json_merge_preserve,
+json_normalize, json_compact — built from string/higher-order
+expressions so they stay inside whole-stage codegen (no Python UDFs;
+a 100 TB scan applies them at JVM speed).
+
+Contract notes (documented limitations, pinned by tests):
+
+- ``json_merge_preserve`` / ``json_normalize`` / ``json_search``
+  operate on FLAT objects (scalar values only), parsed via
+  ``from_json(col, 'map<string,string>')``. Nested containers would
+  need a recursive parser — the reference implements these in C++
+  recursion (func_json_merge.cpp); the flat contract covers the
+  events.props-style payloads this engine's fixtures and pipelines
+  use. A JSON ``null`` value is indistinguishable from an absent key
+  after map parsing (both surface as SQL NULL).
+- Scalar re-emission quotes any value that does not lex as a JSON
+  number / boolean / null, so the string ``"1"`` round-trips as the
+  number ``1`` (same coercion MariaDB applies when values transit
+  its dynamic-string representation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Matches a complete JSON string literal; used to erase literals before
+# structural analysis so quotes/brackets inside strings don't count.
+_STRING_LIT = r'"([^"\\]|\\.)*"'
+
+_SCALAR_RE = r"^(-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false|null)$"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def json_type(col: Column | str) -> Column:
+    """JSON_TYPE (func_json_type.cpp): OBJECT / ARRAY / STRING /
+    BOOLEAN / NULL / INTEGER / DOUBLE classification of a JSON doc."""
+    t = F.trim(_c(col))
+    return (
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .when(t.startswith("{"), F.lit("OBJECT"))
+        .when(t.startswith("["), F.lit("ARRAY"))
+        .when(t.startswith('"'), F.lit("STRING"))
+        .when(t.isin("true", "false"), F.lit("BOOLEAN"))
+        .when(t == "null", F.lit("NULL"))
+        .when(t.rlike(r"^-?[0-9]+$"), F.lit("INTEGER"))
+        .when(
+            t.rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
+            F.lit("DOUBLE"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def json_quote(col: Column | str) -> Column:
+    """JSON_QUOTE (func_json_quote.cpp): wrap a plain string as a JSON
+    string literal, escaping backslash, quote, and control chars."""
+    s = _c(col)
+    for raw, esc in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+        ("\b", "\\b"),
+        ("\f", "\\f"),
+    ):
+        s = F.replace(s, F.lit(raw), F.lit(esc))
+    return F.concat(F.lit('"'), s, F.lit('"'))
+
+
+def json_depth(col: Column | str) -> Column:
+    """JSON_DEPTH (func_json_depth.cpp): max nesting depth — scalar or
+    empty container = 1, flat object/array = 2, each nesting level +1.
+
+    Pure-expression construction: erase string literals, collapse
+    scalar runs to one token, then fold over the remaining characters
+    tracking bracket depth; a container-open or scalar token at depth
+    ``d`` witnesses depth ``d+1``.
+    """
+    s = F.regexp_replace(_c(col), _STRING_LIT, "0")
+    s = F.regexp_replace(s, r"[\s:,]+", "")
+    s = F.regexp_replace(s, r"[^{}\[\]]+", "s")
+    chars = F.filter(F.split(s, ""), lambda ch: ch != "")
+    folded = F.aggregate(
+        chars,
+        F.struct(F.lit(0).alias("d"), F.lit(0).alias("m")),
+        lambda acc, ch: F.struct(
+            (
+                acc["d"]
+                + F.when(ch.isin("{", "["), F.lit(1))
+                .when(ch.isin("}", "]"), F.lit(-1))
+                .otherwise(F.lit(0))
+            ).alias("d"),
+            F.greatest(
+                acc["m"],
+                F.when(ch.isin("{", "[", "s"), acc["d"] + 1).otherwise(
+                    acc["d"]
+                ),
+            ).alias("m"),
+        ),
+        lambda acc: acc["m"],
+    )
+    return F.when(_c(col).isNull(), F.lit(None).cast("int")).otherwise(
+        folded.cast("int")
+    )
+
+
+def _emit_scalar(v: Column) -> Column:
+    """Re-emit a map-parsed scalar as JSON text: numbers/booleans/null
+    stay raw, everything else is quoted."""
+    return (
+        F.when(v.isNull(), F.lit("null"))
+        .when(v.rlike(_SCALAR_RE), v)
+        .otherwise(json_quote(v))
+    )
+
+
+def _flat(col: Column | str) -> Column:
+    return F.from_json(_c(col), "map<string,string>")
+
+
+def _object_from_entries(
+    keys: Column, value_of: Callable[[Column], Column]
+) -> Column:
+    entries = F.transform(
+        keys,
+        lambda k: F.concat(json_quote(k), F.lit(":"), value_of(k)),
+    )
+    return F.concat(F.lit("{"), F.array_join(entries, ","), F.lit("}"))
+
+
+def json_merge_preserve(a: Column | str, b: Column | str) -> Column:
+    """JSON_MERGE_PRESERVE (func_json_merge.cpp) over flat objects:
+    keys present in both sides keep BOTH values as a 2-element array
+    (vs json_merge_patch, where b wins)."""
+    ma, mb = _flat(a), _flat(b)
+    keys = F.array_union(F.map_keys(ma), F.map_keys(mb))
+
+    def value_of(k: Column) -> Column:
+        va, vb = F.element_at(ma, k), F.element_at(mb, k)
+        return F.when(
+            va.isNotNull() & vb.isNotNull(),
+            F.concat(
+                F.lit("["),
+                _emit_scalar(va),
+                F.lit(","),
+                _emit_scalar(vb),
+                F.lit("]"),
+            ),
+        ).otherwise(_emit_scalar(F.coalesce(va, vb)))
+
+    return _object_from_entries(keys, value_of)
+
+
+def json_normalize(col: Column | str) -> Column:
+    """JSON_NORMALIZE (func_json_normalize.cpp) over flat objects:
+    keys sorted lexicographically, minimal whitespace."""
+    m = _flat(col)
+    keys = F.array_sort(F.map_keys(m))
+    return _object_from_entries(
+        keys, lambda k: _emit_scalar(F.element_at(m, k))
+    )
+
+
+def json_search(col: Column | str, search: Column | str) -> Column:
+    """JSON_SEARCH(doc, 'one', str) (func_json_search.cpp) over flat
+    objects: the path of the first key (document order) whose value
+    equals ``search``, as a JSON string — or NULL."""
+    m = _flat(col)
+    needle = search if isinstance(search, Column) else F.lit(search)
+    hits = F.filter(
+        F.map_keys(m), lambda k: F.element_at(m, k) == needle
+    )
+    return F.when(
+        F.size(hits) > 0,
+        F.concat(F.lit('"$.'), F.element_at(hits, 1), F.lit('"')),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def json_compact(col: Column | str) -> Column:
+    """JSON_COMPACT (func_json_format.cpp JSON_FORMAT compact mode):
+    strip all whitespace outside string literals. The regex matches
+    either a whole string literal (kept via $1) or a whitespace run
+    (dropped), so spaces inside strings survive."""
+    return F.regexp_replace(
+        _c(col), f"({_STRING_LIT})|\\s+", "$1"
+    )

@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mariadb_columnstore_engine_spark.catalog import Catalog
-from mariadb_columnstore_engine_spark.functions import dialect
+from mariadb_columnstore_engine_spark.functions import dialect, json_ext
 from mariadb_columnstore_engine_spark.plans.registry import query
 
 
@@ -1076,3 +1076,98 @@ def time_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "time_to_sec_v"
         ),
     ).orderBy("event_id")
+
+
+@query(
+    "sf_json_ext_classify",
+    section="§2.8 JSON long tail 2 — JSON_TYPE / JSON_DEPTH / "
+    "JSON_COMPACT / JSON_QUOTE (func_json_type/depth/format/quote.cpp) "
+    "as pure JVM expressions (functions/json_ext.py). Oracle: DuckDB "
+    "json_type label-mapped to MariaDB's, json_extract-minified text, "
+    "to_json quoting; depth expectations are pinned vectors (DuckDB "
+    "ships no json_depth).",
+    oracle="""
+    SELECT CAST(id AS BIGINT) AS id,
+           CASE json_type(doc)
+               WHEN 'VARCHAR' THEN 'STRING'
+               WHEN 'BIGINT' THEN 'INTEGER'
+               WHEN 'UBIGINT' THEN 'INTEGER'
+               ELSE json_type(doc) END AS jt,
+           exp_depth AS jd,
+           COALESCE(json_extract(doc, '$')::VARCHAR, 'null') AS jc,
+           to_json(raw)::VARCHAR AS jq
+    FROM (VALUES
+        (1, '{"a": 1, "b": "x"}', 'plain', 2),
+        (2, '[1, [2, 3]]', 'with "quotes"', 3),
+        (3, '"hello"', 'mixed "q" end', 1),
+        (4, '3.5', 'a', 1),
+        (5, '-7', 'b', 1),
+        (6, 'true', 'c', 1),
+        (7, 'null', 'd', 1),
+        (8, '{"a": {"b": {"c": []}}}', 'e', 4),
+        (9, '{}', 'f', 1),
+        (10, '[ ]', 'g', 1),
+        (11, '{"s": "[{["}', 'h', 2)
+    ) AS t(id, doc, raw, exp_depth)
+    ORDER BY id
+    """,
+)
+def json_ext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (1, '{"a": 1, "b": "x"}', "plain", 2),
+        (2, "[1, [2, 3]]", 'with "quotes"', 3),
+        (3, '"hello"', 'mixed "q" end', 1),
+        (4, "3.5", "a", 1),
+        (5, "-7", "b", 1),
+        (6, "true", "c", 1),
+        (7, "null", "d", 1),
+        (8, '{"a": {"b": {"c": []}}}', "e", 4),
+        (9, "{}", "f", 1),
+        (10, "[ ]", "g", 1),
+        (11, '{"s": "[{["}', "h", 2),
+    ]
+    df = spark.createDataFrame(rows, ["id", "doc", "raw", "exp_depth"])
+    return df.select(
+        "id",
+        json_ext.json_type("doc").alias("jt"),
+        json_ext.json_depth("doc").alias("jd"),
+        json_ext.json_compact("doc").alias("jc"),
+        json_ext.json_quote("raw").alias("jq"),
+    ).orderBy("id")
+
+
+@query(
+    "sf_json_ext_flat_ops",
+    section="§2.8 JSON long tail 3 — JSON_MERGE_PRESERVE / "
+    "JSON_NORMALIZE / JSON_SEARCH over flat objects "
+    "(func_json_merge/normalize/search.cpp → map-parse + higher-order "
+    "rebuild, functions/json_ext.py). DuckDB ships none of the three, "
+    "so expected outputs are pinned vectors carried in the VALUES "
+    "table of both engines.",
+    oracle="""
+    SELECT CAST(id AS BIGINT) AS id,
+           exp_merge AS mp, exp_norm AS nm, exp_search AS srch
+    FROM (VALUES
+        (1, '{"a": 1, "b": "x"}', '{"b": 2, "c": true}', 'x',
+         '{"a":1,"b":["x",2],"c":true}', '{"a":1,"b":"x"}', '"$.b"'),
+        (2, '{"z": 1}', '{"a": 2}', 'zz',
+         '{"z":1,"a":2}', '{"z":1}', NULL),
+        (3, '{"m": null, "k": "7"}', '{"m": false}', '7',
+         '{"m":false,"k":7}', '{"k":7,"m":null}', '"$.k"')
+    ) AS t(id, a, b, needle, exp_merge, exp_norm, exp_search)
+    ORDER BY id
+    """,
+)
+def json_ext_flat_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (1, '{"a": 1, "b": "x"}', '{"b": 2, "c": true}', "x"),
+        (2, '{"z": 1}', '{"a": 2}', "zz"),
+        (3, '{"m": null, "k": "7"}', '{"m": false}', "7"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "a", "b", "needle"])
+    return df.select(
+        "id",
+        json_ext.json_merge_preserve("a", "b").alias("mp"),
+        json_ext.json_normalize("a").alias("nm"),
+        json_ext.json_search("a", F.col("needle")).alias("srch"),
+    ).orderBy("id")
