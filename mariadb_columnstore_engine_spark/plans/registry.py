@@ -85,6 +85,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q12_priority_buckets",
     "tpch_q14_promo_revenue",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
     # §2.2 filters
     "filter_like_patterns",
     "filter_in_null_semantics",
@@ -116,7 +117,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_tumbling_window",
     "events_sliding_window",
     "events_sessionization",
-    "events_daily_activity",
     "events_asof_join",
     # LLM pillar: text analysis + dedup
     "text_token_stats",
