@@ -79,3 +79,65 @@ def bfs_reachability(
         n_visited = visited.count()
         frontier = nxt
     return visited
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components via min-label propagation: every node ends
+    up labeled with the smallest node id in its component.
+
+    This is the clustering step of a dedup pipeline — near-duplicate
+    PAIRS (from LSH/SimHash candidate mining) become duplicate GROUPS,
+    and the min label doubles as the canonical representative.
+
+    Per iteration: one join (labels × edges) + one min-aggregate, both
+    executor-side; the loop stops when an iteration changes no label
+    (fixpoint) or at ``max_iter``. Convergence takes O(component
+    diameter) rounds — near-dup clusters are near-cliques (banded LSH
+    emits most intra-cluster pairs directly), so 2-3 rounds in
+    practice. For adversarial long-chain graphs at 100 TB scale the
+    round count is the bottleneck and the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") halves it; min-propagation is the right default for dedup
+    workloads. Plans are truncated per round with ``localCheckpoint``
+    (see bfs_reachability's discipline note).
+
+    Returns (node, component) — component = min node id reachable.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_labels = labels.join(
+            sym, labels["node"] == sym["a"]
+        ).select(F.col("b").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels

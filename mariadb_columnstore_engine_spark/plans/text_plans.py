@@ -656,3 +656,66 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _cluster_sql() -> str:
+    # WITH RECURSIVE closure over the SAME banded-LSH pair mining the
+    # minhash oracle runs (nested as a CTE), labeling every node with
+    # the min doc_id it can reach — DuckDB's equivalent of the Spark
+    # min-label-propagation loop in operators/graph.py.
+    return f"""
+    WITH RECURSIVE pairs AS (
+        {_minhash_sql()}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.lbl
+        FROM reach r JOIN edges e ON e.a = r.node
+        WHERE r.lbl < e.b
+    ),
+    labels AS (
+        SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, count(*) AS size,
+           min(node) AS canonical_doc, max(node) AS max_member
+    FROM labels
+    GROUP BY cluster_id
+    HAVING count(*) >= 2
+    ORDER BY cluster_id
+    """
+
+
+@query(
+    "text_dedup_cluster_canonical",
+    section="LLM-pipeline: near-duplicate PAIRS → duplicate GROUPS via "
+    "connected components (operators/graph.py min-label propagation; "
+    "scale path: large-star/small-star), with the min doc_id as each "
+    "cluster's canonical representative — the step that turns LSH "
+    "output into actual corpus dedup decisions. Oracle: DuckDB WITH "
+    "RECURSIVE min-reachability closure over the identical pair set.",
+    oracle=_cluster_sql(),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("node").alias("canonical_doc"),
+            F.max("node").alias("max_member"),
+        )
+        .where(F.col("size") >= 2)
+        .orderBy("cluster_id")
+    )
