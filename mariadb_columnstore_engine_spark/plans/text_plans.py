@@ -719,3 +719,213 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("size") >= 2)
         .orderBy("cluster_id")
     )
+
+
+# ---- training-corpus hygiene: decontamination / PII / repetition ----
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_decontaminate_ngram_overlap",
+    section="LLM-pipeline: benchmark decontamination — trigram overlap "
+    "between the training corpus and a (deterministic pseudo-)benchmark "
+    "set. Scale topology: eval sets are tiny vs 100 TB of training "
+    "data, so the eval n-gram set is BROADCAST and the only shuffle is "
+    "the per-doc overlap count; contamination is reported in integer "
+    "basis points (floor) so both engines agree bit-for-bit.",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    e AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE doc_id % 97 = 0),
+    t AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE doc_id % 97 <> 0),
+    sz AS (SELECT doc_id, len(sh) AS n_shingles FROM d),
+    ov AS (
+        SELECT t.doc_id, count(*) AS n_overlap
+        FROM t JOIN e USING (g) GROUP BY t.doc_id
+    )
+    SELECT ov.doc_id, n_overlap, n_shingles,
+           CAST(floor(n_overlap * 10000.0 / n_shingles) AS BIGINT)
+               AS contamination_bp
+    FROM ov JOIN sz ON sz.doc_id = ov.doc_id
+    WHERE n_overlap >= 2
+    ORDER BY contamination_bp DESC, ov.doc_id
+    LIMIT 50
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = (
+        d.where(is_eval).select(F.explode("sh").alias("g")).distinct()
+    )
+    train_grams = d.where(~is_eval).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    overlap = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sizes = d.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+    return (
+        overlap.join(sizes, "doc_id")
+        .where(F.col("n_overlap") >= 2)
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_shingles",
+            F.floor(
+                F.col("n_overlap") * 10000.0 / F.col("n_shingles")
+            ).cast("long").alias("contamination_bp"),
+        )
+        .orderBy(F.desc("contamination_bp"), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "text_pii_redaction",
+    section="LLM-pipeline: PII scrubbing — email/phone regex redaction "
+    "over the corpus, all JVM-side regexp (no Python). PII is injected "
+    "deterministically (doc_id % 7) so the redactor has known work; the "
+    "redacted text is verified bit-for-bit via the portable md5-24 "
+    "checksum summed per language (n_docs × 2^24 < 2^48, exact in "
+    "BIGINT).",
+    oracle=f"""
+    WITH injected AS (
+        SELECT lang,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact ' || lang
+                         || '@example.com tel 555-123-4567'
+                    ELSE text END AS t2
+        FROM documents
+    ),
+    red AS (
+        SELECT lang,
+               len(regexp_extract_all(t2, '{_EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(t2, '{_PHONE_RE}')) AS n_phone,
+               regexp_replace(regexp_replace(t2, '{_EMAIL_RE}', '<EMAIL>',
+                                             'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM injected
+    )
+    SELECT lang,
+           CAST(count(CASE WHEN n_email + n_phone > 0 THEN 1 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(n_phone) AS BIGINT) AS total_phones,
+           CAST(sum(len(clean)) AS BIGINT) AS clean_chars,
+           CAST(sum({_SQL_H24.format(s="clean")}) AS BIGINT) AS clean_h24
+    FROM red
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("lang"),
+            F.lit("@example.com tel 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    df = t.documents.select("lang", t2.alias("t2"))
+    n_email = F.size(F.regexp_extract_all("t2", F.lit(_EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all("t2", F.lit(_PHONE_RE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace("t2", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        df.select(
+            "lang",
+            n_email.alias("n_email"),
+            n_phone.alias("n_phone"),
+            clean.alias("clean"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("n_email") + F.col("n_phone") > 0, 1))
+            .alias("docs_with_pii"),
+            F.sum("n_email").cast("long").alias("total_emails"),
+            F.sum("n_phone").cast("long").alias("total_phones"),
+            F.sum(F.length("clean")).cast("long").alias("clean_chars"),
+            F.sum(_hash24(F.col("clean"))).alias("clean_h24"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    section="LLM-pipeline: repetition scoring (Gopher-style duplicate "
+    "bigram fraction) — quality signal for filtering degenerate "
+    "documents; higher-order array ops only, ratio in integer basis "
+    "points for cross-engine bit-parity.",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    b AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1]) AS big
+        FROM d
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(big) AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN len(big) > 0
+                THEN floor((len(big) - len(list_distinct(big)))
+                           * 10000.0 / len(big))
+                ELSE 0 END AS BIGINT) AS repetition_bp
+    FROM b
+    ORDER BY repetition_bp DESC, doc_id
+    LIMIT 20
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = _tokens(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    big = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = t.documents.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        big.alias("big"),
+    )
+    n_big = F.size("big")
+    rep = F.when(
+        n_big > 0,
+        F.floor(
+            (n_big - F.size(F.array_distinct("big"))) * 10000.0 / n_big
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        d.select(
+            "doc_id",
+            "n_tokens",
+            n_big.cast("long").alias("n_bigrams"),
+            rep.cast("long").alias("repetition_bp"),
+        )
+        .orderBy(F.desc("repetition_bp"), "doc_id")
+        .limit(20)
+    )
