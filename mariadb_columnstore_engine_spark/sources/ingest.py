@@ -68,8 +68,12 @@ def write_parquet(
     partition_by: list[str] | None = None,
     codec: str = "snappy",
     mode: str = "overwrite",
+    format: str = "parquet",
 ) -> None:
-    """Parquet sink with the engine's two physical-layout levers.
+    """Columnar sink with the engine's two physical-layout levers.
+    ``format`` may be ``parquet`` (default) or ``orc`` — both carry
+    row-group/stripe min-max stats, so clustering buys the same
+    data-skipping either way.
 
     ``cluster_by``: range-repartition + in-partition sort so row-group
     min/max stats are selective (≈ extent-map casual partitioning,
@@ -85,17 +89,18 @@ def write_parquet(
     writer = writer_df.write.option("compression", codec).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(dest)
+    writer.format(format).save(dest)
 
 
 def create_table(
-    spark: SparkSession, name: str, location: str, *, replace: bool = True
+    spark: SparkSession, name: str, location: str, *, replace: bool = True,
+    format: str = "parquet",
 ) -> None:
-    """CREATE TABLE ... USING parquet LOCATION (DDL surface)."""
+    """CREATE TABLE ... USING parquet|orc LOCATION (DDL surface)."""
     if replace:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
-        f"CREATE TABLE {name} USING parquet LOCATION '{location}'"
+        f"CREATE TABLE {name} USING {format} LOCATION '{location}'"
     )
 
 

@@ -137,3 +137,34 @@ def test_resize_media_shrinks_payload_keeps_schema(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_resized == (r.n + 3) // 4
+
+
+def test_orc_sink_roundtrip_with_pushdown(spark, tmp_path):
+    # ORC is the second first-class columnar sink (BASELINE.json:
+    # "Spark SQL + Parquet/ORC storage engine"); stripe stats give the
+    # same data skipping as parquet row groups.
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        create_table,
+        write_parquet,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    dest = str(tmp_path / "orc_tbl")
+    write_parquet(df, dest, cluster_by=["id"], format="orc")
+    back = spark.read.orc(dest)
+    assert back.count() == 1000
+    # ORC read-back relaxes nullability; names and types must survive
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    plan = back.where(F.col("id") == 500)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,500)" in plan
+    create_table(spark, "orc_cat_tbl", dest, format="orc")
+    try:
+        assert spark.table("orc_cat_tbl").count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orc_cat_tbl")
