@@ -288,3 +288,43 @@ def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_stratified_sample",
+    section="LLM-pipeline: stratified per-language sampling — exactly k "
+    "docs per stratum, selected by rank over the salted hash (RNG-free "
+    "uniform-within-stratum choice; reruns, engines and cluster sizes "
+    "all agree). One shuffle (the per-stratum window); at 100 TB the "
+    "rank prune replaces a global ORDER BY with per-key top-k.",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_sql_bucket("CAST(doc_id AS VARCHAR)",
+                                         "sample-v1", 16777216)},
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars, rk
+    FROM ranked
+    WHERE rk <= 40
+    ORDER BY lang, rk
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    h = _bucket(F.col("doc_id").cast("string"), "sample-v1", 16777216)
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        t.documents.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 40)
+        .orderBy("lang", "rk")
+    )
