@@ -929,3 +929,40 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("repetition_bp"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_heavy_hitter_shingles",
+    section="LLM-pipeline: boilerplate detection — trigrams whose "
+    "document frequency crosses a hot threshold (the df signal that "
+    "feeds DF_CAP in the jaccard miner and stopword-style filtering). "
+    "Two-phase count with map-side combine: the per-shingle df "
+    "aggregate is the ONLY shuffle, and its output is bounded by "
+    "vocabulary size, not corpus size.",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    g1 AS (SELECT unnest(sh) AS g FROM d),
+    df AS (SELECT g, count(*) AS doc_freq FROM g1 GROUP BY g)
+    SELECT g AS shingle, doc_freq
+    FROM df
+    WHERE doc_freq >= 25
+    ORDER BY doc_freq DESC, shingle
+    LIMIT 30
+    """,
+)
+def heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    d = t.documents.select(
+        _shingles(_tokens(F.col("text"))).alias("sh")
+    )
+    return (
+        d.select(F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= 25)
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(30)
+    )
