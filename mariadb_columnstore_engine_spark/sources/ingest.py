@@ -189,3 +189,50 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def with_auto_increment(
+    df: DataFrame,
+    id_col: str = "id",
+    *,
+    start: int = 1,
+) -> DataFrame:
+    """Assign contiguous, gap-free ids ``start, start+1, ...`` — the
+    AUTO_INCREMENT column of the reference's DDL (dbcon/ddlpackage/
+    ddlpkg.h:409 fTableWithAutoi; versioning/BRM/autoincrementmanager.h
+    reserves id ranges per PM the same way this reserves one offset
+    range per partition).
+
+    Scale shape: a global ``row_number()`` would sort the whole table
+    through ONE task. Instead: count rows per partition (tiny agg),
+    prefix-sum those counts into per-partition offsets (driver-side,
+    O(#partitions)), then add the broadcast offset to each row's local
+    rank. No global sort, no single-task bottleneck; ids are assigned
+    in (partition, local-position) order, which is deterministic for a
+    deterministic input layout.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    pid = F.spark_partition_id()
+    with_pid = df.withColumn("_pid", pid)
+    counts = (
+        with_pid.groupBy("_pid").count().orderBy("_pid").collect()
+    )
+    offsets, acc = {}, start
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        with_pid.withColumn(
+            id_col,
+            (offset_col[F.col("_pid")] + F.row_number().over(w) - 1).cast(
+                "long"
+            ),
+        )
+        .drop("_pid")
+    )

@@ -168,3 +168,20 @@ def test_orc_sink_roundtrip_with_pushdown(spark, tmp_path):
         assert spark.table("orc_cat_tbl").count() == 1000
     finally:
         spark.sql("DROP TABLE IF EXISTS orc_cat_tbl")
+
+
+def test_auto_increment_contiguous_ids(spark):
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        with_auto_increment,
+    )
+
+    df = spark.range(0, 10_000).repartition(7).select(
+        (F.col("id") * 3).alias("payload")
+    )
+    out = with_auto_increment(df, "rid", start=100)
+    ids = [r.rid for r in out.select("rid").collect()]
+    assert sorted(ids) == list(range(100, 10_100))
+    # payloads survive untouched
+    assert out.where(F.col("payload") % 3 != 0).count() == 0
