@@ -121,23 +121,28 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
+    # Convergence probe: labels only ever DECREASE, so sum(component)
+    # is strictly monotone until the fixpoint — comparing two scalar
+    # sums replaces a join+filter+count per round with one aggregate.
+    def _label_sum(df: DataFrame):
+        # decimal(38,0) so the probe can't overflow at 10^10 nodes
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_labels = labels.join(
             sym, labels["node"] == sym["a"]
         ).select(F.col("b").alias("node"), "component")
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
