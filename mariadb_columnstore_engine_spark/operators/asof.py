@@ -51,6 +51,12 @@ def asof_join(
     the cost model is unchanged."""
     # right rows sort before left rows on ts ties iff inclusive
     r_marker, l_marker = (0, 1) if inclusive else (1, 0)
+    # NULL by-keys never match (equi-join / DuckDB ASOF semantics):
+    # Window.partitionBy would group NULL keys into one partition and
+    # happily carry a NULL-keyed right row onto a NULL-keyed left row,
+    # so drop NULL-keyed right rows up front. NULL-keyed left rows stay
+    # (left-join semantics) and get NULL values via the empty carry.
+    right = right.where(F.col(by).isNotNull())
     r = right.select(
         F.col(by).alias("_by"),
         F.col(right_ts).alias("_t"),

@@ -131,6 +131,7 @@ def connected_components(
         ).collect()[0][0]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = labels.join(
             sym, labels["node"] == sym["a"]
@@ -143,6 +144,17 @@ def connected_components(
         )
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # A truncated run returns silently-wrong labels (one chain-shaped
+        # component reported as several) — that must be an ERROR, unlike
+        # bfs_reachability's depth cap which is a documented semantic.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (component diameter exceeds max_iter); raise "
+            "max_iter or switch to large-star/small-star for long-chain "
+            "graphs"
+        )
     return labels

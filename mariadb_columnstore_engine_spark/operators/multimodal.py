@@ -83,7 +83,10 @@ def extract_media_features(df: DataFrame, media_col: str = "media",
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_decode(b) for b in pdf[media_col]]
+            feats = [
+                (None, None) if b is None else _fake_decode(bytes(b))
+                for b in pdf[media_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -126,6 +129,8 @@ def sample_frames(df: DataFrame, n_frames: int = 3,
             rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [],
                     "frame_checksum": []}
             for doc_id, buf in zip(pdf[id_col], pdf[media_col]):
+                if buf is None:  # NULL payload: skip, don't kill the task
+                    continue
                 buf = bytes(buf)
                 n = len(buf)
                 for i in range(n_frames):
@@ -160,7 +165,8 @@ def resize_media(df: DataFrame, stride: int = 4,
         for pdf in it:
             pdf = pdf.copy()
             pdf[media_col] = [
-                bytes(b)[::stride] for b in pdf[media_col]
+                None if b is None else bytes(b)[::stride]
+                for b in pdf[media_col]
             ]
             yield pdf
 

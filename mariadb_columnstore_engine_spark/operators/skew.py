@@ -31,22 +31,24 @@ def salted_agg(
     ``partial_aggs``: stage-1 aggregate columns (must be algebraic —
     SUM/COUNT/MIN/MAX — so stage 2 can merge them); ``final_aggs``: a
     callable returning the stage-2 merge expressions over the stage-1
-    output columns. The salt is derived deterministically (hash of
-    ``salt_source`` or of all non-key columns via ``spark_partition_id``
-    fallback), never ``rand()`` — plans stay reproducible.
+    output columns.
+
+    The final result is salt-INVARIANT (stage 2 merges whatever partials
+    stage 1 produced), so the salt is chosen purely for spread: a
+    round-robin per-partition row counter fans even a hot key whose rows
+    are all IDENTICAL (the classic skew case — placeholder records),
+    where any content hash would collapse to one salt value and recreate
+    the single-reducer hotspot. ``salt_source`` overrides with a content
+    hash when a stable row→salt mapping is wanted for debugging.
     """
     if salt_source is not None:
         salt = F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
     else:
-        # content-derived fallback: hash every non-key column so a hot key
-        # concentrated in one input partition still fans across reducers
-        # (a partition-id salt would give it a single salt value there)
-        non_key = [F.col(c) for c in df.columns if c not in keys]
-        salt = (
-            F.pmod(F.hash(*non_key), F.lit(n_salts))
-            if non_key
-            else F.pmod(F.spark_partition_id(), F.lit(n_salts))
-        )
+        # monotonically_increasing_id is consecutive within a partition,
+        # so pmod(n_salts) round-robins rows across all salts regardless
+        # of content or placement; id-instability under task retry only
+        # re-shuffles WHICH salt a row gets, never the merged result
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     stage1 = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
@@ -65,8 +67,10 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: the small side is replicated ``n_salts``
     times (explode over the salt range), the skewed side gets a
-    deterministic salt from hashing its whole row, and the join runs on
-    (key, salt) — each hot key fans across n_salts reducers.
+    round-robin salt (the join result is salt-invariant — the small side
+    exists at EVERY salt value — so the salt is chosen purely for
+    spread), and the join runs on (key, salt) — each hot key fans across
+    n_salts reducers even when its rows are byte-identical.
 
     Prefer AQE's skew-join splitting when it triggers; this explicit
     variant is for joins AQE cannot split (e.g. a key so hot one
@@ -87,8 +91,7 @@ def salted_join(
     salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
     small_rep = small.withColumn("_salt", F.explode(salt_vals))
     skewed_salted = skewed.withColumn(
-        "_salt",
-        F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)),
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
     joined = skewed_salted.join(small_rep, [key, "_salt"], how)
     return joined.drop("_salt")

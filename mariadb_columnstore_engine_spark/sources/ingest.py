@@ -207,15 +207,21 @@ def with_auto_increment(
     through ONE task. Instead: count rows per partition (tiny agg),
     prefix-sum those counts into per-partition offsets (driver-side,
     O(#partitions)), then add the broadcast offset to each row's local
-    rank. No global sort, no single-task bottleneck; ids are assigned
-    in (partition, local-position) order, which is deterministic for a
-    deterministic input layout.
+    rank. No global sort, no single-task bottleneck.
+
+    The count job and the id-assignment job MUST see the same
+    row→partition placement, or offsets computed in job 1 mis-apply in
+    job 2 (duplicate/gapped/NULL ids). ``localCheckpoint`` pins the
+    layout by materializing the input once before either job — the same
+    discipline the fixpoint operators use; the materialization cost is
+    the price of the gap-free contract (RDD ``zipWithIndex`` has the
+    identical two-job structure and caveat).
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
     pid = F.spark_partition_id()
-    with_pid = df.withColumn("_pid", pid)
+    with_pid = df.withColumn("_pid", pid).localCheckpoint()
     counts = (
         with_pid.groupBy("_pid").count().orderBy("_pid").collect()
     )

@@ -134,7 +134,12 @@ def dedup_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     Scale notes: state is one entry per distinct key inside the horizon;
     keys older than the watermark are evicted, so state is bounded by
     (arrival rate × horizon), not by stream length.
+
+    ``dropDuplicatesWithinWatermark`` dedups on the KEY alone —
+    ``dropDuplicates(["event_id", "ts"])`` would pass a redelivery
+    through whenever the source re-stamps ``ts`` at read time (the
+    common at-least-once failure), because the (id, ts) pair looks new.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(
-        ["event_id", "ts"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )

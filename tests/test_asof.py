@@ -103,3 +103,26 @@ def test_asof_tolerance_bounds_match_gap(spark):
     )
     got = {r.lts.strftime("%H:%M"): r.asof_v for r in out.collect()}
     assert got == {"00:10": 7.0, "02:00": None}
+
+
+def test_null_by_keys_never_match(spark):
+    """Equi-join / DuckDB ASOF semantics: a NULL by-key on either side
+    matches nothing — NULL-keyed left rows get NULL values, NULL-keyed
+    right rows are never carried onto anything."""
+    quotes = spark.createDataFrame(
+        [(None, _ts("2024-01-01 09:00:00"), 10.0, "m1"),
+         ("A", _ts("2024-01-01 09:00:00"), 20.0, "m2")],
+        "sym string, qts timestamp, price double, venue string",
+    )
+    trades = spark.createDataFrame(
+        [(None, _ts("2024-01-01 10:00:00"), 1),
+         ("A", _ts("2024-01-01 10:00:00"), 2)],
+        "sym string, tts timestamp, trade_id int",
+    )
+    out = asof_join(
+        trades, quotes, by="sym", left_ts="tts", right_ts="qts",
+        value_cols=["price", "venue"],
+    )
+    got = {r.trade_id: (r.asof_price, r.asof_venue) for r in out.collect()}
+    assert got[1] == (None, None)  # NULL key: no match despite NULL quote
+    assert got[2] == (20.0, "m2")

@@ -104,3 +104,27 @@ def test_salted_agg_content_hash_fallback_spreads_hot_key(spark):
     )
     row = out.collect()[0]
     assert (row.n, row.s) == (1000, sum(range(1000)))
+
+
+def test_fallback_salt_spreads_identical_rows(spark):
+    """The worst-case skew input — one hot key whose rows are all
+    byte-identical — must still fan across multiple stage-1 groups
+    (a content-hash salt would collapse it to one reducer)."""
+    df = spark.createDataFrame(
+        [("hot", 1)] * 1000, "k string, v int"
+    ).repartition(2)
+    import pyspark.sql.functions as F
+
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    n_groups = (
+        df.withColumn("_salt", salt).select("k", "_salt").distinct().count()
+    )
+    assert n_groups == 8  # round-robin hits every salt
+    out = salted_agg(
+        df,
+        ["k"],
+        [F.count(F.lit(1)).alias("pn"), F.sum("v").alias("ps")],
+        lambda: [F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+        n_salts=8,
+    ).collect()
+    assert len(out) == 1 and out[0].n == 1000 and out[0].s == 1000

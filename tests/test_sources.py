@@ -185,3 +185,24 @@ def test_auto_increment_contiguous_ids(spark):
     assert sorted(ids) == list(range(100, 10_100))
     # payloads survive untouched
     assert out.where(F.col("payload") % 3 != 0).count() == 0
+
+
+def test_multimodal_null_payloads_survive(spark):
+    """NULL media payloads must not kill the Arrow task: features yield
+    NULL rows, frame sampling skips, resize passes NULL through."""
+    from mariadb_columnstore_engine_spark.operators.multimodal import (
+        extract_media_features,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world payload")), (2, None)],
+        "doc_id bigint, media binary",
+    )
+    feats = {r.doc_id: r.n_bytes for r in extract_media_features(df).collect()}
+    assert feats[1] == 19 and feats[2] is None
+    frames = sample_frames(df, n_frames=2).collect()
+    assert {r.doc_id for r in frames} == {1}
+    resized = {r.doc_id: r.media for r in resize_media(df, stride=2).collect()}
+    assert resized[2] is None and len(resized[1]) == 10
