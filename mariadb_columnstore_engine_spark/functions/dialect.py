@@ -208,18 +208,37 @@ def decode_oracle(expr: Column, *pairs: Column) -> Column:
 
 
 def _period_months(p: Column) -> Column:
-    """YYYYMM period → absolute month count."""
-    return (p.cast("long") / 100).cast("long") * 12 + p.cast("long") % 100 - 1
+    """Period → absolute month count, honoring MariaDB's two-digit-year
+    form (sql-common/my_time.c convert_period_to_month): a YYMM period's
+    year gets the 70-cutoff century rule (<70 → 2000s, 70-99 → 1900s);
+    period 0 maps to month 0."""
+    pl = p.cast("long")
+    yy = (pl / 100).cast("long")
+    year = (
+        F.when(yy < 70, yy + 2000)
+        .when(yy < 100, yy + 1900)
+        .otherwise(yy)
+    )
+    return F.when(pl == 0, F.lit(0).cast("long")).otherwise(
+        year * 12 + pl % 100 - 1
+    )
 
 
 def period_add(p: Column, n: Column) -> Column:
-    """MariaDB PERIOD_ADD(P, N): add N months to period P (YYYYMM)."""
+    """MariaDB PERIOD_ADD(P, N): add N months to period P (YYYYMM or
+    YYMM; the result is always rendered YYYYMM, as in
+    convert_month_to_period)."""
     m = _period_months(p) + n.cast("long")
-    return ((m / 12).cast("long") * 100 + m % 12 + 1).cast("long")
+    y = (m / 12).cast("long")
+    y = F.when(y < 70, y + 2000).when(y < 100, y + 1900).otherwise(y)
+    return F.when(m == 0, F.lit(0).cast("long")).otherwise(
+        (y * 100 + m % 12 + 1).cast("long")
+    )
 
 
 def period_diff(p1: Column, p2: Column) -> Column:
-    """MariaDB PERIOD_DIFF(P1, P2): months between periods (YYYYMM)."""
+    """MariaDB PERIOD_DIFF(P1, P2): months between periods (YYYYMM or
+    YYMM, two-digit years century-resolved like PERIOD_ADD)."""
     return _period_months(p1) - _period_months(p2)
 
 
@@ -242,9 +261,21 @@ def timediff(a: Column, b: Column) -> Column:
 
 def truncate_number(col: Column, d: int) -> Column:
     """MariaDB TRUNCATE(X, D) (func_truncate.cpp): truncate toward zero
-    to D decimal places (negative D truncates left of the point)."""
-    p = F.lit(10.0) ** d
-    scaled = col * p
-    return F.when(col >= 0, F.floor(scaled) / p).otherwise(
-        F.ceil(scaled) / p
-    )
+    to D decimal places (negative D truncates left of the point).
+
+    Arithmetic runs in DECIMAL, not double: ``col * 10^d`` in doubles
+    turns 0.29*100 into 28.999999999999996 and floors to 28 — the exact
+    inputs MariaDB's decimal path truncates losslessly. The double→
+    decimal cast uses the shortest decimal representation (Spark/Java
+    ``BigDecimal.valueOf``), so 0.29 arrives as 0.29, and every scale
+    shift against an integer power of ten is exact."""
+    dec = col.cast("decimal(38,15)")
+    if d >= 0:
+        f = F.lit(10 ** d).cast("decimal(20,0)")
+        scaled = dec * f
+        t = F.when(col >= 0, F.floor(scaled)).otherwise(F.ceil(scaled))
+        return (t.cast("decimal(38,15)") / f).cast("double")
+    f = F.lit(10 ** (-d)).cast("decimal(20,0)")
+    scaled = dec / f
+    t = F.when(col >= 0, F.floor(scaled)).otherwise(F.ceil(scaled))
+    return (t * f).cast("double")

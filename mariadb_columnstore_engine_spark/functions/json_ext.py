@@ -177,16 +177,39 @@ def json_normalize(col: Column | str) -> Column:
 def json_search(col: Column | str, search: Column | str) -> Column:
     """JSON_SEARCH(doc, 'one', str) (func_json_search.cpp) over flat
     objects: the path of the first key (document order) whose value
-    equals ``search``, as a JSON string — or NULL."""
+    equals ``search``, as a JSON string — or NULL.
+
+    Path member rendering follows MariaDB's json path printer: a key
+    that lexes as an identifier prints bare (``"$.a"``); anything else
+    prints as a quoted member with its quotes/backslashes escaped, and
+    the whole path is then itself a JSON string — a key ``my key``
+    yields ``"$.\\"my key\\""``, never an unbalanced splice."""
     m = _flat(col)
     needle = search if isinstance(search, Column) else F.lit(search)
     hits = F.filter(
         F.map_keys(m), lambda k: F.element_at(m, k) == needle
     )
+    key = F.element_at(hits, 1)
+    # member text inside the path: bare identifier, or a quoted member
+    # ("key" with inner \ and " escaped) — json_quote gives the correctly
+    # escaped quoted form; the outer JSON-string layer then escapes the
+    # member's own quotes once more.
+    quoted_member = json_quote(key)  # e.g. "my key" (with real quotes)
+    member = F.when(
+        key.rlike(r"^[A-Za-z_][A-Za-z0-9_]*$"), key
+    ).otherwise(json_quote_escape_layer(quoted_member))
     return F.when(
         F.size(hits) > 0,
-        F.concat(F.lit('"$.'), F.element_at(hits, 1), F.lit('"')),
+        F.concat(F.lit('"$.'), member, F.lit('"')),
     ).otherwise(F.lit(None).cast("string"))
+
+
+def json_quote_escape_layer(s: Column) -> Column:
+    """Escape a path fragment for embedding inside a JSON string literal
+    (backslashes then quotes — the second escaping layer of a quoted
+    path member)."""
+    s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(s, F.lit('"'), F.lit('\\"'))
 
 
 def json_compact(col: Column | str) -> Column:

@@ -108,3 +108,16 @@ def test_sha1_known_vector(spark):
         _one(spark, F.sha1(F.lit("abc").cast("binary")))
         == hashlib.sha1(b"abc").hexdigest()
     )
+
+
+def test_json_search_quotes_non_identifier_keys(spark):
+    """Keys that don't lex as identifiers print as quoted members with
+    escapes — MariaDB's path form — never an unbalanced splice."""
+    doc = F.lit('{"my key": "x"}')
+    assert _one(spark, J.json_search(doc, "x")) == '"$.\\"my key\\""'
+    doc2 = F.lit('{"a\\"b": "x"}')  # key is a"b
+    assert _one(spark, J.json_search(doc2, "x")) == '"$.\\"a\\\\\\"b\\""'
+    import json
+
+    path = json.loads(_one(spark, J.json_search(doc, "x")))
+    assert path == '$."my key"'

@@ -53,6 +53,12 @@ def test_truncate_number_toward_zero(spark):
         ((1999.0, -2), 1900.0),
         ((-1999.0, -2), -1900.0),
         ((2.999, 0), 2.0),
+        # exactly-representable decimals the double path got wrong
+        # (0.29*100 = 28.999999999999996 floors to 28 → 0.28)
+        ((0.29, 2), 0.29),
+        ((-0.29, 2), -0.29),
+        ((12345.6789, 3), 12345.678),
+        ((0.07, 2), 0.07),
     ]
     for (x, d), expected in cases:
         got = _one(spark, dialect.truncate_number(F.lit(x), d))
@@ -75,3 +81,19 @@ def test_soundex(spark):
     assert _one(spark, F.soundex(F.lit("Robert"))) == "R163"
     assert _one(spark, F.soundex(F.lit("Rupert"))) == "R163"
     assert _one(spark, F.soundex(F.lit("Tymczak"))) == "T522"
+
+
+def test_period_two_digit_year_century_rule(spark):
+    """MariaDB YYMM periods: year <70 → 2000s, 70-99 → 1900s
+    (convert_period_to_month), and PERIOD_ADD always renders YYYYMM."""
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.functions import dialect
+
+    assert _one(spark, dialect.period_add(F.lit(9801), F.lit(1))) == 199802
+    assert _one(spark, dialect.period_add(F.lit(6912), F.lit(1))) == 207001
+    assert _one(spark, dialect.period_diff(F.lit(9801), F.lit(199801))) == 0
+    assert _one(
+        spark, dialect.period_diff(F.lit(200301), F.lit(212))
+    ) == 1  # 212 == Dec 2002 (yy=2 < 70 → 2000s); Dec'02→Jan'03
+    assert _one(spark, dialect.period_add(F.lit(200112), F.lit(1))) == 200201
