@@ -132,13 +132,15 @@ def compare(spark, con, spec, sf_dir: str) -> list[str]:
     scols = sdf.columns
     if spec.oracle is None:
         return []  # rows-only contract: executing without error is the check
-    cur = con.execute(spec.oracle)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    # ONE oracle execution: the Arrow table supplies rows, column names,
+    # and the wire-type schema (a second .execute() would double the cost
+    # of every heavy oracle — recursive closures, kmeans, LSH).
+    otable = con.execute(spec.oracle).arrow()
+    ocols = otable.column_names
+    ocols_py = [c.to_pylist() for c in otable.columns]
+    orows = list(zip(*ocols_py)) if ocols_py else []
 
-    problems: list[str] = type_problems(
-        sdf.schema, con.execute(spec.oracle).arrow().schema
-    )
+    problems: list[str] = type_problems(sdf.schema, otable.schema)
     if len(srows) != len(orows):
         problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
     if sorted(scols) != sorted(ocols):

@@ -105,20 +105,21 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(spec.oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # ONE oracle execution: Arrow supplies rows + names + wire
+            # types (fetchall would flatten HUGEINT/DECIMAL, and a second
+            # .execute() doubles the cost of every heavy oracle)
+            otable = con.execute(spec.oracle).arrow()
+            ocols = otable.column_names
+            ocols_py = [c.to_pylist() for c in otable.columns]
+            orows = list(zip(*ocols_py)) if ocols_py else []
         except Exception:
             print(f"FAIL  {name}: duckdb raised")
             traceback.print_exc()
             n_fail += 1
             continue
 
-        # Wire-type check (driver's value hash is type-sensitive; duckdb
-        # fetchall() flattens HUGEINT/DECIMAL so only Arrow exposes it).
-        problems = type_problems(
-            sdf.schema, con.execute(spec.oracle).arrow().schema
-        )
+        # Wire-type check (driver's value hash is type-sensitive).
+        problems = type_problems(sdf.schema, otable.schema)
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(scols) != sorted(ocols):
