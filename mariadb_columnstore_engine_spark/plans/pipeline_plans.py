@@ -328,3 +328,81 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 40)
         .orderBy("lang", "rk")
     )
+
+
+_CTX = 512  # fixed training-example context length, in whitespace tokens
+
+
+@query(
+    "pipeline_sequence_packing",
+    section="LLM-pipeline: deterministic sequence packing — assemble "
+    "documents into fixed-context training examples (CTX=512 tokens) "
+    "per language shard. A doc joins the example its cumulative token "
+    "offset falls in (greedy in-order concat, chunked at CTX), so the "
+    "assignment is a pure window cumsum: ONE shuffle on the shard key, "
+    "no sequential driver state — the packing recipe sequence-packed "
+    "pretraining loaders use, expressed relationally. Examples whose "
+    "docs straddle the boundary show tokens > CTX (overflow is counted, "
+    "not hidden); at 100 TB each shard packs independently and the "
+    "window is bounded per-shard.",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), e AS (
+        SELECT lang, n_tokens,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_CTX}.0) AS BIGINT) AS example_id
+        FROM d
+    ), p AS (
+        SELECT lang, example_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS ex_tokens
+        FROM e GROUP BY lang, example_id
+    )
+    SELECT lang,
+           count(*) AS n_examples,
+           CAST(sum(ex_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_docs) AS BIGINT) AS max_docs_in_example,
+           CAST(sum(CASE WHEN ex_tokens > {_CTX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overflow_examples
+    FROM p GROUP BY lang ORDER BY lang
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    per_example = (
+        d.select(
+            "lang",
+            "n_tokens",
+            F.floor(cum_start / _CTX).alias("example_id"),
+        )
+        .groupBy("lang", "example_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("ex_tokens"),
+        )
+    )
+    return (
+        per_example.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.sum("ex_tokens").cast("long").alias("total_tokens"),
+            F.max("n_docs").alias("max_docs_in_example"),
+            F.sum(
+                F.when(F.col("ex_tokens") > _CTX, 1).otherwise(0)
+            ).cast("long").alias("n_overflow_examples"),
+        )
+        .orderBy("lang")
+    )
