@@ -279,3 +279,66 @@ def truncate_number(col: Column, d: int) -> Column:
     scaled = dec / f
     t = F.when(col >= 0, F.floor(scaled)).otherwise(F.ceil(scaled))
     return (t * f).cast("double")
+
+
+def insert_str(s: Column, pos: Column, length: Column, new: Column) -> Column:
+    """MariaDB INSERT(str, pos, len, newstr) (func_insert.cpp) with the
+    documented edge semantics: pos outside 1..char_length(str) returns
+    str unchanged; len negative or running past the end replaces the
+    whole rest of the string; any NULL argument yields NULL."""
+    slen = F.char_length(s)
+    head = s.substr(F.lit(1), pos - 1)
+    tail = s.substr(pos + length, slen)
+    return (
+        F.when(
+            s.isNull() | pos.isNull() | length.isNull() | new.isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when((pos < 1) | (pos > slen), s)
+        .when((length < 0) | (pos + length > slen), F.concat(head, new))
+        .otherwise(F.concat(head, new, tail))
+    )
+
+
+#: GET_FORMAT lookup (func_get_format.cpp; the MySQL/MariaDB table).
+_GET_FORMATS = {
+    ("DATE", "USA"): "%m.%d.%Y",
+    ("DATE", "JIS"): "%Y-%m-%d",
+    ("DATE", "ISO"): "%Y-%m-%d",
+    ("DATE", "EUR"): "%d.%m.%Y",
+    ("DATE", "INTERNAL"): "%Y%m%d",
+    ("DATETIME", "USA"): "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "JIS"): "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "ISO"): "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "EUR"): "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "INTERNAL"): "%Y%m%d%H%i%s",
+    ("TIME", "USA"): "%h:%i:%s %p",
+    ("TIME", "JIS"): "%H:%i:%s",
+    ("TIME", "ISO"): "%H:%i:%s",
+    ("TIME", "EUR"): "%H.%i.%s",
+    ("TIME", "INTERNAL"): "%H%i%s",
+}
+
+
+def get_format(kind: Column, region: Column) -> Column:
+    """MariaDB GET_FORMAT({DATE|TIME|DATETIME}, region): the format
+    string table, as a when-chain over both arguments (TIMESTAMP is an
+    alias of DATETIME); unknown combinations yield NULL, as in the
+    reference."""
+    k = F.when(F.upper(kind) == "TIMESTAMP", "DATETIME").otherwise(
+        F.upper(kind)
+    )
+    r = F.upper(region)
+    out = F.lit(None).cast("string")
+    for (kk, rr), fmt in _GET_FORMATS.items():
+        out = F.when((k == kk) & (r == rr), fmt).otherwise(out)
+    return out
+
+
+def sysdate() -> Column:
+    """MariaDB SYSDATE(): wall-clock at function evaluation. Spark's
+    ``current_timestamp`` is fixed per QUERY (MariaDB NOW() semantics,
+    i.e. sql_mode sysdate_is_now) — true per-call time would be
+    nondeterministic across retries, which Spark forbids for a reason;
+    the NOW()-equivalence is the documented contract here."""
+    return F.current_timestamp()

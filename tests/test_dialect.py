@@ -184,3 +184,52 @@ def test_least_mariadb_null_propagates(spark):
         dialect.least_mariadb(F.col("a"), F.col("b")).alias("l")
     ).orderBy("a").collect()]
     assert out == [None, 2]
+
+
+def test_insert_str_edge_semantics(spark):
+    from mariadb_columnstore_engine_spark.functions.dialect import insert_str
+
+    cases = [
+        (("Quadratic", 3, 4, "What"), "QuWhattic"),
+        (("Quadratic", -1, 4, "What"), "Quadratic"),   # pos < 1 → unchanged
+        (("Quadratic", 11, 4, "What"), "Quadratic"),   # pos > len → unchanged
+        (("Quadratic", 3, 100, "What"), "QuWhat"),     # len past end
+        (("Quadratic", 3, -1, "What"), "QuWhat"),      # negative len
+        (("Quadratic", 9, 2, "X"), "QuadratiX"),       # pos == len ok
+    ]
+    rows = spark.range(1).select(
+        *[
+            insert_str(F.lit(s), F.lit(p), F.lit(ln), F.lit(n)).alias(f"c{i}")
+            for i, ((s, p, ln, n), _) in enumerate(cases)
+        ],
+        insert_str(
+            F.lit(None).cast("string"), F.lit(1), F.lit(1), F.lit("x")
+        ).alias("cnull"),
+    ).collect()[0]
+    for i, (_, expected) in enumerate(cases):
+        assert rows[f"c{i}"] == expected, (i, rows[f"c{i}"])
+    assert rows["cnull"] is None
+
+
+def test_get_format_table(spark):
+    from mariadb_columnstore_engine_spark.functions.dialect import get_format
+
+    v = spark.range(1).select(
+        get_format(F.lit("DATE"), F.lit("USA")).alias("a"),
+        get_format(F.lit("TIME"), F.lit("usa")).alias("b"),
+        get_format(F.lit("TIMESTAMP"), F.lit("ISO")).alias("c"),
+        get_format(F.lit("DATE"), F.lit("NOPE")).alias("d"),
+    ).collect()[0]
+    assert v.a == "%m.%d.%Y"
+    assert v.b == "%h:%i:%s %p"
+    assert v.c == "%Y-%m-%d %H:%i:%s"
+    assert v.d is None
+
+
+def test_sysdate_is_query_time(spark):
+    import datetime as dt
+
+    from mariadb_columnstore_engine_spark.functions.dialect import sysdate
+
+    got = spark.range(1).select(sysdate().alias("t")).collect()[0].t
+    assert abs((dt.datetime.now() - got).total_seconds()) < 300
