@@ -342,3 +342,89 @@ def sysdate() -> Column:
     nondeterministic across retries, which Spark forbids for a reason;
     the NOW()-equivalence is the documented contract here."""
     return F.current_timestamp()
+
+
+# --- WEEK(date, mode) — all 8 MariaDB modes (func_week.cpp) ---
+
+#: calc_daynr('1970-01-01') in MariaDB's day numbering (days since year 0)
+_EPOCH_DAYNR = 719528
+
+
+def _days_in_year_col(y: Column) -> Column:
+    leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+    return F.when(leap, 366).otherwise(365)
+
+
+def week_mode(col: Column, mode: int = 0) -> Column:
+    """MariaDB WEEK(date, mode) for all modes 0-7 (func_week.cpp →
+    sql-common calc_week). Spark's ``weekofyear`` is ISO-8601 only
+    (mode 3); MariaDB's DEFAULT is mode 0 (Sunday-start, 0..53), so any
+    query ported from the reference silently shifts weeks without this.
+
+    The mode bits (monday-first / week-year / first-weekday, with the
+    sunday-first bit-flip quirk) are resolved at plan-build time; only
+    date-dependent branches become ``when`` chains — the whole thing
+    stays inside whole-stage codegen."""
+    if not 0 <= mode <= 7:
+        raise ValueError(f"WEEK mode must be 0-7, got {mode}")
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2)
+    first_weekday = bool(mode & 4)
+    if not monday_first:  # my_time.c week_mode(): sunday-first flips bit
+        first_weekday = not first_weekday
+
+    daynr = F.datediff(col, F.lit("1970-01-01")) + _EPOCH_DAYNR
+    jan1 = F.trunc(col, "year")
+    first_daynr = F.datediff(jan1, F.lit("1970-01-01")) + _EPOCH_DAYNR
+    # weekday of Jan 1: 0=Monday (monday-first) or 0=Sunday (sunday-first)
+    weekday = (first_daynr + (5 if monday_first else 6)) % 7
+    y = F.year(col)
+
+    def shift_cond(wd: Column) -> Column:
+        return (wd != 0) if first_weekday else (wd >= 4)
+
+    def path_week(first_dn: Column, wd: Column, yr: Column,
+                  wy: bool) -> Column:
+        days = F.when(
+            shift_cond(wd), daynr - (first_dn + 7 - wd)
+        ).otherwise(daynr - (first_dn - wd))
+        week = (F.floor(days / 7) + 1).cast("int")
+        if wy:
+            wd2 = (wd + _days_in_year_col(yr)) % 7
+            roll = (wd2 == 0) if first_weekday else (wd2 < 4)
+            week = F.when((days >= 52 * 7) & roll, 1).otherwise(week)
+        return week
+
+    # wrap case: the first days of January may belong to the last week of
+    # the previous year (or week 0 when the mode allows it)
+    jan_wrap = (F.month(col) == 1) & (F.dayofmonth(col) <= 7 - weekday)
+    prev_days = _days_in_year_col(y - 1)
+    b_first = first_daynr - prev_days
+    b_weekday = (weekday + 53 * 7 - prev_days) % 7
+    b = path_week(b_first, b_weekday, y - 1, wy=True)
+    a = path_week(first_daynr, weekday, y, wy=week_year)
+    if week_year:
+        return F.when(jan_wrap, b).otherwise(a)
+    return (
+        F.when(jan_wrap & shift_cond(weekday), F.lit(0))
+        .when(jan_wrap, b)
+        .otherwise(a)
+    )
+
+
+def yearweek_mode(col: Column, mode: int = 0) -> Column:
+    """MariaDB YEARWEEK(date, mode): year*100 + week, where the year is
+    the week's OWNING year (a January date in the previous year's last
+    week reports that previous year). YEARWEEK forces the week-year bit
+    (never returns week 0), per func_yearweek.cpp."""
+    wk = week_mode(col, mode | 2)  # YEARWEEK always uses week-year mode
+    y = F.year(col)
+    # the week number itself locates the owning year: a January date
+    # carrying week 52/53 belongs to the previous year, a December date
+    # carrying week 1 to the next
+    owner = (
+        F.when((F.month(col) == 1) & (wk >= 52), y - 1)
+        .when((F.month(col) == 12) & (wk == 1), y + 1)
+        .otherwise(y)
+    )
+    return (owner * 100 + wk).cast("long")

@@ -1171,3 +1171,45 @@ def json_ext_flat_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_ext.json_normalize("a").alias("nm"),
         json_ext.json_search("a", F.col("needle")).alias("srch"),
     ).orderBy("id")
+
+
+@query(
+    "sf_week_modes",
+    section="§2.8 WEEK/YEARWEEK modes (func_week.cpp, func_yearweek.cpp):"
+    " MariaDB's default WEEK is mode 0 (Sunday-start, weeks 0..53) while"
+    " Spark's weekofyear is ISO-only (mode 3); dialect.week_mode"
+    " implements all 8 calc_week modes as codegen-able expressions."
+    " Oracle: mode 3 ↔ DuckDB ISO week(); mode 0 ↔ the first-Sunday"
+    " day-of-year formula; the full 8-mode matrix is pinned against a"
+    " my_time.c transcription in tests/test_week_modes.py",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey, o_orderdate,
+               dayofyear(o_orderdate) AS doy,
+               1 + ((7 - dayofweek(date_trunc('year', o_orderdate))) % 7)
+                   AS first_sunday
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey,
+           CAST(CASE WHEN doy < first_sunday THEN 0
+                     ELSE (doy - first_sunday) // 7 + 1 END AS INT)
+                                                   AS week_mode0,
+           CAST(week(o_orderdate) AS INT)          AS week_mode3,
+           CAST(yearweek(o_orderdate) AS BIGINT)   AS yearweek_mode3
+    FROM d
+    ORDER BY o_orderkey
+    """,
+)
+def week_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return (
+        t.orders.where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            dialect.week_mode(d, 0).alias("week_mode0"),
+            dialect.week_mode(d, 3).alias("week_mode3"),
+            dialect.yearweek_mode(d, 3).alias("yearweek_mode3"),
+        )
+        .orderBy("o_orderkey")
+    )
