@@ -67,3 +67,14 @@ def test_metadata_query_reads_no_data_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "filter_metadata_pseudocols")
     schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "struct<>" in schema, "metadata-only query should read 0 columns"
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """The packing window partitions by lang; both downstream groupBys
+    cluster on supersets of {lang}, so Catalyst must reuse that one
+    exchange — a second shuffle here would mean the co-partitioning
+    contract regressed (at 100 TB the extra pass is the difference
+    between one scan-shuffle and three)."""
+    plan = _plan(spark, sf_dir, "pipeline_sequence_packing", mode="simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
