@@ -143,3 +143,16 @@ def dedup_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame,
+                          key: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event with a (batch) dimension
+    row — the streaming analogue of the reference's dimension joins, and
+    the standard Spark pattern for attaching slowly-changing metadata to
+    a live feed. The static side is re-planned per micro-batch (so a
+    dimension refresh is picked up without restarting), and with the
+    session's broadcast threshold a small dimension never shuffles the
+    stream: each micro-batch does a map-side hash join. Stateless — no
+    watermark needed for an inner stream-static equi-join."""
+    return events.join(F.broadcast(dim), key, "inner")

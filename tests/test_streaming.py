@@ -127,3 +127,41 @@ def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
     ).collect()[0]
     expected = ev.select("event_id").distinct().count()
     assert got.n == got.nd == expected
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static dimension enrichment (availableNow) equals the same
+    join run in batch: per-user event counts joined to a derived user
+    dimension."""
+    src = str(tmp_path / "events_join_src")
+    ev = Catalog(spark, sf_dir).events
+    ev.repartition(3).write.parquet(src)
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+        .where(F.col("user_id") % 2 == 0)  # partial dim: inner join drops odds
+    )
+    enriched = pipeline.enrich_with_dimension(
+        pipeline.read_event_stream(spark, src), dim
+    ).groupBy("user_id", "user_events").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.user_events): r.n
+        for r in spark.sql("SELECT * FROM stream_static_out").collect()
+    }
+    expected = {
+        (r.user_id, r.user_events): r.n
+        for r in ev.join(dim, "user_id")
+        .groupBy("user_id", "user_events")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected and got
