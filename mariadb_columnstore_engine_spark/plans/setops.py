@@ -206,3 +206,29 @@ def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nk")
     )
     return a.subtract(b).orderBy("nk")
+
+
+sql_query(
+    "setop_cte_window_union",
+    """
+    WITH cust_orders AS (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rk
+        FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    SELECT c_mktsegment AS segment, CAST(rk AS INTEGER) AS rk,
+           round(o_totalprice, 2) AS price
+    FROM cust_orders WHERE rk <= 3
+    UNION ALL
+    SELECT 'ALL' AS segment, CAST(0 AS INTEGER) AS rk,
+           round(sum(o_totalprice), 2) AS price
+    FROM orders
+    ORDER BY segment, rk
+    """,
+    section="§2.6/§2.7 SQL front end: CTE + window top-k + UNION ALL in "
+    "one pushed statement (ha_mcs_pushdown full-statement path) — the "
+    "identical ANSI text runs through Spark's parser/analyzer and DuckDB",
+)
