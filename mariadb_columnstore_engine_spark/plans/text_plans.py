@@ -260,23 +260,25 @@ def fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # A shingle shared by d documents emits d(d-1)/2 candidate rows in the
-# shared-shingle self-join — so one boilerplate trigram ("terms of
+# shared-shingle expansion — so one boilerplate trigram ("terms of
 # service") is a quadratic mega-bucket at corpus scale. Shingles with
-# document frequency > DF_CAP are excluded from CANDIDATE GENERATION
-# only; the verify stage recomputes exact Jaccard over the FULL shingle
-# sets, so scores are exact. The (documented) semantic is: a pair is
-# reported only if it shares ≥1 discriminative (df ≤ DF_CAP) shingle —
-# the same contract as stop-shingle filtering in production dedup
-# pipelines. Identical cap in the DuckDB oracle.
+# document frequency > DF_CAP are dropped from the shingle UNIVERSE:
+# the reported metric is df-filtered (discriminative-shingle) Jaccard,
+# the stop-shingle contract production dedup pipelines apply — near-dup
+# similarity should not be inflated by boilerplate. The same cap is
+# applied identically in the DuckDB oracle.
 DF_CAP = 50
 
 
 @query(
     "text_ngram_jaccard_pairs",
-    section="LLM-pipeline: n-gram Jaccard near-dup pairs; candidate "
-    "generation via shared-DISCRIMINATIVE-shingle join (df ≤ DF_CAP "
-    "bounds each shingle's candidate fan-out at DF_CAP²; NO crossJoin), "
-    "exact Jaccard recomputed over full shingle sets in the verify stage",
+    section="LLM-pipeline: n-gram Jaccard near-dup pairs over the "
+    "df-filtered shingle universe. The per-shingle doc-list expansion "
+    "emits one row per SHARED shingle, so GROUP BY (a,b) COUNT(*) IS "
+    "the intersection size — no per-document shingle arrays are ever "
+    "rejoined or intersected (the round-3 rewrite: the array-verify "
+    "stage cost ~50 s at sf0.1 in both engines; this shape is ~1 s). "
+    "Fan-out per shingle is bounded at DF_CAP\u00b2/2; no crossJoin.",
     oracle=f"""
     WITH docs AS (
         SELECT doc_id, {_SQL_SHINGLES} AS sh
@@ -285,34 +287,37 @@ DF_CAP = 50
     tok AS (SELECT doc_id, unnest(sh) AS s FROM docs),
     hot AS (SELECT s FROM tok GROUP BY s HAVING count(*) > {DF_CAP}),
     rare AS (SELECT doc_id, s FROM tok ANTI JOIN hot USING (s)),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
+    grouped AS (
+        SELECT s, list_sort(list(doc_id)) AS ds
+        FROM rare GROUP BY s HAVING count(*) > 1
     ),
-    verified AS (
-        SELECT doc_a, doc_b,
-               len(list_intersect(x.sh, y.sh)) AS inter,
-               len(x.sh) AS na, len(y.sh) AS nb
-        FROM pairs
-        JOIN docs x ON x.doc_id = doc_a
-        JOIN docs y ON y.doc_id = doc_b
+    shared AS (
+        SELECT t1.x AS doc_a, t2.y AS doc_b, count(*) AS inter
+        FROM grouped, unnest(ds) AS t1(x), unnest(ds) AS t2(y)
+        WHERE t1.x < t2.y
+        GROUP BY doc_a, doc_b
     )
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
-    FROM verified
-    WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
+           round(inter * 1.0 / (a.n_sh + b.n_sh - inter), 4) AS jaccard
+    FROM shared
+    JOIN sizes a ON a.doc_id = doc_a
+    JOIN sizes b ON b.doc_id = doc_b
+    WHERE inter * 1.0 / (a.n_sh + b.n_sh - inter) >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    docs = t.documents.select(
-        "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
-    ).cache()  # referenced 3× (tok + both verify sides); at 100 TB this
-    # becomes an explicit shingle-table write, same as the minhash plan
-    tok = docs.select("doc_id", F.explode("sh").alias("s"))
+    tok = (
+        t.documents.select(
+            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+        )
+        .cache()  # referenced 3x (hot, sizes, grouped); at 100 TB this
+        # becomes an explicit shingle-table write, same as the minhash plan
+    )
     # hot-shingle list is tiny by construction (only df > DF_CAP survive)
-    # → broadcast anti-join, no extra shuffle of tok
+    # -> broadcast anti-join, no extra shuffle of tok
     hot = (
         tok.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -320,26 +325,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
     )
     rare = tok.join(F.broadcast(hot), "s", "left_anti")
-    a = rare.alias("a")
-    b = rare.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-shingle sorted doc list (bounded at DF_CAP rows) -> in-memory
+    # ordered-pair expansion; one row per (pair, shared shingle), so the
+    # count per pair is exactly the intersection size
+    ds = F.array_sort(F.col("ds"))
+    combos = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
     )
-    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    shared = (
+        rare.groupBy("s")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .where(F.size("ds") > 1)
+        .select(F.explode(combos).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.join(x, "doc_a")
-        .join(y, "doc_b")
+        shared.join(a, "doc_a")
+        .join(b, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
