@@ -63,3 +63,52 @@ def test_components_two_clusters_and_direction_blind(spark):
 def test_components_clique_single_round(spark):
     got = _cc(spark, [(1, 2), (1, 3), (2, 3)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_star_cc_matches_min_propagation_random(spark):
+    """large-star/small-star and min-label propagation must agree on
+    random graphs (clusters + bridges + isolated pairs)."""
+    import random
+
+    from mariadb_columnstore_engine_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    for base in range(0, 120, 12):  # ten 12-node neighborhoods
+        nodes = list(range(base, base + 12))
+        for _ in range(14):
+            edges.append(tuple(rng.sample(nodes, 2)))
+    edges += [(11, 12), (47, 48)]  # bridges merging some clusters
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=30).collect()
+    }
+    b = {
+        r.node: r.component
+        for r in connected_components_star(df).collect()
+    }
+    assert a == b
+
+
+def test_star_cc_converges_on_long_chain(spark):
+    """A 60-node chain: min-propagation needs ~60 rounds (and must now
+    RAISE at its default budget), while star contraction converges in
+    O(log^2 n) rounds and labels the whole chain as one component."""
+    import pytest
+
+    from mariadb_columnstore_engine_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=10)
+    got = connected_components_star(df).collect()
+    assert len(got) == 61
+    assert {r.component for r in got} == {0}
