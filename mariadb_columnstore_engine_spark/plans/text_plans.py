@@ -734,6 +734,37 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_dedup_cluster_star",
+    section="LLM-pipeline: the same pairs->groups clustering via "
+    "large-star/small-star contraction (operators/graph.py "
+    "connected_components_star) - the O(log^2 n)-round variant whose "
+    "round count is independent of component diameter, i.e. the one "
+    "that still terminates when an adversarial chain of near-dups "
+    "links 10^6 docs at 100 TB. Same oracle as the min-propagation "
+    "query: DuckDB WITH RECURSIVE closure; both engines must produce "
+    "identical clusters.",
+    oracle=_cluster_sql(),
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("node").alias("canonical_doc"),
+            F.max("node").alias("max_member"),
+        )
+        .where(F.col("size") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
 # ---- training-corpus hygiene: decontamination / PII / repetition ----
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
