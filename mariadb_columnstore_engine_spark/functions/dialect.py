@@ -428,3 +428,76 @@ def yearweek_mode(col: Column, mode: int = 0) -> Column:
         .otherwise(y)
     )
     return (owner * 100 + wk).cast("long")
+
+
+# --- DATE_FORMAT / STR_TO_DATE %-pattern translation (func_date_format,
+#     func_str_to_date; the format language GET_FORMAT emits) ---
+
+_MARIADB_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h",
+    "i": "mm", "s": "ss", "S": "ss", "f": "SSSSSS", "p": "a",
+    "W": "EEEE", "a": "EEE", "b": "MMM", "M": "MMMM",
+    "j": "DDD", "r": "hh:mm:ss a", "T": "HH:mm:ss",
+}
+
+_TIME_SPECS = set("HkhIlisSfrTp")
+
+
+def translate_date_format(fmt: str) -> str:
+    """MariaDB/MySQL %-pattern → Java DateTimeFormatter pattern.
+
+    Literal runs are single-quoted (unquoted letters are pattern chars
+    to Java — the classic silent-corruption trap when translating C
+    formats). Week-based specifiers (%U %u %V %v %X %x) and ordinal %D
+    have no Java analogue and raise — use ``week_mode`` for the former.
+    """
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec == "%":
+                lit.append("%")
+            elif spec in _MARIADB_FMT:
+                flush()
+                out.append(_MARIADB_FMT[spec])
+            else:
+                raise ValueError(
+                    f"unsupported DATE_FORMAT specifier %{spec} "
+                    "(week-based specifiers: use dialect.week_mode)"
+                )
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def date_format_mariadb(col: Column, fmt: str) -> Column:
+    """MariaDB DATE_FORMAT(col, '%...') — the format string is a Python
+    literal resolved at plan-build time (as in SQL text), translated to
+    Spark's Java pattern."""
+    return F.date_format(col, translate_date_format(fmt))
+
+
+def str_to_date(col: Column, fmt: str) -> Column:
+    """MariaDB STR_TO_DATE: parse with a %-pattern; returns DATE when
+    the pattern has no time part, DATETIME (timestamp) otherwise —
+    the reference's type contract (func_str_to_date.cpp)."""
+    java = translate_date_format(fmt)
+    has_time = any(
+        fmt[i] == "%" and i + 1 < len(fmt) and fmt[i + 1] in _TIME_SPECS
+        for i in range(len(fmt))
+    )
+    parsed = F.to_timestamp(col, java)
+    return parsed if has_time else parsed.cast("date")

@@ -1213,3 +1213,42 @@ def week_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "sf_date_format_patterns",
+    section="§2.8 DATE_FORMAT / STR_TO_DATE %-pattern language "
+    "(func_date_format.cpp, func_str_to_date.cpp; the format strings "
+    "GET_FORMAT emits). dialect.translate_date_format maps MariaDB "
+    "%-specifiers onto Java patterns with literal-run quoting. Oracle: "
+    "DuckDB strftime — note the deliberate cross-dialect mapping "
+    "(MariaDB %i = minutes ↔ C/DuckDB %M; MariaDB %M = month name).",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')          AS iso_date,
+           strftime(o_orderdate, '%d.%m.%Y')          AS eur_date,
+           strftime(o_orderdate, '%Y%m%d')            AS internal_date,
+           strftime(o_orderdate, '%H:%M:%S')          AS hms,
+           CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')
+                AS DATE)                              AS round_trip
+    FROM orders WHERE o_orderkey % 101 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def date_format_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return (
+        t.orders.where(F.col("o_orderkey") % 101 == 0)
+        .select(
+            "o_orderkey",
+            dialect.date_format_mariadb(d, "%Y-%m-%d").alias("iso_date"),
+            dialect.date_format_mariadb(d, "%d.%m.%Y").alias("eur_date"),
+            dialect.date_format_mariadb(d, "%Y%m%d").alias("internal_date"),
+            dialect.date_format_mariadb(d, "%T").alias("hms"),
+            dialect.str_to_date(
+                dialect.date_format_mariadb(d, "%d/%m/%Y"), "%d/%m/%Y"
+            ).alias("round_trip"),
+        )
+        .orderBy("o_orderkey")
+    )

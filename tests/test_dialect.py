@@ -233,3 +233,41 @@ def test_sysdate_is_query_time(spark):
 
     got = spark.range(1).select(sysdate().alias("t")).collect()[0].t
     assert abs((dt.datetime.now() - got).total_seconds()) < 300
+
+
+def test_date_format_mariadb_patterns(spark):
+    import datetime as dt
+
+    from mariadb_columnstore_engine_spark.functions.dialect import (
+        date_format_mariadb,
+        str_to_date,
+        translate_date_format,
+    )
+
+    ts = F.lit(dt.datetime(2024, 3, 5, 14, 7, 9)).cast("timestamp")
+    row = spark.range(1).select(
+        date_format_mariadb(ts, "%Y-%m-%d %H:%i:%s").alias("a"),
+        date_format_mariadb(ts, "%W %M %e %Y").alias("b"),
+        date_format_mariadb(ts, "%h:%i %p").alias("c"),
+        date_format_mariadb(ts, "%d%% done").alias("d"),
+        date_format_mariadb(ts, "%T").alias("e"),
+    ).collect()[0]
+    assert row.a == "2024-03-05 14:07:09"
+    assert row.b == "Tuesday March 5 2024"
+    assert row.c == "02:07 PM"
+    assert row.d == "05% done"
+    assert row.e == "14:07:09"
+
+    r2 = spark.range(1).select(
+        str_to_date(F.lit("05/03/2024"), "%d/%m/%Y").alias("d"),
+        str_to_date(F.lit("2024-03-05 14:07"), "%Y-%m-%d %H:%i").alias("t"),
+    ).collect()[0]
+    assert r2.d == dt.date(2024, 3, 5)          # DATE: no time part
+    assert r2.t == dt.datetime(2024, 3, 5, 14, 7)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        translate_date_format("%v")  # week-based: week_mode territory
+    # GET_FORMAT output feeds straight in
+    assert translate_date_format("%m.%d.%Y") == "MM'.'dd'.'yyyy"
