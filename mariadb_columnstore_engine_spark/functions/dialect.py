@@ -485,9 +485,61 @@ def translate_date_format(fmt: str) -> str:
 
 def date_format_mariadb(col: Column, fmt: str) -> Column:
     """MariaDB DATE_FORMAT(col, '%...') — the format string is a Python
-    literal resolved at plan-build time (as in SQL text), translated to
-    Spark's Java pattern."""
-    return F.date_format(col, translate_date_format(fmt))
+    literal resolved at plan-build time (as in SQL text).
+
+    Specifiers with a Java-pattern analogue translate directly; the
+    week-based ones (%U %u %V %v = WEEK modes 0/1/2/3, %X %x = the
+    corresponding week-owning years) and ordinal %D have none, so the
+    result is composed as a concat of date_format runs and week_mode /
+    yearweek_mode expressions — still one JVM projection."""
+    parts: list[Column] = []
+    buf = ""
+
+    def flush() -> None:
+        nonlocal buf
+        if buf:
+            parts.append(F.date_format(col, translate_date_format(buf)))
+            buf = ""
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            sp = fmt[i + 1]
+            if sp in "UuVv":
+                flush()
+                mode = {"U": 0, "u": 1, "V": 2, "v": 3}[sp]
+                parts.append(
+                    F.lpad(week_mode(col, mode).cast("string"), 2, "0")
+                )
+            elif sp in "Xx":
+                flush()
+                mode = 2 if sp == "X" else 3
+                parts.append(
+                    (yearweek_mode(col, mode) / 100).cast("long").cast(
+                        "string"
+                    )
+                )
+            elif sp == "D":
+                flush()
+                day = F.dayofmonth(col)
+                suffix = (
+                    F.when((day % 100).isin(11, 12, 13), "th")
+                    .when(day % 10 == 1, "st")
+                    .when(day % 10 == 2, "nd")
+                    .when(day % 10 == 3, "rd")
+                    .otherwise("th")
+                )
+                parts.append(F.concat(day.cast("string"), suffix))
+            else:
+                buf += fmt[i : i + 2]
+            i += 2
+        else:
+            buf += fmt[i]
+            i += 1
+    flush()
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
 def str_to_date(col: Column, fmt: str) -> Column:

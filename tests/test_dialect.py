@@ -271,3 +271,30 @@ def test_date_format_mariadb_patterns(spark):
         translate_date_format("%v")  # week-based: week_mode territory
     # GET_FORMAT output feeds straight in
     assert translate_date_format("%m.%d.%Y") == "MM'.'dd'.'yyyy"
+
+
+def test_date_format_week_and_ordinal_specifiers(spark):
+    import datetime as dt
+
+    from mariadb_columnstore_engine_spark.functions.dialect import (
+        date_format_mariadb,
+    )
+
+    cases = [
+        (dt.date(1987, 1, 1), "%X-%V", "1986-52"),   # Sunday-week year
+        (dt.date(2008, 12, 29), "%x-%v", "2009-01"), # ISO year rollover
+        (dt.date(2008, 2, 20), "%U", "07"),
+        (dt.date(2008, 2, 20), "%u", "08"),
+        (dt.date(2024, 3, 5), "%D of %M", "5th of March"),
+        (dt.date(2024, 3, 1), "%M %D, %Y", "March 1st, 2024"),
+        (dt.date(2024, 3, 11), "%D", "11th"),
+        (dt.date(2024, 3, 22), "%D", "22nd"),
+    ]
+    for d, fmt, expected in cases:
+        got = (
+            spark.range(1)
+            .select(date_format_mariadb(F.lit(d), fmt).alias("v"))
+            .collect()[0]
+            .v
+        )
+        assert got == expected, (d, fmt, got, expected)
