@@ -101,3 +101,75 @@ def update_where(
         return out
 
     return _rewrite(spark, path, transform, partition_filter)
+
+
+def _require_unique_keys(new_rows: DataFrame, keys: list[str],
+                         what: str) -> None:
+    # MariaDB applies multi-row upserts sequentially (last write wins
+    # row-by-row); a distributed engine has no row order, so demand
+    # key-unique input instead of silently picking a winner
+    n, nd = new_rows.select(
+        *(keys)
+    ).count(), new_rows.select(*keys).distinct().count()
+    if n != nd:
+        raise ValueError(
+            f"{what}: new_rows contain {n - nd} duplicate key tuples over "
+            f"{keys}; dedupe first — sequential last-write-wins is not "
+            "reproducible on a distributed engine"
+        )
+
+
+def replace_into(spark: SparkSession, path: str, new_rows: DataFrame,
+                 keys: list[str]) -> int:
+    """MariaDB REPLACE INTO (copy-on-write): any existing row sharing a
+    new row's key tuple is deleted, then the new rows are inserted —
+    delete-then-insert, the documented REPLACE algorithm (the reference
+    routes it through DMLProc delete+insert packages the same way)."""
+    _require_unique_keys(new_rows, keys, "replace_into")
+
+    def transform(df: DataFrame) -> DataFrame:
+        kept = df.join(new_rows.select(*keys), keys, "left_anti")
+        return kept.unionByName(new_rows.select(*df.columns))
+
+    return _rewrite(spark, path, transform, None)
+
+
+def upsert_into(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    keys: list[str],
+    *,
+    update_cols: list[str] | None = None,
+) -> int:
+    """MariaDB INSERT ... ON DUPLICATE KEY UPDATE (copy-on-write):
+    existing rows matching a new row's key get ``update_cols`` (default:
+    every non-key column) overwritten from the new row; new rows with
+    unmatched keys are appended. Unlike REPLACE, untouched columns of a
+    matched row SURVIVE — the semantic difference the two statements
+    exist to express."""
+    import pyspark.sql.functions as F
+
+    _require_unique_keys(new_rows, keys, "upsert_into")
+
+    def transform(df: DataFrame) -> DataFrame:
+        cols = update_cols or [c for c in new_rows.columns if c not in keys]
+        marked = new_rows.select(
+            *keys,
+            F.lit(True).alias("_upd"),
+            *[F.col(c).alias(f"_new_{c}") for c in cols],
+        )
+        merged = df.join(marked, keys, "left")
+        out = merged
+        for c in cols:
+            out = out.withColumn(
+                c,
+                F.when(F.col("_upd"), F.col(f"_new_{c}")).otherwise(
+                    F.col(c)
+                ),
+            )
+        out = out.select(*df.columns)
+        appended = new_rows.join(df.select(*keys), keys, "left_anti")
+        return out.unionByName(appended.select(*df.columns))
+
+    return _rewrite(spark, path, transform, None)

@@ -92,3 +92,51 @@ def test_partition_filter_null_rows_not_lost(spark, tmp_path):
     assert df.count() == 10  # nothing silently lost
     assert df.where(F.col("id") == 500).count() == 1
     assert df.where(F.col("id") == 5).count() == 0
+
+
+def test_replace_into_deletes_then_inserts(spark, tmp_path):
+    from mariadb_columnstore_engine_spark.sources.dml import replace_into
+
+    path = str(tmp_path / "tbl_replace")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id bigint, name string, v int",
+    ).write.parquet(path)
+    new = spark.createDataFrame(
+        [(2, "B2", 99), (4, "d", 40)], "id bigint, name string, v int"
+    )
+    n = replace_into(spark, path, new, ["id"])
+    assert n == 4
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("B2", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_upsert_preserves_untouched_columns(spark, tmp_path):
+    from mariadb_columnstore_engine_spark.sources.dml import upsert_into
+
+    path = str(tmp_path / "tbl_upsert")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id bigint, name string, v int"
+    ).write.parquet(path)
+    new = spark.createDataFrame(
+        [(2, "ignored", 99), (5, "e", 50)], "id bigint, name string, v int"
+    )
+    n = upsert_into(spark, path, new, ["id"], update_cols=["v"])
+    assert n == 3
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    # matched row: v updated, name SURVIVES (vs REPLACE which nukes it)
+    assert got == {1: ("a", 10), 2: ("b", 99), 5: ("e", 50)}
+
+
+def test_upsert_rejects_duplicate_key_input(spark, tmp_path):
+    import pytest
+
+    from mariadb_columnstore_engine_spark.sources.dml import upsert_into
+
+    path = str(tmp_path / "tbl_upsert_dup")
+    spark.createDataFrame([(1, 1)], "id bigint, v int").write.parquet(path)
+    dup = spark.createDataFrame(
+        [(7, 1), (7, 2)], "id bigint, v int"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_into(spark, path, dup, ["id"])
