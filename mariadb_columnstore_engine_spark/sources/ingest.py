@@ -242,3 +242,87 @@ def with_auto_increment(
         )
         .drop("_pid")
     )
+
+
+# --- Instant ALTER TABLE (schema evolution without data rewrite) ---
+#
+# ColumnStore's ADD COLUMN allocates new extents and backfills nothing
+# (dbcon/ddlpackage/altertable.cpp; existing extents simply predate the
+# column) and DROP COLUMN is lazy. The Spark/Parquet analogue: new files
+# carry the new column, old files don't, and a sidecar records the
+# evolution so reads can merge + apply defaults — zero data movement.
+
+_SIDECAR = "_schema_evolution.json"
+
+
+def _evolution(path: str) -> dict:
+    import json
+    import os
+
+    p = os.path.join(path, _SIDECAR)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"added": [], "dropped": []}
+
+
+def _write_evolution(path: str, evo: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _SIDECAR), "w") as f:
+        json.dump(evo, f, indent=1)
+
+
+def alter_add_column(path: str, name: str, dtype: str,
+                     default=None) -> None:
+    """Instant ADD COLUMN: records (name, type, default) in the table's
+    evolution sidecar — no rewrite, O(1) like the reference. Rows in
+    files predating the ALTER surface the default on read (documented
+    contract: NULLs in pre-ALTER files read as the default; a
+    nullable add passes default=None)."""
+    evo = _evolution(path)
+    if any(c["name"] == name for c in evo["added"]):
+        raise ValueError(f"column {name!r} already added")
+    evo["added"].append({"name": name, "dtype": dtype, "default": default})
+    evo["dropped"] = [c for c in evo["dropped"] if c != name]
+    _write_evolution(path, evo)
+
+
+def alter_drop_column(path: str, name: str) -> None:
+    """Instant DROP COLUMN: hides the column on read; data files are
+    untouched (the reference's lazy drop — space reclaimed on the next
+    rewrite)."""
+    evo = _evolution(path)
+    evo["added"] = [c for c in evo["added"] if c["name"] != name]
+    if name not in evo["dropped"]:
+        evo["dropped"].append(name)
+    _write_evolution(path, evo)
+
+
+def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table through its evolution sidecar: mergeSchema unions
+    old and new file schemas, added columns get their declared default
+    where files predate them, dropped columns are projected away."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "false")
+        .parquet(path)
+    )
+    evo = _evolution(path)
+    for c in evo["added"]:
+        if c["name"] not in df.columns:
+            df = df.withColumn(
+                c["name"], F.lit(c["default"]).cast(c["dtype"])
+            )
+        elif c["default"] is not None:
+            df = df.withColumn(
+                c["name"],
+                F.coalesce(
+                    F.col(c["name"]), F.lit(c["default"]).cast(c["dtype"])
+                ),
+            )
+    keep = [c for c in df.columns if c not in evo["dropped"]]
+    return df.select(*keep)

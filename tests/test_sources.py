@@ -206,3 +206,35 @@ def test_multimodal_null_payloads_survive(spark):
     assert {r.doc_id for r in frames} == {1}
     resized = {r.doc_id: r.media for r in resize_media(df, stride=2).collect()}
     assert resized[2] is None and len(resized[1]) == 10
+
+
+def test_instant_alter_add_drop_column(spark, tmp_path):
+    """ADD COLUMN rewrites nothing: old files lack the column and read
+    back the declared default; appended files carry real values. DROP
+    hides without touching data."""
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        alter_add_column,
+        alter_drop_column,
+        read_table_evolved,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    ).write.parquet(path)
+    alter_add_column(path, "score", "int", default=100)
+    spark.createDataFrame(
+        [(3, "c", 7)], "id bigint, name string, score int"
+    ).write.mode("append").parquet(path)
+
+    got = {r.id: (r.name, r.score)
+           for r in read_table_evolved(spark, path).collect()}
+    assert got == {1: ("a", 100), 2: ("b", 100), 3: ("c", 7)}
+
+    alter_drop_column(path, "name")
+    cols = read_table_evolved(spark, path).columns
+    assert cols == ["id", "score"]
+    # files untouched: raw read still has the dropped column
+    assert "name" in spark.read.option(
+        "mergeSchema", "true"
+    ).parquet(path).columns
