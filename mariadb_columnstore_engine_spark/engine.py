@@ -31,6 +31,7 @@ class Engine:
         self.catalog = Catalog(spark, sf_dir)
         self.catalog.register_views()
         register_all(spark)
+        self._register_persisted_views()
 
     @classmethod
     def local(cls, sf_dir: str, app_name: str = "mcs-spark-engine",
@@ -63,3 +64,57 @@ class Engine:
         return df._jdf.queryExecution().explainString(
             mode.fromString("formatted")
         )
+
+    # --- views (server-side CREATE VIEW analogue) ---
+
+    def create_view(self, name: str, sql: str, *, persist: bool = False
+                    ) -> None:
+        """CREATE [OR REPLACE] VIEW: the text is analyzed immediately
+        (errors surface at definition time, as in the server) and
+        registered as a temp view over the engine's tables. With
+        ``persist=True`` the definition is also recorded in the
+        warehouse's ``_views.json`` and re-registered by every future
+        Engine over the same directory — the durable-metadata model a
+        lakehouse table format uses for view text."""
+        self.sql(sql).createOrReplaceTempView(name)
+        if persist:
+            import json
+            import os
+
+            p = os.path.join(self.catalog._sf_dir, "_views.json")
+            views = {}
+            if os.path.exists(p):
+                with open(p) as f:
+                    views = json.load(f)
+            views[name] = sql
+            with open(p, "w") as f:
+                json.dump(views, f, indent=1)
+
+    def drop_view(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+        import json
+        import os
+
+        p = os.path.join(self.catalog._sf_dir, "_views.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                views = json.load(f)
+            if name in views:
+                del views[name]
+                with open(p, "w") as f:
+                    json.dump(views, f, indent=1)
+
+    def _register_persisted_views(self) -> None:
+        import json
+        import os
+
+        p = os.path.join(self.catalog._sf_dir, "_views.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                for name, sql in json.load(f).items():
+                    self.sql(sql).createOrReplaceTempView(name)
+
+    def describe(self, name: str) -> list[tuple[str, str]]:
+        """DESCRIBE <table|view>: (column, type) pairs."""
+        return [(f.name, f.dataType.simpleString())
+                for f in self.spark.table(name).schema.fields]

@@ -15,3 +15,35 @@ def test_engine_sql_and_udfs(spark, sf_dir):
     assert eng.table("region").count() == 5
     plan = eng.explain("SELECT count(*) FROM lineitem WHERE l_quantity < 5")
     assert "PushedFilters" in plan
+
+
+def test_views_and_describe(spark, sf_dir, tmp_path):
+    import shutil
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    # private warehouse copy so the persisted-view sidecar doesn't touch
+    # the shared read-only fixtures
+    wh = str(tmp_path / "wh")
+    shutil.copytree(sf_dir, wh)
+    eng = Engine(spark, wh)
+    eng.create_view(
+        "big_orders",
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 100000",
+        persist=True,
+    )
+    n = eng.sql("SELECT count(*) AS n FROM big_orders").collect()[0].n
+    assert n == eng.table("orders").where("o_totalprice > 100000").count()
+    assert eng.describe("big_orders") == [
+        ("o_orderkey", "bigint"), ("o_totalprice", "double")
+    ]
+    # a NEW engine over the same warehouse re-registers the view
+    eng2 = Engine(spark, wh)
+    assert eng2.sql("SELECT count(*) AS n FROM big_orders").collect()[0].n == n
+    eng2.drop_view("big_orders")
+    import os
+
+    import json
+    with open(os.path.join(wh, "_views.json")) as f:
+        assert "big_orders" not in json.load(f)
