@@ -190,6 +190,35 @@ def nvl(a: Column, b: Column) -> Column:
     return F.coalesce(a, b)
 
 
+def _empty_to_null(c: Column) -> Column:
+    """Oracle semantics: the empty string IS NULL, so any Oracle-mode
+    string function whose result is '' returns NULL instead."""
+    return F.when(F.length(c) > 0, c)
+
+
+def trim_oracle(col: Column) -> Column:
+    """Oracle-mode TRIM (func_trim.cpp trim_oracle): like TRIM but an
+    empty result collapses to NULL ('' IS NULL under sql_mode=ORACLE)."""
+    return _empty_to_null(F.trim(col))
+
+
+def ltrim_oracle(col: Column) -> Column:
+    """Oracle-mode LTRIM (func_ltrim.cpp ltrim_oracle)."""
+    return _empty_to_null(F.ltrim(col))
+
+
+def rtrim_oracle(col: Column) -> Column:
+    """Oracle-mode RTRIM (func_rtrim.cpp rtrim_oracle)."""
+    return _empty_to_null(F.rtrim(col))
+
+
+def replace_oracle(s: Column, frm: Column, to: Column) -> Column:
+    """Oracle-mode REPLACE (func_replace.cpp replace_oracle): a NULL
+    replacement removes occurrences (Oracle NULL≡''), and an empty
+    result collapses to NULL."""
+    return _empty_to_null(F.replace(s, frm, F.coalesce(to, F.lit(""))))
+
+
 def decode_oracle(expr: Column, *pairs: Column) -> Column:
     """Oracle-mode DECODE(expr, s1, r1[, s2, r2 ...][, default])
     (func_case.cpp decode_oracle). NULL search values match NULL exprs
@@ -257,6 +286,31 @@ def timediff(a: Column, b: Column) -> Column:
         "long"
     )
     return sec_to_time(delta)
+
+
+def subtime(ts: Column, time_str: Column) -> Column:
+    """MariaDB SUBTIME(ts, 'HH:MM:SS') (func_add_time.cpp with the sign
+    flipped): shift a timestamp back by a TIME-string offset."""
+    return F.timestamp_add("SECOND", -time_to_sec(time_str), ts)
+
+
+def makedate(year: Column, doy: Column) -> Column:
+    """MariaDB MAKEDATE(year, dayofyear) (func_makedate.cpp): the date
+    ``dayofyear - 1`` days after Jan 1 of ``year``; NULL when
+    dayofyear < 1 (MariaDB returns NULL, not a prior-year date)."""
+    base = F.make_date(year, F.lit(1), F.lit(1))
+    return F.when(doy >= 1, F.date_add(base, (doy - 1).cast("int")))
+
+
+def maketime(h: Column, m: Column, s: Column) -> Column:
+    """MariaDB MAKETIME(hour, minute, second) (func_maketime.cpp) →
+    'HH:MM:SS' TIME render. Hours may be negative (sign applies to the
+    whole time, magnitudes of minute/second still add); NULL when
+    minute/second fall outside [0, 60)."""
+    ok = (m >= 0) & (m < 60) & (s >= 0) & (s < 60)
+    total = F.abs(h) * 3600 + m * 60 + s
+    signed = F.when(h < 0, -total).otherwise(total)
+    return F.when(ok, sec_to_time(signed))
 
 
 def truncate_number(col: Column, d: int) -> Column:

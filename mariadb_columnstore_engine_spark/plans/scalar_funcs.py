@@ -1252,3 +1252,142 @@ def date_format_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "sf_trig_time_constructors",
+    section="§2.8 inverse trig (func_math.cpp asin/acos/atan/tan/cot) + "
+    "MAKEDATE/MAKETIME/SUBTIME via dialect helpers with MariaDB edge "
+    "semantics — dayofyear<1 → NULL, negative hour signs the whole TIME "
+    "(func_makedate.cpp, func_maketime.cpp, func_add_time.cpp; "
+    "sf_datetime_matrix3 covers only the happy-path roundtrips) + "
+    "IS TRUE / IS NOT TRUE predicates (funcexp istrue/isnottrue) — the "
+    "last unexercised funcexp dispatch entries",
+    oracle="""
+    SELECT n_nationkey,
+           round(tan(n_nationkey / 25.0), 6)          AS tan_v,
+           round(asin(n_nationkey / 25.0), 6)         AS asin_v,
+           round(acos(n_nationkey / 25.0), 6)         AS acos_v,
+           round(atan(n_nationkey / 25.0), 6)         AS atan_v,
+           round(cot(n_nationkey / 25.0 + 0.5), 6)    AS cot_v,
+           CASE WHEN n_nationkey * 13 - 5 >= 1
+                THEN CAST(make_date(1992 + n_nationkey % 30, 1, 1)
+                     + (n_nationkey * 13 - 6) * INTERVAL 1 DAY AS DATE)
+           END                                        AS makedate_v,
+           CASE WHEN (n_nationkey * 7) % 60 BETWEEN 0 AND 59
+                 AND (n_nationkey * 11) % 60 BETWEEN 0 AND 59
+                THEN CASE WHEN n_nationkey - 3 < 0 THEN '-' ELSE '' END
+                     || format('{:02d}:{:02d}:{:02d}',
+                               abs(n_nationkey - 3),
+                               (n_nationkey * 7) % 60,
+                               (n_nationkey * 11) % 60)
+           END                                        AS maketime_v,
+           TIMESTAMP '2024-03-15 12:00:00'
+             + n_nationkey * INTERVAL 1 HOUR
+             - INTERVAL 9000 SECOND                   AS subtime_v,
+           strftime(TIMESTAMP '2024-03-15 12:00:00'
+                    + n_nationkey * INTERVAL 1 HOUR, '%H:%M:%S')
+                                                      AS time_format_v,
+           (CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                 ELSE n_nationkey % 2 = 1 END) IS TRUE     AS istrue_v,
+           (CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                 ELSE n_nationkey % 2 = 1 END) IS NOT TRUE AS isnottrue_v
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def trig_time_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-trig inputs are normalized into [0, 1) (asin/acos domain;
+    cot shifted off the pole) and rounded 6 dp per the float policy.
+    MAKETIME exercises a negative hour (sign applies to the whole TIME);
+    MAKEDATE's k=0 row drives the dayofyear<1 → NULL branch."""
+    t = Catalog(spark, sf_dir)
+    k = F.col("n_nationkey")
+    x = k / 25.0
+    ts0 = F.lit("2024-03-15 12:00:00").cast("timestamp_ntz")
+    ts = F.timestamp_add("HOUR", k.cast("int"), ts0)
+    maybe_bool = F.when(k % 3 != 0, (k % 2 == 1))
+    return t.nation.select(
+        k,
+        F.round(F.tan(x), 6).alias("tan_v"),
+        F.round(F.asin(x), 6).alias("asin_v"),
+        F.round(F.acos(x), 6).alias("acos_v"),
+        F.round(F.atan(x), 6).alias("atan_v"),
+        F.round(F.cot(x + 0.5), 6).alias("cot_v"),
+        dialect.makedate(F.lit(1992) + k % 30, k * 13 - 5).alias(
+            "makedate_v"
+        ),
+        dialect.maketime(k - 3, (k * 7) % 60, (k * 11) % 60).alias(
+            "maketime_v"
+        ),
+        dialect.subtime(ts, F.lit("02:30:00")).alias("subtime_v"),
+        F.date_format(ts, "HH:mm:ss").alias("time_format_v"),
+        F.coalesce(maybe_bool, F.lit(False)).alias("istrue_v"),
+        (~F.coalesce(maybe_bool, F.lit(False))).alias("isnottrue_v"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "sf_json_contains_array_ops",
+    section="§2.8 JSON long tail remainder — JSON_CONTAINS (scalar in "
+    "array, object containment: func_json_contains.cpp), "
+    "JSON_ARRAY_INSERT positional (func_json_array_insert.cpp), "
+    "JSON_QUOTE→JSON_UNQUOTE escape round-trip (func_json_quote.cpp), "
+    "JSON_EQUALS whitespace-insensitive tree compare "
+    "(func_json_equals.cpp). Complements sf_json_long_tail/"
+    "sf_json_matrix2 (set/insert/remove/merge/value/query/append) "
+    "without re-covering them.",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               props
+        FROM events WHERE event_id < 50
+    )
+    SELECT event_id,
+           json_contains(to_json([k % 5, k % 7]), '3')   AS contains_scalar,
+           json_contains(props, json_object('k', k + k % 2))
+                                                         AS contains_obj,
+           to_json([1, k, 2])::VARCHAR                   AS arr_insert,
+           json_extract_string(to_json('a"b'), '$')      AS unquote_rt,
+           json_extract(props, '$')::VARCHAR
+               = json_extract(' {  "k" :' || CAST(k AS VARCHAR) || ' }',
+                              '$')::VARCHAR              AS equals_ws
+    FROM e
+    ORDER BY event_id
+    """,
+)
+def json_contains_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four func_json_*.cpp entries no other battery exercises.
+    JSON_CONTAINS(doc, candidate) is containment, not equality: a scalar
+    candidate is contained in an array iff it is an element
+    (array_contains), and an object candidate is contained iff every
+    key/value pair matches (for the single-key fixture docs, one typed
+    path probe). JSON_EQUALS compares canonical minified serializations,
+    ignoring whitespace like the reference's tree comparison."""
+    t = Catalog(spark, sf_dir)
+    e = t.events.where(F.col("event_id") < 50).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.from_json("props", "k BIGINT").alias("doc"),
+        "props",
+    )
+    k = F.col("k")
+    doc = F.col("doc")
+    ws_doc = F.format_string(' {  "k" :%d }', k)
+    return e.select(
+        "event_id",
+        F.array_contains(F.array(k % 5, k % 7), F.lit(3)).alias(
+            "contains_scalar"
+        ),
+        (F.get_json_object("props", "$.k") == (k + k % 2).cast("string"))
+        .alias("contains_obj"),
+        F.to_json(
+            F.array_insert(F.array(F.lit(1), F.lit(2)), 2, k)
+        ).alias("arr_insert"),
+        F.get_json_object(json_ext.json_quote(F.lit('a"b')), "$").alias(
+            "unquote_rt"
+        ),
+        (F.to_json(doc) == F.to_json(F.from_json(ws_doc, "k BIGINT")))
+        .alias("equals_ws"),
+    ).orderBy("event_id")

@@ -298,3 +298,78 @@ def test_date_format_week_and_ordinal_specifiers(spark):
             .v
         )
         assert got == expected, (d, fmt, got, expected)
+
+
+def test_maketime_makedate_subtime(spark):
+    from mariadb_columnstore_engine_spark.functions import dialect as d
+
+    row = (
+        spark.range(1)
+        .select(
+            d.maketime(F.lit(1), F.lit(2), F.lit(3)).alias("basic"),
+            d.maketime(F.lit(-3), F.lit(7), F.lit(30)).alias("neg_hour"),
+            d.maketime(F.lit(130), F.lit(0), F.lit(1)).alias("big_hour"),
+            d.maketime(F.lit(1), F.lit(61), F.lit(0)).alias("bad_minute"),
+            d.makedate(F.lit(2024), F.lit(60)).alias("leap_doy"),
+            d.makedate(F.lit(2023), F.lit(0)).alias("doy_zero"),
+            d.makedate(F.lit(2023), F.lit(366)).alias("doy_rollover"),
+            d.subtime(
+                F.lit("2024-03-15 12:00:00").cast("timestamp_ntz"),
+                F.lit("02:30:00"),
+            )
+            .cast("string")
+            .alias("sub"),
+            d.subtime(
+                F.lit("2024-03-15 12:00:00").cast("timestamp_ntz"),
+                F.lit("-01:00:00"),
+            )
+            .cast("string")
+            .alias("sub_neg"),
+        )
+        .collect()[0]
+    )
+    assert row.basic == "01:02:03"
+    # sign applies to the whole TIME; minute/second magnitudes still add
+    assert row.neg_hour == "-03:07:30"
+    # hours beyond 99 are not truncated (MariaDB TIME allows them)
+    assert row.big_hour == "130:00:01"
+    assert row.bad_minute is None
+    assert str(row.leap_doy) == "2024-02-29"
+    assert row.doy_zero is None  # MariaDB: dayofyear < 1 -> NULL
+    assert str(row.doy_rollover) == "2024-01-01"  # rolls into next year
+    assert row.sub == "2024-03-15 09:30:00"
+    assert row.sub_neg == "2024-03-15 13:00:00"
+
+
+def test_oracle_trim_replace_empty_is_null(spark):
+    from mariadb_columnstore_engine_spark.functions import dialect as d
+
+    row = (
+        spark.range(1)
+        .select(
+            d.trim_oracle(F.lit("  x  ")).alias("t1"),
+            d.trim_oracle(F.lit("   ")).alias("t2"),
+            d.ltrim_oracle(F.lit("  ab")).alias("l1"),
+            d.ltrim_oracle(F.lit("  ")).alias("l2"),
+            d.rtrim_oracle(F.lit("ab  ")).alias("r1"),
+            d.rtrim_oracle(F.lit("  ")).alias("r2"),
+            d.replace_oracle(
+                F.lit("aba"), F.lit("a"), F.lit(None).cast("string")
+            ).alias("p1"),
+            d.replace_oracle(
+                F.lit("aa"), F.lit("a"), F.lit(None).cast("string")
+            ).alias("p2"),
+            d.replace_oracle(F.lit("aba"), F.lit("b"), F.lit("c")).alias(
+                "p3"
+            ),
+        )
+        .collect()[0]
+    )
+    assert row.t1 == "x" and row.t2 is None
+    assert row.l1 == "ab" and row.l2 is None
+    assert row.r1 == "ab" and row.r2 is None
+    # NULL replacement removes occurrences (Oracle NULL ≡ '')
+    assert row.p1 == "b"
+    # ...and a fully-removed string collapses to NULL
+    assert row.p2 is None
+    assert row.p3 == "aca"
