@@ -225,3 +225,88 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         value_cols=["value", "ts"],
     ).orderBy("event_id")
+
+
+@query(
+    "events_gapfill_locf",
+    section="LLM-pipeline: hypertable-style gap-fill + LOCF — densify "
+    "each per-key hourly series over its observed extent, then carry the "
+    "last observation forward across the generated gaps (no reference "
+    "analogue — batch-only engine, SURVEY §2.10; semantics follow the "
+    "time_bucket_gapfill/locf idiom of time-series stores)",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE user_id < 6 GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                 AS bucket
+      FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+            FROM b GROUP BY 1)),
+    j AS (
+      SELECT s.user_id, s.bucket, b.cents, b.n
+      FROM spine s LEFT JOIN b
+        ON s.user_id = b.user_id AND s.bucket = b.bucket)
+    SELECT user_id, bucket,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cents_locf,
+           (n IS NULL) AS gap_filled
+    FROM j ORDER BY user_id, bucket
+    """,
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward.
+
+    Scale shape: (1) hourly pre-aggregation shuffles once on
+    (user_id, bucket); (2) the spine is generated per key from that
+    aggregate's own min/max — sequence() + explode is map-side after a
+    groupBy on user_id, so spine size is rows-out, never a cartesian;
+    (3) the left join and the LOCF window both key on user_id, so AQE
+    reuses one hash partitioning for join + window. Money rides exact
+    integer cents (float policy).
+    """
+    t = Catalog(spark, sf_dir)
+    b = (
+        t.events.where(F.col("user_id") < 6)
+        .groupBy(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    spine = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    j = spine.join(b, ["user_id", "bucket"], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
+        F.col("n").isNull().alias("gap_filled"),
+    ).orderBy("user_id", "bucket")
