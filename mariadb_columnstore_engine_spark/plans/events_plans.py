@@ -310,3 +310,74 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
         F.col("n").isNull().alias("gap_filled"),
     ).orderBy("user_id", "bucket")
+
+
+@query(
+    "events_hierarchical_rollup",
+    section="LLM-pipeline: hierarchical rollup (hour → day) reusing the "
+    "hourly partial aggregate — the continuous-aggregate / hypertable "
+    "rollup idiom: the daily tier reads O(hours) pre-aggregated rows, "
+    "never re-scanning raw events",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_h,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY bucket_h, event_type
+    )
+    SELECT CAST(date_trunc('day', bucket_h) AS DATE) AS day,
+           event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS active_hours,
+           CAST(max(n) AS BIGINT) AS peak_hour_events
+    FROM hourly
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day rollup where the day tier aggregates the hour tier.
+
+    Reference analogue: none (batch engine; SURVEY §2.10) — this is the
+    TimescaleDB continuous-aggregate / OLAP rollup-tree idiom expressed
+    relationally. Scale shape: the hourly aggregate is the only pass over
+    raw data (one shuffle on (hour, type), map-side combine); the daily
+    tier re-aggregates hours_per_day × n_types rows — negligible, and at
+    100 TB the hourly tier is a materialized table that daily/weekly/
+    monthly tiers all derive from without touching raw events. Because
+    sum/count/max are decomposable, daily numbers from partials are
+    EXACTLY the numbers a raw-scan would produce — which is what the
+    oracle (also computed via the partial, but equal to the direct
+    aggregate by associativity) pins. Money rides exact integer cents
+    (module float policy).
+    """
+    t = Catalog(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_h"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket_h")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.count(F.lit(1)).cast("long").alias("active_hours"),
+            F.max("n").cast("long").alias("peak_hour_events"),
+        )
+        .orderBy("day", "event_type")
+    )

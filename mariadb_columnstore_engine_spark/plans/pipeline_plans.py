@@ -406,3 +406,77 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CHUNK = 32  # tokens per training chunk
+_STRIDE = 24  # chunk start step (overlap = _CHUNK - _STRIDE = 8 tokens)
+
+
+@query(
+    "pipeline_chunk_overlap",
+    section="LLM-pipeline: overlapping token-window chunking — split each "
+    "document into fixed-size training chunks with stride overlap "
+    "(sequence + posexplode + slice, all JVM-side; no Python in the path)",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n,
+               unnest(range(1, n + 1, {_STRIDE})) AS start
+        FROM d
+    )
+    SELECT c.doc_id,
+           CAST((c.start - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(d.toks, c.start,
+                               least(c.start + {_CHUNK} - 1, c.n)))
+                AS BIGINT) AS chunk_tokens,
+           substr(md5(array_to_string(
+               list_slice(d.toks, c.start,
+                          least(c.start + {_CHUNK} - 1, c.n)), ' ')),
+               1, 8) AS chunk_fp
+    FROM c JOIN d USING (doc_id)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context chunking with overlap (the training-loader prep step).
+
+    Contract: chunks start at token 1, 1+STRIDE, … ≤ n_tokens; each takes
+    CHUNK tokens (the last may be short). Every token therefore lands in
+    ≥1 chunk and boundary context is preserved by the CHUNK−STRIDE-token
+    overlap — the standard sliding-window chunking for LLM pretraining
+    and RAG indexing.
+
+    Scale shape: split → sequence → posexplode → slice is entirely
+    map-side (no shuffle at all until the output sort, which a real
+    pipeline would drop); output size is rows_in × ceil(n/STRIDE), i.e.
+    amplification is bounded by CHUNK/STRIDE ≈ 1.3× the token volume.
+    Chunks are emitted as an 8-hex fingerprint + token count here to keep
+    the gate result narrow; a real run would write the token arrays.
+    """
+    t = Catalog(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(_STRIDE))
+        ).alias("chunk_id", "start"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long"),
+        F.slice(F.col("toks"), F.col("start"), _CHUNK).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").cast("long").alias("chunk_tokens"),
+        F.substring(F.md5(F.array_join("chunk", " ")), 1, 8).alias(
+            "chunk_fp"
+        ),
+    ).orderBy("doc_id", "chunk_id")

@@ -589,3 +589,101 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "sim_embedding_quantize",
+    section="LLM-pipeline: int8 scalar quantization of embeddings "
+    "(per-vector max-abs scale, symmetric round-to-nearest) with "
+    "reconstruction-error audit — the storage-compression step ANN "
+    "indexes run before sharding",
+    oracle=f"""
+    WITH s AS (
+        SELECT label,
+               list_transform(embedding, x -> x::DOUBLE) AS emb,
+               list_aggregate(
+                   list_transform(embedding, x -> abs(x::DOUBLE)), 'max')
+                   AS mx
+        FROM embeddings
+    ), q AS (
+        SELECT label, mx,
+               (CASE WHEN mx = 0 THEN 1.0 ELSE mx END) / 127.0 AS scale,
+               emb
+        FROM s
+    ), e AS (
+        SELECT label, mx,
+               list_sum(list_transform(
+                   emb, x -> abs(round(x / scale) * scale - x)
+               )) / {DIM} AS err
+        FROM q
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(mx), 6) AS avg_max_abs,
+           round(avg(err), 6) AS avg_abs_err,
+           round(max(err), 6) AS max_abs_err
+    FROM e
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (scale = max|x| / 127).
+
+    Codes are implicitly in [-127, 127] (|x| ≤ max|x| by construction),
+    so no clamp branch exists to diverge between engines. Zero vectors
+    take scale 1/127 via an identical CASE in both engines.
+
+    Parity: quantize/dequantize error is computed per-dimension in DOUBLE
+    with the module's sequential-accumulation idiom (zip-free transform +
+    aggregate vs list_sum(list_transform)), so per-vector err is
+    bit-identical; per-label avg rides the usual round-to-6dp policy.
+
+    Scale shape: entirely map-side per vector (no shuffle before the
+    per-label audit agg) — at 100 TB this is the projection you fuse into
+    the embedding write; int8 + one float scale per vector is a 3.9×
+    storage cut, which is what makes the IVF/LSH shards (sim_ivf_ann_topk)
+    fit executor memory.
+    """
+    t = Catalog(spark, sf_dir)
+    emb = _as_double(F.col("embedding"))
+    s = t.embeddings.select("label", emb.alias("emb")).withColumn(
+        "mx",
+        F.aggregate(
+            F.transform("emb", lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda a, v: F.greatest(a, v),
+        ),
+    )
+    q = s.withColumn(
+        "scale",
+        F.when(F.col("mx") == 0.0, F.lit(1.0)).otherwise(F.col("mx"))
+        / 127.0,
+    )
+    e = q.select(
+        "label",
+        "mx",
+        (
+            F.aggregate(
+                F.transform(
+                    "emb",
+                    lambda x: F.abs(
+                        F.round(x / F.col("scale")) * F.col("scale") - x
+                    ),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            / DIM
+        ).alias("err"),
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mx"), 6).alias("avg_max_abs"),
+            F.round(F.avg("err"), 6).alias("avg_abs_err"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
