@@ -1,0 +1,106 @@
+"""Table maintenance: small-file compaction and layout auditing.
+
+Reference analogue: ColumnStore's storage maintenance jobs — DBRoot
+redistribution (writeengine/redistribute/) moves extents between roots
+to rebalance, and the extent map keeps allocation coarse (8M rows/extent,
+versioning/BRM/extentmap.cpp:6077) precisely so the table never degrades
+into tiny fragments. A Parquet lake has the opposite failure mode:
+incremental appends (sources/dml.py copy-on-write, streaming sinks)
+accumulate many small files, which at 100 TB means scan tasks dominated
+by open/seek overhead and useless row-group stats. Compaction is the
+maintenance pass that restores the "few large, clustered extents" layout
+the reference gets from its allocator.
+
+Scale shape: one ``repartitionByRange`` (when re-clustering) or a
+coalescing repartition — a single shuffle sized by target file count; the
+swap is pure filesystem metadata. On object stores a table format
+(Delta/Iceberg) would make the swap atomic via manifest commit; this
+module's delete-then-rename is the plain-filesystem analogue and is
+documented as such (the reference's redistribution likewise locks the
+affected extents, writeengine/redistribute/we_redistributecontrol.cpp).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under ``path`` (any FS scheme)."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith((".parquet", ".orc")) and not name.startswith("_"):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def layout_stats(spark: SparkSession, path: str) -> dict:
+    """Small-file audit: the numbers a maintenance scheduler alerts on."""
+    files = data_files(spark, path)
+    sizes = [b for _, b in files]
+    total = sum(sizes)
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "avg_bytes": total // len(files) if files else 0,
+        "min_bytes": min(sizes) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    cluster_by: list[str] | None = None,
+    codec: str = "snappy",
+    format: str = "parquet",
+) -> dict:
+    """Rewrite ``path`` into ~``target_file_mb``-sized files, optionally
+    re-clustering (restores row-group min/max selectivity the way the
+    reference's extent allocation keeps casual-partitioning stats tight).
+
+    Returns ``{files_before, files_after, bytes_before}``. The rewrite
+    lands in a sibling temp dir and replaces the original via
+    delete+rename — crash between the two leaves the temp dir intact for
+    manual recovery; use a table format for transactional swaps.
+    """
+    before = layout_stats(spark, path)
+    df = spark.read.format(format).load(path)
+    n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb << 20)))
+    if cluster_by:
+        writer_df = df.repartitionByRange(
+            n_out, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        writer_df = df.repartition(n_out)
+    tmp = path.rstrip("/") + "_compact_tmp"
+    (
+        writer_df.write.option("compression", codec)
+        .mode("overwrite")
+        .format(format)
+        .save(tmp)
+    )
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    fs.delete(jpath, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):
+        raise IOError(f"compact_table: rename {tmp} -> {path} failed")
+    after = layout_stats(spark, path)
+    return {
+        "files_before": before["n_files"],
+        "files_after": after["n_files"],
+        "bytes_before": before["total_bytes"],
+    }

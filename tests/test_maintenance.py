@@ -1,0 +1,74 @@
+"""Small-file compaction / layout audit (sources/maintenance.py).
+
+Reference analogue: DBRoot redistribution + coarse extent allocation
+(writeengine/redistribute/, versioning/BRM/extentmap.cpp) keep the
+reference's layout scan-friendly; compaction is the Parquet-lake
+equivalent. The invariant under test: compaction changes ONLY the file
+layout — never row count, schema, or values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mariadb_columnstore_engine_spark.sources import maintenance
+
+
+def _fingerprint(df):
+    """Order-insensitive content hash over every row and column."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in df.columns]
+    return (
+        df.select(F.md5(F.concat_ws("\x01", *cols)).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 6), 16, 10).cast("long")))
+        .collect()[0][0]
+    )
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    dest = str(tmp_path / "frag")
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    # simulate incremental-append fragmentation: 40 tiny files
+    df.repartition(40).write.parquet(dest)
+    before = maintenance.layout_stats(spark, dest)
+    assert before["n_files"] == 40
+
+    fp_before = _fingerprint(spark.read.parquet(dest))
+    result = maintenance.compact_table(spark, dest, target_file_mb=128)
+    after = maintenance.layout_stats(spark, dest)
+
+    assert result["files_before"] == 40
+    assert result["files_after"] == after["n_files"] == 1
+    compacted = spark.read.parquet(dest)
+    assert compacted.count() == 20_000
+    assert _fingerprint(compacted) == fp_before
+    # temp dir consumed by the swap
+    assert not (tmp_path / "frag_compact_tmp").exists()
+
+
+def test_compact_cluster_by_restores_pruning_stats(spark, tmp_path):
+    dest = str(tmp_path / "clustered")
+    df = spark.range(0, 400_000).select(
+        (F.col("id") * 37 % 400_000).alias("k"),  # scrambled key
+        F.col("id").alias("payload"),
+    )
+    df.repartition(8).write.parquet(dest)
+    maintenance.compact_table(
+        spark, dest, target_file_mb=1, cluster_by=["k"]
+    )
+    files = maintenance.data_files(spark, dest)
+    assert len(files) >= 2  # 1 MB target splits the rewrite
+    # range-clustered files must have disjoint [min,max] key ranges —
+    # that is exactly what makes row-group/file skipping selective
+    ranges = []
+    for path, _ in files:
+        mn, mx = (
+            spark.read.parquet(path).agg(F.min("k"), F.max("k")).collect()[0]
+        )
+        ranges.append((mn, mx))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
