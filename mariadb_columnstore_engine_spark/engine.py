@@ -38,8 +38,20 @@ class Engine:
               **session_kwargs) -> "Engine":
         return cls(get_session(app_name, **session_kwargs), sf_dir)
 
-    def sql(self, query: str) -> DataFrame:
-        """Run SQL over the registered tables (+ engine UDFs)."""
+    def sql(self, query: str, *, dialect: str = "mariadb") -> DataFrame:
+        """Run SQL over the registered tables (+ engine UDFs).
+
+        ``dialect="mariadb"`` (default) first rewrites MariaDB-isms Spark
+        spells differently (GROUP_CONCAT, LIMIT offset-comma, %-format
+        patterns, # comments — functions/sqltrans.py); ANSI statements
+        pass through unchanged. ``dialect="spark"`` skips the pass.
+        """
+        if dialect == "mariadb":
+            from mariadb_columnstore_engine_spark.functions.sqltrans import (
+                translate_statement,
+            )
+
+            query = translate_statement(query)
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:

@@ -1,0 +1,268 @@
+"""MariaDB → Spark SQL statement translation (the front-end dialect pass).
+
+Reference analogue: the reference never parses SQL itself — mysqld does,
+and the plugin receives a resolved item tree (SURVEY §3, getSelectPlan,
+dbcon/mysql/ha_mcs_execplan.cpp:7436). A user switching to this engine
+types MariaDB SQL at ``Engine.sql``; Spark's parser covers the ANSI core,
+and this pass rewrites the MariaDB-isms Spark spells differently:
+
+* ``#`` end-of-line comments → ``--``
+* SELECT options with no Spark meaning are stripped
+  (SQL_CALC_FOUND_ROWS, SQL_NO_CACHE, …); ``STRAIGHT_JOIN`` as a join
+  keyword becomes ``JOIN`` (join-order forcing is a CBO hint in Spark,
+  not a parse-level construct)
+* ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``
+* ``GROUP_CONCAT([DISTINCT] expr [ORDER BY …] [SEPARATOR 'sep'])`` →
+  ``listagg([DISTINCT] expr, 'sep') [WITHIN GROUP (ORDER BY …)]``
+* ``DATE_FORMAT(e, '%…')`` / ``STR_TO_DATE(e, '%…')`` → Java-pattern
+  ``date_format`` / ``to_timestamp`` via dialect.translate_date_format
+  (STR_TO_DATE yields TIMESTAMP; cast to DATE where MariaDB would)
+* trailing ``;`` is dropped
+
+Everything runs over a MASKED statement — string literals, quoted
+identifiers, and comments are replaced by ``\\x00<n>\\x00`` placeholders
+first — so no rewrite can ever fire inside a literal. Constructs with no
+faithful Spark spelling (GROUP_CONCAT's inner LIMIT, week-based %V/%X
+format specifiers) raise ValueError instead of silently mistranslating;
+the DataFrame layer (dialect.group_concat limit=, dialect.week_mode)
+covers those semantics.
+
+Already-identical spellings need no rewrite and are left alone:
+backtick identifiers, ``DIV``, ``%``, ``REGEXP``, ``IF()``, ``IFNULL``,
+``LCASE/UCASE``, ``CURDATE()``, ``DATEDIFF`` argument order.
+"""
+
+from __future__ import annotations
+
+import re
+
+from mariadb_columnstore_engine_spark.functions.dialect import (
+    translate_date_format,
+)
+
+_PH = "\x00{}\x00"
+_PH_RE = re.compile("\x00(\\d+)\x00")
+
+_SELECT_OPTIONS = (
+    "SQL_CALC_FOUND_ROWS|SQL_NO_CACHE|SQL_CACHE|HIGH_PRIORITY|"
+    "SQL_SMALL_RESULT|SQL_BIG_RESULT|SQL_BUFFER_RESULT"
+)
+
+
+def _mask(sql: str) -> tuple[str, list[str]]:
+    """Replace literals/quoted identifiers/comments with placeholders.
+
+    ``#`` comments are converted to ``--`` form as they are stored.
+    MariaDB escapes handled inside quotes: doubling ('') and backslash.
+    """
+    out: list[str] = []
+    store: list[str] = []
+    i, n = 0, len(sql)
+
+    def stash(text: str) -> None:
+        out.append(_PH.format(len(store)))
+        store.append(text)
+
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and ch != "`" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # doubled quote
+                        j += 2
+                        continue
+                    break
+                j += 1
+            stash(sql[i : min(j + 1, n)])
+            i = j + 1
+        elif ch == "#":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            stash("--" + sql[i + 1 : j])
+            i = j
+        elif ch == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            stash(sql[i:j])
+            i = j
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            stash(sql[i:j])
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), store
+
+
+def _unmask(masked: str, store: list[str]) -> str:
+    return _PH_RE.sub(lambda m: store[int(m.group(1))], masked)
+
+
+def _find_balanced(masked: str, open_at: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``open_at``.
+    Placeholders contain no parens, so a flat scan is exact."""
+    depth = 0
+    for j in range(open_at, len(masked)):
+        if masked[j] == "(":
+            depth += 1
+        elif masked[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    raise ValueError("unbalanced parentheses in SQL statement")
+
+
+def _top_level_search(pattern: str, s: str) -> re.Match | None:
+    """First regex match at paren depth 0 of ``s``."""
+    depth = 0
+    for m in re.finditer(r"[()]|" + pattern, s, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return m
+    return None
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for j, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:j])
+            start = j + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _string_literal(text: str) -> str:
+    """Spark single-quoted literal (backslash escaping — '' doubling
+    would parse as two adjacent concatenated literals in Spark)."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _literal_text(ph: str, store: list[str]) -> str | None:
+    """Raw contents if ``ph`` is exactly one string-literal placeholder."""
+    m = re.fullmatch("\x00(\\d+)\x00", ph.strip())
+    if not m:
+        return None
+    raw = store[int(m.group(1))]
+    if raw[:1] not in ("'", '"'):
+        return None
+    body = raw[1:-1]
+    body = body.replace(raw[0] * 2, raw[0])
+    body = re.sub(r"\\(.)", r"\1", body)
+    return body
+
+
+def _rewrite_group_concat(masked: str, store: list[str]) -> str:
+    out, i = [], 0
+    pat = re.compile(r"\bGROUP_CONCAT\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        inner = masked[open_at + 1 : end - 1].strip()
+
+        distinct = ""
+        dm = re.match(r"DISTINCT\b", inner, re.IGNORECASE)
+        if dm:
+            distinct = "DISTINCT "
+            inner = inner[dm.end() :].strip()
+
+        if _top_level_search(r"\bLIMIT\b", inner):
+            raise ValueError(
+                "GROUP_CONCAT(... LIMIT n) has no Spark SQL spelling — "
+                "use dialect.group_concat(limit=n) on the DataFrame side"
+            )
+
+        sep = "','"
+        sm = _top_level_search(r"\bSEPARATOR\b", inner)
+        if sm:
+            sep = inner[sm.end() :].strip()
+            inner = inner[: sm.start()].strip()
+
+        order = ""
+        om = _top_level_search(r"\bORDER\s+BY\b", inner)
+        if om:
+            order = f" WITHIN GROUP (ORDER BY {inner[om.end():].strip()})"
+            inner = inner[: om.start()].strip()
+
+        out.append(masked[i : m.start()])
+        out.append(f"listagg({distinct}{inner}, {sep}){order}")
+        i = end
+    return "".join(out)
+
+
+def _rewrite_format_calls(masked: str, store: list[str]) -> str:
+    for name, template, what in (
+        ("DATE_FORMAT", "date_format({0}, {1})", "format"),
+        ("STR_TO_DATE", "to_timestamp({0}, {1})", "parse"),
+    ):
+        pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+        out, i = [], 0
+        while True:
+            m = pat.search(masked, i)
+            if not m:
+                out.append(masked[i:])
+                break
+            open_at = masked.index("(", m.start())
+            end = _find_balanced(masked, open_at)
+            args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+            if len(args) != 2:
+                raise ValueError(f"{name} expects 2 arguments")
+            fmt = _literal_text(args[1], store)
+            if fmt is None:
+                raise ValueError(
+                    f"{name} needs a literal {what} string to translate "
+                    "(dynamic format columns: use the DataFrame dialect layer)"
+                )
+            java = translate_date_format(fmt)  # raises on %V/%X/%D etc.
+            ph = _PH.format(len(store))
+            store.append(_string_literal(java))
+            out.append(masked[i : m.start()])
+            out.append(template.format(args[0].strip(), ph))
+            i = end
+        masked = "".join(out)
+    return masked
+
+
+def translate_statement(sql: str) -> str:
+    """MariaDB statement → Spark SQL statement (see module docstring).
+
+    Pure-ANSI input passes through unchanged (modulo a stripped trailing
+    semicolon), so it is safe to run on every statement.
+    """
+    masked, store = _mask(sql)
+
+    masked = re.sub(rf"\b({_SELECT_OPTIONS})\b\s*", "", masked, flags=re.I)
+    masked = re.sub(
+        r"\b(SELECT\s+(?:DISTINCT\s+)?)STRAIGHT_JOIN\b\s*",
+        r"\1",
+        masked,
+        flags=re.IGNORECASE,
+    )
+    masked = re.sub(r"\bSTRAIGHT_JOIN\b", "JOIN", masked, flags=re.I)
+    masked = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", masked,
+        flags=re.IGNORECASE,
+    )
+    masked = _rewrite_group_concat(masked, store)
+    masked = _rewrite_format_calls(masked, store)
+    masked = re.sub(r";\s*$", "", masked)
+
+    return _unmask(masked, store)

@@ -114,8 +114,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sf_unsigned_semantics",
     "sf_oracle_mode_dialect",
     # LLM pillar: event-time
+    "sql_mariadb_front_end",
     "events_tumbling_window",
-    "events_sliding_window",
     "events_sessionization",
     "events_asof_join",
     # LLM pillar: text analysis + dedup

@@ -1391,3 +1391,47 @@ def json_contains_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_json(doc) == F.to_json(F.from_json(ws_doc, "k BIGINT")))
         .alias("equals_ws"),
     ).orderBy("event_id")
+
+
+@query(
+    "sql_mariadb_front_end",
+    section="front-end dialect translation (functions/sqltrans.py ≈ the "
+    "mysqld parse layer the reference delegates to, SURVEY §3 "
+    "getSelectPlan): a literal MariaDB statement — # comment, "
+    "SQL_CALC_FOUND_ROWS, GROUP_CONCAT(ORDER BY .. SEPARATOR), "
+    "DATE_FORMAT %-pattern, LIMIT offset,count — translated and executed",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS members,
+           strftime(DATE '1995-03-15', '%B %Y')    AS snapshot_label
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    LIMIT 3 OFFSET 1
+    """,
+)
+def sql_mariadb_front_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The switching-user smoke test: MariaDB SQL in, same rows out.
+
+    The statement below is what a reference user would paste unchanged;
+    the oracle is its hand-written ANSI equivalent. Every construct in it
+    is a parse-level rewrite (no runtime shim): the translated statement
+    runs through Spark's parser/optimizer like any other query, so
+    pushdown/pruning/whole-stage codegen all still apply.
+    """
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT SQL_CALC_FOUND_ROWS
+           n_regionkey,  # per-region member roster
+           GROUP_CONCAT(n_name ORDER BY n_name SEPARATOR '|') AS members,
+           DATE_FORMAT(DATE '1995-03-15', '%M %Y') AS snapshot_label
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    LIMIT 1, 3;
+    """
+    return spark.sql(translate_statement(stmt))

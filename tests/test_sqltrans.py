@@ -1,0 +1,140 @@
+"""MariaDB → Spark SQL translation (functions/sqltrans.py + Engine.sql).
+
+String-level rewrites are pinned first; execution tests then run real
+MariaDB-dialect statements through Engine.sql against the fixtures and
+check values (DuckDB or DataFrame-computed expectations).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mariadb_columnstore_engine_spark.functions.sqltrans import (
+    translate_statement,
+)
+
+
+# --- string-level rewrites -------------------------------------------------
+
+def test_ansi_passthrough():
+    q = "SELECT a, sum(b) FROM t WHERE c = 'x # not a comment' GROUP BY a"
+    assert translate_statement(q) == q
+
+
+def test_hash_comment_and_semicolon():
+    assert (
+        translate_statement("SELECT 1 # trailing note\nFROM t;")
+        == "SELECT 1 -- trailing note\nFROM t"
+    )
+
+
+def test_select_options_stripped():
+    assert (
+        translate_statement("SELECT SQL_CALC_FOUND_ROWS SQL_NO_CACHE a FROM t")
+        == "SELECT a FROM t"
+    )
+
+
+def test_straight_join_forms():
+    assert (
+        translate_statement("SELECT STRAIGHT_JOIN a FROM t1 STRAIGHT_JOIN t2 ON x = y")
+        == "SELECT a FROM t1 JOIN t2 ON x = y"
+    )
+
+
+def test_limit_offset_comma():
+    assert (
+        translate_statement("SELECT a FROM t ORDER BY a LIMIT 5, 10")
+        == "SELECT a FROM t ORDER BY a LIMIT 10 OFFSET 5"
+    )
+    # plain LIMIT untouched; comma inside a literal untouched
+    q = "SELECT ',' FROM t LIMIT 10"
+    assert translate_statement(q) == q
+
+
+def test_group_concat_full_form():
+    assert (
+        translate_statement(
+            "SELECT GROUP_CONCAT(DISTINCT n_name ORDER BY n_name DESC"
+            " SEPARATOR '|') FROM nation"
+        )
+        == "SELECT listagg(DISTINCT n_name, '|')"
+        " WITHIN GROUP (ORDER BY n_name DESC) FROM nation"
+    )
+
+
+def test_group_concat_bare_and_nested_args():
+    assert (
+        translate_statement("SELECT GROUP_CONCAT(concat(a, ',', b)) FROM t")
+        == "SELECT listagg(concat(a, ',', b), ',') FROM t"
+    )
+
+
+def test_group_concat_limit_raises():
+    with pytest.raises(ValueError, match="LIMIT"):
+        translate_statement("SELECT GROUP_CONCAT(a LIMIT 3) FROM t")
+
+
+def test_date_format_translated():
+    assert (
+        translate_statement("SELECT DATE_FORMAT(o_orderdate, '%Y-%m') FROM orders")
+        == "SELECT date_format(o_orderdate, 'yyyy\\'-\\'MM') FROM orders"
+    )
+
+
+def test_str_to_date_translated():
+    assert (
+        translate_statement("SELECT STR_TO_DATE(s, '%d/%m/%Y') FROM t")
+        == "SELECT to_timestamp(s, 'dd\\'/\\'MM\\'/\\'yyyy') FROM t"
+    )
+
+
+def test_week_specifier_raises():
+    with pytest.raises(ValueError, match="week-based|%X"):
+        translate_statement("SELECT DATE_FORMAT(d, '%X-%V') FROM t")
+
+
+def test_rewrites_never_fire_inside_literals():
+    q = (
+        "SELECT 'GROUP_CONCAT(x SEPARATOR 1) LIMIT 1, 2 # DATE_FORMAT', a"
+        " FROM t"
+    )
+    assert translate_statement(q) == q
+
+
+# --- execution through Engine.sql ------------------------------------------
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    return Engine(spark, sf_dir)
+
+
+def test_engine_runs_mariadb_statement(engine):
+    rows = engine.sql(
+        "SELECT n_regionkey, # per-region roster\n"
+        "       GROUP_CONCAT(n_name ORDER BY n_name SEPARATOR '|') AS names\n"
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey LIMIT 1, 2;"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[0].n_regionkey == 1  # OFFSET 1 skipped region 0
+    names = rows[0].names.split("|")
+    assert names == sorted(names) and len(names) == 5
+
+
+def test_engine_date_format_matches_duckdb(engine, duck):
+    got = {
+        (r.ym, r.n)
+        for r in engine.sql(
+            "SELECT DATE_FORMAT(o_orderdate, '%Y-%m') AS ym,"
+            " count(*) AS n FROM orders GROUP BY ym"
+        ).collect()
+    }
+    want = set(
+        duck.execute(
+            "SELECT strftime(o_orderdate, '%Y-%m') AS ym,"
+            " count(*) AS n FROM orders GROUP BY ym"
+        ).fetchall()
+    )
+    assert got == want
