@@ -55,7 +55,116 @@ class Engine:
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:
+        if name in getattr(self, "_user_tables", {}):
+            return self.spark.table(name)
         return self.catalog.table(name)
+
+    # --- user tables + statement router (DML/DDL over SQL) ---
+
+    def attach_table(self, name: str, path: str,
+                     *, keys: list[str] | None = None) -> None:
+        """Attach a user-writable parquet table for SQL + DML.
+
+        ``keys`` (optional) declares the unique key REPLACE INTO needs.
+        Catalog fixture tables stay read-only; DML targets must be
+        attached here (≈ the reference's distinction between system
+        catalog entries and user tables it owns extents for)."""
+        if not hasattr(self, "_user_tables"):
+            self._user_tables: dict[str, dict] = {}
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        self._user_tables[name] = {"path": path, "keys": keys or []}
+
+    def _writable(self, table: str) -> dict:
+        info = getattr(self, "_user_tables", {}).get(table)
+        if info is None:
+            raise ValueError(
+                f"table {table!r} is not attached for DML — catalog "
+                "fixture tables are read-only; Engine.attach_table() a "
+                "user-owned path first"
+            )
+        return info
+
+    def _refresh(self, table: str) -> None:
+        info = self._writable(table)
+        self.spark.catalog.clearCache()
+        self.spark.read.parquet(info["path"]).createOrReplaceTempView(table)
+
+    def execute(self, stmt: str, *, dialect: str = "mariadb"):
+        """Run ONE SQL statement of any supported kind.
+
+        SELECT/WITH/VALUES → DataFrame (via the dialect-translating query
+        path). INSERT/REPLACE/UPDATE/DELETE → copy-on-write DML against
+        an attached table, returning the table's new row count.
+        CREATE/DROP VIEW, DESCRIBE → facade metadata ops.
+        (≈ mysqld routing statements to the select handler vs
+        DMLProc/DDLProc packages, SURVEY §3.)
+        """
+        import pyspark.sql.functions as F
+
+        from mariadb_columnstore_engine_spark import statements as st
+        from mariadb_columnstore_engine_spark.sources import dml
+
+        parsed = st.parse(stmt)
+        if isinstance(parsed, st.Other):
+            if parsed.kind == "select":
+                return self.sql(parsed.arg, dialect=dialect)
+            if parsed.kind == "drop_view":
+                return self.drop_view(parsed.arg)
+            return self.describe(parsed.arg)
+        if isinstance(parsed, st.CreateView):
+            return self.create_view(parsed.name, parsed.select_sql)
+
+        info = self._writable(parsed.table)
+        path = info["path"]
+        if isinstance(parsed, st.Insert):
+            src = self.sql(parsed.source_sql, dialect=dialect)
+            target = self.spark.read.parquet(path)
+            cols = parsed.columns or [f.name for f in target.schema.fields]
+            if len(src.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT provides {len(src.columns)} columns for "
+                    f"{len(cols)} target columns"
+                )
+            aligned = src.toDF(*cols)
+            # missing columns → NULL; everything cast to the target type
+            out = aligned.select(
+                *[
+                    (
+                        F.col(f.name) if f.name in cols
+                        else F.lit(None)
+                    ).cast(f.dataType).alias(f.name)
+                    for f in target.schema.fields
+                ]
+            )
+            if parsed.replace:
+                if not info["keys"]:
+                    raise ValueError(
+                        "REPLACE INTO needs attach_table(keys=[...])"
+                    )
+                n = dml.replace_into(self.spark, path, out, info["keys"])
+            else:
+                out.write.mode("append").parquet(path)
+                n = self.spark.read.parquet(path).count()
+            self._refresh(parsed.table)
+            return n
+        if isinstance(parsed, st.Update):
+            n = dml.update_where(
+                self.spark,
+                path,
+                F.expr(parsed.where) if parsed.where else F.lit(True),
+                {c: F.expr(e) for c, e in parsed.assignments.items()},
+            )
+            self._refresh(parsed.table)
+            return n
+        if isinstance(parsed, st.Delete):
+            n = dml.delete_where(
+                self.spark,
+                path,
+                F.expr(parsed.where) if parsed.where else F.lit(True),
+            )
+            self._refresh(parsed.table)
+            return n
+        raise AssertionError(f"unroutable statement: {parsed!r}")
 
     def tables(self) -> tuple[str, ...]:
         return TABLES

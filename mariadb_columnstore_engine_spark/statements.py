@@ -1,0 +1,171 @@
+"""SQL statement parsing for the engine's DML/DDL router (Engine.execute).
+
+Reference analogue: the reference accepts DML/DDL as SQL — mysqld parses
+it (dbcon/dmlpackage/dml.y, dbcon/ddlpackage/ddl.y) and hands packages to
+DMLProc/DDLProc. Here a deliberately small parser recognizes the
+statement *shape* (which table, which assignments, which predicate) and
+the engine routes the pieces to the copy-on-write DML layer
+(sources/dml.py) and the view/describe facade; the expressions themselves
+are never interpreted — they pass to Spark as ``F.expr`` text, so the
+full function library is available inside SET/WHERE/VALUES.
+
+Parsing runs on the MASKED statement (literals/comments → placeholders,
+functions/sqltrans.py), so keywords in string literals can never confuse
+the shape detection; fragments are unmasked before they reach Spark.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from mariadb_columnstore_engine_spark.functions.sqltrans import (
+    _mask,
+    _split_top_level_commas,
+    _top_level_search,
+    _unmask,
+)
+
+
+@dataclass
+class Insert:
+    table: str
+    columns: list[str]  # empty = table order
+    source_sql: str  # "VALUES ..." or "SELECT ..." (unmasked)
+    replace: bool = False
+
+
+@dataclass
+class Update:
+    table: str
+    assignments: dict[str, str] = field(default_factory=dict)
+    where: str | None = None
+
+
+@dataclass
+class Delete:
+    table: str
+    where: str | None = None
+
+
+@dataclass
+class CreateView:
+    name: str
+    select_sql: str
+    or_replace: bool = False
+
+
+@dataclass
+class Other:
+    kind: str  # "select" | "drop_view" | "describe"
+    arg: str
+
+
+def _ident(tok: str, store: list[str]) -> str:
+    """Unmask and unquote a table/column identifier token."""
+    t = _unmask(tok, store).strip()
+    if t.startswith("`") and t.endswith("`"):
+        t = t[1:-1].replace("``", "`")
+    return t
+
+
+def parse(sql: str):
+    """Classify one statement; returns a dataclass above.
+
+    SELECT/WITH/VALUES statements come back as ``Other("select", sql)``
+    untouched — the router sends those to the query path.
+    """
+    masked, store = _mask(sql)
+    masked = re.sub(r";\s*$", "", masked.strip())
+
+    def rest_of(m: re.Match) -> str:
+        return masked[m.end() :].strip()
+
+    m = re.match(r"(SELECT|WITH|VALUES)\b", masked, re.IGNORECASE)
+    if m:
+        return Other("select", sql)
+
+    m = re.match(
+        r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+(\S+)\s*",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        body = rest_of(m)
+        cols: list[str] = []
+        cm = re.match(r"\(([^)]*)\)\s*", body)
+        if cm and not re.match(r"\(\s*SELECT\b", body, re.IGNORECASE):
+            cols = [
+                _ident(c, store) for c in cm.group(1).split(",") if c.strip()
+            ]
+            body = body[cm.end() :]
+        if not re.match(r"(VALUES|SELECT|WITH)\b", body, re.IGNORECASE):
+            raise ValueError(
+                "INSERT source must be VALUES, SELECT or WITH"
+            )
+        return Insert(
+            table=_ident(m.group(2), store),
+            columns=cols,
+            source_sql=_unmask(body, store),
+            replace=m.group(1).upper() == "REPLACE",
+        )
+
+    m = re.match(r"UPDATE\s+(\S+)\s+SET\s+", masked, re.IGNORECASE)
+    if m:
+        body = rest_of(re.match(r"UPDATE\s+\S+\s+SET", masked, re.IGNORECASE))
+        where = None
+        wm = _top_level_search(r"\bWHERE\b", body)
+        if wm:
+            where = _unmask(body[wm.end() :].strip(), store)
+            body = body[: wm.start()].strip()
+        assignments: dict[str, str] = {}
+        for part in _split_top_level_commas(body):
+            am = re.match(r"\s*(\S+)\s*=\s*(.+)\s*$", part, re.DOTALL)
+            if not am:
+                raise ValueError(f"cannot parse SET assignment: {part!r}")
+            assignments[_ident(am.group(1), store)] = _unmask(
+                am.group(2).strip(), store
+            )
+        return Update(
+            table=_ident(m.group(1), store),
+            assignments=assignments,
+            where=where,
+        )
+
+    m = re.match(r"DELETE\s+FROM\s+(\S+)\s*", masked, re.IGNORECASE)
+    if m:
+        body = rest_of(m)
+        where = None
+        if body:
+            wm = re.match(r"WHERE\b", body, re.IGNORECASE)
+            if not wm:
+                raise ValueError(f"unexpected DELETE clause: {body[:40]!r}")
+            where = _unmask(body[wm.end() :].strip(), store)
+        return Delete(table=_ident(m.group(1), store), where=where)
+
+    m = re.match(
+        r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\S+)\s+AS\s+",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        return CreateView(
+            name=_ident(m.group(2), store),
+            select_sql=_unmask(rest_of(m), store),
+            or_replace=bool(m.group(1)),
+        )
+
+    m = re.match(r"DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\S+)", masked, re.I)
+    if m:
+        return Other("drop_view", _ident(m.group(1), store))
+
+    m = re.match(r"(?:DESCRIBE|DESC)\s+(\S+)", masked, re.IGNORECASE)
+    if m:
+        return Other("describe", _ident(m.group(1), store))
+
+    raise ValueError(
+        f"unsupported statement: {sql.strip().split(None, 1)[0]!r} — "
+        "supported: SELECT/WITH/VALUES, INSERT [IGNORE] INTO, REPLACE "
+        "INTO, UPDATE, DELETE, CREATE [OR REPLACE] VIEW, DROP VIEW, "
+        "DESCRIBE"
+    )

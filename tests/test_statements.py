@@ -1,0 +1,118 @@
+"""Engine.execute statement router: SQL DML/DDL end-to-end.
+
+Reference analogue: DML/DDL arrive as SQL and route to DMLProc/DDLProc
+packages (dbcon/dmlpackage/dml.y, SURVEY §3 entry point 3). Tests pin the
+router's shape detection (masked parsing) and the copy-on-write effects
+on an attached user table.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mariadb_columnstore_engine_spark import statements as st
+
+
+# --- parser shape detection -------------------------------------------------
+
+def test_parse_update_with_nested_commas_and_where():
+    p = st.parse(
+        "UPDATE `t1` SET a = greatest(b, 2), note = 'x, WHERE y' "
+        "WHERE id IN (1, 2) AND note <> 'WHERE'"
+    )
+    assert isinstance(p, st.Update)
+    assert p.table == "t1"
+    assert p.assignments == {
+        "a": "greatest(b, 2)",
+        "note": "'x, WHERE y'",
+    }
+    assert p.where == "id IN (1, 2) AND note <> 'WHERE'"
+
+
+def test_parse_delete_and_insert_forms():
+    d = st.parse("DELETE FROM t1")
+    assert isinstance(d, st.Delete) and d.where is None
+    i = st.parse("INSERT INTO t1 (id, val) VALUES (1, 'a'), (2, 'b;c')")
+    assert isinstance(i, st.Insert)
+    assert i.columns == ["id", "val"] and not i.replace
+    assert i.source_sql.startswith("VALUES")
+    r = st.parse("REPLACE INTO t1 SELECT * FROM t2;")
+    assert isinstance(r, st.Insert) and r.replace and r.columns == []
+
+
+def test_parse_rejects_unsupported():
+    with pytest.raises(ValueError, match="unsupported statement"):
+        st.parse("TRUNCATE TABLE t1")
+
+
+# --- execution --------------------------------------------------------------
+
+@pytest.fixture()
+def engine_with_table(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    path = str(tmp_path / "t1")
+    spark.range(0, 10).select(
+        F.col("id"),
+        (F.col("id") * 10).cast("double").alias("val"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.concat(F.lit("n"), F.col("id")))
+        .alias("note"),
+    ).write.parquet(path)
+    eng.attach_table("t1", path, keys=["id"])
+    return eng
+
+
+def test_insert_values_and_select(engine_with_table):
+    eng = engine_with_table
+    n = eng.execute("INSERT INTO t1 (id, val) VALUES (100, 1.5), (101, 2.5)")
+    assert n == 12
+    row = eng.execute(
+        "SELECT val, note FROM t1 WHERE id = 100"
+    ).collect()[0]
+    assert row.val == 1.5 and row.note is None  # missing col -> NULL
+    # INSERT .. SELECT
+    assert eng.execute("INSERT INTO t1 SELECT id + 200, val, note FROM t1") == 24
+
+
+def test_update_where(engine_with_table):
+    eng = engine_with_table
+    eng.execute("UPDATE t1 SET val = val + 1000 WHERE id >= 5")
+    got = {
+        r.id: r.val for r in eng.execute("SELECT id, val FROM t1").collect()
+    }
+    assert got[4] == 40.0 and got[5] == 1050.0
+
+
+def test_delete_null_predicate_keeps_null_rows(engine_with_table):
+    eng = engine_with_table
+    # note = 'n1' is NULL for ids 0,3,6,9 — SQL DELETE must keep those
+    n = eng.execute("DELETE FROM t1 WHERE note = 'n1'")
+    assert n == 9
+    ids = {r.id for r in eng.execute("SELECT id FROM t1").collect()}
+    assert 1 not in ids and {0, 3, 6, 9} <= ids
+
+
+def test_replace_into(engine_with_table):
+    eng = engine_with_table
+    n = eng.execute("REPLACE INTO t1 VALUES (3, 999.0, 'swapped')")
+    assert n == 10  # delete-then-insert keeps the count
+    row = eng.execute("SELECT * FROM t1 WHERE id = 3").collect()[0]
+    assert row.val == 999.0 and row.note == "swapped"
+
+
+def test_dml_on_fixture_table_rejected(engine_with_table):
+    with pytest.raises(ValueError, match="read-only"):
+        engine_with_table.execute("DELETE FROM nation WHERE n_nationkey = 0")
+
+
+def test_view_and_describe_via_execute(engine_with_table):
+    eng = engine_with_table
+    eng.execute("CREATE VIEW big_vals AS SELECT id FROM t1 WHERE val > 50")
+    assert eng.execute("SELECT count(*) AS n FROM big_vals").collect()[0].n == 4
+    cols = dict(eng.execute("DESCRIBE t1"))
+    assert cols == {"id": "bigint", "val": "double", "note": "string"}
+    eng.execute("DROP VIEW big_vals")
