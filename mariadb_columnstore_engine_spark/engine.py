@@ -26,9 +26,12 @@ from mariadb_columnstore_engine_spark.session import get_session
 class Engine:
     """SQL + DataFrame entry point over a directory of parquet tables."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 warehouse: str | None = None):
         self.spark = spark
         self.catalog = Catalog(spark, sf_dir)
+        #: directory CREATE TABLE AS SELECT materializes into
+        self.warehouse = warehouse
         self.catalog.register_views()
         register_all(spark)
         self._register_persisted_views()
@@ -69,9 +72,13 @@ class Engine:
         Catalog fixture tables stay read-only; DML targets must be
         attached here (≈ the reference's distinction between system
         catalog entries and user tables it owns extents for)."""
+        from mariadb_columnstore_engine_spark.sources.ingest import (
+            read_table_evolved,
+        )
+
         if not hasattr(self, "_user_tables"):
             self._user_tables: dict[str, dict] = {}
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        read_table_evolved(self.spark, path).createOrReplaceTempView(name)
         self._user_tables[name] = {"path": path, "keys": keys or []}
 
     def _writable(self, table: str) -> dict:
@@ -85,9 +92,15 @@ class Engine:
         return info
 
     def _refresh(self, table: str) -> None:
+        from mariadb_columnstore_engine_spark.sources.ingest import (
+            read_table_evolved,
+        )
+
         info = self._writable(table)
         self.spark.catalog.clearCache()
-        self.spark.read.parquet(info["path"]).createOrReplaceTempView(table)
+        read_table_evolved(self.spark, info["path"]).createOrReplaceTempView(
+            table
+        )
 
     def execute(self, stmt: str, *, dialect: str = "mariadb"):
         """Run ONE SQL statement of any supported kind.
@@ -110,9 +123,42 @@ class Engine:
                 return self.sql(parsed.arg, dialect=dialect)
             if parsed.kind == "drop_view":
                 return self.drop_view(parsed.arg)
+            if parsed.kind == "truncate":
+                path = self._writable(parsed.arg)["path"]
+                n = dml.delete_where(self.spark, path, F.lit(True))
+                self._refresh(parsed.arg)
+                return n
             return self.describe(parsed.arg)
         if isinstance(parsed, st.CreateView):
             return self.create_view(parsed.name, parsed.select_sql)
+        if isinstance(parsed, st.CreateTable):
+            import os
+
+            if self.warehouse is None:
+                raise ValueError(
+                    "CREATE TABLE AS SELECT needs Engine(warehouse=...) "
+                    "to know where to materialize"
+                )
+            path = os.path.join(self.warehouse, parsed.name)
+            df = self.sql(parsed.select_sql, dialect=dialect)
+            df.write.mode("errorifexists").parquet(path)
+            self.attach_table(parsed.name, path)
+            return self.spark.table(parsed.name).count()
+        if isinstance(parsed, st.Alter):
+            from mariadb_columnstore_engine_spark.sources.ingest import (
+                alter_add_column,
+                alter_drop_column,
+            )
+
+            path = self._writable(parsed.table)["path"]
+            if parsed.action == "add":
+                alter_add_column(
+                    path, parsed.column, parsed.dtype, parsed.default
+                )
+            else:
+                alter_drop_column(path, parsed.column)
+            self._refresh(parsed.table)
+            return None
 
         info = self._writable(parsed.table)
         path = info["path"]
@@ -136,12 +182,21 @@ class Engine:
                     for f in target.schema.fields
                 ]
             )
-            if parsed.replace:
+            if parsed.replace or parsed.on_dup_update:
                 if not info["keys"]:
                     raise ValueError(
-                        "REPLACE INTO needs attach_table(keys=[...])"
+                        "REPLACE INTO / ON DUPLICATE KEY UPDATE need "
+                        "attach_table(keys=[...])"
                     )
-                n = dml.replace_into(self.spark, path, out, info["keys"])
+                if parsed.replace:
+                    n = dml.replace_into(
+                        self.spark, path, out, info["keys"]
+                    )
+                else:
+                    n = dml.upsert_into(
+                        self.spark, path, out, info["keys"],
+                        update_cols=parsed.on_dup_update,
+                    )
             else:
                 out.write.mode("append").parquet(path)
                 n = self.spark.read.parquet(path).count()

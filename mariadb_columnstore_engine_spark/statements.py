@@ -33,6 +33,24 @@ class Insert:
     columns: list[str]  # empty = table order
     source_sql: str  # "VALUES ..." or "SELECT ..." (unmasked)
     replace: bool = False
+    #: ON DUPLICATE KEY UPDATE c = VALUES(c) targets (take-new-value
+    #: form only; general update expressions raise at parse time)
+    on_dup_update: list[str] = field(default_factory=list)
+
+
+@dataclass
+class CreateTable:
+    name: str
+    select_sql: str
+
+
+@dataclass
+class Alter:
+    table: str
+    action: str  # "add" | "drop"
+    column: str
+    dtype: str | None = None
+    default: object = None
 
 
 @dataclass
@@ -103,11 +121,31 @@ def parse(sql: str):
             raise ValueError(
                 "INSERT source must be VALUES, SELECT or WITH"
             )
+        on_dup: list[str] = []
+        om = _top_level_search(r"\bON\s+DUPLICATE\s+KEY\s+UPDATE\b", body)
+        if om:
+            for part in _split_top_level_commas(body[om.end() :]):
+                am = re.fullmatch(
+                    r"\s*(\S+)\s*=\s*VALUES\s*\(\s*(\S+?)\s*\)\s*",
+                    part,
+                    re.IGNORECASE,
+                )
+                if not am or _ident(am.group(1), store) != _ident(
+                    am.group(2), store
+                ):
+                    raise ValueError(
+                        "ON DUPLICATE KEY UPDATE supports the "
+                        "c = VALUES(c) form only (take the new value); "
+                        "general expressions: use sources.dml.upsert_into"
+                    )
+                on_dup.append(_ident(am.group(1), store))
+            body = body[: om.start()].strip()
         return Insert(
             table=_ident(m.group(2), store),
             columns=cols,
             source_sql=_unmask(body, store),
             replace=m.group(1).upper() == "REPLACE",
+            on_dup_update=on_dup,
         )
 
     m = re.match(r"UPDATE\s+(\S+)\s+SET\s+", masked, re.IGNORECASE)
@@ -144,6 +182,59 @@ def parse(sql: str):
         return Delete(table=_ident(m.group(1), store), where=where)
 
     m = re.match(
+        r"CREATE\s+TABLE\s+(\S+)\s+AS\s+", masked, re.IGNORECASE
+    )
+    if m:
+        return CreateTable(
+            name=_ident(m.group(1), store),
+            select_sql=_unmask(rest_of(m), store),
+        )
+
+    m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\S+)\s*$", masked, re.I)
+    if m:
+        return Other("truncate", _ident(m.group(1), store))
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(\S+)\s+(\S+)"
+        r"(?:\s+DEFAULT\s+(\S+))?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        default = None
+        if m.group(4) is not None:
+            tok = _unmask(m.group(4), store)
+            if re.fullmatch(r"'.*'", tok, re.DOTALL):
+                default = tok[1:-1].replace("''", "'")
+            elif re.fullmatch(r"-?\d+", tok):
+                default = int(tok)
+            elif re.fullmatch(r"-?\d*\.\d+", tok):
+                default = float(tok)
+            elif tok.upper() != "NULL":
+                raise ValueError(
+                    f"ADD COLUMN DEFAULT must be a literal, got {tok!r}"
+                )
+        return Alter(
+            table=_ident(m.group(1), store),
+            action="add",
+            column=_ident(m.group(2), store),
+            dtype=_unmask(m.group(3), store),
+            default=default,
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+DROP\s+(?:COLUMN\s+)?(\S+)\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        return Alter(
+            table=_ident(m.group(1), store),
+            action="drop",
+            column=_ident(m.group(2), store),
+        )
+
+    m = re.match(
         r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\S+)\s+AS\s+",
         masked,
         re.IGNORECASE,
@@ -165,7 +256,8 @@ def parse(sql: str):
 
     raise ValueError(
         f"unsupported statement: {sql.strip().split(None, 1)[0]!r} — "
-        "supported: SELECT/WITH/VALUES, INSERT [IGNORE] INTO, REPLACE "
-        "INTO, UPDATE, DELETE, CREATE [OR REPLACE] VIEW, DROP VIEW, "
-        "DESCRIBE"
+        "supported: SELECT/WITH/VALUES, INSERT [IGNORE] INTO "
+        "[.. ON DUPLICATE KEY UPDATE], REPLACE INTO, UPDATE, DELETE, "
+        "TRUNCATE, CREATE TABLE AS, ALTER TABLE ADD/DROP COLUMN, "
+        "CREATE [OR REPLACE] VIEW, DROP VIEW, DESCRIBE"
     )

@@ -42,7 +42,7 @@ def test_parse_delete_and_insert_forms():
 
 def test_parse_rejects_unsupported():
     with pytest.raises(ValueError, match="unsupported statement"):
-        st.parse("TRUNCATE TABLE t1")
+        st.parse("GRANT SELECT ON t1 TO someone")
 
 
 # --- execution --------------------------------------------------------------
@@ -116,3 +116,55 @@ def test_view_and_describe_via_execute(engine_with_table):
     cols = dict(eng.execute("DESCRIBE t1"))
     assert cols == {"id": "bigint", "val": "double", "note": "string"}
     eng.execute("DROP VIEW big_vals")
+
+
+def test_ctas_and_truncate(engine_with_table, tmp_path):
+    eng = engine_with_table
+    eng.warehouse = str(tmp_path / "wh")
+    n = eng.execute(
+        "CREATE TABLE evens AS SELECT id, val FROM t1 WHERE id % 2 = 0"
+    )
+    assert n == 5
+    assert eng.execute("SELECT max(id) AS m FROM evens").collect()[0].m == 8
+    assert eng.execute("TRUNCATE TABLE evens") == 0
+    assert eng.execute("SELECT count(*) AS n FROM evens").collect()[0].n == 0
+    # original untouched
+    assert eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n == 10
+
+
+def test_on_duplicate_key_update(engine_with_table):
+    eng = engine_with_table
+    n = eng.execute(
+        "INSERT INTO t1 VALUES (3, 333.0, 'upserted'), (50, 500.0, 'new')"
+        " ON DUPLICATE KEY UPDATE val = VALUES(val)"
+    )
+    assert n == 11  # one matched, one appended
+    rows = {
+        r.id: (r.val, r.note)
+        for r in eng.execute("SELECT * FROM t1 WHERE id IN (3, 50)").collect()
+    }
+    # matched row: val updated, note SURVIVES (upsert, not replace)
+    assert rows[3] == (333.0, None)
+    assert rows[50] == (500.0, "new")
+
+
+def test_on_duplicate_general_expr_rejected():
+    with pytest.raises(ValueError, match="VALUES"):
+        st.parse(
+            "INSERT INTO t1 VALUES (1, 2)"
+            " ON DUPLICATE KEY UPDATE val = val + 1"
+        )
+
+
+def test_alter_table_add_drop_column(engine_with_table):
+    eng = engine_with_table
+    eng.execute("ALTER TABLE t1 ADD COLUMN flag INT DEFAULT 7")
+    cols = dict(eng.execute("DESCRIBE t1"))
+    assert cols["flag"] == "int"
+    # pre-ALTER rows surface the default instantly (no rewrite)
+    assert (
+        eng.execute("SELECT count(*) AS n FROM t1 WHERE flag = 7")
+        .collect()[0].n == 10
+    )
+    eng.execute("ALTER TABLE t1 DROP COLUMN flag")
+    assert "flag" not in dict(eng.execute("DESCRIBE t1"))
