@@ -171,8 +171,10 @@ def read_jdbc(
 
     With ``partition_column`` + bounds the scan parallelizes across
     ``num_partitions`` executors — the JDBC equivalent of the reference
-    fanning extent scans across PMs. Untestable in this container (no
-    database server / JDBC driver); exercised in deployments only.
+    fanning extent scans across PMs. Tested against embedded Derby
+    (in-JVM foreign engine, tests/test_cross_engine.py): plain scans,
+    partitioned parallel scans, full-query pushdown, and the
+    CrossEngineStep join shape (foreign dim × native fact).
     """
     reader = spark.read.format("jdbc").option("url", url)
     if table_or_query.strip().lower().startswith("select"):
