@@ -123,6 +123,13 @@ class Engine:
                 return self.sql(parsed.arg, dialect=dialect)
             if parsed.kind == "drop_view":
                 return self.drop_view(parsed.arg)
+            if parsed.kind == "explain":
+                return self.explain(parsed.arg)
+            if parsed.kind == "show_tables":
+                return sorted(
+                    set(TABLES)
+                    | set(getattr(self, "_user_tables", {}))
+                )
             if parsed.kind == "truncate":
                 path = self._writable(parsed.arg)["path"]
                 n = dml.delete_where(self.spark, path, F.lit(True))

@@ -328,3 +328,25 @@ def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
             )
     keep = [c for c in df.columns if c not in evo["dropped"]]
     return df.select(*keep)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Foreign-sink write (the reverse CrossEngineStep direction —
+    INSERT INTO a foreign-engine table from engine results; the
+    reference routes such writes back through mysqld). Each partition
+    opens one JDBC connection and batches inserts, so write parallelism
+    = partition count; repartition before calling to match the foreign
+    server's connection budget. Tested against embedded Derby."""
+    writer = df.write.format("jdbc").option("url", url).option(
+        "dbtable", table
+    ).mode(mode)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -103,6 +103,13 @@ def parse(sql: str):
     if m:
         return Other("select", sql)
 
+    m = re.match(r"EXPLAIN\s+", masked, re.IGNORECASE)
+    if m:
+        return Other("explain", _unmask(rest_of(m), store))
+
+    if re.fullmatch(r"SHOW\s+TABLES\s*", masked, re.IGNORECASE):
+        return Other("show_tables", "")
+
     m = re.match(
         r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+(\S+)\s*",
         masked,

@@ -101,3 +101,17 @@ def test_jdbc_query_pushdown_form(spark, derby):
     )
     got = {r.TIER: r.TOTAL_W for r in df.collect()}
     assert got == {"core": 1.8, "growth": 0.9, "frontier": 0.2}
+
+
+def test_jdbc_write_roundtrip(spark, derby):
+    from mariadb_columnstore_engine_spark.sources.ingest import write_jdbc
+
+    out = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    # single connection to the embedded DB; a real server takes more
+    write_jdbc(out.repartition(1), derby, "pushed_back", properties=_PROPS)
+    back = read_jdbc(spark, derby, "pushed_back", properties=_PROPS)
+    assert back.count() == 50
+    assert back.agg(F.sum("V")).collect()[0][0] == sum(i * 2.0 for i in range(50))

@@ -168,3 +168,11 @@ def test_alter_table_add_drop_column(engine_with_table):
     )
     eng.execute("ALTER TABLE t1 DROP COLUMN flag")
     assert "flag" not in dict(eng.execute("DESCRIBE t1"))
+
+
+def test_explain_and_show_tables(engine_with_table):
+    eng = engine_with_table
+    plan = eng.execute("EXPLAIN SELECT count(*) FROM t1 WHERE id > 3")
+    assert "Physical Plan" in plan and "HashAggregate" in plan
+    tables = eng.execute("SHOW TABLES")
+    assert "t1" in tables and "lineitem" in tables
