@@ -156,3 +156,50 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame,
     stream: each micro-batch does a map-side hash join. Stateless — no
     watermark needed for an inner stream-static equi-join."""
     return events.join(F.broadcast(dim), key, "inner")
+
+
+def hourly_rollup_stream(events: DataFrame, *, watermark: str = "1 hour"
+                         ) -> DataFrame:
+    """Streaming hourly tier of the hierarchical rollup — the
+    continuous-aggregate maintenance loop: incrementally maintain the
+    hour×type partials (exact integer cents, same expressions as
+    plans/events_plans.hierarchical_rollup); daily/weekly tiers derive
+    from this tier in batch via ``daily_from_hourly`` without ever
+    re-reading raw events. State is bounded by watermark horizon ×
+    (hours × event types)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("bucket_h"), "event_type", "n", "cents"
+        )
+    )
+
+
+def daily_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Batch daily tier over the (streamed or batch) hourly partials —
+    identical to the day tier of plans/events_plans.hierarchical_rollup,
+    shared so stream-maintained and batch-computed rollups are
+    comparable row-for-row."""
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket_h")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.count(F.lit(1)).cast("long").alias("active_hours"),
+            F.max("n").cast("long").alias("peak_hour_events"),
+        )
+        .orderBy("day", "event_type")
+    )

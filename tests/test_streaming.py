@@ -165,3 +165,26 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected and got
+
+
+def test_stream_hierarchical_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous-aggregate loop: stream-maintained hourly partials +
+    batch daily derivation == the all-batch hierarchical rollup."""
+    from mariadb_columnstore_engine_spark.plans import load_all
+
+    src = _stage_events(spark, sf_dir, tmp_path)
+    hourly = pipeline.hourly_rollup_stream(
+        pipeline.read_event_stream(spark, src)
+    )
+    pipeline.run_available_now(
+        hourly,
+        checkpoint=str(tmp_path / "ckpt_rollup"),
+        query_name="hourly_tier",
+    )
+    streamed_daily = pipeline.daily_from_hourly(
+        spark.sql("SELECT * FROM hourly_tier")
+    ).collect()
+    batch_daily = load_all()["events_hierarchical_rollup"].fn(
+        spark, sf_dir
+    ).collect()
+    assert streamed_daily == batch_daily
