@@ -241,6 +241,100 @@ def _rewrite_format_calls(masked: str, store: list[str]) -> str:
     return masked
 
 
+#: MariaDB functions Spark SQL lacks, rewritten as inline expressions
+#: (formulas shared with functions/dialect.py and the sf_datetime
+#: batteries; TO_DAYS epoch per func_to_days.cpp — Gregorian dates only).
+_FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
+    ("TIME_TO_SEC", 1, "(hour({0}) * 3600 + minute({0}) * 60 + second({0}))"),
+    (
+        "SEC_TO_TIME",
+        1,
+        "concat(lpad(cast(cast(floor(({0}) / 3600) as bigint) as string),"
+        " 2, '0'), ':',"
+        " lpad(cast(cast(floor((({0}) % 3600) / 60) as bigint) as string),"
+        " 2, '0'), ':',"
+        " lpad(cast(cast(({0}) % 60 as bigint) as string), 2, '0'))",
+    ),
+    ("TO_DAYS", 1, "(datediff({0}, DATE'1970-01-01') + 719528)"),
+    (
+        "FROM_DAYS",
+        1,
+        "date_add(DATE'1970-01-01', cast(({0}) - 719528 as int))",
+    ),
+    ("FORMAT", 2, "format_number({0}, {1})"),
+    (
+        "INET_ATON",
+        1,
+        "(cast(element_at(split({0}, '\\\\.'), 1) as bigint) * 16777216"
+        " + cast(element_at(split({0}, '\\\\.'), 2) as bigint) * 65536"
+        " + cast(element_at(split({0}, '\\\\.'), 3) as bigint) * 256"
+        " + cast(element_at(split({0}, '\\\\.'), 4) as bigint))",
+    ),
+    (
+        "INET_NTOA",
+        1,
+        "concat(cast(cast(floor(({0}) / 16777216) % 256 as bigint) as"
+        " string), '.',"
+        " cast(cast(floor(({0}) / 65536) % 256 as bigint) as string), '.',"
+        " cast(cast(floor(({0}) / 256) % 256 as bigint) as string), '.',"
+        " cast(cast(({0}) % 256 as bigint) as string))",
+    ),
+)
+
+
+def _rewrite_fn_templates(masked: str, store: list[str]) -> str:
+    for name, n_args, template in _FN_TEMPLATES:
+        pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+        out, i = [], 0
+        while True:
+            m = pat.search(masked, i)
+            if not m:
+                out.append(masked[i:])
+                break
+            open_at = masked.index("(", m.start())
+            end = _find_balanced(masked, open_at)
+            args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+            if len(args) != n_args:
+                raise ValueError(f"{name} expects {n_args} argument(s)")
+            out.append(masked[i : m.start()])
+            out.append(template.format(*(a.strip() for a in args)))
+            i = end
+        masked = "".join(out)
+    return masked
+
+
+def _rewrite_interval_arith(masked: str, store: list[str]) -> str:
+    """DATE_ADD/DATE_SUB/ADDDATE/SUBDATE with an INTERVAL second argument
+    → plain interval arithmetic (Spark's date_add only takes day counts;
+    the integer-days form parses natively and is left alone)."""
+    for names, op in ((("DATE_ADD", "ADDDATE"), "+"), (("DATE_SUB", "SUBDATE"), "-")):
+        for name in names:
+            pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+            out, i = [], 0
+            while True:
+                m = pat.search(masked, i)
+                if not m:
+                    out.append(masked[i:])
+                    break
+                open_at = masked.index("(", m.start())
+                end = _find_balanced(masked, open_at)
+                args = _split_top_level_commas(
+                    masked[open_at + 1 : end - 1]
+                )
+                out.append(masked[i : m.start()])
+                if len(args) == 2 and re.match(
+                    r"\s*INTERVAL\b", args[1], re.IGNORECASE
+                ):
+                    out.append(
+                        f"({args[0].strip()} {op} {args[1].strip()})"
+                    )
+                else:  # integer-days form: Spark-native, keep verbatim
+                    out.append(masked[m.start() : end])
+                i = end
+            masked = "".join(out)
+    return masked
+
+
 def translate_statement(sql: str) -> str:
     """MariaDB statement → Spark SQL statement (see module docstring).
 
@@ -263,6 +357,8 @@ def translate_statement(sql: str) -> str:
     )
     masked = _rewrite_group_concat(masked, store)
     masked = _rewrite_format_calls(masked, store)
+    masked = _rewrite_interval_arith(masked, store)
+    masked = _rewrite_fn_templates(masked, store)
     masked = re.sub(r";\s*$", "", masked)
 
     return _unmask(masked, store)

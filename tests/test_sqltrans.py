@@ -138,3 +138,43 @@ def test_engine_date_format_matches_duckdb(engine, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_fn_templates_execute_known_vectors(spark):
+    """The inline-expression rewrites reproduce MariaDB documented values."""
+    got = spark.sql(
+        translate_statement(
+            "SELECT TO_DAYS(DATE '1997-10-07') AS d,"
+            " FROM_DAYS(729669) AS rt,"
+            " TIME_TO_SEC(TIMESTAMP '2000-01-01 22:23:00') AS tts,"
+            " SEC_TO_TIME(2378) AS stt,"
+            " FORMAT(12332.123456, 4) AS fm,"
+            " INET_ATON('10.0.5.9') AS ia,"
+            " INET_NTOA(167773449) AS inn"
+        )
+    ).collect()[0]
+    assert got.d == 729669  # MariaDB docs TO_DAYS example
+    assert str(got.rt) == "1997-10-07"
+    assert got.tts == 80580 and got.stt == "00:39:38"
+    assert got.fm == "12,332.1235"
+    assert got.ia == 167773449 and got.inn == "10.0.5.9"
+
+
+def test_interval_arith_rewrite(spark):
+    assert (
+        translate_statement("SELECT DATE_ADD(d, INTERVAL 31 DAY) FROM t")
+        == "SELECT (d + INTERVAL 31 DAY) FROM t"
+    )
+    assert (
+        translate_statement("SELECT SUBDATE(d, INTERVAL 2 MONTH) FROM t")
+        == "SELECT (d - INTERVAL 2 MONTH) FROM t"
+    )
+    # integer-days form is Spark-native, untouched
+    q = "SELECT DATE_ADD(d, 7) FROM t"
+    assert translate_statement(q) == q
+    row = spark.sql(
+        translate_statement(
+            "SELECT DATE_ADD(DATE '1998-01-02', INTERVAL 31 DAY) AS x"
+        )
+    ).collect()[0]
+    assert str(row.x) == "1998-02-02"
