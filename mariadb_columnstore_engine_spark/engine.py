@@ -170,8 +170,15 @@ class Engine:
         info = self._writable(parsed.table)
         path = info["path"]
         if isinstance(parsed, st.Insert):
+            from mariadb_columnstore_engine_spark.sources.ingest import (
+                read_table_evolved,
+            )
+
             src = self.sql(parsed.source_sql, dialect=dialect)
-            target = self.spark.read.parquet(path)
+            # logical schema (through the evolution sidecar), not the
+            # physical file schema — else an instant-ALTER-added column
+            # named in the INSERT would be silently dropped
+            target = read_table_evolved(self.spark, path)
             cols = parsed.columns or [f.name for f in target.schema.fields]
             if len(src.columns) != len(cols):
                 raise ValueError(

@@ -243,7 +243,9 @@ def _rewrite_format_calls(masked: str, store: list[str]) -> str:
 
 #: MariaDB functions Spark SQL lacks, rewritten as inline expressions
 #: (formulas shared with functions/dialect.py and the sf_datetime
-#: batteries; TO_DAYS epoch per func_to_days.cpp — Gregorian dates only).
+#: batteries; TO_DAYS epoch per func_to_days.cpp — Gregorian dates only;
+#: SEC_TO_TIME covers the non-negative seconds range — negative input
+#: needs dialect.sec_to_time, which carries the sign MariaDB-style).
 _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
     ("TIME_TO_SEC", 1, "(hour({0}) * 3600 + minute({0}) * 60 + second({0}))"),
     (

@@ -79,7 +79,19 @@ def compact_table(
     manual recovery; use a table format for transactional swaps.
     """
     before = layout_stats(spark, path)
-    df = spark.read.format(format).load(path)
+    if format == "parquet":
+        # read through the schema-evolution sidecar: the rewrite
+        # MATERIALIZES pending instant ALTERs (added columns become
+        # physical with their defaults, dropped ones disappear) and the
+        # sidecar is consumed by the swap — the reference's lazy-ALTER
+        # debt is likewise settled by the next extent rewrite
+        from mariadb_columnstore_engine_spark.sources.ingest import (
+            read_table_evolved,
+        )
+
+        df = read_table_evolved(spark, path)
+    else:
+        df = spark.read.format(format).load(path)
     n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb << 20)))
     if cluster_by:
         writer_df = df.repartitionByRange(

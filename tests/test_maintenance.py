@@ -72,3 +72,22 @@ def test_compact_cluster_by_restores_pruning_stats(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo
+
+
+def test_compact_materializes_schema_evolution(spark, tmp_path):
+    import os
+
+    from mariadb_columnstore_engine_spark.sources import ingest
+
+    dest = str(tmp_path / "evolved")
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v").repartition(
+        5
+    ).write.parquet(dest)
+    ingest.alter_add_column(dest, "flag", "int", 7)
+    ingest.alter_drop_column(dest, "v")
+    maintenance.compact_table(spark, dest, target_file_mb=128)
+    # sidecar consumed; evolution is now physical
+    assert not os.path.exists(os.path.join(dest, "_schema_evolution.json"))
+    df = spark.read.parquet(dest)
+    assert set(df.columns) == {"id", "flag"}
+    assert df.where(F.col("flag") == 7).count() == 1000

@@ -176,3 +176,16 @@ def test_explain_and_show_tables(engine_with_table):
     assert "Physical Plan" in plan and "HashAggregate" in plan
     tables = eng.execute("SHOW TABLES")
     assert "t1" in tables and "lineitem" in tables
+
+
+def test_insert_into_altered_column(engine_with_table):
+    """INSERT naming an instant-ALTER-added column must keep its value."""
+    eng = engine_with_table
+    eng.execute("ALTER TABLE t1 ADD COLUMN flag INT DEFAULT 7")
+    eng.execute("INSERT INTO t1 (id, val, flag) VALUES (60, 6.0, 99)")
+    rows = {
+        r.id: r.flag
+        for r in eng.execute("SELECT id, flag FROM t1 WHERE id IN (0, 60)").collect()
+    }
+    assert rows[60] == 99  # explicit value survives
+    assert rows[0] == 7  # pre-ALTER row still surfaces the default
