@@ -102,6 +102,17 @@ class Engine:
             table
         )
 
+    def run_script(self, script: str, *, dialect: str = "mariadb") -> list:
+        """Execute a multi-statement script (mask-aware ``;`` split);
+        returns each statement's execute() result in order."""
+        from mariadb_columnstore_engine_spark.functions.sqltrans import (
+            split_script,
+        )
+
+        return [
+            self.execute(s, dialect=dialect) for s in split_script(script)
+        ]
+
     def execute(self, stmt: str, *, dialect: str = "mariadb"):
         """Run ONE SQL statement of any supported kind.
 

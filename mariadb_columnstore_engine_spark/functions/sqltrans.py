@@ -364,3 +364,15 @@ def translate_statement(sql: str) -> str:
     masked = re.sub(r";\s*$", "", masked)
 
     return _unmask(masked, store)
+
+
+def split_script(script: str) -> list[str]:
+    """Split a multi-statement script on semicolons, mask-aware (a ``;``
+    inside a literal or comment never splits). Empty fragments drop."""
+    masked, store = _mask(script)
+    out = []
+    for frag in masked.split(";"):
+        stmt = _unmask(frag, store).strip()
+        if stmt:
+            out.append(stmt)
+    return out

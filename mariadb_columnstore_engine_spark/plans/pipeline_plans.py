@@ -480,3 +480,57 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_fp"
         ),
     ).orderBy("doc_id", "chunk_id")
+
+
+_SHUF_SALT = "shuffle-v1"
+_SHUF_SHARDS = 8
+
+
+@query(
+    "pipeline_deterministic_shuffle",
+    section="LLM-pipeline: reproducible global training order — salted-"
+    "hash shard assignment + within-shard hash ordering; identical on "
+    "every run, engine, and cluster size (no RNG state)",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_sql_bucket('doc_id', _SHUF_SALT, _SHUF_SHARDS)} AS shard,
+               md5('{_SHUF_SALT}-ord' || doc_id) AS ord
+        FROM documents
+    )
+    SELECT shard,
+           CAST(row_number() OVER (
+                PARTITION BY shard ORDER BY ord) AS BIGINT) AS pos,
+           doc_id
+    FROM s
+    ORDER BY shard, pos
+    """,
+)
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-loader shuffle, relationally: global order is
+    (shard, within-shard position), both pure functions of the salted
+    document key — change the salt, get a fresh epoch permutation.
+
+    Deliberately NOT a global ``Window.orderBy`` (single-reducer trap,
+    see SCALE.md): each shard orders independently under a partitioned
+    window, which is exactly how sharded data loaders consume order at
+    100 TB — shard count scales with the reader fleet, per-shard state
+    is bounded, and one hash shuffle is the whole cost.
+    """
+    t = Catalog(spark, sf_dir)
+    s = t.documents.select(
+        "doc_id",
+        _bucket(F.col("doc_id"), _SHUF_SALT, _SHUF_SHARDS).alias("shard"),
+        F.md5(F.concat(F.lit(f"{_SHUF_SALT}-ord"), F.col("doc_id"))).alias(
+            "ord"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("ord")
+    return (
+        s.select(
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("shard", "pos")
+    )

@@ -189,3 +189,18 @@ def test_insert_into_altered_column(engine_with_table):
     }
     assert rows[60] == 99  # explicit value survives
     assert rows[0] == 7  # pre-ALTER row still surfaces the default
+
+
+def test_run_script_multi_statement(engine_with_table):
+    eng = engine_with_table
+    results = eng.run_script(
+        "UPDATE t1 SET note = 'batch; one' WHERE id = 1;\n"
+        "DELETE FROM t1 WHERE id = 2;\n"
+        "SELECT count(*) AS n FROM t1;"
+    )
+    assert results[1] == 9  # post-delete row count
+    assert results[2].collect()[0].n == 9
+    note = (
+        eng.execute("SELECT note FROM t1 WHERE id = 1").collect()[0].note
+    )
+    assert note == "batch; one"  # the literal semicolon didn't split
