@@ -66,6 +66,7 @@ def compact_table(
     *,
     target_file_mb: int = 128,
     cluster_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
     codec: str = "snappy",
     format: str = "parquet",
 ) -> dict:
@@ -100,12 +101,13 @@ def compact_table(
     else:
         writer_df = df.repartition(n_out)
     tmp = path.rstrip("/") + "_compact_tmp"
-    (
-        writer_df.write.option("compression", codec)
-        .mode("overwrite")
-        .format(format)
-        .save(tmp)
-    )
+    writer = writer_df.write.option("compression", codec).mode("overwrite")
+    if partition_by:
+        # preserve (or establish) hive-style directory partitioning —
+        # compacting a partitioned table without this flattens its layout
+        # and silently loses planning-time partition pruning
+        writer = writer.partitionBy(*partition_by)
+    writer.format(format).save(tmp)
     fs, jpath, jvm = _hadoop_fs(spark, path)
     fs.delete(jpath, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):

@@ -91,3 +91,19 @@ def test_compact_materializes_schema_evolution(spark, tmp_path):
     df = spark.read.parquet(dest)
     assert set(df.columns) == {"id", "flag"}
     assert df.where(F.col("flag") == 7).count() == 1000
+
+
+def test_compact_preserves_partitioning(spark, tmp_path):
+    dest = str(tmp_path / "parted")
+    spark.range(0, 5_000).selectExpr(
+        "id", "id % 4 AS shard"
+    ).repartition(10).write.partitionBy("shard").parquet(dest)
+    maintenance.compact_table(
+        spark, dest, target_file_mb=128, partition_by=["shard"]
+    )
+    df = spark.read.parquet(dest)
+    assert df.count() == 5_000
+    # directory layout survived -> partition pruning still plans
+    pruned = df.where(F.col("shard") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
