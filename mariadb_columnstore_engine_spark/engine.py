@@ -141,6 +141,14 @@ class Engine:
                     set(TABLES)
                     | set(getattr(self, "_user_tables", {}))
                 )
+            if parsed.kind == "show_create":
+                cols = ",\n".join(
+                    f"  `{c}` {t}" for c, t in self.describe(parsed.arg)
+                )
+                return (
+                    f"CREATE TABLE `{parsed.arg}` (\n{cols}\n) "
+                    "USING parquet"
+                )
             if parsed.kind == "truncate":
                 path = self._writable(parsed.arg)["path"]
                 n = dml.delete_where(self.spark, path, F.lit(True))

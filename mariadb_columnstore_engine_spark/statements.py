@@ -111,6 +111,18 @@ def parse(sql: str):
         return Other("show_tables", "")
 
     m = re.match(
+        r"SHOW\s+COLUMNS\s+FROM\s+(\S+)\s*$", masked, re.IGNORECASE
+    )
+    if m:
+        return Other("describe", _ident(m.group(1), store))
+
+    m = re.match(
+        r"SHOW\s+CREATE\s+TABLE\s+(\S+)\s*$", masked, re.IGNORECASE
+    )
+    if m:
+        return Other("show_create", _ident(m.group(1), store))
+
+    m = re.match(
         r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+(\S+)\s*",
         masked,
         re.IGNORECASE,

@@ -204,3 +204,13 @@ def test_run_script_multi_statement(engine_with_table):
         eng.execute("SELECT note FROM t1 WHERE id = 1").collect()[0].note
     )
     assert note == "batch; one"  # the literal semicolon didn't split
+
+
+def test_show_columns_and_show_create(engine_with_table):
+    eng = engine_with_table
+    assert dict(eng.execute("SHOW COLUMNS FROM t1")) == {
+        "id": "bigint", "val": "double", "note": "string",
+    }
+    ddl = eng.execute("SHOW CREATE TABLE t1")
+    assert ddl.startswith("CREATE TABLE `t1` (")
+    assert "`val` double" in ddl and ddl.rstrip().endswith("USING parquet")
