@@ -144,38 +144,74 @@ def ntile_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="§2.5 ROWS frames: running total + moving average "
     "(frameboundrow.cpp)",
     oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey < 30
+    )
     SELECT o_custkey, o_orderkey, o_totalprice,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           round(sum(cents) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-               AS running_total,
-           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 100.0, 2) AS running_total,
+           ((2 * sum(cents) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              + count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+             // (2 * count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))) / 100.0
                AS moving_avg3,
            count(*) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS nth_order
-    FROM orders
-    WHERE o_custkey < 30
+    FROM o
     ORDER BY o_custkey, o_orderkey
     """,
 )
 def rows_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving money aggregates ride exact integer cents: a
+    double running sum accumulates ulp error with frame length, and at
+    sf0.1 one row's 2-dp rounding landed on a boundary (….155 printing
+    as .15 vs .16 across engines). Summing cents is order-exact, so the
+    final /100.0 quotient is bit-identical in both engines."""
     t = Catalog(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_mov = w.rowsBetween(-2, Window.currentRow)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return (
         t.orders.where(F.col("o_custkey") < 30)
+        .withColumn("cents", cents)
         .select(
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
-            F.round(F.avg("o_totalprice").over(w_mov), 2).alias("moving_avg3"),
+            F.round(F.sum("cents").over(w_run) / 100.0, 2).alias(
+                "running_total"
+            ),
+            F.sum("cents").over(w_mov).alias("_mov_sum"),
+            F.count(F.lit(1)).over(w_mov).alias("_mov_n"),
             F.count(F.lit(1)).over(w_run).alias("nth_order"),
+        )
+        # avg rounded to whole cents in INTEGER arithmetic — (2s+n) div
+        # (2n) is half-up for positives; a float quotient can sit exactly
+        # on a half-cent (odd cents over 2 rows) where the engines'
+        # rounding algorithms disagree
+        .withColumn(
+            "moving_avg3",
+            F.expr("(2 * _mov_sum + _mov_n) div (2 * _mov_n)") / 100.0,
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "running_total",
+            "moving_avg3",
+            "nth_order",
         )
         .orderBy("o_custkey", "o_orderkey")
     )
