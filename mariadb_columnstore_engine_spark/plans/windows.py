@@ -173,11 +173,16 @@ def ntile_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rows_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running/moving money aggregates ride exact integer cents: a
-    double running sum accumulates ulp error with frame length, and at
-    sf0.1 one row's 2-dp rounding landed on a boundary (….155 printing
-    as .15 vs .16 across engines). Summing cents is order-exact, so the
-    final /100.0 quotient is bit-identical in both engines."""
+    """Running/moving money aggregates ride exact integer cents.
+
+    The exposed shape (caught by the sf0.1 sweep) is the SHORT moving
+    average: a 2- or 3-row mean of 2-dp money lands exactly on a
+    half-cent (odd cents over 2 rows), where Spark's BigDecimal HALF_UP
+    and DuckDB's multiply-round legitimately disagree — and double
+    accumulation drift decides the flip. Cents summation is order-exact
+    and the average is rounded to whole cents with half-up INTEGER
+    division before the only float op (/100.0), which is bit-identical
+    on both engines for the same integer inputs."""
     t = Catalog(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
