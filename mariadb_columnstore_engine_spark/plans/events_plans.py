@@ -381,3 +381,66 @@ def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_retention_cohorts",
+    section="LLM-pipeline: cohort retention — users grouped by first-seen "
+    "week, activity counted per subsequent week (the canonical "
+    "product-analytics rollup; two keyed aggregations, no self-join)",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+        FROM events
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    Scale shape: first-seen week is one groupBy(user_id) aggregate;
+    distinct (user, week) activity is a second; the join keys on user_id
+    so AQE reuses the hash partitioning, and the final matrix is
+    |cohorts| × |weeks| — tiny. No self-join of raw events, no window
+    over the full event stream; per-user state is bounded. DuckDB's
+    datediff('week', …) counts week-boundary crossings of Monday-trunced
+    timestamps, which equals whole weeks between the truncated values —
+    mirrored with integer day arithmetic (days div 7).
+    """
+    t = Catalog(spark, sf_dir)
+    wk = lambda c: F.date_trunc("week", F.col(c))  # noqa: E731
+    firsts = t.events.groupBy("user_id").agg(
+        F.min(wk("ts")).alias("cohort_week")
+    )
+    activity = t.events.select(
+        "user_id", wk("ts").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
