@@ -444,3 +444,83 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_funnel_steps",
+    section="LLM-pipeline: ordered funnel analysis — view → click → "
+    "purchase with each step strictly after the user's previous step "
+    "(sequential-min composition: three keyed aggregations on user_id, "
+    "no per-user sort, no window over the raw stream)",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS step1_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS step2_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS step3_users,
+           ((20000 * (SELECT count(*) FROM c) + (SELECT count(*) FROM v))
+             // (2 * (SELECT count(*) FROM v))) AS conv12_bps,
+           ((20000 * (SELECT count(*) FROM p) + (SELECT count(*) FROM c))
+             // (2 * (SELECT count(*) FROM c))) AS conv23_bps
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel via sequential-min composition.
+
+    Each step's timestamp is the user's earliest qualifying event AFTER
+    the previous step — the textbook funnel rewrite that needs neither a
+    per-user ordered scan nor a sessionizing window: three
+    groupBy(user_id) aggregates whose joins all share the user_id hash
+    partitioning (AQE reuses one exchange). Conversion rates are emitted
+    in basis points via half-up INTEGER division (float policy: no
+    float-quotient rounding ties).
+    """
+    t = Catalog(spark, sf_dir)
+    ev = t.events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("step1_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step2_users")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step3_users")))
+    )
+    return counts.select(
+        "step1_users",
+        "step2_users",
+        "step3_users",
+        F.expr(
+            "(20000 * step2_users + step1_users) div (2 * step1_users)"
+        ).alias("conv12_bps"),
+        F.expr(
+            "(20000 * step3_users + step2_users) div (2 * step2_users)"
+        ).alias("conv23_bps"),
+    )
