@@ -524,3 +524,113 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(20000 * step3_users + step2_users) div (2 * step2_users)"
         ).alias("conv23_bps"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    section="LLM-pipeline: event-transition matrix (path analysis) — "
+    "lag over (user, time) gives each event its predecessor type; one "
+    "shuffle on user_id, matrix is |types|² rows",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style next-event transition counts; event_id tie-breaks
+    equal timestamps so the sequence is deterministic in both engines.
+    Scale: the lag window partitions on user_id (bounded per-user state),
+    and the output is |event_types|² — constant."""
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    section="LLM-pipeline: time-weighted average (hypertable "
+    "time_weight analogue) — LOCF step-function integral per user via "
+    "lead(ts); exact integer cents × integer seconds, one shuffle",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               date_diff('microsecond', CAST(ts AS TIMESTAMP),
+                   lead(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   )) AS dur_us
+        FROM events WHERE user_id < 20
+    )
+    SELECT user_id,
+           CAST(sum(dur_us) // 1000000 AS BIGINT) AS observed_s,
+           CAST((2 * sum(cents * dur_us) + sum(dur_us))
+             // (2 * sum(dur_us)) AS BIGINT) AS twa_cents
+    FROM seg
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted mean: each observation holds until the next
+    (lead), weight = segment seconds, result = Σ(value·dur)/Σ(dur) in
+    whole cents via half-up INTEGER division (float policy — a float
+    quotient could sit on a rounding tie). The trailing observation has
+    no duration and is excluded, the standard open-interval convention.
+    Durations are exact integer MICROSECONDS via timestampdiff (pure
+    calendar arithmetic on NTZ — no epoch conversion, no session-TZ or
+    sub-second truncation exposure). Scale: one shuffle on user_id
+    shared by the lead window and the aggregate."""
+    t = Catalog(spark, sf_dir)
+    seg = (
+        t.events.where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.expr(
+                # exact integer microseconds, timezone-free on NTZ —
+                # second-level epoch truncation drifted ±1s/segment vs
+                # the oracle's fractional epoch at sf0.1
+                "timestampdiff(MICROSECOND, ts,"
+                " lead(ts) OVER (PARTITION BY user_id"
+                " ORDER BY ts, event_id))"
+            ).alias("dur_us"),
+        )
+        .where(F.col("dur_us").isNotNull())
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.expr("sum(dur_us) div 1000000").cast("long").alias(
+                "observed_s"
+            ),
+            F.expr(
+                "(2 * sum(cents * dur_us) + sum(dur_us))"
+                " div (2 * sum(dur_us))"
+            ).cast("long").alias("twa_cents"),
+        )
+        .orderBy("user_id")
+    )

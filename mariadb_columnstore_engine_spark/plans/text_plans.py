@@ -1010,3 +1010,70 @@ def heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(30)
     )
+
+
+@query(
+    "text_vocab_zipf",
+    section="LLM-pipeline: corpus vocabulary statistics — token "
+    "frequency table with rank and cumulative coverage share (the "
+    "Zipf audit run before tokenizer training); explode + count + one "
+    "rank window over the (small) vocabulary",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), freq AS (
+        SELECT token, count(*) AS n FROM tok
+        WHERE token <> '' GROUP BY token
+    ), tot AS (SELECT sum(n) AS total FROM freq)
+    SELECT token,
+           CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS rank,
+           CAST((10000 * sum(n) OVER (ORDER BY n DESC, token
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                // (SELECT total FROM tot) AS BIGINT) AS cum_share_bps
+    FROM freq
+    ORDER BY rank
+    LIMIT 50
+    """,
+)
+def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token frequency/rank/cumulative-coverage audit.
+
+    Scale: the explode+count is the one real pass (map-side combine on
+    token); the rank/cumsum window runs over the AGGREGATED vocabulary —
+    orders of magnitude smaller than the corpus — so the unpartitioned
+    window is bounded by |vocab|, not |tokens| (the only place a global
+    window is acceptable; see SCALE.md). Coverage is integer basis
+    points: cumulative count × 10000 div total, truncating — exact in
+    both engines.
+    """
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    freq = (
+        t.documents.select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = freq.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        freq.crossJoin(total)
+        .select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.expr(
+                "(10000 * sum(n) OVER (ORDER BY n DESC, token"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                " div total"
+            ).cast("long").alias("cum_share_bps"),
+        )
+        .orderBy("rank")
+        .limit(50)
+    )
