@@ -173,7 +173,9 @@ class Engine:
         if isinstance(parsed, st.Alter):
             from mariadb_columnstore_engine_spark.sources.ingest import (
                 alter_add_column,
+                alter_add_generated_column,
                 alter_drop_column,
+                add_check_constraint,
             )
 
             path = self._writable(parsed.table)["path"]
@@ -181,6 +183,10 @@ class Engine:
                 alter_add_column(
                     path, parsed.column, parsed.dtype, parsed.default
                 )
+            elif parsed.action == "add_generated":
+                alter_add_generated_column(path, parsed.column, parsed.expr)
+            elif parsed.action == "add_check":
+                add_check_constraint(path, parsed.column, parsed.expr)
             else:
                 alter_drop_column(path, parsed.column)
             self._refresh(parsed.table)
@@ -204,17 +210,39 @@ class Engine:
                     f"INSERT provides {len(src.columns)} columns for "
                     f"{len(cols)} target columns"
                 )
+            from mariadb_columnstore_engine_spark.sources.ingest import (
+                _evolution,
+                table_checks,
+                validate_checks,
+            )
+
+            gen = {
+                c["name"]: c["expr"]
+                for c in _evolution(path).get("generated", [])
+            }
+            if set(cols) & set(gen):
+                raise ValueError(
+                    f"cannot INSERT into generated column(s) "
+                    f"{sorted(set(cols) & set(gen))}"
+                )
             aligned = src.toDF(*cols)
-            # missing columns → NULL; everything cast to the target type
+            # missing columns → NULL (generated ones → their expression);
+            # everything cast to the target type
             out = aligned.select(
                 *[
                     (
-                        F.col(f.name) if f.name in cols
-                        else F.lit(None)
+                        F.col(f.name)
+                        if f.name in cols
+                        else (
+                            F.expr(gen[f.name])
+                            if f.name in gen
+                            else F.lit(None)
+                        )
                     ).cast(f.dataType).alias(f.name)
                     for f in target.schema.fields
                 ]
             )
+            validate_checks(out, table_checks(path))
             if parsed.replace or parsed.on_dup_update:
                 if not info["keys"]:
                     raise ValueError(
@@ -236,10 +264,30 @@ class Engine:
             self._refresh(parsed.table)
             return n
         if isinstance(parsed, st.Update):
+            from mariadb_columnstore_engine_spark.sources.ingest import (
+                table_checks,
+                validate_checks,
+            )
+
+            pred = F.expr(parsed.where) if parsed.where else F.lit(True)
+            checks = table_checks(path)
+            if checks:
+                # reject BEFORE rewriting (MariaDB refuses the statement;
+                # there is no rollback here to lean on): preview the
+                # post-update rows with the same CASE WHEN the DML layer
+                # applies
+                preview = self.spark.read.parquet(path)
+                for c, e in parsed.assignments.items():
+                    preview = preview.withColumn(
+                        c,
+                        F.when(F.coalesce(pred, F.lit(False)), F.expr(e))
+                        .otherwise(F.col(c)),
+                    )
+                validate_checks(preview, checks)
             n = dml.update_where(
                 self.spark,
                 path,
-                F.expr(parsed.where) if parsed.where else F.lit(True),
+                pred,
                 {c: F.expr(e) for c, e in parsed.assignments.items()},
             )
             self._refresh(parsed.table)

@@ -39,21 +39,59 @@ def bulk_load_csv(
     codec: str = "snappy",
     header: bool = True,
     delimiter: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    line_sep: str | None = None,
+    skip_rows: int = 0,
+    null_value: str = "",
     mode: str = "overwrite",
 ) -> None:
-    """CSV → Parquet bulk load (cpimport analogue).
+    """CSV → Parquet bulk load (cpimport / LOAD DATA INFILE analogue).
 
     ``cluster_by``: range-repartition + in-partition sort on these columns
     so Parquet row-group min/max stats become selective for filters on
     them (≈ extent map casual partitioning). ``partition_by``: hive-style
     directory partitioning for coarse partition pruning.
+
+    The LDI dialect knobs map one-to-one: FIELDS TERMINATED BY →
+    ``delimiter``, ENCLOSED BY → ``quote``, ESCAPED BY → ``escape``,
+    LINES TERMINATED BY → ``line_sep``, IGNORE n ROWS/LINES →
+    ``skip_rows`` (header=True is IGNORE 1 with name checking), and the
+    empty-string/NULL marker → ``null_value`` (mysql-test
+    ldi_fields_enclosed_by / ldi_fields_escaped_by /
+    ldi_lines_terminated_by / ldi_ignore_rows coverage).
     """
-    df = (
+    reader = (
         spark.read.option("header", str(header).lower())
         .option("delimiter", delimiter)
-        .schema(schema)
-        .csv(src)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("nullValue", null_value)
     )
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    if skip_rows:
+        # LDI's IGNORE n LINES: one statement = one file, so resolve the
+        # byte offset of line n+1 and parse only lines past it. Spark's
+        # CSV reader has no skip option; this compat path round-trips
+        # the file through an RDD of lines (slower — use it for the
+        # dialect knob, not the bulk path).
+        rdd = spark.sparkContext.newAPIHadoopFile(
+            src,
+            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+            "org.apache.hadoop.io.LongWritable",
+            "org.apache.hadoop.io.Text",
+        )
+        offsets = rdd.keys().takeOrdered(skip_rows + 1)
+        if len(offsets) <= skip_rows:
+            raise ValueError(
+                f"skip_rows={skip_rows} >= file line count"
+            )
+        cutoff = offsets[skip_rows]
+        lines = rdd.filter(lambda kv: kv[0] >= cutoff).values()
+        df = reader.schema(schema).csv(lines)
+    else:
+        df = reader.schema(schema).csv(src)
     write_parquet(
         df, dest, cluster_by=cluster_by, partition_by=partition_by,
         codec=codec, mode=mode,
@@ -326,6 +364,9 @@ def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
                     F.col(c["name"]), F.lit(c["default"]).cast(c["dtype"])
                 ),
             )
+    for c in evo.get("generated", []):
+        if c["name"] not in df.columns:
+            df = df.withColumn(c["name"], F.expr(c["expr"]))
     keep = [c for c in df.columns if c not in evo["dropped"]]
     return df.select(*keep)
 
@@ -350,3 +391,52 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def alter_add_generated_column(path: str, name: str, expr_sql: str) -> None:
+    """Generated (virtual) column: recorded in the evolution sidecar and
+    computed on read from ``expr_sql`` (mysql-test generated_columns
+    coverage). The STORED variant is what you get from the next
+    ``maintenance.compact_table`` — compaction materializes evolution —
+    matching MariaDB's VIRTUAL vs PERSISTENT split."""
+    evo = _evolution(path)
+    gen = evo.setdefault("generated", [])
+    if any(c["name"] == name for c in gen) or any(
+        c["name"] == name for c in evo["added"]
+    ):
+        raise ValueError(f"column {name!r} already exists in sidecar")
+    gen.append({"name": name, "expr": expr_sql})
+    evo["dropped"] = [c for c in evo["dropped"] if c != name]
+    _write_evolution(path, evo)
+
+
+def add_check_constraint(path: str, name: str, expr_sql: str) -> None:
+    """CHECK constraint: recorded in the sidecar; the DML router rejects
+    INSERTs whose rows violate it (mysql-test check_constraint coverage).
+    SQL semantics: a row passes when the predicate is TRUE or NULL."""
+    evo = _evolution(path)
+    checks = evo.setdefault("checks", [])
+    if any(c["name"] == name for c in checks):
+        raise ValueError(f"constraint {name!r} already exists")
+    checks.append({"name": name, "expr": expr_sql})
+    _write_evolution(path, evo)
+
+
+def table_checks(path: str) -> list[dict]:
+    return _evolution(path).get("checks", [])
+
+
+def validate_checks(df: DataFrame, checks: list[dict]) -> None:
+    """Raise if any row of ``df`` violates any constraint (predicate
+    evaluates to FALSE; NULL passes, per SQL CHECK semantics)."""
+    import pyspark.sql.functions as F
+
+    for c in checks:
+        bad = df.where(
+            ~F.coalesce(F.expr(c["expr"]), F.lit(True))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {c['name']!r} ({c['expr']}) violated "
+                f"by {bad} row(s)"
+            )

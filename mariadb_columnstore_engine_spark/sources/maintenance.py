@@ -118,3 +118,39 @@ def compact_table(
         "files_after": after["n_files"],
         "bytes_before": before["total_bytes"],
     }
+
+
+def extent_map(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> list[dict]:
+    """Row-group statistics view — the extent-map / casual-partitioning
+    observable (reference: information_schema.columnstore_extents backed
+    by versioning/BRM/extentmap.h min/max entries). One dict per
+    (file, row_group, column): min, max, null_count, num_rows — read
+    from parquet footers via pyarrow, no data scan. This is the tool to
+    audit whether ``cluster_by`` actually produced prunable extents."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for fpath, _ in data_files(spark, path):
+        local = fpath[len("file:") :] if fpath.startswith("file:") else fpath
+        meta = pq.ParquetFile(local).metadata
+        names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci, name in enumerate(names):
+                if columns and name not in columns:
+                    continue
+                st = g.column(ci).statistics
+                out.append(
+                    {
+                        "file": local.rsplit("/", 1)[-1],
+                        "row_group": rg,
+                        "column": name,
+                        "num_rows": g.num_rows,
+                        "min": st.min if st and st.has_min_max else None,
+                        "max": st.max if st and st.has_min_max else None,
+                        "null_count": st.null_count if st else None,
+                    }
+                )
+    return out

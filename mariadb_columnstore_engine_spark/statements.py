@@ -20,6 +20,7 @@ import re
 from dataclasses import dataclass, field
 
 from mariadb_columnstore_engine_spark.functions.sqltrans import (
+    _find_balanced,
     _mask,
     _split_top_level_commas,
     _top_level_search,
@@ -47,10 +48,11 @@ class CreateTable:
 @dataclass
 class Alter:
     table: str
-    action: str  # "add" | "drop"
+    action: str  # "add" | "drop" | "add_generated" | "add_check"
     column: str
     dtype: str | None = None
     default: object = None
+    expr: str | None = None  # generated-column / CHECK expression
 
 
 @dataclass
@@ -212,6 +214,37 @@ def parse(sql: str):
     m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\S+)\s*$", masked, re.I)
     if m:
         return Other("truncate", _ident(m.group(1), store))
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+"
+        r"GENERATED\s+ALWAYS\s+AS\s*\(",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        end = _find_balanced(masked, masked.index("(", m.end() - 1))
+        return Alter(
+            table=_ident(m.group(1), store),
+            action="add_generated",
+            column=_ident(m.group(2), store),
+            dtype=_unmask(m.group(3), store),
+            expr=_unmask(masked[m.end() : end - 1].strip(), store),
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\S+)\s+"
+        r"CHECK\s*\(",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        end = _find_balanced(masked, masked.index("(", m.end() - 1))
+        return Alter(
+            table=_ident(m.group(1), store),
+            action="add_check",
+            column=_ident(m.group(2), store),
+            expr=_unmask(masked[m.end() : end - 1].strip(), store),
+        )
 
     m = re.match(
         r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(\S+)\s+(\S+)"

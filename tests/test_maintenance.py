@@ -107,3 +107,21 @@ def test_compact_preserves_partitioning(spark, tmp_path):
     pruned = df.where(F.col("shard") == 2)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(shard" in plan
+
+
+def test_extent_map_shows_clustered_minmax(spark, tmp_path):
+    """cluster_by must yield disjoint per-row-group min/max — the
+    casual-partitioning contract, observable without scanning data."""
+    from mariadb_columnstore_engine_spark.sources.ingest import write_parquet
+
+    dest = str(tmp_path / "ext")
+    df = spark.range(0, 100_000).selectExpr(
+        "(id * 37) % 100000 AS k", "id AS payload"
+    )
+    write_parquet(df.repartition(4), dest, cluster_by=["k"])
+    ext = maintenance.extent_map(spark, dest, columns=["k"])
+    assert ext and all(e["min"] is not None for e in ext)
+    spans = sorted((e["min"], e["max"]) for e in ext)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # disjoint → row-group pruning is selective
+    assert sum(e["num_rows"] for e in ext) == 100_000

@@ -238,3 +238,30 @@ def test_instant_alter_add_drop_column(spark, tmp_path):
     assert "name" in spark.read.option(
         "mergeSchema", "true"
     ).parquet(path).columns
+
+
+def test_bulk_load_ldi_dialect_options(spark, tmp_path):
+    """LOAD DATA INFILE dialect: custom terminator/enclosure/escape and
+    IGNORE n LINES (mysql-test ldi_* coverage)."""
+    src = tmp_path / "ldi.csv"
+    src.write_text(
+        "garbage preamble line\n"
+        "second junk line\n"
+        "1;|a;x|;10.5\n"
+        "2;|b\\|c|;\\N\n"
+    )
+    dest = str(tmp_path / "ldi_parquet")
+    ingest.bulk_load_csv(
+        spark,
+        str(src),
+        "id INT, s STRING, v DOUBLE",
+        dest,
+        header=False,
+        delimiter=";",
+        quote="|",
+        escape="\\",
+        skip_rows=2,
+        null_value="\\N",
+    )
+    rows = {r.id: (r.s, r.v) for r in spark.read.parquet(dest).collect()}
+    assert rows == {1: ("a;x", 10.5), 2: ("b|c", None)}

@@ -214,3 +214,38 @@ def test_show_columns_and_show_create(engine_with_table):
     ddl = eng.execute("SHOW CREATE TABLE t1")
     assert ddl.startswith("CREATE TABLE `t1` (")
     assert "`val` double" in ddl and ddl.rstrip().endswith("USING parquet")
+
+
+def test_generated_column_via_alter(engine_with_table):
+    eng = engine_with_table
+    eng.execute(
+        "ALTER TABLE t1 ADD COLUMN val_sq DOUBLE GENERATED ALWAYS AS (val * val)"
+    )
+    got = {
+        r.id: r.val_sq
+        for r in eng.execute("SELECT id, val_sq FROM t1 WHERE id < 3").collect()
+    }
+    assert got == {0: 0.0, 1: 100.0, 2: 400.0}
+    # generated on INSERT too (not NULL-filled)
+    eng.execute("INSERT INTO t1 (id, val) VALUES (70, 3.0)")
+    row = eng.execute("SELECT val_sq FROM t1 WHERE id = 70").collect()[0]
+    assert row.val_sq == 9.0
+    # explicit insert into a generated column is rejected
+    with pytest.raises(ValueError, match="generated"):
+        eng.execute("INSERT INTO t1 (id, val, val_sq) VALUES (71, 1.0, 5.0)")
+
+
+def test_check_constraint_enforced(engine_with_table):
+    eng = engine_with_table
+    eng.execute("ALTER TABLE t1 ADD CONSTRAINT val_nonneg CHECK (val >= 0)")
+    # passing insert (NULL predicate passes, per SQL CHECK semantics)
+    eng.execute("INSERT INTO t1 (id) VALUES (80)")
+    with pytest.raises(ValueError, match="val_nonneg"):
+        eng.execute("INSERT INTO t1 (id, val) VALUES (81, -5.0)")
+    # UPDATE rejected BEFORE any rewrite
+    with pytest.raises(ValueError, match="val_nonneg"):
+        eng.execute("UPDATE t1 SET val = -1 WHERE id = 1")
+    assert (
+        eng.execute("SELECT val FROM t1 WHERE id = 1").collect()[0].val
+        == 10.0
+    )  # unchanged
