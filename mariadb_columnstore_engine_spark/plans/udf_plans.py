@@ -147,7 +147,11 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     session for return-type parsing — same pitfall as @pandas_udf)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sent_idx INT, sentence STRING, n_tokens INT")
+    # useArrow: Arrow-batched UDTF execution (ArrowEvalPythonUDTF) —
+    # without it Spark runs the UDTF row-at-a-time over pickle
+    # (BatchEvalPythonUDTF), the slow path the plan-hygiene suite bans
+    @udtf(returnType="sent_idx INT, sentence STRING, n_tokens INT",
+          useArrow=True)
     class SplitSentences:
         def eval(self, text):
             if text is None:

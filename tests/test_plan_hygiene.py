@@ -1,0 +1,98 @@
+"""Registry-wide physical-plan hygiene: every registered query, audited.
+
+The per-query guarantees tests assert locally (no cartesian blowups, no
+row-at-a-time Python, Python only on the deliberate UDF surface) are
+enforced here for the WHOLE registry, so a new query can't silently ship
+a plan that would melt at 100 TB. Plans are built (analyzed + physical
+planning), never executed — the audit is driver-only and fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mariadb_columnstore_engine_spark.plans import load_all
+
+#: queries where a cross join / broadcast nested loop IS the right plan
+#: because one side is constant-size (1-row scalar-subquery results,
+#: constant probe/centroid sets, literal scaffolds) or the semantics are
+#: an explicit CROSS/theta join. A BNLJ whose broadcast side scales with
+#: data is still a bug — reviewers must justify additions here.
+CARTESIAN_OK = {
+    "join_cross_region_priorities",
+    "join_theta_band",
+    "filter_constant_select_literals",
+    "filter_constant_false",
+    "events_funnel_steps",  # 1x1x1 step-count combination
+    "text_vocab_zipf",  # 1-row total joined to vocab
+    "sf_decimal38_matrix",  # constant-row scaffold
+    "tpch_q22_global_sales_opportunity",  # 1-row scalar subquery join
+    "subq_scalar_filter_avg",  # 1-row scalar subquery join
+    "sim_bruteforce_cosine_topk",  # constant probe set x corpus (linear)
+    "sim_ivf_ann_topk",  # constant centroid set
+    "sim_kmeans_two_iterations",  # constant centroid set per iteration
+}
+
+#: queries whose POINT is Python execution (§2.11 UDF/UDAF/UDTF surface
+#: + multimodal mapInPandas pillar).
+PYTHON_OK = {
+    "udf_pandas_median",
+    "udf_pandas_scalar",
+    "udf_apply_in_pandas_zscore",
+    "udtf_split_sentences",
+    "win_pandas_udaf_over_window",
+    "multimodal_media_features",
+    "multimodal_frame_sample",
+}
+
+_SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, spec in _SPECS.items():
+        df = spec.fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_unexpected_cartesian(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+        and n not in CARTESIAN_OK
+    ]
+    assert not offenders, f"unexpected cartesian/BNLJ plans: {offenders}"
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    # BatchEvalPython = pickled row-at-a-time UDF — never acceptable,
+    # not even on the UDF surface (which must be Arrow-vectorized)
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDF plans: {offenders}"
+
+
+def test_python_only_on_declared_udf_surface(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if (
+            "ArrowEvalPython" in p
+            or "FlatMapGroupsInPandas" in p
+            or "MapInPandas" in p
+            or "PythonUDTF" in p
+            or "AggregateInPandas" in p
+        )
+        and n not in PYTHON_OK
+    ]
+    assert not offenders, f"Python in non-UDF-surface plans: {offenders}"
+
+
+def test_registry_covers_all_sections(plans):
+    sections = {s.section.split()[0] for s in _SPECS.values()}
+    # every SURVEY §2 family plus the LLM pillar tag must be evidenced
+    for anchor in ("§2.1", "§2.2", "§2.3", "§2.4", "§2.5", "§2.6",
+                   "§2.7", "§2.8", "§2.9", "LLM-pipeline:", "front-end"):
+        assert any(s.startswith(anchor) for s in sections), anchor
