@@ -102,6 +102,29 @@ class Engine:
             table
         )
 
+    def refresh_information_schema(self) -> None:
+        """(Re)build the information_schema views over catalog + user
+        tables (≈ the reference's i_s plugin tables,
+        mysql-test/columnstore basic i_s coverage; columnstore_extents
+        has its own API: sources.maintenance.extent_map)."""
+        tables, columns = [], []
+        names = list(TABLES) + sorted(getattr(self, "_user_tables", {}))
+        for tn in names:
+            kind = "user" if tn in getattr(self, "_user_tables", {}) else \
+                "catalog"
+            fields = self.describe(tn)
+            tables.append((tn, kind, len(fields)))
+            for pos, (cn, ct) in enumerate(fields, start=1):
+                columns.append((tn, cn, pos, ct))
+        self.spark.createDataFrame(
+            tables, "table_name string, table_kind string, n_columns int"
+        ).createOrReplaceTempView("information_schema_tables")
+        self.spark.createDataFrame(
+            columns,
+            "table_name string, column_name string, "
+            "ordinal_position int, data_type string",
+        ).createOrReplaceTempView("information_schema_columns")
+
     def run_script(self, script: str, *, dialect: str = "mariadb") -> list:
         """Execute a multi-statement script (mask-aware ``;`` split);
         returns each statement's execute() result in order."""

@@ -249,3 +249,20 @@ def test_check_constraint_enforced(engine_with_table):
         eng.execute("SELECT val FROM t1 WHERE id = 1").collect()[0].val
         == 10.0
     )  # unchanged
+
+
+def test_information_schema_views(engine_with_table):
+    eng = engine_with_table
+    eng.refresh_information_schema()
+    kinds = {
+        r.table_name: r.table_kind
+        for r in eng.sql("SELECT * FROM information_schema_tables").collect()
+    }
+    assert kinds["t1"] == "user" and kinds["lineitem"] == "catalog"
+    cols = eng.sql(
+        "SELECT column_name, data_type FROM information_schema_columns"
+        " WHERE table_name = 't1' ORDER BY ordinal_position"
+    ).collect()
+    assert [(c.column_name, c.data_type) for c in cols] == [
+        ("id", "bigint"), ("val", "double"), ("note", "string"),
+    ]
