@@ -21,11 +21,12 @@ and this pass rewrites the MariaDB-isms Spark spells differently:
 
 Everything runs over a MASKED statement — string literals, quoted
 identifiers, and comments are replaced by ``\\x00<n>\\x00`` placeholders
-first — so no rewrite can ever fire inside a literal. Constructs with no
-faithful Spark spelling (GROUP_CONCAT's inner LIMIT, week-based %V/%X
-format specifiers) raise ValueError instead of silently mistranslating;
-the DataFrame layer (dialect.group_concat limit=, dialect.week_mode)
-covers those semantics.
+first — so no rewrite can ever fire inside a literal. WEEK/YEARWEEK and
+week-based DATE_FORMAT specifiers translate through the Catalyst bridge
+(the dialect layer's tested Column expressions rendered to SQL text);
+the remaining construct with no faithful Spark spelling (GROUP_CONCAT's
+inner LIMIT) raises ValueError instead of silently mistranslating —
+dialect.group_concat(limit=) covers it on the DataFrame side.
 
 Already-identical spellings need no rewrite and are left alone:
 backtick identifiers, ``DIV``, ``%``, ``REGEXP``, ``IF()``, ``IFNULL``,
@@ -231,7 +232,28 @@ def _rewrite_format_calls(masked: str, store: list[str]) -> str:
                     f"{name} needs a literal {what} string to translate "
                     "(dynamic format columns: use the DataFrame dialect layer)"
                 )
-            java = translate_date_format(fmt)  # raises on %V/%X/%D etc.
+            try:
+                java = translate_date_format(fmt)
+            except ValueError:
+                if name != "DATE_FORMAT":
+                    raise
+                # week-based / ordinal specifiers: render the dialect
+                # layer's composed Column (date_format_mariadb) to SQL
+                from mariadb_columnstore_engine_spark.functions import (
+                    dialect,
+                )
+
+                key = ("DATE_FORMAT", fmt)
+                if key not in _TPL_CACHE:
+                    _TPL_CACHE[key] = _render_column_sql(
+                        lambda c, _f=fmt: dialect.date_format_mariadb(
+                            c, _f
+                        )
+                    )
+                out.append(masked[i : m.start()])
+                out.append(_TPL_CACHE[key].format(args[0].strip()))
+                i = end
+                continue
             ph = _PH.format(len(store))
             store.append(_string_literal(java))
             out.append(masked[i : m.start()])
@@ -361,6 +383,9 @@ def translate_statement(sql: str) -> str:
     masked = _rewrite_format_calls(masked, store)
     masked = _rewrite_interval_arith(masked, store)
     masked = _rewrite_fn_templates(masked, store)
+    # LAST: Catalyst-rendered rewrites inject raw SQL (with quotes), so
+    # no masked-text scan may run after them
+    masked = _rewrite_week_functions(masked, store)
     masked = re.sub(r";\s*$", "", masked)
 
     return _unmask(masked, store)
@@ -376,3 +401,75 @@ def split_script(script: str) -> list[str]:
         if stmt:
             out.append(stmt)
     return out
+
+
+# ---- Catalyst-rendered rewrites -------------------------------------------
+#
+# WEEK(d[,mode]) / YEARWEEK(d[,mode]) and week-based DATE_FORMAT
+# specifiers have no one-line Spark spelling, but the dialect layer
+# already implements them as (unit-tested) Column expressions
+# (dialect.week_mode / yearweek_mode / date_format_mariadb). The bridge
+# below renders those Columns to SQL text through Catalyst's analyzed
+# plan, so the SQL front end reuses EXACTLY the tested semantics instead
+# of a hand-maintained parallel formula. Requires an active SparkSession
+# at translate time (Engine.sql always has one); rendered templates are
+# cached per (function, mode/format).
+
+_ARG = "__mcs_arg__"
+_TPL_CACHE: dict = {}
+
+
+def _render_column_sql(build):
+    """SQL text of ``build(F.col(_ARG))`` with ``{0}`` at the arg slot."""
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            "WEEK/YEARWEEK/week-format translation needs an active "
+            "SparkSession (use Engine.sql, or start a session first)"
+        )
+    df = spark.range(1).select(
+        F.lit("2000-01-01").cast("date").alias(_ARG)
+    ).select(build(F.col(_ARG)).alias("__out__"))
+    expr = df._jdf.queryExecution().analyzed().expressions().apply(0)
+    return "(" + expr.child().sql().replace(_ARG, "({0})") + ")"
+
+
+def _rewrite_week_functions(masked: str, store: list[str]) -> str:
+    from mariadb_columnstore_engine_spark.functions import dialect
+
+    for name, builder in (
+        ("WEEK", dialect.week_mode),
+        ("YEARWEEK", dialect.yearweek_mode),
+    ):
+        pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+        out, i = [], 0
+        while True:
+            m = pat.search(masked, i)
+            if not m:
+                out.append(masked[i:])
+                break
+            open_at = masked.index("(", m.start())
+            end = _find_balanced(masked, open_at)
+            args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+            mode = 0
+            if len(args) == 2:
+                if not re.fullmatch(r"\s*[0-7]\s*", args[1]):
+                    raise ValueError(
+                        f"{name} mode must be a literal 0-7"
+                    )
+                mode = int(args[1])
+            elif len(args) != 1:
+                raise ValueError(f"{name} expects 1 or 2 arguments")
+            key = (name, mode)
+            if key not in _TPL_CACHE:
+                _TPL_CACHE[key] = _render_column_sql(
+                    lambda c, _m=mode, _b=builder: _b(c, _m)
+                )
+            out.append(masked[i : m.start()])
+            out.append(_TPL_CACHE[key].format(args[0].strip()))
+            i = end
+        masked = "".join(out)
+    return masked

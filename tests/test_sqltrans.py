@@ -89,9 +89,15 @@ def test_str_to_date_translated():
     )
 
 
-def test_week_specifier_raises():
-    with pytest.raises(ValueError, match="week-based|%X"):
-        translate_statement("SELECT DATE_FORMAT(d, '%X-%V') FROM t")
+def test_week_specifier_needs_session():
+    # week-based specifiers translate via the Catalyst bridge, which
+    # needs an active session — absent one, the error says so
+    # (the happy path is test_date_format_week_specifiers_no_longer_raise)
+    from pyspark.sql import SparkSession
+
+    if SparkSession.getActiveSession() is None:
+        with pytest.raises(ValueError, match="active SparkSession"):
+            translate_statement("SELECT DATE_FORMAT(d, '%X-%V') FROM t")
 
 
 def test_rewrites_never_fire_inside_literals():
@@ -178,3 +184,49 @@ def test_interval_arith_rewrite(spark):
         )
     ).collect()[0]
     assert str(row.x) == "1998-02-02"
+
+
+def test_week_functions_via_catalyst_bridge(spark):
+    """WEEK/YEARWEEK SQL rewrites must agree with the (unit-tested)
+    dialect Column implementation — same engine, same semantics."""
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.functions import dialect
+
+    dates = ["2000-01-01", "2016-01-03", "2023-01-01", "2024-12-30",
+             "1998-12-31"]
+    df = spark.createDataFrame([(d,) for d in dates], "d string").select(
+        F.col("d").cast("date").alias("d")
+    )
+    for mode in (0, 1, 3, 7):
+        via_sql = [
+            r.w
+            for r in df.selectExpr(
+                translate_statement(f"SELECT WEEK(d, {mode}) AS w").replace(
+                    "SELECT ", ""
+                )
+            ).collect()
+        ]
+        via_col = [
+            r.w
+            for r in df.select(
+                dialect.week_mode(F.col("d"), mode).alias("w")
+            ).collect()
+        ]
+        assert via_sql == via_col, f"mode {mode}"
+    yw_sql = df.selectExpr(
+        translate_statement("SELECT YEARWEEK(d) AS w").replace("SELECT ", "")
+    ).collect()
+    yw_col = df.select(
+        dialect.yearweek_mode(F.col("d"), 0).alias("w")
+    ).collect()
+    assert [r.w for r in yw_sql] == [r.w for r in yw_col]
+
+
+def test_date_format_week_specifiers_no_longer_raise(spark):
+    q = translate_statement(
+        "SELECT DATE_FORMAT(DATE '2000-01-01', '%X-%V') AS xv"
+    )
+    row = spark.sql(q).collect()[0]
+    # MariaDB: SELECT DATE_FORMAT('2000-01-01', '%X-%V') -> '1999-52'
+    assert row.xv == "1999-52"
