@@ -1435,3 +1435,49 @@ def sql_mariadb_front_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 1, 3;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sql_mariadb_front_end2",
+    section="front-end dialect translation #2 (sqltrans.py): WEEK/"
+    "YEARWEEK via the Catalyst bridge (ISO mode 3 ↔ DuckDB native "
+    "week/yearweek), TO_DAYS/TIME_TO_SEC inline rewrites, and "
+    "DATE_ADD INTERVAL arithmetic — all typed as literal MariaDB SQL",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(week(o_orderdate) AS INT)       AS wk_iso,
+           CAST(yearweek(o_orderdate) AS INT)   AS yw_iso,
+           CAST(datediff('day', DATE '1970-01-01', o_orderdate) + 719528
+                AS BIGINT)                      AS to_days_v,
+           CAST(o_orderdate + INTERVAL 31 DAY AS DATE) AS plus_month,
+           CAST(date_part('hour', CAST(o_orderdate AS TIMESTAMP)) * 3600
+                AS INT)                         AS tts_midnight
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def sql_mariadb_front_end2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second switching-user statement: the session's new SQL rewrites,
+    end-to-end. MariaDB WEEK(d,3)/YEARWEEK(d,3) are ISO semantics, which
+    DuckDB's native week()/yearweek() implement — so the oracle needs no
+    re-derivation of the week formula (it pins the Catalyst bridge
+    against an independent implementation)."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT o_orderkey,
+           CAST(WEEK(o_orderdate, 3) AS INT)     AS wk_iso,
+           CAST(YEARWEEK(o_orderdate, 3) AS INT) AS yw_iso,
+           TO_DAYS(o_orderdate)                  AS to_days_v,
+           CAST(DATE_ADD(o_orderdate, INTERVAL 31 DAY) AS DATE)
+                                                 AS plus_month,
+           TIME_TO_SEC(CAST(o_orderdate AS TIMESTAMP)) AS tts_midnight
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey;
+    """
+    return spark.sql(translate_statement(stmt))
