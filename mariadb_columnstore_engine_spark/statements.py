@@ -125,6 +125,30 @@ def parse(sql: str):
         return Other("show_create", _ident(m.group(1), store))
 
     m = re.match(
+        r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+(\S+)\s+SET\s+",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        # MariaDB INSERT ... SET col = expr, ... — rewritten to the
+        # column-list VALUES form
+        cols, vals = [], []
+        for part in _split_top_level_commas(rest_of(m)):
+            am = re.match(r"\s*(\S+)\s*=\s*(.+)\s*$", part, re.DOTALL)
+            if not am:
+                raise ValueError(
+                    f"cannot parse INSERT SET assignment: {part!r}"
+                )
+            cols.append(_ident(am.group(1), store))
+            vals.append(_unmask(am.group(2).strip(), store))
+        return Insert(
+            table=_ident(m.group(2), store),
+            columns=cols,
+            source_sql="VALUES (" + ", ".join(vals) + ")",
+            replace=m.group(1).upper() == "REPLACE",
+        )
+
+    m = re.match(
         r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+(\S+)\s*",
         masked,
         re.IGNORECASE,

@@ -266,3 +266,11 @@ def test_information_schema_views(engine_with_table):
     assert [(c.column_name, c.data_type) for c in cols] == [
         ("id", "bigint"), ("val", "double"), ("note", "string"),
     ]
+
+
+def test_insert_set_form(engine_with_table):
+    eng = engine_with_table
+    n = eng.execute("INSERT INTO t1 SET id = 90, note = 'set; form'")
+    assert n == 11
+    row = eng.execute("SELECT * FROM t1 WHERE id = 90").collect()[0]
+    assert row.note == "set; form" and row.val is None
