@@ -687,3 +687,69 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _recall_oracle() -> str:
+    """Compose the registered brute-force and LSH oracles as CTEs — the
+    eval pins recall against the SAME artifacts the gate checks."""
+    from mariadb_columnstore_engine_spark.plans.registry import QUERIES
+
+    brute = QUERIES["sim_bruteforce_cosine_topk"].oracle
+    approx = QUERIES["sim_lsh_ann_topk"].oracle
+    return f"""
+    WITH brute AS ({brute}),
+         approx AS ({approx})
+    SELECT b.probe_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST((10000 * count(a.neighbor_id)) // {TOP_K} AS BIGINT)
+               AS recall_bps
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.probe_id
+    ORDER BY b.probe_id
+    """
+
+
+@query(
+    "sim_lsh_recall_eval",
+    section="LLM-pipeline: ANN quality evaluation — recall@k of the LSH "
+    "index against the brute-force ground truth, composed from the two "
+    "registered queries (the accept/reject metric for an index build)",
+    oracle=_recall_oracle(),
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k per probe, in exact integer basis points.
+
+    Both sides reuse the registered plan builders, so the eval measures
+    the production index, not a reimplementation. Scale: both inputs are
+    top-k results (probes × k rows) — the join and groupBy are over
+    result-sized data, trivially small next to the index build itself.
+    At 100 TB this is the query you run on a sampled probe set after
+    every index (re)build; recall_bps < threshold → widen buckets or
+    add bands (see the plane-count scaling notes above).
+    """
+    brute = bruteforce_cosine_topk(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = lsh_ann_topk(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("a_id")
+    )
+    return (
+        brute.join(
+            approx,
+            (brute.probe_id == approx.probe_id)
+            & (brute.neighbor_id == approx.a_id),
+            "left",
+        )
+        .groupBy(brute.probe_id)
+        .agg(
+            F.count("a_id").alias("hits"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.expr(f"(10000 * count(a_id)) div {TOP_K}").alias(
+                "recall_bps"
+            ),
+        )
+        .orderBy("probe_id")
+    )
