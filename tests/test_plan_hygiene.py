@@ -29,6 +29,7 @@ CARTESIAN_OK = {
     "tpch_q22_global_sales_opportunity",  # 1-row scalar subquery join
     "subq_scalar_filter_avg",  # 1-row scalar subquery join
     "sim_bruteforce_cosine_topk",  # constant probe set x corpus (linear)
+    "sim_lsh_recall_eval",  # composes the brute-force plan above
     "sim_ivf_ann_topk",  # constant centroid set
     "sim_kmeans_two_iterations",  # constant centroid set per iteration
 }
