@@ -288,23 +288,40 @@ class Engine:
             return n
         if isinstance(parsed, st.Update):
             from mariadb_columnstore_engine_spark.sources.ingest import (
+                _evolution,
+                read_table_evolved,
                 table_checks,
                 validate_checks,
             )
 
             pred = F.expr(parsed.where) if parsed.where else F.lit(True)
+            gen_cols = {
+                c["name"] for c in _evolution(path).get("generated", [])
+            }
+            if set(parsed.assignments) & gen_cols:
+                raise ValueError(
+                    "cannot UPDATE generated column(s) "
+                    f"{sorted(set(parsed.assignments) & gen_cols)}"
+                )
             checks = table_checks(path)
             if checks:
                 # reject BEFORE rewriting (MariaDB refuses the statement;
                 # there is no rollback here to lean on): preview the
                 # post-update rows with the same CASE WHEN the DML layer
-                # applies
-                preview = self.spark.read.parquet(path)
+                # applies. Preview through the LOGICAL schema
+                # (read_table_evolved) so checks/assignments referencing
+                # sidecar-added or generated columns resolve — the same
+                # schema the DML rewrite itself now reads.
+                preview = read_table_evolved(self.spark, path)
                 for c, e in parsed.assignments.items():
                     preview = preview.withColumn(
                         c,
                         F.when(F.coalesce(pred, F.lit(False)), F.expr(e))
                         .otherwise(F.col(c)),
+                    )
+                for g in _evolution(path).get("generated", []):
+                    preview = preview.withColumn(
+                        g["name"], F.expr(g["expr"])
                     )
                 validate_checks(preview, checks)
             n = dml.update_where(

@@ -31,7 +31,7 @@ def arrow_type_category(t: pa.DataType) -> str:
     if pa.types.is_floating(t):
         return "float"
     if pa.types.is_decimal(t):
-        return f"decimal(s={t.scale})"
+        return f"decimal(p={t.precision},s={t.scale})"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "str"
     if pa.types.is_boolean(t):
@@ -58,7 +58,7 @@ def spark_type_category(dt) -> str:
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         return "float"
     if isinstance(dt, T.DecimalType):
-        return f"decimal(s={dt.scale})"
+        return f"decimal(p={dt.precision},s={dt.scale})"
     if isinstance(dt, T.StringType):
         return "str"
     if isinstance(dt, T.BooleanType):
@@ -88,6 +88,47 @@ def type_problems(spark_schema, arrow_schema: pa.Schema) -> list[str]:
         for name in sorted(set(s) & set(o))
         if s[name] != o[name]
     ]
+
+
+# Wire-type categories the DRIVER's pandas canonicalizer can hash reliably.
+# Decimal is excluded: DuckDB's pandas conversion flattens DECIMAL to
+# float64 while Spark's toPandas keeps decimal.Decimal objects — the two
+# sides can never hash-match even on exactly-equal values (the round-3
+# failure mode). Array/struct/map/binary are excluded: pandas sort_values
+# crashes on unhashable list cells (round-3 sf_json_long_tail error).
+DRIVER_HASHABLE = ("int", "float", "str", "bool", "date", "timestamp")
+
+
+def driver_canon_problems(spark_schema, arrow_schema: pa.Schema) -> list[str]:
+    """Mirror of the verification driver's pandas canonicalization limits:
+    every output column of a driver-checked query must be in a
+    DRIVER_HASHABLE category on BOTH sides. Applied by compare() only to
+    PRIORITY_WINDOW queries — non-window queries may keep decimal-typed
+    outputs (pinned by the type-aware check above) since only the local
+    gate ever sees them."""
+    problems = []
+    for f in spark_schema.fields:
+        cat = spark_type_category(f.dataType)
+        if cat.split("(")[0] not in DRIVER_HASHABLE:
+            problems.append(f"driver-unhashable spark[{f.name}]: {cat}")
+    for f in arrow_schema:
+        cat = arrow_type_category(f.type)
+        if cat.split("(")[0] not in DRIVER_HASHABLE:
+            problems.append(f"driver-unhashable duck[{f.name}]: {cat}")
+    return problems
+
+
+def pandas_sortable_problems(otable: pa.Table) -> list[str]:
+    """Mirror the driver canonicalizer's sort step: sort_values over every
+    column of the pandas-converted oracle result. An unsortable object
+    cell (list/dict) here is exactly the crash the driver hit on
+    sf_json_long_tail in round 3."""
+    pd_df = otable.to_pandas()
+    try:
+        pd_df.sort_values(by=list(pd_df.columns))
+    except Exception as e:  # noqa: BLE001 — any crash = driver crash
+        return [f"driver pandas sort_values would fail: {e!r}"]
+    return []
 
 
 def norm_cell(v):
@@ -141,6 +182,17 @@ def compare(spark, con, spec, sf_dir: str) -> list[str]:
     orows = list(zip(*ocols_py)) if ocols_py else []
 
     problems: list[str] = type_problems(sdf.schema, otable.schema)
+    # Driver-window queries additionally face the driver's pandas
+    # canonicalizer — enforce its type limits locally so a red driver row
+    # reproduces before shipping (round-3 lesson: 3 queries were value-
+    # correct but driver-unhashable).
+    from mariadb_columnstore_engine_spark.plans.registry import (
+        PRIORITY_WINDOW,
+    )
+
+    if spec.name in PRIORITY_WINDOW:
+        problems += driver_canon_problems(sdf.schema, otable.schema)
+        problems += pandas_sortable_problems(otable)
     if len(srows) != len(orows):
         problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
     if sorted(scols) != sorted(ocols):

@@ -382,8 +382,72 @@ def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sf_decimal38_matrix",
     section="§2.8/§1.2 DECIMAL(38) arithmetic — the reference's int128 "
-    "flagship type (datatypes/mcs_decimal.h:117-120, mcs_int128.h:56); "
-    "every output pinned to an explicit decimal type in both engines",
+    "flagship type (datatypes/mcs_decimal.h:117-120, mcs_int128.h:56). "
+    "Arithmetic is carried in explicit decimal types; every OUTPUT is a "
+    "scaled BIGINT (value × 10^scale) because the driver's pandas "
+    "canonicalizer flattens DuckDB DECIMAL to float64 while Spark keeps "
+    "decimal.Decimal — decimal-typed outputs can never hash-match (see "
+    "registry.py driver-hashable policy). sf_decimal38_matrix_typed "
+    "keeps the decimal-typed carriage under the local type-aware gate.",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                AS BIGINT) AS p_e4,
+           CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                AS BIGINT) AS d_e4,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8))
+                * 100000000 AS BIGINT) AS pd_e8,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                     + CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,4))
+                * 10000 AS BIGINT) AS p_plus_q_e4,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(38,10)) / 8
+                     AS DECIMAL(38,10))
+                * 10000000000 AS BIGINT) AS p_div8_e10
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def decimal38_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    p18 = F.col("l_extendedprice").cast("decimal(18,4)")
+    d18 = F.col("l_discount").cast("decimal(18,4)")
+    q18 = F.col("l_quantity").cast("decimal(18,4)")
+    e4 = F.lit(10_000).cast("decimal(10,0)")
+    e8 = F.lit(100_000_000).cast("decimal(12,0)")
+    e10 = F.lit(10_000_000_000).cast("decimal(14,0)")
+    return (
+        t.lineitem.where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (p18 * e4).cast("bigint").alias("p_e4"),
+            (d18 * e4).cast("bigint").alias("d_e4"),
+            ((p18 * d18).cast("decimal(38,8)") * e8)
+            .cast("bigint")
+            .alias("pd_e8"),
+            ((p18 + q18).cast("decimal(38,4)") * e4)
+            .cast("bigint")
+            .alias("p_plus_q_e4"),
+            (
+                (F.col("l_extendedprice").cast("decimal(38,10)") / 8)
+                .cast("decimal(38,10)")
+                * e10
+            )
+            .cast("bigint")
+            .alias("p_div8_e10"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "sf_decimal38_matrix_typed",
+    section="§2.8/§1.2 DECIMAL(38) arithmetic with decimal-typed OUTPUTS "
+    "— pins the DECIMAL carriage itself (exact scale/precision on the "
+    "wire) under the local type-aware gate; the driver-window variant "
+    "sf_decimal38_matrix renders the same values as scaled BIGINT",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(l_extendedprice AS DECIMAL(18,4)) AS p,
@@ -400,7 +464,7 @@ def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_orderkey, l_linenumber
     """,
 )
-def decimal38_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decimal38_matrix_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     p18 = F.col("l_extendedprice").cast("decimal(18,4)")
     d18 = F.col("l_discount").cast("decimal(18,4)")
@@ -585,8 +649,8 @@ def datetime_matrix2(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_valid(props)                            AS valid_doc,
            json_valid('x' || props)                     AS valid_corrupt,
            -- json_keys / json_length analogues
-           json_keys(json_merge_patch(props, json_object('m', 1)))
-                                                        AS keys_after_insert,
+           array_to_string(json_keys(json_merge_patch(props,
+                json_object('m', 1))), ',')             AS keys_after_insert,
            CAST(json_array_length(json_array(k % 5, k % 7, 3))
                 AS BIGINT)                              AS arr_len,
            -- json_overlaps: [k%5, k%7, 3] vs [k%3, 4, 3]
@@ -633,7 +697,12 @@ def json_long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_object_keys(F.concat(F.lit("x"), "props"))
         .isNotNull()
         .alias("valid_corrupt"),
-        F.json_object_keys(F.to_json(ins_doc)).alias("keys_after_insert"),
+        # array_join'd (not raw array<string>): the driver canonicalizer's
+        # sort_values crashes on list cells (registry.py driver-hashable
+        # policy — no array-typed outputs in the driver window)
+        F.array_join(F.json_object_keys(F.to_json(ins_doc)), ",").alias(
+            "keys_after_insert"
+        ),
         F.json_array_length(F.to_json(arr1)).cast("long").alias("arr_len"),
         F.arrays_overlap(arr1, arr2).alias("arrays_overlap_v"),
     ).orderBy("event_id")
@@ -643,8 +712,77 @@ def json_long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sf_unsigned_semantics",
     section="§2.8/§1.2 unsigned integer semantics — UBIGINT carried as "
     "DECIMAL(20,0) (datatypes/mcs_datatype_basic.h:53-86 UTINYINT..UBIGINT "
-    "ranges; SURVEY §1.2 u64→Decimal(20,0) carriage). Full-range u64 "
-    "values round-trip exactly; aggregates widen to DECIMAL(38,0).",
+    "ranges; SURVEY §1.2 u64→Decimal(20,0) carriage). Arithmetic runs in "
+    "DECIMAL(20/38,0); OUTPUTS are rendered as VARCHAR because u64 "
+    "magnitudes neither fit BIGINT nor survive the driver canonicalizer's "
+    "DECIMAL→float64 flattening (registry.py driver-hashable policy). "
+    "sf_unsigned_semantics_typed keeps the decimal-typed carriage under "
+    "the local type-aware gate.",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(max(CAST(18446744073709551615 AS DECIMAL(20,0))
+                    - CAST(l_orderkey AS DECIMAL(20,0)))
+                AS VARCHAR) AS max_u64_desc,
+           CAST(min(CAST(9223372036854775808 AS DECIMAL(20,0))
+                    + CAST(l_orderkey AS DECIMAL(20,0)))
+                AS VARCHAR) AS min_above_i64,
+           CAST(sum(CAST(18446744073709551615 AS DECIMAL(20,0))
+                    - CAST(l_orderkey AS DECIMAL(20,0)))
+                AS VARCHAR) AS sum_u64,
+           CAST(max(CAST(l_orderkey AS DECIMAL(20,0)) * 4294967296)
+                AS VARCHAR) AS max_u32_shifted,
+           CAST(mod(max(CAST(18446744073709551615 AS DECIMAL(20,0))
+                        - CAST(l_orderkey AS DECIMAL(20,0))), 97)
+                AS BIGINT) AS mod_97
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def unsigned_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UBIGINT values exceed int64, so the engine carries them as
+    DECIMAL(20,0) (exact to 2^64-1) — the same carriage the reference
+    gives u64 via int128 storage. Scale-0 decimals render identically as
+    strings in both engines (no decimal point), so VARCHAR is the exact
+    driver-hashable wire format for >int64 magnitudes."""
+    t = Catalog(spark, sf_dir)
+    u64_max = F.lit("18446744073709551615").cast("decimal(20,0)")
+    i64_edge = F.lit("9223372036854775808").cast("decimal(20,0)")
+    okey = F.col("l_orderkey").cast("decimal(20,0)")
+    d20 = "decimal(20,0)"
+    return (
+        t.lineitem.where(F.col("l_orderkey") < 1000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(u64_max - okey).cast(d20).cast("string").alias(
+                "max_u64_desc"
+            ),
+            F.min(i64_edge + okey).cast(d20).cast("string").alias(
+                "min_above_i64"
+            ),
+            F.sum(u64_max - okey)
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_u64"),
+            F.max(okey * F.lit(4294967296))
+            .cast(d20)
+            .cast("string")
+            .alias("max_u32_shifted"),
+            F.pmod(F.max(u64_max - okey), F.lit(97)).cast("bigint").alias(
+                "mod_97"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sf_unsigned_semantics_typed",
+    section="§2.8/§1.2 unsigned semantics with decimal-typed OUTPUTS — "
+    "pins the DECIMAL(20,0)/DECIMAL(38,0) u64 carriage on the wire under "
+    "the local type-aware gate; the driver-window variant renders the "
+    "same values as VARCHAR",
     oracle="""
     SELECT l_returnflag,
            CAST(max(CAST(18446744073709551615 AS DECIMAL(20,0))
@@ -667,11 +805,7 @@ def json_long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
 )
-def unsigned_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UBIGINT values exceed int64, so the engine carries them as
-    DECIMAL(20,0) (exact to 2^64-1) — the same carriage the reference
-    gives u64 via int128 storage. Every output is pinned to an explicit
-    decimal type in both engines so the wire types hash identically."""
+def unsigned_semantics_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     u64_max = F.lit("18446744073709551615").cast("decimal(20,0)")
     i64_edge = F.lit("9223372036854775808").cast("decimal(20,0)")

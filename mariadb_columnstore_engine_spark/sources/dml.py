@@ -40,8 +40,26 @@ def _as_bool(predicate: Column) -> Column:
 
 def _rewrite(spark: SparkSession, path: str,
              transform, partition_filter: Column | None) -> int:
-    """Common copy-on-write machinery; returns the new row count."""
-    df = spark.read.parquet(path)
+    """Common copy-on-write machinery; returns the new row count.
+
+    Reads through the schema-evolution sidecar (read_table_evolved), so
+    transforms see the LOGICAL schema — instant-ALTER-added and generated
+    columns included — and the rewrite materializes that debt into the
+    new files (same settlement compact_table performs). The sidecar's
+    non-materializable state — CHECK constraints and generated-column
+    expressions (MariaDB PERSISTENT still computes on every insert) —
+    survives the swap; only 'added'/'dropped' entries are consumed.
+    """
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        _evolution,
+        _write_evolution,
+        read_table_evolved,
+    )
+
+    evo = _evolution(path)
+    df = read_table_evolved(spark, path)
     if partition_filter is not None:
         untouched = df.where(~_as_bool(partition_filter))
         scoped = df.where(_as_bool(partition_filter))
@@ -51,6 +69,11 @@ def _rewrite(spark: SparkSession, path: str,
     out = transform(scoped)
     if untouched is not None:
         out = out.unionByName(untouched)
+    # PERSISTENT generated-column semantics: recompute from the (possibly
+    # updated) base columns — a stored stale value must not survive an
+    # UPDATE of its inputs
+    for g in evo.get("generated", []):
+        out = out.withColumn(g["name"], F.expr(g["expr"]))
     tmp = f"{path.rstrip('/')}__cow_{uuid.uuid4().hex[:8]}"
     out.write.parquet(tmp)
     n = spark.read.parquet(tmp).count()
@@ -58,6 +81,14 @@ def _rewrite(spark: SparkSession, path: str,
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    surviving = {
+        "added": [],
+        "dropped": [],
+        "generated": evo.get("generated", []),
+        "checks": evo.get("checks", []),
+    }
+    if surviving["generated"] or surviving["checks"]:
+        _write_evolution(path, surviving)
     # the swapped directory invalidates any cached file listing
     spark.catalog.clearCache()
     return n

@@ -109,9 +109,33 @@ def compact_table(
         writer = writer.partitionBy(*partition_by)
     writer.format(format).save(tmp)
     fs, jpath, jvm = _hadoop_fs(spark, path)
+    if format == "parquet":
+        from mariadb_columnstore_engine_spark.sources.ingest import (
+            _evolution,
+            _write_evolution,
+        )
+
+        evo = _evolution(path)
+    else:
+        evo = {}
     fs.delete(jpath, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):
         raise IOError(f"compact_table: rename {tmp} -> {path} failed")
+    # Materialization settles only the 'added'/'dropped' debt. CHECK
+    # constraints are not materializable state, and generated columns
+    # must keep computing on future INSERTs (MariaDB PERSISTENT computes
+    # on insert; a plain physical column would be NULL-filled) — both
+    # survive compaction in a fresh sidecar.
+    if evo.get("generated") or evo.get("checks"):
+        _write_evolution(
+            path,
+            {
+                "added": [],
+                "dropped": [],
+                "generated": evo.get("generated", []),
+                "checks": evo.get("checks", []),
+            },
+        )
     after = layout_stats(spark, path)
     return {
         "files_before": before["n_files"],

@@ -125,7 +125,7 @@ def parse(sql: str):
         return Other("show_create", _ident(m.group(1), store))
 
     m = re.match(
-        r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+(\S+)\s+SET\s+",
+        r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+([^\s(]+)\s+SET\s+",
         masked,
         re.IGNORECASE,
     )
@@ -149,7 +149,10 @@ def parse(sql: str):
         )
 
     m = re.match(
-        r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+(\S+)\s*",
+        # table token is [^\s(]+ , not \S+: MariaDB allows the column
+        # list directly adjacent — INSERT INTO t1(id,val) VALUES ... —
+        # and \S+ would swallow "(id,val)" into the table name
+        r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+([^\s(]+)\s*",
         masked,
         re.IGNORECASE,
     )
@@ -193,7 +196,7 @@ def parse(sql: str):
             on_dup_update=on_dup,
         )
 
-    m = re.match(r"UPDATE\s+(\S+)\s+SET\s+", masked, re.IGNORECASE)
+    m = re.match(r"UPDATE\s+([^\s(]+)\s+SET\s+", masked, re.IGNORECASE)
     if m:
         body = rest_of(re.match(r"UPDATE\s+\S+\s+SET", masked, re.IGNORECASE))
         where = None
@@ -215,7 +218,7 @@ def parse(sql: str):
             where=where,
         )
 
-    m = re.match(r"DELETE\s+FROM\s+(\S+)\s*", masked, re.IGNORECASE)
+    m = re.match(r"DELETE\s+FROM\s+([^\s(]+)\s*", masked, re.IGNORECASE)
     if m:
         body = rest_of(m)
         where = None

@@ -125,3 +125,31 @@ def test_extent_map_shows_clustered_minmax(spark, tmp_path):
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo  # disjoint → row-group pruning is selective
     assert sum(e["num_rows"] for e in ext) == 100_000
+
+
+def test_compact_retains_checks_and_generated(spark, tmp_path):
+    """Compaction settles only the added/dropped debt. CHECK constraints
+    (not materializable) and generated-column expressions (PERSISTENT
+    still computes on insert) must survive in a fresh sidecar."""
+    from mariadb_columnstore_engine_spark.sources import ingest
+
+    dest = str(tmp_path / "evolved_cg")
+    spark.range(0, 100).selectExpr("id", "id * 2.0 AS v").repartition(
+        4
+    ).write.parquet(dest)
+    ingest.alter_add_column(dest, "flag", "int", 7)
+    ingest.alter_add_generated_column(dest, "v_sq", "v * v")
+    ingest.add_check_constraint(dest, "v_nonneg", "v >= 0")
+    maintenance.compact_table(spark, dest, target_file_mb=128)
+    # added-column debt settled physically...
+    df = spark.read.parquet(dest)
+    assert df.where(F.col("flag") == 7).count() == 100
+    # ...but checks still enforceable and generated still declarative
+    assert [c["name"] for c in ingest.table_checks(dest)] == ["v_nonneg"]
+    evo = ingest._evolution(dest)
+    assert [g["name"] for g in evo.get("generated", [])] == ["v_sq"]
+    # reads still produce the generated column (whether from stored
+    # values or the expression) and it tracks v
+    got = ingest.read_table_evolved(spark, dest)
+    row = got.where(F.col("id") == 3).collect()[0]
+    assert row.v_sq == row.v * row.v

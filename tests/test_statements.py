@@ -274,3 +274,81 @@ def test_insert_set_form(engine_with_table):
     assert n == 11
     row = eng.execute("SELECT * FROM t1 WHERE id = 90").collect()[0]
     assert row.note == "set; form" and row.val is None
+
+
+def test_delete_preserves_sidecar_after_instant_alter(engine_with_table):
+    """DML must not consume the schema-evolution sidecar: after instant
+    ALTER ADD COLUMN + ADD CONSTRAINT, a DELETE keeps the added column
+    (with its values/default) in the logical schema and CHECKs stay
+    enforced (copy-on-write swap used to drop _schema_evolution.json)."""
+    from mariadb_columnstore_engine_spark.sources.ingest import table_checks
+
+    eng = engine_with_table
+    eng.execute("ALTER TABLE t1 ADD COLUMN flag INT DEFAULT 7")
+    eng.execute("ALTER TABLE t1 ADD CONSTRAINT val_nonneg CHECK (val >= 0)")
+    eng.execute("INSERT INTO t1 (id, val, flag) VALUES (50, 5.0, 99)")
+    eng.execute("DELETE FROM t1 WHERE id = 1")
+    cols = dict(eng.execute("DESCRIBE t1"))
+    assert "flag" in cols, "added column vanished after DELETE"
+    rows = {
+        r.id: r.flag
+        for r in eng.execute(
+            "SELECT id, flag FROM t1 WHERE id IN (0, 50)"
+        ).collect()
+    }
+    assert rows == {0: 7, 50: 99}
+    path = eng._writable("t1")["path"]
+    assert table_checks(path), "CHECK constraints vanished after DELETE"
+    with pytest.raises(ValueError, match="val_nonneg"):
+        eng.execute("INSERT INTO t1 (id, val) VALUES (51, -5.0)")
+
+
+def test_update_preserves_generated_and_recomputes(engine_with_table):
+    """UPDATE after instant ALTER: generated columns survive the rewrite
+    AND are recomputed from updated base values (MariaDB PERSISTENT
+    computes on every write); assigning to one is rejected."""
+    eng = engine_with_table
+    eng.execute(
+        "ALTER TABLE t1 ADD COLUMN val_sq DOUBLE GENERATED ALWAYS AS (val * val)"
+    )
+    eng.execute("UPDATE t1 SET val = 5.0 WHERE id = 1")
+    row = eng.execute(
+        "SELECT val, val_sq FROM t1 WHERE id = 1"
+    ).collect()[0]
+    assert (row.val, row.val_sq) == (5.0, 25.0)
+    # still generated on later INSERTs (not NULL-filled)
+    eng.execute("INSERT INTO t1 (id, val) VALUES (52, 4.0)")
+    assert (
+        eng.execute("SELECT val_sq FROM t1 WHERE id = 52").collect()[0].val_sq
+        == 16.0
+    )
+    with pytest.raises(ValueError, match="generated"):
+        eng.execute("UPDATE t1 SET val_sq = 0 WHERE id = 1")
+
+
+def test_update_check_preview_sees_added_column(engine_with_table):
+    """The pre-rewrite CHECK preview must resolve sidecar-added columns
+    (it used to read the physical file schema and hit AnalysisException
+    on any check/assignment naming an instant-ALTER column)."""
+    eng = engine_with_table
+    eng.execute("ALTER TABLE t1 ADD COLUMN flag INT DEFAULT 7")
+    eng.execute("ALTER TABLE t1 ADD CONSTRAINT flag_pos CHECK (flag > 0)")
+    # assignment + check both reference the added column: validates, runs
+    n = eng.execute("UPDATE t1 SET flag = 8 WHERE id = 1")
+    assert n == 10
+    assert (
+        eng.execute("SELECT flag FROM t1 WHERE id = 1").collect()[0].flag
+        == 8
+    )
+    with pytest.raises(ValueError, match="flag_pos"):
+        eng.execute("UPDATE t1 SET flag = -1 WHERE id = 2")
+
+
+def test_insert_adjacent_column_list(engine_with_table):
+    """MariaDB allows no space before the column list:
+    INSERT INTO t1(id,val) VALUES ... — the table token must not
+    swallow '(id,val)'."""
+    eng = engine_with_table
+    eng.execute("INSERT INTO t1(id, val) VALUES (95, 9.5)")
+    row = eng.execute("SELECT id, val FROM t1 WHERE id = 95").collect()[0]
+    assert (row.id, row.val) == (95, 9.5)

@@ -27,8 +27,13 @@ import duckdb
 sys.path.insert(0, ".")
 
 from mariadb_columnstore_engine_spark.catalog import TABLES
-from mariadb_columnstore_engine_spark.oracle import type_problems
+from mariadb_columnstore_engine_spark.oracle import (
+    driver_canon_problems,
+    pandas_sortable_problems,
+    type_problems,
+)
 from mariadb_columnstore_engine_spark.plans import load_all
+from mariadb_columnstore_engine_spark.plans.registry import PRIORITY_WINDOW
 from mariadb_columnstore_engine_spark.session import get_session
 
 
@@ -120,6 +125,12 @@ def main() -> int:
 
         # Wire-type check (driver's value hash is type-sensitive).
         problems = type_problems(sdf.schema, otable.schema)
+        # Driver-window queries also face the driver's pandas
+        # canonicalizer (DECIMAL→float64 flattening, list-cell sort
+        # crashes) — reproduce those limits locally.
+        if name in PRIORITY_WINDOW:
+            problems += driver_canon_problems(sdf.schema, otable.schema)
+            problems += pandas_sortable_problems(otable)
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(scols) != sorted(ocols):
