@@ -151,6 +151,19 @@ class Engine:
         from mariadb_columnstore_engine_spark import statements as st
         from mariadb_columnstore_engine_spark.sources import dml
 
+        def texpr(text: str):
+            """Expression fragment → Column, through the same dialect
+            pass full statements get (a SET/WHERE fragment may use
+            MariaDB spellings — CAST AS CHAR, DATE_ADD INTERVAL,
+            TIME_TO_SEC — exactly like a SELECT does)."""
+            if dialect == "mariadb":
+                from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
+                    translate_statement,
+                )
+
+                text = translate_statement(text)
+            return F.expr(text)
+
         parsed = st.parse(stmt)
         if isinstance(parsed, st.Other):
             if parsed.kind == "select":
@@ -201,15 +214,29 @@ class Engine:
                 add_check_constraint,
             )
 
+            def tfrag(text: str) -> str:
+                # sidecar expressions are re-parsed by plain F.expr on
+                # every read — store them in Spark dialect, translating
+                # MariaDB spellings once here
+                if dialect == "mariadb" and text:
+                    from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
+                        translate_statement,
+                    )
+
+                    return translate_statement(text)
+                return text
+
             path = self._writable(parsed.table)["path"]
             if parsed.action == "add":
                 alter_add_column(
                     path, parsed.column, parsed.dtype, parsed.default
                 )
             elif parsed.action == "add_generated":
-                alter_add_generated_column(path, parsed.column, parsed.expr)
+                alter_add_generated_column(
+                    path, parsed.column, tfrag(parsed.expr)
+                )
             elif parsed.action == "add_check":
-                add_check_constraint(path, parsed.column, parsed.expr)
+                add_check_constraint(path, parsed.column, tfrag(parsed.expr))
             else:
                 alter_drop_column(path, parsed.column)
             self._refresh(parsed.table)
@@ -294,7 +321,7 @@ class Engine:
                 validate_checks,
             )
 
-            pred = F.expr(parsed.where) if parsed.where else F.lit(True)
+            pred = texpr(parsed.where) if parsed.where else F.lit(True)
             gen_cols = {
                 c["name"] for c in _evolution(path).get("generated", [])
             }
@@ -316,7 +343,7 @@ class Engine:
                 for c, e in parsed.assignments.items():
                     preview = preview.withColumn(
                         c,
-                        F.when(F.coalesce(pred, F.lit(False)), F.expr(e))
+                        F.when(F.coalesce(pred, F.lit(False)), texpr(e))
                         .otherwise(F.col(c)),
                     )
                 for g in _evolution(path).get("generated", []):
@@ -328,7 +355,7 @@ class Engine:
                 self.spark,
                 path,
                 pred,
-                {c: F.expr(e) for c, e in parsed.assignments.items()},
+                {c: texpr(e) for c, e in parsed.assignments.items()},
             )
             self._refresh(parsed.table)
             return n
@@ -336,7 +363,7 @@ class Engine:
             n = dml.delete_where(
                 self.spark,
                 path,
-                F.expr(parsed.where) if parsed.where else F.lit(True),
+                texpr(parsed.where) if parsed.where else F.lit(True),
             )
             self._refresh(parsed.table)
             return n

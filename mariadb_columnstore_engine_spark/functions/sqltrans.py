@@ -359,6 +359,119 @@ def _rewrite_interval_arith(masked: str, store: list[str]) -> str:
     return masked
 
 
+def _rewrite_with_rollup(masked: str, store: list[str]) -> str:
+    """MariaDB ``GROUP BY a, b WITH ROLLUP`` → ``GROUP BY ROLLUP(a, b)``
+    (the server-side WITH ROLLUP the reference never pushes down —
+    SURVEY §2.4; Spark/DuckDB both speak the ANSI ROLLUP spelling).
+    Depth-tracked scan so a WITH ROLLUP inside a subquery rewrites with
+    ITS OWN group-by, never an outer one."""
+    pat = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+    wr = re.compile(r"WITH\s+ROLLUP\b", re.IGNORECASE)
+    term = re.compile(
+        r"HAVING\b|ORDER\s+BY\b|LIMIT\b|WINDOW\b|UNION\b|EXCEPT\b|"
+        r"INTERSECT\b",
+        re.IGNORECASE,
+    )
+    out, i = [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        j, depth, hit = m.end(), 0, None
+        while j < len(masked):
+            ch = masked[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break  # end of this query block
+                depth -= 1
+            elif depth == 0:
+                wm = wr.match(masked, j)
+                if wm:
+                    hit = (j, wm.end())
+                    break
+                if term.match(masked, j):
+                    break
+            j += 1
+        out.append(masked[i : m.end()])
+        if hit:
+            cols = masked[m.end() : hit[0]].strip().rstrip(",")
+            out.append(f" ROLLUP({cols})")
+            i = hit[1]
+        else:
+            i = m.end()
+    return "".join(out)
+
+
+#: MariaDB CAST/CONVERT target types → Spark types (func_cast.cpp's
+#: cast_as_signed/unsigned/char/... targets; UNSIGNED must widen to
+#: DECIMAL(20,0) to carry full u64 range — SURVEY §1.2).
+_CAST_TARGETS: tuple[tuple[str, str], ...] = (
+    ("SIGNED INTEGER", "BIGINT"),
+    ("SIGNED", "BIGINT"),
+    ("UNSIGNED INTEGER", "DECIMAL(20,0)"),
+    ("UNSIGNED", "DECIMAL(20,0)"),
+    ("DATETIME", "TIMESTAMP"),
+    # bare CHAR (no length) is not a Spark type; CHAR(n) passes through
+    ("CHAR", "STRING"),
+)
+
+
+def _rewrite_cast_targets(masked: str, store: list[str]) -> str:
+    """``CAST(x AS SIGNED)`` / ``AS UNSIGNED`` / ``AS DATETIME`` →
+    Spark-typed CAST targets, and the MariaDB two-argument
+    ``CONVERT(expr, type)`` form → ``CAST(expr AS type)``."""
+    for mdb, spark_t in _CAST_TARGETS:
+        masked = re.sub(
+            rf"\bAS\s+{mdb}\s*\)", f"AS {spark_t})", masked, flags=re.I
+        )
+    # CONVERT(expr, type) — balanced parse; CHAR may carry a length
+    pat = re.compile(r"\bCONVERT\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+        if len(args) != 2:
+            raise ValueError(
+                "CONVERT expects 2 arguments (the USING charset form "
+                "has no Spark translation)"
+            )
+        t = args[1].strip().upper()
+        expr = args[0].strip()
+        cm = re.fullmatch(r"CHAR\s*\(\s*(\d+)\s*\)", t)
+        if cm:
+            # MariaDB CHAR(n) cast TRUNCATES to n chars (Spark's CHAR(n)
+            # pads instead) — emit the truncation explicitly
+            out.append(masked[i : m.start()])
+            out.append(
+                f"substring(CAST({expr} AS STRING), 1, {cm.group(1)})"
+            )
+            i = end
+            continue
+        for mdb, spark_t in _CAST_TARGETS:
+            if t == mdb:
+                t = spark_t
+                break
+        else:
+            if not re.fullmatch(
+                r"(DECIMAL(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?|DOUBLE|FLOAT|"
+                r"DATE|TIMESTAMP|BIGINT|INT|BINARY)",
+                t,
+            ):
+                raise ValueError(f"CONVERT: unsupported target type {t!r}")
+        out.append(masked[i : m.start()])
+        out.append(f"CAST({expr} AS {t})")
+        i = end
+    return "".join(out)
+
+
 def translate_statement(sql: str) -> str:
     """MariaDB statement → Spark SQL statement (see module docstring).
 
@@ -379,6 +492,8 @@ def translate_statement(sql: str) -> str:
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", masked,
         flags=re.IGNORECASE,
     )
+    masked = _rewrite_with_rollup(masked, store)
+    masked = _rewrite_cast_targets(masked, store)
     masked = _rewrite_group_concat(masked, store)
     masked = _rewrite_format_calls(masked, store)
     masked = _rewrite_interval_arith(masked, store)

@@ -99,6 +99,93 @@ def collation_ci_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "collation_ci_ai_battery",
+    section="§2.8 accent-AND-case-insensitive collation (utils/common/"
+    "collation.h locale collations; MTR ctype_cmp_* accent matrices, "
+    "e.g. utf8mb4_unicode_ci which folds accents) — Spark 4 ICU "
+    "UNICODE_CI_AI for =, GROUP BY keys and ORDER BY vs a DuckDB "
+    "strip_accents+lower fold. ICU LIKE is not defined for AI "
+    "collations in Spark (UTF8_LCASE covers CI LIKE in "
+    "collation_ci_battery); the remaining surfaces are pinned here. "
+    "Restricted to the áéíóú accent set where ICU AI folding and "
+    "DuckDB strip_accents provably agree.",
+    oracle=f"""
+    WITH v AS (
+        SELECT n_nationkey, n_name,
+               translate(lower(n_name), '{_ACC_FROM}', '{_ACC_TO}')
+                   AS accented,
+               upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+                   AS title_name
+        FROM nation
+    ), u AS (
+        SELECT n_nationkey, accented AS s FROM v
+        UNION ALL SELECT n_nationkey, title_name FROM v
+        UNION ALL SELECT n_nationkey, upper(n_name) FROM v
+    )
+    SELECT n_nationkey,
+           min(strip_accents(lower(s))) AS folded,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           bool_and(strip_accents(lower(s))
+                    = (SELECT lower(n_name) FROM nation n2
+                       WHERE n2.n_nationkey = u.n_nationkey))
+               AS ai_ci_eq_all,
+           CAST(dense_rank() OVER (
+                ORDER BY min(strip_accents(lower(s)))) AS BIGINT)
+               AS ai_ci_rank
+    FROM u
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def collation_ci_ai_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three accent/case variants per nation (accented-lower, Title,
+    UPPER) must collapse to ONE group under the UNICODE_CI_AI key, test
+    equal to the canonical name under the collation, and rank in folded
+    alphabetical order — =, GROUP BY and ORDER BY all routed through
+    the ICU collation JVM-side."""
+    t = Catalog(spark, sf_dir)
+    accented = F.translate(F.lower(F.col("n_name")), _ACC_FROM, _ACC_TO)
+    title = F.concat(
+        F.upper(F.substring("n_name", 1, 1)),
+        F.lower(F.expr("substr(n_name, 2)")),
+    )
+    v = t.nation.select("n_nationkey", "n_name", accented.alias("acc"),
+                        title.alias("tit"))
+    u = (
+        v.select("n_nationkey", "n_name", F.col("acc").alias("s"))
+        .unionAll(v.select("n_nationkey", "n_name", F.col("tit").alias("s")))
+        .unionAll(v.select("n_nationkey", "n_name",
+                           F.upper("n_name").alias("s")))
+    )
+    ai = F.collate(F.col("s"), "UNICODE_CI_AI")
+    grouped = (
+        u.groupBy("n_nationkey")
+        .agg(
+            # one CI_AI-distinct value per group proves the three
+            # variants are equal under the collation; surface the
+            # explicit fold for the oracle
+            F.min(F.translate(F.lower("s"), _ACC_TO, _ACC_FROM)).alias(
+                "folded"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            # collated equality: every variant == canonical lower name
+            F.min(
+                (ai == F.collate(F.lower("n_name"), "UNICODE_CI_AI"))
+                .cast("int")
+            ).cast("boolean").alias("ai_ci_eq_all"),
+        )
+    )
+    w = Window.orderBy(F.collate(F.col("folded"), "UNICODE_CI_AI"))
+    return grouped.select(
+        "n_nationkey",
+        F.col("folded").cast("string").alias("folded"),
+        "n_variants",
+        "ai_ci_eq_all",
+        F.dense_rank().over(w).cast("long").alias("ai_ci_rank"),
+    ).orderBy("n_nationkey")
+
+
+@query(
     "collation_ci_join_group",
     section="§2.8 collation in join keys + grouping (collation.h "
     "CHARSET_INFO-driven hash/compare in joins and aggregation; MTR "

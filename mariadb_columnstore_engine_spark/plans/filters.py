@@ -170,23 +170,45 @@ def compound_boolean_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filter_metadata_pseudocols",
-    section="§2.1 PseudoColStep → input_file_name metadata column "
-    "(ha_pseudocolumn.cpp:33-44 idbdbroot/idbsegment analogues)",
+    section="§2.1 PseudoColStep → metadata pseudo-columns "
+    "(ha_pseudocolumn.cpp:33-44: idbdbroot/idbpm/idbsegment/"
+    "idbextentid). Three Spark analogues in one row: input_file_name() "
+    "and _metadata.file_path (≈ which extent/segment file a row lives "
+    "in) and spark_partition_id() (≈ which PM/dbroot is scanning it).",
     oracle="""
-    -- The oracle pins the EXPECTED metadata value: every region row must
-    -- report its source file's basename. (DuckDB's filename=true needs a
-    -- raw read_parquet call, unavailable through the driver's views.)
-    SELECT 'region.parquet' AS file_name, count(*) AS n FROM region
+    -- The oracle pins the EXPECTED metadata values: every region row
+    -- must report its source file's basename through BOTH file-path
+    -- pseudo-columns, and the single-file fixture occupies exactly one
+    -- scan partition. (DuckDB's filename=true needs a raw read_parquet
+    -- call, unavailable through the driver's views.)
+    SELECT 'region.parquet' AS file_name,
+           'region.parquet' AS meta_file_name,
+           CAST(1 AS BIGINT) AS n_scan_partitions,
+           count(*) AS n
+    FROM region
     """,
 )
 def metadata_pseudocols(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
+    base = F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+    # _metadata struct needs a fresh scan-relation select (it is a
+    # hidden source column, resolvable only against the file source)
+    meta_base = F.regexp_extract(
+        F.col("_metadata.file_path"), "[^/]+$", 0
+    )
     return (
         t.region.select(
-            F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("file_name")
+            base.alias("file_name"),
+            meta_base.alias("meta_file_name"),
+            F.spark_partition_id().alias("_pid"),
         )
-        .groupBy("file_name")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("file_name", "meta_file_name")
+        .agg(
+            F.countDistinct("_pid").cast("long").alias(
+                "n_scan_partitions"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
         .orderBy("file_name")
     )
 

@@ -220,3 +220,84 @@ def cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_name", "priority")
         .orderBy("r_name", "priority")
     )
+
+
+@query(
+    "join_bucketed_zero_exchange",
+    section="§2.1/§2.3 bucketed DDL + co-located join — write-time hash "
+    "bucketing makes the customer⋈orders join and the follow-on "
+    "aggregation exchange-free (the Spark analogue of ColumnStore "
+    "keeping data PM-local with no query-time shuffle at all, SURVEY "
+    "§4 'no shuffle'; DDL surface: sources/ingest.write_bucketed ≈ "
+    "CREATE TABLE .. CLUSTERED BY). tests/test_plan_shapes.py asserts "
+    "the zero-Exchange plan; this row pins the results.",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 500
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def bucketed_zero_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed twins of customer/orders (8 buckets on the join key,
+    sorted within buckets) are created once per session under the system
+    temp dir, then joined + aggregated on the bucket key — at scale this
+    is the pre-partitioning that removes the dominant shuffle from every
+    query on the fact table's main key."""
+    df, tbls = _bucketed_tables(spark, sf_dir)
+    c, o = df
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        c.where(F.col("c_custkey") < 500)
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Idempotently materialize bucketed customer/orders twins for this
+    (session, sf_dir); returns ((customer_df, orders_df), table names)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        write_bucketed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cust_tbl, ord_tbl = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
+    if not (
+        spark.catalog.tableExists(cust_tbl)
+        and spark.catalog.tableExists(ord_tbl)
+    ):
+        t = Catalog(spark, sf_dir)
+        base = os.path.join(tempfile.gettempdir(), f"mcs_bkt_{tag}")
+        shutil.rmtree(base, ignore_errors=True)
+        write_bucketed(
+            t.customer.select("c_custkey", "c_name"),
+            cust_tbl,
+            bucket_cols=["c_custkey"],
+            n_buckets=8,
+            sort_cols=["c_custkey"],
+            path=os.path.join(base, "customer"),
+        )
+        write_bucketed(
+            t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            ord_tbl,
+            bucket_cols=["o_custkey"],
+            n_buckets=8,
+            sort_cols=["o_custkey"],
+            path=os.path.join(base, "orders"),
+        )
+    return (spark.table(cust_tbl), spark.table(ord_tbl)), (cust_tbl, ord_tbl)

@@ -1615,3 +1615,50 @@ def sql_mariadb_front_end2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sql_mariadb_front_end3",
+    section="front-end dialect translation #3 (sqltrans.py): GROUP BY "
+    "... WITH ROLLUP → ROLLUP(...) (the form MariaDB's server executes "
+    "and the reference never pushes down — SURVEY §2.4), the "
+    "two-argument CONVERT(expr, type) cast form, and CAST(x AS SIGNED/"
+    "UNSIGNED) target mapping (func_cast.cpp; UNSIGNED widens to the "
+    "u64-capable DECIMAL(20,0) carriage, rendered as VARCHAR for the "
+    "driver) — all typed as literal MariaDB SQL",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+           coalesce(o_orderstatus, 'ALL')   AS st,
+           CAST(count(*) AS BIGINT)         AS n,
+           CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+           CAST(max(CAST(o_orderkey AS DECIMAL(20,0))
+                    + 18446744073709000000) AS VARCHAR) AS u64_str
+    FROM orders
+    WHERE o_orderkey < 800
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY pri, st
+    """,
+)
+def sql_mariadb_front_end3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third switching-user statement: WITH ROLLUP + CONVERT + CAST AS
+    SIGNED/UNSIGNED typed exactly as a MariaDB user would, translated by
+    the SQL front end and parity-checked against DuckDB running the
+    ANSI ROLLUP spelling."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+           COALESCE(o_orderstatus, 'ALL')   AS st,
+           CAST(COUNT(*) AS BIGINT)         AS n,
+           CAST(SUM(CONVERT(o_orderkey, SIGNED)) AS BIGINT) AS key_sum,
+           CAST(MAX(CAST(o_orderkey AS UNSIGNED)
+                    + 18446744073709000000) AS CHAR) AS u64_str
+    FROM orders
+    WHERE o_orderkey < 800
+    GROUP BY o_orderpriority, o_orderstatus WITH ROLLUP
+    ORDER BY pri, st;
+    """
+    return spark.sql(translate_statement(stmt))

@@ -1041,12 +1041,16 @@ def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequency/rank/cumulative-coverage audit.
 
     Scale: the explode+count is the one real pass (map-side combine on
-    token); the rank/cumsum window runs over the AGGREGATED vocabulary —
-    orders of magnitude smaller than the corpus — so the unpartitioned
-    window is bounded by |vocab|, not |tokens| (the only place a global
-    window is acceptable; see SCALE.md). Coverage is integer basis
-    points: cumulative count × 10000 div total, truncating — exact in
-    both engines.
+    token); the global window then runs over a TOP-50 PRE-FILTER of the
+    aggregated vocabulary, not the full vocabulary — the top-K heap
+    (TakeOrderedAndProject: per-partition heaps + driver merge of K)
+    bounds the unpartitioned window's input at exactly K rows even at
+    web-corpus vocab sizes (10⁸ distinct tokens). Correct because the
+    ordering key (n DESC, token) is a total order, so the top-50 prefix
+    is closed under the running cumulative sum; the grand total comes
+    from a separate 1-row aggregate of the full table. Coverage is
+    integer basis points: cumulative count × 10000 div total,
+    truncating — exact in both engines.
     """
     from pyspark.sql import Window
 
@@ -1060,10 +1064,11 @@ def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = freq.agg(F.sum("n").cast("long").alias("total"))
+    top = freq.orderBy(F.desc("n"), F.asc("token")).limit(50)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        freq.crossJoin(total)
+        top.crossJoin(total)
         .select(
             "token",
             F.col("n").cast("long").alias("n"),

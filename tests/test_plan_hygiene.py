@@ -24,8 +24,7 @@ CARTESIAN_OK = {
     "filter_constant_select_literals",
     "filter_constant_false",
     "events_funnel_steps",  # 1x1x1 step-count combination
-    "text_vocab_zipf",  # 1-row total joined to vocab
-    "sf_decimal38_matrix",  # constant-row scaffold
+    "text_vocab_zipf",  # 1-row total joined to top-50 vocab
     "tpch_q22_global_sales_opportunity",  # 1-row scalar subquery join
     "subq_scalar_filter_avg",  # 1-row scalar subquery join
     "sim_bruteforce_cosine_topk",  # constant probe set x corpus (linear)
@@ -97,3 +96,55 @@ def test_registry_covers_all_sections(plans):
     for anchor in ("§2.1", "§2.2", "§2.3", "§2.4", "§2.5", "§2.6",
                    "§2.7", "§2.8", "§2.9", "LLM-pipeline:", "front-end"):
         assert any(s.startswith(anchor) for s in sections), anchor
+
+
+def test_driver_window_schemas_are_driver_hashable(spark, sf_dir):
+    """Policy (plans/registry.py): every PRIORITY_WINDOW query must emit
+    only driver-hashable wire types — int/float/str/bool/date/timestamp.
+    Decimal outputs can never hash-match (the harness's pandas
+    canonicalizer flattens DuckDB DECIMAL to float64 while Spark keeps
+    decimal.Decimal) and array/struct cells crash its sort step — the
+    round-3 red rows. Analysis-only: schemas come from the logical plan."""
+    from mariadb_columnstore_engine_spark.oracle import (
+        DRIVER_HASHABLE,
+        spark_type_category,
+    )
+    from mariadb_columnstore_engine_spark.plans.registry import (
+        PRIORITY_WINDOW,
+    )
+
+    offenders = []
+    for name in PRIORITY_WINDOW:
+        spec = _SPECS.get(name)
+        assert spec is not None, f"window names unregistered query {name}"
+        df = spec.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            cat = spark_type_category(f.dataType)
+            if cat.split("(")[0] not in DRIVER_HASHABLE:
+                offenders.append(f"{name}.{f.name}: {cat}")
+    assert not offenders, f"driver-unhashable window outputs: {offenders}"
+
+
+def test_bucketed_join_query_is_exchange_free(spark, sf_dir):
+    """join_bucketed_zero_exchange's point is the plan: with broadcast
+    disabled, the bucketed customer⋈orders join and its follow-on
+    aggregation must contain NO exchange of any kind."""
+    from mariadb_columnstore_engine_spark.plans.joins import (
+        bucketed_zero_exchange,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_zero_exchange(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # join + aggregation reuse the bucket distribution: zero hash
+        # exchanges; the one permitted Exchange is the final global
+        # ORDER BY's rangepartitioning (inherent to a total sort)
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed gate query still hash-shuffles:\n" + plan
+        )
+        assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

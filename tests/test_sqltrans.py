@@ -230,3 +230,123 @@ def test_date_format_week_specifiers_no_longer_raise(spark):
     row = spark.sql(q).collect()[0]
     # MariaDB: SELECT DATE_FORMAT('2000-01-01', '%X-%V') -> '1999-52'
     assert row.xv == "1999-52"
+
+
+# --- round-4 rewrites: WITH ROLLUP, CONVERT, CAST AS SIGNED/UNSIGNED ------
+
+def test_with_rollup_rewrite():
+    assert (
+        translate_statement(
+            "SELECT a, b, count(*) FROM t GROUP BY a, b WITH ROLLUP"
+        )
+        == "SELECT a, b, count(*) FROM t GROUP BY ROLLUP(a, b)"
+    )
+    # terminators stop the column capture
+    assert (
+        translate_statement(
+            "SELECT a FROM t GROUP BY a WITH ROLLUP HAVING count(*) > 1"
+        )
+        == "SELECT a FROM t GROUP BY ROLLUP(a) HAVING count(*) > 1"
+    )
+    # plain GROUP BY untouched
+    q = "SELECT a FROM t GROUP BY a ORDER BY a"
+    assert translate_statement(q) == q
+
+
+def test_with_rollup_subquery_scoped():
+    # inner WITH ROLLUP must bind to the INNER group-by only
+    got = translate_statement(
+        "SELECT * FROM (SELECT a, count(*) AS n FROM t "
+        "GROUP BY a WITH ROLLUP) s GROUP BY s.a"
+    )
+    assert "GROUP BY ROLLUP(a)" in got
+    assert got.rstrip().endswith("GROUP BY s.a")
+
+
+def test_cast_signed_unsigned_targets():
+    assert (
+        translate_statement("SELECT CAST(x AS SIGNED) FROM t")
+        == "SELECT CAST(x AS BIGINT) FROM t"
+    )
+    assert (
+        translate_statement("SELECT CAST(x AS UNSIGNED INTEGER) FROM t")
+        == "SELECT CAST(x AS DECIMAL(20,0)) FROM t"
+    )
+    assert (
+        translate_statement("SELECT CAST(x AS CHAR) FROM t")
+        == "SELECT CAST(x AS STRING) FROM t"
+    )
+
+
+def test_convert_two_arg_form():
+    assert (
+        translate_statement("SELECT CONVERT(x, SIGNED) FROM t")
+        == "SELECT CAST(x AS BIGINT) FROM t"
+    )
+    # MariaDB CHAR(n) conversion truncates (Spark CHAR(n) pads) — the
+    # rewrite spells out the truncation
+    assert (
+        translate_statement("SELECT CONVERT(x, CHAR(8)) FROM t")
+        == "SELECT substring(CAST(x AS STRING), 1, 8) FROM t"
+    )
+    assert (
+        translate_statement("SELECT CONVERT(x, DECIMAL(10,2)) FROM t")
+        == "SELECT CAST(x AS DECIMAL(10,2)) FROM t"
+    )
+    with pytest.raises(ValueError, match="CONVERT"):
+        translate_statement("SELECT CONVERT(x, BLOB) FROM t")
+
+
+@pytest.fixture()
+def engine_with_table(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    path = str(tmp_path / "t1")
+    spark.range(0, 10).select(
+        F.col("id"),
+        (F.col("id") * 10).cast("double").alias("val"),
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+    ).write.parquet(path)
+    eng.attach_table("t1", path, keys=["id"])
+    return eng
+
+
+def test_engine_insert_select_with_mariadb_functions(engine_with_table):
+    """INSERT ... SELECT through the statement router must run its source
+    through the MariaDB dialect pass (CONCAT over CAST AS SIGNED here)."""
+    eng = engine_with_table
+    n = eng.execute(
+        "INSERT INTO t1 (id, note) "
+        "SELECT CAST(id AS SIGNED) + 200, CONCAT('x', CAST(id AS CHAR)) "
+        "FROM t1 WHERE id < 3"
+    )
+    assert n == 13
+    rows = {
+        r.id: r.note
+        for r in eng.execute(
+            "SELECT id, note FROM t1 WHERE id >= 200"
+        ).collect()
+    }
+    assert rows == {200: "x0", 201: "x1", 202: "x2"}
+
+
+def test_run_script_mariadb_mixed_statements(engine_with_table):
+    """Multi-statement script: MariaDB-dialect DML + rollup SELECT in one
+    run_script pass (split_script + per-statement translation)."""
+    eng = engine_with_table
+    results = eng.run_script(
+        "INSERT INTO t1 (id, val) VALUES (300, 30.0);\n"
+        "UPDATE t1 SET note = CONCAT('v=', CAST(val AS CHAR)) "
+        "WHERE id = 300;\n"
+        "SELECT coalesce(CAST(id % 2 AS CHAR), 'ALL') AS bucket, "
+        "count(*) AS n FROM t1 GROUP BY id % 2 WITH ROLLUP;"
+    )
+    # DML returns the table's new TOTAL row count (copy-on-write)
+    assert results[0] == 11 and results[1] == 11
+    out = {r.bucket: r.n for r in results[2].collect()}
+    assert out["ALL"] == 11  # rollup super-aggregate row
+    note = eng.execute("SELECT note FROM t1 WHERE id = 300").collect()[0].note
+    assert note == "v=30.0"
