@@ -102,6 +102,58 @@ class Engine:
             table
         )
 
+    # --- transactions (version-buffer rollback analogue) -----------
+
+    def begin(self) -> None:
+        """BEGIN / START TRANSACTION: snapshot every attached user
+        table's pre-image (hardlinked data files + copied sidecars —
+        sources.dml.snapshot_tree ≈ the BRM version buffer holding block
+        pre-images, versioning/BRM/dbrm.h:164-199). Statement-level
+        atomicity is unchanged; this adds multi-statement ROLLBACK.
+        Tables attached after BEGIN are not part of the transaction."""
+        import uuid
+
+        from mariadb_columnstore_engine_spark.sources.dml import (
+            snapshot_tree,
+        )
+
+        if getattr(self, "_txn", None) is not None:
+            raise ValueError("transaction already open (COMMIT/ROLLBACK first)")
+        snap: dict[str, str] = {}
+        for name, info in getattr(self, "_user_tables", {}).items():
+            backup = f"{info['path'].rstrip('/')}__txn_{uuid.uuid4().hex[:8]}"
+            snapshot_tree(info["path"], backup)
+            snap[name] = backup
+        self._txn = snap
+
+    def commit(self) -> None:
+        """COMMIT: discard the pre-image snapshots (the version buffer's
+        post-commit cleanup)."""
+        import shutil
+
+        txn = getattr(self, "_txn", None)
+        if txn is None:
+            raise ValueError("no open transaction")
+        for backup in txn.values():
+            shutil.rmtree(backup, ignore_errors=True)
+        self._txn = None
+
+    def rollback(self) -> None:
+        """ROLLBACK: restore every attached table's pre-image directory
+        (data + evolution sidecar) and refresh its view."""
+        import os
+        import shutil
+
+        txn = getattr(self, "_txn", None)
+        if txn is None:
+            raise ValueError("no open transaction")
+        for name, backup in txn.items():
+            path = self._user_tables[name]["path"]
+            shutil.rmtree(path)
+            os.rename(backup, path)
+            self._refresh(name)
+        self._txn = None
+
     def refresh_information_schema(self) -> None:
         """(Re)build the information_schema views over catalog + user
         tables (≈ the reference's i_s plugin tables,
@@ -185,6 +237,12 @@ class Engine:
                     f"CREATE TABLE `{parsed.arg}` (\n{cols}\n) "
                     "USING parquet"
                 )
+            if parsed.kind == "begin":
+                return self.begin()
+            if parsed.kind == "commit":
+                return self.commit()
+            if parsed.kind == "rollback":
+                return self.rollback()
             if parsed.kind == "truncate":
                 path = self._writable(parsed.arg)["path"]
                 n = dml.delete_where(self.spark, path, F.lit(True))

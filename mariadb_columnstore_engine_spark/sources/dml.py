@@ -204,3 +204,35 @@ def upsert_into(
         return out.unionByName(appended.select(*df.columns))
 
     return _rewrite(spark, path, transform, None)
+
+
+def snapshot_tree(src: str, dst: str) -> None:
+    """Cheap pre-image snapshot of a table directory for transaction
+    rollback (reference analogue: the BRM version buffer keeping block
+    pre-images for ROLLBACK — versioning/BRM/dbrm.h:164-199,
+    dbcon/dmlpackageproc rollback paths).
+
+    Data files (.parquet/.orc) are HARDLINKED, not copied — the engine
+    never modifies them in place (copy-on-write DML unlinks and replaces
+    whole directories), so a link is a zero-copy pre-image, the same
+    trick the version buffer plays with block references. Small metadata
+    files (the evolution sidecar, _SUCCESS markers) ARE copied byte-wise:
+    the sidecar is rewritten in place via open('w'), which would corrupt
+    a shared inode. On an object store, swap this for the table-format
+    snapshot (VersionedTable is the manifest-shaped sibling).
+    """
+    import shutil
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(troot, f)
+            if f.endswith((".parquet", ".orc")):
+                try:
+                    os.link(s, d)
+                    continue
+                except OSError:
+                    pass  # cross-device etc. — fall through to copy
+            shutil.copy2(s, d)

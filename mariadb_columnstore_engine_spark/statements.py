@@ -124,6 +124,17 @@ def parse(sql: str):
     if m:
         return Other("show_create", _ident(m.group(1), store))
 
+    # transaction control (≈ dml.y BEGIN/COMMIT/ROLLBACK → DMLProc's
+    # version-buffer commit/rollback)
+    if re.fullmatch(
+        r"(BEGIN(\s+WORK)?|START\s+TRANSACTION)\s*", masked, re.IGNORECASE
+    ):
+        return Other("begin", "")
+    if re.fullmatch(r"COMMIT(\s+WORK)?\s*", masked, re.IGNORECASE):
+        return Other("commit", "")
+    if re.fullmatch(r"ROLLBACK(\s+WORK)?\s*", masked, re.IGNORECASE):
+        return Other("rollback", "")
+
     m = re.match(
         r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+([^\s(]+)\s+SET\s+",
         masked,

@@ -352,3 +352,45 @@ def test_insert_adjacent_column_list(engine_with_table):
     eng.execute("INSERT INTO t1(id, val) VALUES (95, 9.5)")
     row = eng.execute("SELECT id, val FROM t1 WHERE id = 95").collect()[0]
     assert (row.id, row.val) == (95, 9.5)
+
+
+def test_transaction_rollback_restores_preimage(engine_with_table):
+    """BEGIN .. ROLLBACK: multi-statement DML (UPDATE + DELETE + INSERT)
+    fully reverts — data AND evolution sidecar (version-buffer rollback
+    analogue, snapshot via hardlinked pre-images)."""
+    eng = engine_with_table
+    eng.execute("ALTER TABLE t1 ADD COLUMN flag INT DEFAULT 7")
+    before = sorted(
+        (r.id, r.val, r.flag)
+        for r in eng.execute("SELECT id, val, flag FROM t1").collect()
+    )
+    eng.execute("BEGIN")
+    eng.execute("UPDATE t1 SET val = -999 WHERE id < 5")
+    eng.execute("DELETE FROM t1 WHERE id >= 8")
+    eng.execute("INSERT INTO t1 (id, val) VALUES (100, 1.0)")
+    eng.execute("ALTER TABLE t1 DROP COLUMN flag")
+    assert eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n == 9
+    eng.execute("ROLLBACK")
+    after = sorted(
+        (r.id, r.val, r.flag)
+        for r in eng.execute("SELECT id, val, flag FROM t1").collect()
+    )
+    assert after == before  # flag column + all rows restored
+
+
+def test_transaction_commit_keeps_changes(engine_with_table):
+    eng = engine_with_table
+    eng.execute("START TRANSACTION")
+    eng.execute("UPDATE t1 SET val = 123.0 WHERE id = 1")
+    eng.execute("COMMIT")
+    assert (
+        eng.execute("SELECT val FROM t1 WHERE id = 1").collect()[0].val
+        == 123.0
+    )
+    # control statements are strict
+    with pytest.raises(ValueError, match="no open transaction"):
+        eng.execute("ROLLBACK")
+    eng.execute("BEGIN")
+    with pytest.raises(ValueError, match="already open"):
+        eng.execute("BEGIN WORK")
+    eng.execute("COMMIT")
