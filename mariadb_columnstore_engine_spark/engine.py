@@ -203,18 +203,30 @@ class Engine:
         from mariadb_columnstore_engine_spark import statements as st
         from mariadb_columnstore_engine_spark.sources import dml
 
-        def texpr(text: str):
-            """Expression fragment → Column, through the same dialect
-            pass full statements get (a SET/WHERE fragment may use
-            MariaDB spellings — CAST AS CHAR, DATE_ADD INTERVAL,
-            TIME_TO_SEC — exactly like a SELECT does)."""
+        def tsql(text: str) -> str:
+            """Dialect-translate an expression fragment (a SET/WHERE/
+            RETURNING fragment may use MariaDB spellings — CAST AS CHAR,
+            DATE_ADD INTERVAL, TIME_TO_SEC — exactly like a SELECT)."""
             if dialect == "mariadb":
                 from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
                     translate_statement,
                 )
 
-                text = translate_statement(text)
-            return F.expr(text)
+                return translate_statement(text)
+            return text
+
+        def texpr(text: str):
+            return F.expr(tsql(text))
+
+        def returning_result(source_df, exprs: list[str]):
+            """Materialize a RETURNING projection BEFORE the write swaps
+            or appends files (the lineage must read the pre-write table
+            state exactly once). RETURNING result sets are client-bound
+            by definition (MariaDB streams them to the client), so the
+            collect here is the protocol, not a scale hazard."""
+            ret_df = source_df.selectExpr(*[tsql(e) for e in exprs])
+            rows = ret_df.collect()
+            return self.spark.createDataFrame(rows, ret_df.schema)
 
         parsed = st.parse(stmt)
         if isinstance(parsed, st.Other):
@@ -264,6 +276,53 @@ class Engine:
             df.write.mode("errorifexists").parquet(path)
             self.attach_table(parsed.name, path)
             return self.spark.table(parsed.name).count()
+        if isinstance(parsed, st.CreateTableDef):
+            # the reference's primary DDL entry (ddl.y → createtable.cpp):
+            # declared schema, defaults, NOT NULL and CHECKs become an
+            # empty parquet table + sidecar metadata the DML layer
+            # enforces; PRIMARY KEY wires the upsert/REPLACE key
+            import os
+
+            from mariadb_columnstore_engine_spark.sources.ingest import (
+                _evolution,
+                _write_evolution,
+                add_check_constraint,
+            )
+
+            if self.warehouse is None:
+                raise ValueError(
+                    "CREATE TABLE needs Engine(warehouse=...) to know "
+                    "where to materialize"
+                )
+            ddl = ", ".join(
+                f"{c.name} {c.dtype}" for c in parsed.columns
+            )
+            schema = self.spark.createDataFrame([], ddl).schema
+            path = os.path.join(self.warehouse, parsed.name)
+            if os.path.exists(path):
+                raise ValueError(f"table path already exists: {path}")
+            self.spark.createDataFrame([], schema).repartition(1)\
+                .write.parquet(path)
+            evo = _evolution(path)
+            defaults = {
+                c.name: c.default
+                for c in parsed.columns
+                if c.default is not None
+            }
+            if defaults:
+                evo["defaults"] = defaults
+                _write_evolution(path, evo)
+            for c in parsed.columns:
+                if not c.nullable:
+                    add_check_constraint(
+                        path, f"{c.name}_not_null", f"{c.name} IS NOT NULL"
+                    )
+            for cname, cexpr in parsed.checks:
+                add_check_constraint(path, cname, tsql(cexpr))
+            self.attach_table(
+                parsed.name, path, keys=parsed.primary_key or None
+            )
+            return 0
         if isinstance(parsed, st.Alter):
             from mariadb_columnstore_engine_spark.sources.ingest import (
                 alter_add_column,
@@ -285,6 +344,33 @@ class Engine:
                 return text
 
             path = self._writable(parsed.table)["path"]
+            if parsed.action == "drop_partition":
+                # hive-directory partition drop ≈ droppartition.cpp's
+                # extent-marking: O(1) metadata/directory removal, no
+                # scan or rewrite of surviving partitions
+                import os as _os
+                import re as _re
+                import shutil as _shutil
+
+                segs = []
+                for part in parsed.expr.split(","):
+                    pm = _re.fullmatch(
+                        r"\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*", part
+                    )
+                    if not pm:
+                        raise ValueError(
+                            f"bad DROP PARTITION spec: {part!r}"
+                        )
+                    val = pm.group(2).strip().strip("'\"")
+                    segs.append(f"{pm.group(1)}={val}")
+                pdir = _os.path.join(path, *segs)
+                if not _os.path.isdir(pdir):
+                    raise ValueError(
+                        f"partition {'/'.join(segs)} does not exist"
+                    )
+                _shutil.rmtree(pdir)
+                self._refresh(parsed.table)
+                return None
             if parsed.action == "add":
                 alter_add_column(
                     path, parsed.column, parsed.dtype, parsed.default
@@ -334,8 +420,10 @@ class Engine:
                     f"{sorted(set(cols) & set(gen))}"
                 )
             aligned = src.toDF(*cols)
-            # missing columns → NULL (generated ones → their expression);
+            # missing columns → declared DEFAULT if any (CREATE TABLE
+            # column defs), generated ones → their expression, else NULL;
             # everything cast to the target type
+            dflt = _evolution(path).get("defaults", {})
             out = aligned.select(
                 *[
                     (
@@ -344,13 +432,18 @@ class Engine:
                         else (
                             F.expr(gen[f.name])
                             if f.name in gen
-                            else F.lit(None)
+                            else F.lit(dflt.get(f.name))
                         )
                     ).cast(f.dataType).alias(f.name)
                     for f in target.schema.fields
                 ]
             )
             validate_checks(out, table_checks(path))
+            ret = (
+                returning_result(out, parsed.returning)
+                if parsed.returning
+                else None
+            )
             if parsed.replace or parsed.on_dup_update:
                 if not info["keys"]:
                     raise ValueError(
@@ -370,7 +463,7 @@ class Engine:
                 out.write.mode("append").parquet(path)
                 n = self.spark.read.parquet(path).count()
             self._refresh(parsed.table)
-            return n
+            return ret if ret is not None else n
         if isinstance(parsed, st.Update):
             from mariadb_columnstore_engine_spark.sources.ingest import (
                 _evolution,
@@ -418,13 +511,21 @@ class Engine:
             self._refresh(parsed.table)
             return n
         if isinstance(parsed, st.Delete):
-            n = dml.delete_where(
-                self.spark,
-                path,
-                texpr(parsed.where) if parsed.where else F.lit(True),
-            )
+            pred = texpr(parsed.where) if parsed.where else F.lit(True)
+            ret = None
+            if parsed.returning:
+                from mariadb_columnstore_engine_spark.sources.ingest import (
+                    read_table_evolved,
+                )
+
+                # the rows DELETE will remove = predicate strictly TRUE
+                doomed = read_table_evolved(self.spark, path).where(
+                    F.coalesce(pred, F.lit(False))
+                )
+                ret = returning_result(doomed, parsed.returning)
+            n = dml.delete_where(self.spark, path, pred)
             self._refresh(parsed.table)
-            return n
+            return ret if ret is not None else n
         raise AssertionError(f"unroutable statement: {parsed!r}")
 
     def tables(self) -> tuple[str, ...]:

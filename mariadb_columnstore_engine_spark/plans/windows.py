@@ -435,3 +435,50 @@ def pandas_udaf_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "win_range_interval_event_time",
+    section="§2.5 RANGE frame with INTERVAL value offsets over event "
+    "time (frameboundrange.cpp value-offset frames applied to a "
+    "temporal order key) — a per-user rolling 1-hour window, the frame "
+    "spelling the reference's RANGE bounds support for datetime "
+    "columns; peers (equal ts) share the frame by value in both "
+    "engines",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                AS BIGINT) AS cents_1h
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def range_interval_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user aggregates via a RANGE INTERVAL frame —
+    the frame boundary is event-time VALUE distance, not row counts, so
+    sparse and bursty users both get exactly one hour of context. One
+    shuffle on user_id; frame state is bounded by events-per-hour."""
+    t = Catalog(spark, sf_dir)
+    frame = (
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    return (
+        t.events.where(F.col("user_id") < 40)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(f"count(*) OVER ({frame})").cast("long").alias(
+                "n_events_1h"
+            ),
+            F.expr(
+                f"sum(cast(round(value * 100, 0) as bigint)) OVER ({frame})"
+            ).cast("long").alias("cents_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )

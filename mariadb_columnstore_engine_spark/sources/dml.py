@@ -86,8 +86,10 @@ def _rewrite(spark: SparkSession, path: str,
         "dropped": [],
         "generated": evo.get("generated", []),
         "checks": evo.get("checks", []),
+        "defaults": evo.get("defaults", {}),
     }
-    if surviving["generated"] or surviving["checks"]:
+    if any((surviving["generated"], surviving["checks"],
+            surviving["defaults"])):
         _write_evolution(path, surviving)
     # the swapped directory invalidates any cached file listing
     spark.catalog.clearCache()

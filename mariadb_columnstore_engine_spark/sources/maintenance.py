@@ -126,7 +126,7 @@ def compact_table(
     # must keep computing on future INSERTs (MariaDB PERSISTENT computes
     # on insert; a plain physical column would be NULL-filled) — both
     # survive compaction in a fresh sidecar.
-    if evo.get("generated") or evo.get("checks"):
+    if evo.get("generated") or evo.get("checks") or evo.get("defaults"):
         _write_evolution(
             path,
             {
@@ -134,6 +134,7 @@ def compact_table(
                 "dropped": [],
                 "generated": evo.get("generated", []),
                 "checks": evo.get("checks", []),
+                "defaults": evo.get("defaults", {}),
             },
         )
     after = layout_stats(spark, path)

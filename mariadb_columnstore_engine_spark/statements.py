@@ -37,12 +37,33 @@ class Insert:
     #: ON DUPLICATE KEY UPDATE c = VALUES(c) targets (take-new-value
     #: form only; general update expressions raise at parse time)
     on_dup_update: list[str] = field(default_factory=list)
+    #: RETURNING select-list expressions (MariaDB 10.5 INSERT..RETURNING)
+    returning: list[str] = field(default_factory=list)
 
 
 @dataclass
 class CreateTable:
     name: str
     select_sql: str
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    dtype: str  # Spark type string
+    nullable: bool = True
+    default: object = None
+
+
+@dataclass
+class CreateTableDef:
+    """CREATE TABLE t (col TYPE ..., ...) — the reference's primary DDL
+    entry (dbcon/ddlpackage/ddl.y grammar → createtable.cpp)."""
+
+    name: str
+    columns: list[ColumnDef]
+    primary_key: list[str] = field(default_factory=list)
+    checks: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
 
 
 @dataclass
@@ -66,6 +87,9 @@ class Update:
 class Delete:
     table: str
     where: str | None = None
+    #: RETURNING select-list (MariaDB 10.0 DELETE..RETURNING): the
+    #: deleted rows' projections come back as a result set
+    returning: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -87,6 +111,127 @@ def _ident(tok: str, store: list[str]) -> str:
     if t.startswith("`") and t.endswith("`"):
         t = t[1:-1].replace("``", "`")
     return t
+
+
+#: MariaDB column type → Spark type (datatypes/mcs_datatype_basic.h:53-86
+#: enum; unsigned widens to the next signed type, UBIGINT → DECIMAL(20,0)
+#: per SURVEY §1.2). Display widths like INT(11) are cosmetic and
+#: stripped; TIME maps to string (interval-like, SURVEY §1.2).
+_TYPE_MAP: tuple[tuple[str, str, str], ...] = (
+    # (regex, signed spark type, unsigned spark type)
+    (r"TINYINT(\s*\(\d+\))?", "tinyint", "smallint"),
+    (r"SMALLINT(\s*\(\d+\))?", "smallint", "int"),
+    (r"MEDIUMINT(\s*\(\d+\))?", "int", "int"),
+    (r"(INT|INTEGER)(\s*\(\d+\))?", "int", "bigint"),
+    (r"BIGINT(\s*\(\d+\))?", "bigint", "decimal(20,0)"),
+    (r"(DOUBLE|REAL)(\s+PRECISION)?", "double", "double"),
+    (r"FLOAT", "float", "float"),
+    (r"(BOOLEAN|BOOL)", "boolean", "boolean"),
+    (r"(CHAR|VARCHAR)\s*\(\s*\d+\s*\)", "string", "string"),
+    (r"(TINY|MEDIUM|LONG)?TEXT", "string", "string"),
+    (r"CLOB", "string", "string"),
+    (r"(VARBINARY\s*\(\s*\d+\s*\)|(TINY|MEDIUM|LONG)?BLOB)",
+     "binary", "binary"),
+    (r"DATETIME(\s*\(\d+\))?", "timestamp", "timestamp"),
+    (r"TIMESTAMP(\s*\(\d+\))?", "timestamp", "timestamp"),
+    (r"DATE", "date", "date"),
+    (r"TIME(\s*\(\d+\))?", "string", "string"),
+)
+
+
+def _map_column_type(t: str) -> str:
+    t = t.strip()
+    unsigned = bool(re.search(r"\bUNSIGNED\b", t, re.IGNORECASE))
+    t = re.sub(r"\b(UNSIGNED|SIGNED|ZEROFILL)\b", "", t, flags=re.I).strip()
+    dm = re.fullmatch(
+        r"(DECIMAL|NUMERIC|DEC)\s*(\(\s*(\d+)\s*(,\s*(\d+)\s*)?\))?",
+        t,
+        re.IGNORECASE,
+    )
+    if dm:
+        p = int(dm.group(3) or 10)
+        s = int(dm.group(5) or 0)
+        return f"decimal({p},{s})"
+    for pat, signed, uns in _TYPE_MAP:
+        if re.fullmatch(pat, t, re.IGNORECASE):
+            return uns if unsigned else signed
+    raise ValueError(f"unsupported column type: {t!r}")
+
+
+def _parse_column_defs(name: str, body: str, store: list[str]):
+    cols: list[ColumnDef] = []
+    pk: list[str] = []
+    checks: list[tuple[str, str]] = []
+    for i, entry in enumerate(_split_top_level_commas(body)):
+        e = entry.strip()
+        m = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", e, re.IGNORECASE)
+        if m:
+            pk = [_ident(c, store) for c in m.group(1).split(",") if c.strip()]
+            continue
+        m = re.match(
+            r"(CONSTRAINT\s+(\S+)\s+)?CHECK\s*\(", e, re.IGNORECASE
+        )
+        if m:
+            end = _find_balanced(e, e.index("(", m.end() - 1))
+            cname = (
+                _ident(m.group(2), store) if m.group(2) else f"check_{i}"
+            )
+            checks.append(
+                (cname, _unmask(e[m.end(): end - 1].strip(), store))
+            )
+            continue
+        if re.match(
+            r"(UNIQUE(\s+KEY|\s+INDEX)?|KEY|INDEX|FOREIGN\s+KEY|FULLTEXT)\b",
+            e,
+            re.IGNORECASE,
+        ):
+            continue  # index-only metadata: no planning effect on parquet
+        cm = re.match(r"([^\s(]+)\s+(.+)$", e, re.DOTALL)
+        if not cm:
+            raise ValueError(f"cannot parse column definition: {e!r}")
+        cname = _ident(cm.group(1), store)
+        rest = cm.group(2).strip()
+        if re.search(r"\bAUTO_INCREMENT\b", rest, re.IGNORECASE):
+            raise ValueError(
+                "AUTO_INCREMENT has no deterministic distributed "
+                "equivalent — generate keys explicitly "
+                "(e.g. monotonically_increasing_id is not stable across "
+                "rewrites)"
+            )
+        nullable = not re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE)
+        default = None
+        dm = re.search(r"\bDEFAULT\s+(\S+)", rest, re.IGNORECASE)
+        if dm:
+            tok = _unmask(dm.group(1), store)
+            if re.fullmatch(r"'.*'", tok, re.DOTALL):
+                default = tok[1:-1].replace("''", "'")
+            elif re.fullmatch(r"-?\d+", tok):
+                default = int(tok)
+            elif re.fullmatch(r"-?\d*\.\d+", tok):
+                default = float(tok)
+            elif tok.upper() != "NULL":
+                raise ValueError(f"unsupported DEFAULT: {tok!r}")
+        if re.search(r"\bPRIMARY\s+KEY\b", rest, re.IGNORECASE):
+            pk = [cname]
+        # strip attributes off the type text
+        type_text = re.split(
+            r"\b(NOT\s+NULL|NULL|DEFAULT|PRIMARY\s+KEY|UNIQUE|COMMENT|"
+            r"AUTO_INCREMENT)\b",
+            rest,
+            flags=re.IGNORECASE,
+        )[0].strip()
+        cols.append(
+            ColumnDef(
+                name=cname,
+                dtype=_map_column_type(_unmask(type_text, store)),
+                nullable=nullable,
+                default=default,
+            )
+        )
+    if not cols:
+        raise ValueError("CREATE TABLE needs at least one column")
+    return CreateTableDef(name=name, columns=cols, primary_key=pk,
+                          checks=checks)
 
 
 def parse(sql: str):
@@ -180,6 +325,14 @@ def parse(sql: str):
             raise ValueError(
                 "INSERT source must be VALUES, SELECT or WITH"
             )
+        returning: list[str] = []
+        rm = _top_level_search(r"\bRETURNING\b", body)
+        if rm:
+            returning = [
+                _unmask(p.strip(), store)
+                for p in _split_top_level_commas(body[rm.end() :])
+            ]
+            body = body[: rm.start()].strip()
         on_dup: list[str] = []
         om = _top_level_search(r"\bON\s+DUPLICATE\s+KEY\s+UPDATE\b", body)
         if om:
@@ -205,6 +358,7 @@ def parse(sql: str):
             source_sql=_unmask(body, store),
             replace=m.group(1).upper() == "REPLACE",
             on_dup_update=on_dup,
+            returning=returning,
         )
 
     m = re.match(r"UPDATE\s+([^\s(]+)\s+SET\s+", masked, re.IGNORECASE)
@@ -233,12 +387,24 @@ def parse(sql: str):
     if m:
         body = rest_of(m)
         where = None
+        returning = []
+        rm = _top_level_search(r"\bRETURNING\b", body)
+        if rm:
+            returning = [
+                _unmask(p.strip(), store)
+                for p in _split_top_level_commas(body[rm.end() :])
+            ]
+            body = body[: rm.start()].strip()
         if body:
             wm = re.match(r"WHERE\b", body, re.IGNORECASE)
             if not wm:
                 raise ValueError(f"unexpected DELETE clause: {body[:40]!r}")
             where = _unmask(body[wm.end() :].strip(), store)
-        return Delete(table=_ident(m.group(1), store), where=where)
+        return Delete(
+            table=_ident(m.group(1), store),
+            where=where,
+            returning=returning,
+        )
 
     m = re.match(
         r"CREATE\s+TABLE\s+(\S+)\s+AS\s+", masked, re.IGNORECASE
@@ -247,6 +413,27 @@ def parse(sql: str):
         return CreateTable(
             name=_ident(m.group(1), store),
             select_sql=_unmask(rest_of(m), store),
+        )
+
+    m = re.match(r"CREATE\s+TABLE\s+([^\s(]+)\s*\(", masked, re.IGNORECASE)
+    if m:
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        tail = masked[end:].strip()
+        # table options after the column list: ENGINE=.., CHARSET, etc.
+        if tail and not re.fullmatch(
+            r"(ENGINE\s*=\s*\w+|DEFAULT\s+CHARSET\s*=\s*\w+|"
+            r"COLLATE\s*=?\s*\w+|COMMENT\s*=?\s*\S+)(\s+(ENGINE\s*=\s*\w+|"
+            r"DEFAULT\s+CHARSET\s*=\s*\w+|COLLATE\s*=?\s*\w+|"
+            r"COMMENT\s*=?\s*\S+))*\s*",
+            tail,
+            re.IGNORECASE,
+        ):
+            raise ValueError(f"unsupported CREATE TABLE tail: {tail[:40]!r}")
+        return _parse_column_defs(
+            _ident(m.group(1), store),
+            masked[open_at + 1 : end - 1],
+            store,
         )
 
     m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\S+)\s*$", masked, re.I)
@@ -267,6 +454,23 @@ def parse(sql: str):
             column=_ident(m.group(2), store),
             dtype=_unmask(m.group(3), store),
             expr=_unmask(masked[m.end() : end - 1].strip(), store),
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+DROP\s+PARTITION\s*\(([^)]+)\)\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        # hive-layout spelling: DROP PARTITION (col = value[, ...]) —
+        # the reference's partition DDL (dbcon/ddlpackage/
+        # droppartition.cpp) targets casual-partitioning extents; here a
+        # partition is a hive directory level
+        return Alter(
+            table=_ident(m.group(1), store),
+            action="drop_partition",
+            column="",
+            expr=_unmask(m.group(2).strip(), store),
         )
 
     m = re.match(

@@ -394,3 +394,118 @@ def test_transaction_commit_keeps_changes(engine_with_table):
     with pytest.raises(ValueError, match="already open"):
         eng.execute("BEGIN WORK")
     eng.execute("COMMIT")
+
+
+def test_insert_returning(engine_with_table):
+    """MariaDB 10.5 INSERT ... RETURNING: the inserted rows come back as
+    a result set (expressions run through the dialect pass)."""
+    eng = engine_with_table
+    df = eng.execute(
+        "INSERT INTO t1 (id, val) VALUES (400, 4.0), (401, 5.0) "
+        "RETURNING id, val * 2 AS v2, CAST(id AS CHAR) AS id_s"
+    )
+    rows = sorted((r.id, r.v2, r.id_s) for r in df.collect())
+    assert rows == [(400, 8.0, "400"), (401, 10.0, "401")]
+    assert eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n == 12
+
+
+def test_delete_returning(engine_with_table):
+    """DELETE ... RETURNING projects exactly the removed rows (predicate
+    strictly TRUE; NULL-predicate rows are kept AND not returned)."""
+    eng = engine_with_table
+    df = eng.execute(
+        "DELETE FROM t1 WHERE id >= 8 RETURNING id, note"
+    )
+    assert sorted(r.id for r in df.collect()) == [8, 9]
+    assert eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n == 8
+
+
+def test_alter_drop_partition(spark, sf_dir, tmp_path):
+    """ALTER TABLE .. DROP PARTITION (col = v): O(1) hive-directory
+    removal (droppartition.cpp analogue) — surviving partitions are
+    untouched, the dropped one is gone from reads."""
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    path = str(tmp_path / "parted")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("shard")
+    ).write.partitionBy("shard").parquet(path)
+    eng.attach_table("parted", path)
+    eng.execute("ALTER TABLE parted DROP PARTITION (shard = 2)")
+    shards = {
+        r.shard for r in eng.execute("SELECT DISTINCT shard FROM parted").collect()
+    }
+    assert shards == {0, 1, 3}
+    assert eng.execute("SELECT count(*) AS n FROM parted").collect()[0].n == 75
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.execute("ALTER TABLE parted DROP PARTITION (shard = 9)")
+
+
+@pytest.fixture()
+def engine_wh(spark, sf_dir, tmp_path):
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    return Engine(spark, sf_dir, warehouse=str(tmp_path / "wh"))
+
+
+def test_create_table_column_defs(engine_wh, tmp_path):
+    """CREATE TABLE with a declared schema (ddl.y → createtable.cpp):
+    types map per SURVEY §1.2 (unsigned widens, UBIGINT→DECIMAL(20,0)),
+    DEFAULTs apply to omitted INSERT columns, NOT NULL and CHECK are
+    enforced, PRIMARY KEY wires REPLACE INTO."""
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    eng.execute(
+        "CREATE TABLE acct ("
+        " id BIGINT NOT NULL,"
+        " qty INT UNSIGNED,"
+        " big_u BIGINT UNSIGNED,"
+        " bal DECIMAL(12,2) DEFAULT 0.5,"
+        " tag VARCHAR(20) DEFAULT 'none',"
+        " created DATETIME,"
+        " PRIMARY KEY (id),"
+        " CONSTRAINT bal_floor CHECK (bal >= -100)"
+        ") ENGINE=ColumnStore"
+    )
+    cols = dict(eng.execute("DESCRIBE acct"))
+    assert cols["qty"] == "bigint"  # INT UNSIGNED widens
+    assert cols["big_u"] == "decimal(20,0)"  # u64 carriage
+    assert cols["bal"] == "decimal(12,2)"
+    assert cols["created"] == "timestamp"
+    # defaults on omitted columns
+    eng.execute("INSERT INTO acct (id, qty) VALUES (1, 5)")
+    row = eng.execute("SELECT * FROM acct").collect()[0]
+    assert (float(row.bal), row.tag) == (0.5, "none")
+    # NOT NULL enforced (id omitted → NULL → rejected)
+    with pytest.raises(ValueError, match="id_not_null"):
+        eng.execute("INSERT INTO acct (qty) VALUES (2)")
+    # declared CHECK enforced
+    with pytest.raises(ValueError, match="bal_floor"):
+        eng.execute("INSERT INTO acct (id, bal) VALUES (2, -500)")
+    # PRIMARY KEY powers REPLACE INTO
+    eng.execute("REPLACE INTO acct (id, qty, tag) VALUES (1, 9, 'r')")
+    rows = eng.execute("SELECT id, qty, tag FROM acct").collect()
+    assert [(r.id, r.qty, r.tag) for r in rows] == [(1, 9, "r")]
+    # defaults survive a DML rewrite (sidecar passthrough)
+    eng.execute("DELETE FROM acct WHERE id = 999")
+    eng.execute("INSERT INTO acct (id) VALUES (3)")
+    tag3 = eng.execute("SELECT tag FROM acct WHERE id = 3").collect()[0].tag
+    assert tag3 == "none"
+
+
+def test_create_table_rejects_unsupported(engine_wh, tmp_path):
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    with pytest.raises(ValueError, match="AUTO_INCREMENT"):
+        eng.execute(
+            "CREATE TABLE t (id INT AUTO_INCREMENT, v INT)"
+        )
+    with pytest.raises(ValueError, match="unsupported column type"):
+        eng.execute("CREATE TABLE t (id GEOMETRY)")
