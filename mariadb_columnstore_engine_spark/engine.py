@@ -490,7 +490,9 @@ class Engine:
                 # (read_table_evolved) so checks/assignments referencing
                 # sidecar-added or generated columns resolve — the same
                 # schema the DML rewrite itself now reads.
-                preview = read_table_evolved(self.spark, path)
+                preview = read_table_evolved(self.spark, path).alias(
+                    parsed.table
+                )
                 for c, e in parsed.assignments.items():
                     preview = preview.withColumn(
                         c,
@@ -507,6 +509,7 @@ class Engine:
                 path,
                 pred,
                 {c: texpr(e) for c, e in parsed.assignments.items()},
+                alias=parsed.table,
             )
             self._refresh(parsed.table)
             return n
@@ -519,11 +522,15 @@ class Engine:
                 )
 
                 # the rows DELETE will remove = predicate strictly TRUE
-                doomed = read_table_evolved(self.spark, path).where(
-                    F.coalesce(pred, F.lit(False))
+                doomed = (
+                    read_table_evolved(self.spark, path)
+                    .alias(parsed.table)
+                    .where(F.coalesce(pred, F.lit(False)))
                 )
                 ret = returning_result(doomed, parsed.returning)
-            n = dml.delete_where(self.spark, path, pred)
+            n = dml.delete_where(
+                self.spark, path, pred, alias=parsed.table
+            )
             self._refresh(parsed.table)
             return ret if ret is not None else n
         raise AssertionError(f"unroutable statement: {parsed!r}")

@@ -39,7 +39,8 @@ def _as_bool(predicate: Column) -> Column:
 
 
 def _rewrite(spark: SparkSession, path: str,
-             transform, partition_filter: Column | None) -> int:
+             transform, partition_filter: Column | None,
+             alias: str | None = None) -> int:
     """Common copy-on-write machinery; returns the new row count.
 
     Reads through the schema-evolution sidecar (read_table_evolved), so
@@ -60,6 +61,11 @@ def _rewrite(spark: SparkSession, path: str,
 
     evo = _evolution(path)
     df = read_table_evolved(spark, path)
+    if alias:
+        # correlated subqueries in predicates (WHERE EXISTS (... WHERE
+        # x = t.col)) need the target relation addressable by its table
+        # name, exactly as the SQL text spells it
+        df = df.alias(alias)
     if partition_filter is not None:
         untouched = df.where(~_as_bool(partition_filter))
         scoped = df.where(_as_bool(partition_filter))
@@ -97,7 +103,8 @@ def _rewrite(spark: SparkSession, path: str,
 
 
 def delete_where(spark: SparkSession, path: str, predicate: Column,
-                 *, partition_filter: Column | None = None) -> int:
+                 *, partition_filter: Column | None = None,
+                 alias: str | None = None) -> int:
     """DELETE FROM <path> WHERE predicate (copy-on-write).
 
     SQL DELETE removes only predicate=TRUE rows; rows where the predicate
@@ -105,7 +112,7 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     """
     return _rewrite(
         spark, path, lambda df: df.where(~_as_bool(predicate)),
-        partition_filter,
+        partition_filter, alias,
     )
 
 
@@ -116,6 +123,7 @@ def update_where(
     assignments: dict[str, Column],
     *,
     partition_filter: Column | None = None,
+    alias: str | None = None,
 ) -> int:
     """UPDATE <path> SET col=expr, ... WHERE predicate (copy-on-write).
 
@@ -133,7 +141,7 @@ def update_where(
             )
         return out
 
-    return _rewrite(spark, path, transform, partition_filter)
+    return _rewrite(spark, path, transform, partition_filter, alias)
 
 
 def _require_unique_keys(new_rows: DataFrame, keys: list[str],

@@ -509,3 +509,28 @@ def test_create_table_rejects_unsupported(engine_wh, tmp_path):
         )
     with pytest.raises(ValueError, match="unsupported column type"):
         eng.execute("CREATE TABLE t (id GEOMETRY)")
+
+
+def test_dml_where_with_subquery_predicates(engine_with_table):
+    """MariaDB DML with subquery predicates (jlf_subquery.cpp shapes in
+    a DML WHERE): IN (SELECT ..) and EXISTS both resolve against the
+    registered catalog/user views inside the copy-on-write rewrite."""
+    eng = engine_with_table
+    # region keys are 0..4 → deletes ids 0..4
+    n = eng.execute(
+        "DELETE FROM t1 WHERE id IN (SELECT r_regionkey FROM region)"
+    )
+    assert n == 5
+    remaining = sorted(
+        r.id for r in eng.execute("SELECT id FROM t1").collect()
+    )
+    assert remaining == [5, 6, 7, 8, 9]
+    # correlated EXISTS over a catalog table
+    eng.execute(
+        "UPDATE t1 SET note = 'has-nation' WHERE EXISTS "
+        "(SELECT 1 FROM nation WHERE n_nationkey = t1.id)"
+    )
+    notes = {
+        r.id: r.note for r in eng.execute("SELECT id, note FROM t1").collect()
+    }
+    assert all(v == "has-nation" for v in notes.values())  # ids 5..9 < 25
