@@ -249,6 +249,37 @@ class Engine:
                     f"CREATE TABLE `{parsed.arg}` (\n{cols}\n) "
                     "USING parquet"
                 )
+            if parsed.kind in ("drop_table", "drop_table_if_exists"):
+                import shutil
+
+                info = getattr(self, "_user_tables", {}).get(parsed.arg)
+                if info is None:
+                    if parsed.kind == "drop_table_if_exists":
+                        return None
+                    raise ValueError(
+                        f"{parsed.arg!r} is not an attached user table "
+                        "(catalog fixture tables cannot be dropped)"
+                    )
+                if getattr(self, "_txn", None) is not None:
+                    raise ValueError(
+                        "DROP TABLE inside a transaction is not "
+                        "supported (snapshots reference the directory)"
+                    )
+                shutil.rmtree(info["path"], ignore_errors=True)
+                del self._user_tables[parsed.arg]
+                self.spark.catalog.dropTempView(parsed.arg)
+                return None
+            if parsed.kind == "rename_table":
+                old, new = parsed.arg.split("\x00")
+                info = self._writable(old)
+                if new in getattr(self, "_user_tables", {}) or new in TABLES:
+                    raise ValueError(f"table {new!r} already exists")
+                # metadata-only rename: the directory stays put (the
+                # reference's RENAME is likewise a catalog update)
+                self._user_tables[new] = self._user_tables.pop(old)
+                self.spark.catalog.dropTempView(old)
+                self._refresh(new)
+                return None
             if parsed.kind == "begin":
                 return self.begin()
             if parsed.kind == "commit":

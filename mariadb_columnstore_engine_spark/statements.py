@@ -441,6 +441,22 @@ def parse(sql: str):
         return Other("truncate", _ident(m.group(1), store))
 
     m = re.match(
+        r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([^\s;]+)\s*$", masked, re.I
+    )
+    if m:
+        kind = "drop_table_if_exists" if m.group(1) else "drop_table"
+        return Other(kind, _ident(m.group(2), store))
+
+    m = re.match(
+        r"RENAME\s+TABLE\s+(\S+)\s+TO\s+(\S+)\s*$", masked, re.I
+    )
+    if m:
+        return Other(
+            "rename_table",
+            f"{_ident(m.group(1), store)}\x00{_ident(m.group(2), store)}",
+        )
+
+    m = re.match(
         r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+"
         r"GENERATED\s+ALWAYS\s+AS\s*\(",
         masked,

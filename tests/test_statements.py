@@ -534,3 +534,27 @@ def test_dml_where_with_subquery_predicates(engine_with_table):
         r.id: r.note for r in eng.execute("SELECT id, note FROM t1").collect()
     }
     assert all(v == "has-nation" for v in notes.values())  # ids 5..9 < 25
+
+
+def test_drop_and_rename_table(engine_wh, tmp_path):
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    eng.execute("CREATE TABLE tmp1 (id BIGINT, v DOUBLE)")
+    eng.execute("INSERT INTO tmp1 (id, v) VALUES (1, 1.5)")
+    # metadata-only rename keeps data
+    eng.execute("RENAME TABLE tmp1 TO tmp2")
+    assert eng.execute("SELECT count(*) AS n FROM tmp2").collect()[0].n == 1
+    with pytest.raises(Exception):
+        eng.execute("SELECT * FROM tmp1").collect()
+    # drop removes data + registration; IF EXISTS is silent
+    path = eng._writable("tmp2")["path"]
+    eng.execute("DROP TABLE tmp2")
+    assert not os.path.exists(path)
+    eng.execute("DROP TABLE IF EXISTS tmp2")
+    with pytest.raises(ValueError, match="not an attached"):
+        eng.execute("DROP TABLE tmp2")
+    # fixture tables are protected
+    with pytest.raises(ValueError, match="not an attached"):
+        eng.execute("DROP TABLE lineitem")
