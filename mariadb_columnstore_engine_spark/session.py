@@ -38,6 +38,12 @@ ENGINE_CONF: dict[str, str] = {
     # Parquet scan: pushdown + vectorized reader ≈ ColumnCommand SIMD
     # kernels + casual-partitioning extent elimination
     # (primitives/linux-port/column.cpp, dbcon/joblist/lbidlist.cpp:698).
+    # Runtime join-derived scan filtering ≈ the reference's runtime
+    # casual-partitioning flags (dbcon/joblist/tuple-bps.cpp:507-508
+    # runtimeCPFlags: small-side min/max from a join pushed into the
+    # large-side scan): Spark injects a bloom filter from the filtered
+    # build side into the probe-side scan.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.parquet.recordLevelFilter.enabled": "false",

@@ -87,12 +87,21 @@ def _rewrite(spark: SparkSession, path: str,
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    # an ALTER-ADD default keeps applying to FUTURE inserts after the
+    # column itself is materialized (MariaDB: the default is column
+    # metadata, not backfill) — migrate it into the 'defaults' map
+    surviving_defaults = {
+        c["name"]: c["default"]
+        for c in evo.get("added", [])
+        if c.get("default") is not None
+    }
+    surviving_defaults.update(evo.get("defaults", {}))
     surviving = {
         "added": [],
         "dropped": [],
         "generated": evo.get("generated", []),
         "checks": evo.get("checks", []),
-        "defaults": evo.get("defaults", {}),
+        "defaults": surviving_defaults,
     }
     if any((surviving["generated"], surviving["checks"],
             surviving["defaults"])):

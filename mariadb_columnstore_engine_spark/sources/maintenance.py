@@ -126,7 +126,13 @@ def compact_table(
     # must keep computing on future INSERTs (MariaDB PERSISTENT computes
     # on insert; a plain physical column would be NULL-filled) — both
     # survive compaction in a fresh sidecar.
-    if evo.get("generated") or evo.get("checks") or evo.get("defaults"):
+    surviving_defaults = {
+        c["name"]: c["default"]
+        for c in evo.get("added", [])
+        if c.get("default") is not None
+    }
+    surviving_defaults.update(evo.get("defaults", {}))
+    if evo.get("generated") or evo.get("checks") or surviving_defaults:
         _write_evolution(
             path,
             {
@@ -134,7 +140,7 @@ def compact_table(
                 "dropped": [],
                 "generated": evo.get("generated", []),
                 "checks": evo.get("checks", []),
-                "defaults": evo.get("defaults", {}),
+                "defaults": surviving_defaults,
             },
         )
     after = layout_stats(spark, path)

@@ -287,9 +287,19 @@ def parse(sql: str):
     )
     if m:
         # MariaDB INSERT ... SET col = expr, ... — rewritten to the
-        # column-list VALUES form
+        # column-list VALUES form; RETURNING splits off first or it
+        # would be swallowed into the last assignment's expression
+        body = rest_of(m)
+        returning: list[str] = []
+        rm = _top_level_search(r"\bRETURNING\b", body)
+        if rm:
+            returning = [
+                _unmask(p.strip(), store)
+                for p in _split_top_level_commas(body[rm.end() :])
+            ]
+            body = body[: rm.start()].strip()
         cols, vals = [], []
-        for part in _split_top_level_commas(rest_of(m)):
+        for part in _split_top_level_commas(body):
             am = re.match(r"\s*(\S+)\s*=\s*(.+)\s*$", part, re.DOTALL)
             if not am:
                 raise ValueError(
@@ -302,6 +312,7 @@ def parse(sql: str):
             columns=cols,
             source_sql="VALUES (" + ", ".join(vals) + ")",
             replace=m.group(1).upper() == "REPLACE",
+            returning=returning,
         )
 
     m = re.match(
@@ -481,12 +492,23 @@ def parse(sql: str):
         # hive-layout spelling: DROP PARTITION (col = value[, ...]) —
         # the reference's partition DDL (dbcon/ddlpackage/
         # droppartition.cpp) targets casual-partitioning extents; here a
-        # partition is a hive directory level
+        # partition is a hive directory level. Split on the MASKED text
+        # (a quoted value may contain ',' or '='), segments joined with
+        # \x00 for the router.
+        segs = []
+        for part in m.group(2).split(","):
+            pm = re.fullmatch(
+                r"\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*", part
+            )
+            if not pm:
+                raise ValueError(f"bad DROP PARTITION spec: {part!r}")
+            val = _unmask(pm.group(2), store).strip().strip("'\"")
+            segs.append(f"{pm.group(1)}={val}")
         return Alter(
             table=_ident(m.group(1), store),
             action="drop_partition",
             column="",
-            expr=_unmask(m.group(2).strip(), store),
+            expr="\x00".join(segs),
         )
 
     m = re.match(

@@ -86,11 +86,15 @@ def test_compact_materializes_schema_evolution(spark, tmp_path):
     ingest.alter_add_column(dest, "flag", "int", 7)
     ingest.alter_drop_column(dest, "v")
     maintenance.compact_table(spark, dest, target_file_mb=128)
-    # sidecar consumed; evolution is now physical
-    assert not os.path.exists(os.path.join(dest, "_schema_evolution.json"))
+    # added/dropped debt settled physically ...
     df = spark.read.parquet(dest)
     assert set(df.columns) == {"id", "flag"}
     assert df.where(F.col("flag") == 7).count() == 1000
+    # ... but the DEFAULT persists as column metadata (MariaDB keeps the
+    # default after any rewrite) — future INSERT paths read it here
+    evo = ingest._evolution(dest)
+    assert evo["added"] == [] and evo["dropped"] == []
+    assert evo.get("defaults") == {"flag": 7}
 
 
 def test_compact_preserves_partitioning(spark, tmp_path):

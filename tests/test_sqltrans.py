@@ -350,3 +350,23 @@ def test_run_script_mariadb_mixed_statements(engine_with_table):
     assert out["ALL"] == 11  # rollup super-aggregate row
     note = eng.execute("SELECT note FROM t1 WHERE id = 300").collect()[0].note
     assert note == "v=30.0"
+
+
+def test_cast_char_n_truncates_and_nested_convert():
+    # CAST(x AS CHAR(n)) truncates like MariaDB (Spark CHAR(n) pads)
+    assert (
+        translate_statement("SELECT CAST(x AS CHAR(5)) FROM t")
+        == "SELECT substring(CAST(x AS STRING), 1, 5) FROM t"
+    )
+    # nested casts both rewrite
+    got = translate_statement(
+        "SELECT CAST(concat(a, CAST(b AS CHAR(3))) AS CHAR(8)) FROM t"
+    )
+    assert got == (
+        "SELECT substring(CAST(concat(a, substring(CAST(b AS STRING),"
+        " 1, 3)) AS STRING), 1, 8) FROM t"
+    )
+    # nested CONVERT fully translates (no CONVERT may reach Spark)
+    got = translate_statement("SELECT CONVERT(CONVERT(x, CHAR), SIGNED) FROM t")
+    assert "CONVERT" not in got
+    assert got == "SELECT CAST(CAST(x AS STRING) AS BIGINT) FROM t"

@@ -558,3 +558,67 @@ def test_drop_and_rename_table(engine_wh, tmp_path):
     # fixture tables are protected
     with pytest.raises(ValueError, match="not an attached"):
         eng.execute("DROP TABLE lineitem")
+
+
+def test_rename_blocked_in_transaction(engine_with_table):
+    eng = engine_with_table
+    eng.execute("BEGIN")
+    try:
+        with pytest.raises(ValueError, match="RENAME TABLE inside"):
+            eng.execute("RENAME TABLE t1 TO t9")
+    finally:
+        eng.execute("ROLLBACK")
+
+
+def test_alter_default_survives_dml_rewrite(engine_with_table):
+    """An ALTER-ADD default keeps applying to FUTURE inserts after the
+    column is materialized by a DML rewrite (the default is column
+    metadata, not backfill)."""
+    eng = engine_with_table
+    eng.execute("ALTER TABLE t1 ADD COLUMN flag INT DEFAULT 7")
+    eng.execute("DELETE FROM t1 WHERE id = 0")  # materializes + consumes 'added'
+    eng.execute("INSERT INTO t1 (id, val) VALUES (101, 1.0)")
+    assert (
+        eng.execute("SELECT flag FROM t1 WHERE id = 101").collect()[0].flag
+        == 7
+    )
+
+
+def test_create_table_cannot_shadow_fixture(engine_wh, tmp_path):
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    with pytest.raises(ValueError, match="already exists|fixture"):
+        eng.execute("CREATE TABLE region (id BIGINT)")
+    with pytest.raises(ValueError, match="already exists|fixture"):
+        eng.execute("CREATE TABLE nation AS SELECT 1 AS x")
+    # the fixture view still answers correctly
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == 5
+
+
+def test_insert_set_returning(engine_with_table):
+    eng = engine_with_table
+    df = eng.execute(
+        "INSERT INTO t1 SET id = 500, val = 5.0 RETURNING id, val * 2 AS v2"
+    )
+    assert [(r.id, r.v2) for r in df.collect()] == [(500, 10.0)]
+
+
+def test_drop_partition_quoted_value_with_comma(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    path = str(tmp_path / "parted2")
+    spark.range(0, 20).select(
+        F.col("id"),
+        F.when(F.col("id") < 10, "a,b").otherwise("plain").alias("seg"),
+    ).write.partitionBy("seg").parquet(path)
+    eng.attach_table("parted2", path)
+    eng.execute("ALTER TABLE parted2 DROP PARTITION (seg = 'a,b')")
+    segs = {
+        r.seg for r in eng.execute("SELECT DISTINCT seg FROM parted2").collect()
+    }
+    assert segs == {"plain"}
