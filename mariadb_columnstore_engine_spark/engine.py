@@ -190,6 +190,34 @@ class Engine:
             "table_name string, column_name string, "
             "ordinal_position int, data_type string",
         ).createOrReplaceTempView("information_schema_columns")
+        # columnstore_extents analogue: per-(file, row-group, column)
+        # min/max/null stats from parquet footers (the reference's
+        # extent-map i_s table backed by BRM casual-partitioning entries)
+        from mariadb_columnstore_engine_spark.sources.maintenance import (
+            extent_map,
+        )
+
+        extents = []
+        for tn in names:
+            if tn in getattr(self, "_user_tables", {}):
+                path = self._user_tables[tn]["path"]
+            else:
+                path = f"{self.catalog._sf_dir}/{tn}.parquet"
+            try:
+                for e in extent_map(self.spark, path):
+                    extents.append(
+                        (tn, e["file"], e["row_group"], e["column"],
+                         e["num_rows"], str(e["min"]), str(e["max"]),
+                         e["null_count"])
+                    )
+            except Exception:  # noqa: BLE001 — stats are best-effort
+                continue
+        self.spark.createDataFrame(
+            extents,
+            "table_name string, file string, row_group int, "
+            "column_name string, num_rows bigint, min_value string, "
+            "max_value string, null_count bigint",
+        ).createOrReplaceTempView("information_schema_extents")
 
     def run_script(self, script: str, *, dialect: str = "mariadb") -> list:
         """Execute a multi-statement script (mask-aware ``;`` split);
@@ -250,6 +278,8 @@ class Engine:
                 return self.drop_view(parsed.arg)
             if parsed.kind == "explain":
                 return self.explain(parsed.arg)
+            if parsed.kind == "explain_analyze":
+                return self.explain_analyze(parsed.arg)
             if parsed.kind == "show_tables":
                 return sorted(
                     set(TABLES)
@@ -593,6 +623,47 @@ class Engine:
         return df._jdf.queryExecution().explainString(
             mode.fromString("formatted")
         )
+
+    def explain_analyze(self, query: str) -> str:
+        """MariaDB ``ANALYZE SELECT ...``: EXECUTE the statement, then
+        return the physical plan with RUNTIME metrics populated (actual
+        row counts per operator ≈ ANALYZE's r_rows; Spark SQL metrics
+        render inline after execution). The result rows are discarded —
+        the product is the instrumented plan, as in the server."""
+        df = self.sql(query)
+        df.foreach(lambda _row: None)  # execute fully, keep nothing
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        metrics = []
+        try:  # AQE wraps the plan; pull per-node metric values
+            node = qe.executedPlan()
+            if node.toString().startswith("AdaptiveSparkPlan"):
+                node = node.executedPlan()
+            stack = [node]
+            while stack:
+                n = stack.pop()
+                mm = n.metrics()
+                names = mm.keys().iterator()
+                vals = []
+                while names.hasNext():
+                    k = names.next()
+                    vals.append(f"{k}={mm.get(k).get().value()}")
+                if vals:
+                    metrics.append(
+                        f"{n.nodeName()}: " + ", ".join(sorted(vals))
+                    )
+                it = n.children().iterator()
+                while it.hasNext():
+                    stack.append(it.next())
+                # AQE query stages report NO children() — their subtree
+                # hangs off .plan() instead
+                try:
+                    stack.append(n.plan())
+                except Exception:  # noqa: BLE001 — not a stage node
+                    pass
+        except Exception:  # noqa: BLE001 — metrics are best-effort
+            pass
+        return plan + "\n\n== Runtime metrics ==\n" + "\n".join(metrics)
 
     # --- views (server-side CREATE VIEW analogue) ---
 

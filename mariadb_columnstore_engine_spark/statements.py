@@ -254,6 +254,13 @@ def parse(sql: str):
     if m:
         return Other("explain", _unmask(rest_of(m), store))
 
+    # MariaDB ANALYZE <select>: execute + return the plan with actual
+    # runtime row counts (r_rows). Bare ANALYZE TABLE goes to the stats
+    # path (Engine.analyze), handled by the caller's API, not here.
+    m = re.match(r"ANALYZE\s+(?=SELECT|WITH)\b", masked, re.IGNORECASE)
+    if m:
+        return Other("explain_analyze", _unmask(rest_of(m), store))
+
     if re.fullmatch(r"SHOW\s+TABLES\s*", masked, re.IGNORECASE):
         return Other("show_tables", "")
 

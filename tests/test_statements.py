@@ -622,3 +622,27 @@ def test_drop_partition_quoted_value_with_comma(spark, sf_dir, tmp_path):
         r.seg for r in eng.execute("SELECT DISTINCT seg FROM parted2").collect()
     }
     assert segs == {"plain"}
+
+
+def test_analyze_select_returns_runtime_metrics(engine_with_table):
+    """MariaDB ANALYZE SELECT: executes and returns the plan with actual
+    runtime metrics (r_rows analogue: output-row counts per operator)."""
+    eng = engine_with_table
+    out = eng.execute(
+        "ANALYZE SELECT count(*) AS n FROM t1 WHERE id > 3"
+    )
+    assert "HashAggregate" in out
+    assert "== Runtime metrics ==" in out
+    assert "number of output rows=" in out or "numOutputRows=" in out
+
+
+def test_information_schema_extents(engine_with_table):
+    eng = engine_with_table
+    eng.refresh_information_schema()
+    rows = eng.sql(
+        "SELECT min_value, max_value, num_rows FROM "
+        "information_schema_extents WHERE table_name = 'region' "
+        "AND column_name = 'r_regionkey'"
+    ).collect()
+    assert rows and rows[0].num_rows == 5
+    assert (rows[0].min_value, rows[0].max_value) == ("0", "4")
