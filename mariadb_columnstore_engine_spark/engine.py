@@ -455,6 +455,101 @@ class Engine:
             self._refresh(parsed.table)
             return None
 
+        if isinstance(parsed, st.SelectIntoOutfile):
+            # server-side bulk export: ONE delimited file, exactly the
+            # INTO OUTFILE contract (single-file output is inherently a
+            # coalesce(1) — export parallelism belongs to df.write.csv
+            # on a directory, which sources.ingest covers)
+            import glob
+            import os
+            import shutil
+            import tempfile
+
+            if os.path.exists(parsed.path):
+                raise ValueError(
+                    f"OUTFILE already exists: {parsed.path}"
+                )  # MariaDB refuses to overwrite
+            df = self.sql(parsed.select_sql, dialect=dialect)
+            tmp = tempfile.mkdtemp(prefix="mcs_outfile_")
+            try:
+                d = os.path.join(tmp, "d")
+                w = (
+                    df.coalesce(1)
+                    .write.option("delimiter", parsed.delimiter)
+                    .option("quote", parsed.quote)
+                    .option("header", "false")
+                )
+                if parsed.line_sep:
+                    w = w.option("lineSep", parsed.line_sep)
+                w.csv(d)
+                part = glob.glob(os.path.join(d, "part-*"))[0]
+                shutil.move(part, parsed.path)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            return self.spark.read.text(parsed.path).count()
+        if isinstance(parsed, st.LoadData):
+            # cpimport/LDI SQL spelling: file columns map positionally to
+            # the table's non-generated columns; generated columns are
+            # computed, CHECKs enforced — same contract as INSERT
+            import os
+            import shutil
+            import tempfile
+
+            from mariadb_columnstore_engine_spark.sources.ingest import (
+                _evolution,
+                bulk_load_csv,
+                read_table_evolved,
+                table_checks,
+                validate_checks,
+            )
+
+            info = self._writable(parsed.table)
+            path = info["path"]
+            target = read_table_evolved(self.spark, path)
+            gen = {
+                c["name"]: c["expr"]
+                for c in _evolution(path).get("generated", [])
+            }
+            file_fields = [
+                f for f in target.schema.fields if f.name not in gen
+            ]
+            schema_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in file_fields
+            )
+            tmp = tempfile.mkdtemp(prefix="mcs_ldi_")
+            try:
+                dest = os.path.join(tmp, "staged")
+                bulk_load_csv(
+                    self.spark,
+                    parsed.path,
+                    schema_ddl,
+                    dest,
+                    header=False,
+                    delimiter=parsed.delimiter,
+                    quote=parsed.quote,
+                    escape=parsed.escape,
+                    line_sep=parsed.line_sep,
+                    skip_rows=parsed.skip_rows,
+                )
+                src = self.spark.read.parquet(dest)
+                out = src.select(
+                    *[
+                        (
+                            F.expr(gen[f.name])
+                            if f.name in gen
+                            else F.col(f.name)
+                        ).cast(f.dataType).alias(f.name)
+                        for f in target.schema.fields
+                    ]
+                )
+                validate_checks(out, table_checks(path))
+                out.write.mode("append").parquet(path)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            self._refresh(parsed.table)
+            return self.spark.read.parquet(path).count()
+
         info = self._writable(parsed.table)
         path = info["path"]
         if isinstance(parsed, st.Insert):

@@ -100,9 +100,69 @@ class CreateView:
 
 
 @dataclass
+class LoadData:
+    """LOAD DATA [LOCAL] INFILE — the SQL spelling of the cpimport/LDI
+    bulk path (writeengine/bulk/cpimport.cpp; mysql-test ldi_* suites).
+    Options mirror sources.ingest.bulk_load_csv's dialect knobs."""
+
+    table: str
+    path: str
+    delimiter: str = "\t"  # MariaDB LDI default
+    quote: str = '"'
+    escape: str = "\\"
+    line_sep: str | None = None
+    skip_rows: int = 0
+
+
+@dataclass
+class SelectIntoOutfile:
+    """SELECT ... INTO OUTFILE — server-side bulk export (one file,
+    delimited; the reverse of LOAD DATA INFILE)."""
+
+    select_sql: str
+    path: str
+    delimiter: str = "\t"
+    quote: str = '"'
+    line_sep: str | None = None
+
+
+@dataclass
 class Other:
     kind: str  # "select" | "drop_view" | "describe"
     arg: str
+
+
+def _parse_ldi_options(tail: str, store: list[str]) -> dict:
+    """FIELDS/LINES/IGNORE clauses shared by LOAD DATA and INTO OUTFILE."""
+    opts: dict = {}
+
+    def lit(m: re.Match) -> str:
+        v = _unmask(m.group(1), store)
+        if re.fullmatch(r"'.*'", v, re.DOTALL):
+            v = v[1:-1].replace("''", "'")
+            v = re.sub(r"\\(.)", r"\1", v)
+        return v
+
+    m = re.search(
+        r"FIELDS\s+TERMINATED\s+BY\s+(\S+)", tail, re.IGNORECASE
+    )
+    if m:
+        opts["delimiter"] = lit(m)
+    m = re.search(r"ENCLOSED\s+BY\s+(\S+)", tail, re.IGNORECASE)
+    if m:
+        opts["quote"] = lit(m)
+    m = re.search(r"ESCAPED\s+BY\s+(\S+)", tail, re.IGNORECASE)
+    if m:
+        opts["escape"] = lit(m)
+    m = re.search(
+        r"LINES\s+TERMINATED\s+BY\s+(\S+)", tail, re.IGNORECASE
+    )
+    if m:
+        opts["line_sep"] = lit(m)
+    m = re.search(r"IGNORE\s+(\d+)\s+(LINES|ROWS)", tail, re.IGNORECASE)
+    if m:
+        opts["skip_rows"] = int(m.group(1))
+    return opts
 
 
 def _ident(tok: str, store: list[str]) -> str:
@@ -248,7 +308,43 @@ def parse(sql: str):
 
     m = re.match(r"(SELECT|WITH|VALUES)\b", masked, re.IGNORECASE)
     if m:
+        om = _top_level_search(r"\bINTO\s+OUTFILE\s+(\S+)", masked)
+        if om:
+            outpath = _unmask(om.group(1), store).strip("'\"")
+            tail = masked[om.end() :]
+            opts = _parse_ldi_options(tail, store)
+            opts.pop("skip_rows", None)
+            opts.pop("escape", None)
+            # the SELECT text = everything before INTO OUTFILE plus any
+            # trailing clauses after the FIELDS/LINES options block
+            tm = re.match(
+                r"(\s*(FIELDS\s+TERMINATED\s+BY\s+\S+|ENCLOSED\s+BY\s+\S+|"
+                r"ESCAPED\s+BY\s+\S+|LINES\s+TERMINATED\s+BY\s+\S+))*",
+                tail,
+                re.IGNORECASE,
+            )
+            rest = tail[tm.end() :]
+            return SelectIntoOutfile(
+                select_sql=_unmask(
+                    masked[: om.start()] + " " + rest, store
+                ).strip(),
+                path=outpath,
+                **opts,
+            )
         return Other("select", sql)
+
+    m = re.match(
+        r"LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+(\S+)\s+"
+        r"(?:IGNORE\s+|REPLACE\s+)?INTO\s+TABLE\s+([^\s(]+)",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        return LoadData(
+            table=_ident(m.group(2), store),
+            path=_unmask(m.group(1), store).strip("'\""),
+            **_parse_ldi_options(masked[m.end() :], store),
+        )
 
     m = re.match(r"EXPLAIN\s+", masked, re.IGNORECASE)
     if m:

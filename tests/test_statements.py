@@ -646,3 +646,49 @@ def test_information_schema_extents(engine_with_table):
     ).collect()
     assert rows and rows[0].num_rows == 5
     assert (rows[0].min_value, rows[0].max_value) == ("0", "4")
+
+
+def test_load_data_infile_and_into_outfile(engine_with_table, tmp_path):
+    """Round trip: SELECT INTO OUTFILE exports one delimited file;
+    LOAD DATA INFILE bulk-appends it back (cpimport/LDI SQL spelling),
+    computing generated columns and enforcing CHECKs like INSERT."""
+    import os
+
+    eng = engine_with_table
+    out = str(tmp_path / "export.tsv")
+    n = eng.execute(
+        f"SELECT id + 1000 AS id, val, note FROM t1 WHERE id < 3 "
+        f"INTO OUTFILE '{out}' FIELDS TERMINATED BY '|'"
+    )
+    assert n == 3 and os.path.exists(out)
+    with open(out) as fh:
+        exported_ids = {ln.split("|")[0] for ln in fh if ln.strip()}
+    assert exported_ids == {"1000", "1001", "1002"}
+    # refuses to overwrite, as MariaDB does
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute(f"SELECT 1 INTO OUTFILE '{out}'")
+    # load it back
+    total = eng.execute(
+        f"LOAD DATA INFILE '{out}' INTO TABLE t1 "
+        "FIELDS TERMINATED BY '|'"
+    )
+    assert total == 13
+    ids = {
+        r.id for r in eng.execute(
+            "SELECT id FROM t1 WHERE id >= 1000"
+        ).collect()
+    }
+    assert ids == {1000, 1001, 1002}
+
+
+def test_load_data_infile_respects_checks(engine_with_table, tmp_path):
+    eng = engine_with_table
+    eng.execute("ALTER TABLE t1 ADD CONSTRAINT val_pos CHECK (val >= 0)")
+    bad = str(tmp_path / "bad.tsv")
+    with open(bad, "w") as fh:
+        fh.write("900\t-5.0\tx\n")
+    with pytest.raises(ValueError, match="val_pos"):
+        eng.execute(f"LOAD DATA INFILE '{bad}' INTO TABLE t1")
+    assert (
+        eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n == 10
+    )  # nothing appended
