@@ -692,3 +692,29 @@ def test_load_data_infile_respects_checks(engine_with_table, tmp_path):
     assert (
         eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n == 10
     )  # nothing appended
+
+
+def test_new_statement_keywords_inert_inside_literals(engine_with_table):
+    """RETURNING / INTO OUTFILE / LOAD DATA / WITH ROLLUP as literal TEXT
+    must never trigger their statement forms (mask-aware parsing)."""
+    eng = engine_with_table
+    eng.execute(
+        "INSERT INTO t1 (id, note) VALUES "
+        "(600, 'x RETURNING y INTO OUTFILE z')"
+    )
+    note = eng.execute(
+        "SELECT note FROM t1 WHERE id = 600"
+    ).collect()[0].note
+    assert note == "x RETURNING y INTO OUTFILE z"
+    eng.execute(
+        "UPDATE t1 SET note = 'LOAD DATA INFILE q GROUP BY a WITH ROLLUP' "
+        "WHERE id = 600"
+    )
+    note = eng.execute(
+        "SELECT note FROM t1 WHERE id = 600"
+    ).collect()[0].note
+    assert note == "LOAD DATA INFILE q GROUP BY a WITH ROLLUP"
+    df = eng.execute(
+        "DELETE FROM t1 WHERE id = 600 RETURNING id, note"
+    )
+    assert df.collect()[0].note.startswith("LOAD DATA")
