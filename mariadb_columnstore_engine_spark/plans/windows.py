@@ -482,3 +482,47 @@ def range_interval_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_bit_ops_over_partition",
+    section="§2.5 BIT_AND / BIT_OR / BIT_XOR as window functions "
+    "(mysql-test/columnstore/basic/t/window_function_bit_{and,or,xor}"
+    ".test; aggregate ids utils/rowgroup/rowaggregation.h:65-119 applied "
+    "over WindowFunctionStep partitions)",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(bit_and(o_orderkey % 256) OVER w AS BIGINT) AS band,
+           CAST(bit_or(o_orderkey % 256) OVER w AS BIGINT) AS bor,
+           CAST(bit_xor(o_orderkey % 256) OVER w AS BIGINT) AS bxor,
+           CAST(bit_and(o_orderkey % 256) OVER running AS BIGINT)
+               AS band_running
+    FROM orders
+    WHERE o_orderkey < 600
+    WINDOW w AS (PARTITION BY o_custkey),
+           running AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+)
+def bit_ops_over_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    k = F.col("o_orderkey") % 256
+    w = Window.partitionBy("o_custkey")
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.orders.where(F.col("o_orderkey") < 600)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.bit_and(k).over(w).cast("long").alias("band"),
+            F.bit_or(k).over(w).cast("long").alias("bor"),
+            F.bit_xor(k).over(w).cast("long").alias("bxor"),
+            F.bit_and(k).over(running).cast("long").alias("band_running"),
+        )
+        .orderBy("o_orderkey")
+    )
