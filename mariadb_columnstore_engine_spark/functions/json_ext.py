@@ -220,3 +220,78 @@ def json_compact(col: Column | str) -> Column:
     return F.regexp_replace(
         _c(col), f"({_STRING_LIT})|\\s+", "$1"
     )
+
+
+def json_path_ext(col: Column | str, path: str) -> Column:
+    """MariaDB 10.9 JSON path EXTENSIONS on a LITERAL path: negative
+    array indices ``$.a[-2]``, ``[last]`` / ``[last-N]``, and range
+    slices ``[A to B]`` (func_json_* via the server's json_path
+    extensions; mysql-test/columnstore/basic/t/json_range_expression
+    .test). Spark's get_json_object speaks none of these, so the literal
+    path is COMPILED HERE into a chain of JVM ops — get_json_object for
+    plain steps, json_array_length arithmetic for last/negative indices
+    (rendered as a dynamic path), and a from_json→slice→to_json for
+    ranges. Everything stays whole-stage-codegen; no Python at runtime.
+
+    Returns the JSON text at the path (NULL if absent), like
+    JSON_QUERY/JSON_EXTRACT on one match.
+    """
+    import re
+
+    cur = _c(col)
+    steps = re.findall(r"\.([A-Za-z_]\w*)|\[([^\]]+)\]", path.strip("$ "))
+    for key, idx in steps:
+        if key:
+            cur = F.get_json_object(cur, f"$.{key}")
+            continue
+        tok = idx.strip().lower().replace(" ", "")
+        rng = re.fullmatch(r"(last(-\d+)?|-?\d+)to(last(-\d+)?|-?\d+)", tok)
+        n = F.json_array_length(cur)
+
+        def resolve(t: str) -> Column:
+            # absolute 0-based index as a Column (may depend on length)
+            if t.startswith("last"):
+                off = int(t[4:] or "0")  # "last-2" -> -2
+                return n - 1 + F.lit(off)
+            i = int(t)
+            return n + F.lit(i) if i < 0 else F.lit(i)
+
+        if rng:
+            lo = resolve(rng.group(1))
+            hi = resolve(rng.group(3))
+            # slice(arr, start, length) is 1-based; clamp to the array
+            arr = F.from_json(cur, "array<string>")
+            lo1 = F.greatest(lo + 1, F.lit(1))
+            length = F.greatest(hi - lo + 1, F.lit(0))
+            picked = F.slice(arr, lo1, length)
+            # elements came out as strings; containers re-emit verbatim,
+            # scalars through the number/bool/null-aware quoter
+            cur = F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        picked,
+                        lambda e: F.when(
+                            e.rlike(r"^\s*[\[{]"), e
+                        ).otherwise(_emit_scalar(e)),
+                    ),
+                    ", ",
+                ),
+                F.lit("]"),
+            )
+        else:
+            pos = resolve(tok)
+            # dynamic path (depends on the row's array length): the
+            # PySpark wrapper insists on a str path, but the underlying
+            # SQL function accepts any expression — call it directly
+            cur = F.when(
+                (pos >= 0) & (pos < n),
+                F.call_function(
+                    "get_json_object",
+                    cur,
+                    F.concat(
+                        F.lit("$["), pos.cast("string"), F.lit("]")
+                    ),
+                ),
+            )
+    return cur

@@ -1662,3 +1662,50 @@ def sql_mariadb_front_end3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY pri, st;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sf_json_path_extensions",
+    section="§2.8 MariaDB 10.9 JSON path extensions — negative indices, "
+    "last[-N], [A to B] ranges (mysql-test/columnstore/basic/t/"
+    "json_range_expression.test; server json_path extensions the "
+    "engine's func_json_* consume). Spark speaks none of these, so "
+    "functions/json_ext.json_path_ext compiles the literal path to "
+    "JVM ops; the oracle computes every expected value independently "
+    "from the same inputs.",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_id < 60
+    )
+    SELECT event_id,
+           '3'                          AS last_v,
+           CAST(k % 11 AS VARCHAR)      AS neg2_v,
+           CAST(k % 5 AS VARCHAR)       AS last3_v,
+           '[' || CAST(k % 7 AS VARCHAR) || ', '
+               || CAST(k % 11 AS VARCHAR) || ']' AS range_v
+    FROM e
+    ORDER BY event_id
+    """,
+)
+def json_path_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.functions.json_ext import (
+        json_path_ext,
+    )
+
+    t = Catalog(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = F.to_json(F.array(k % 5, k % 7, k % 11, F.lit(3)))
+    return (
+        t.events.where(F.col("event_id") < 60)
+        .select("event_id", doc.alias("doc"))
+        .select(
+            "event_id",
+            json_path_ext("doc", "$[last]").alias("last_v"),
+            json_path_ext("doc", "$[-2]").alias("neg2_v"),
+            json_path_ext("doc", "$[last-3]").alias("last3_v"),
+            json_path_ext("doc", "$[1 to 2]").alias("range_v"),
+        )
+        .orderBy("event_id")
+    )

@@ -121,3 +121,37 @@ def test_json_search_quotes_non_identifier_keys(spark):
 
     path = json.loads(_one(spark, J.json_search(doc, "x")))
     assert path == '$."my key"'
+
+
+def test_json_path_ext_negative_last_range(spark):
+    """MariaDB 10.9 JSON path extensions (json_range_expression.test):
+    negative indices, last[-N], and [A to B] range slices — compiled to
+    JVM ops from the literal path."""
+    from mariadb_columnstore_engine_spark.functions.json_ext import (
+        json_path_ext,
+    )
+
+    doc = (
+        '{"A": [0, [1,2,3], [4,5,6], "seven", 0.8, true, false,'
+        ' "eleven", [12,13,15], true], "B": {"C": 1}}'
+    )
+    df = spark.createDataFrame([(doc,)], ["j"])
+    cases = {
+        "$.A[-2][-1]": "15",       # the reference test's exact path
+        "$.A[last-1][last]": "15",  # ... and its 'last' spelling
+        "$.A[last]": "true",
+        "$.A[0]": "0",
+        "$.B.C": "1",
+        "$.A[1 to 2]": "[[1,2,3], [4,5,6]]",
+        "$.A[last-1 to last]": '[[12,13,15], true]',
+        "$.A[99]": None,            # out of range -> NULL
+        "$.A[-99]": None,
+    }
+    row = df.select(
+        *[
+            json_path_ext("j", p).alias(f"c{i}")
+            for i, p in enumerate(cases)
+        ]
+    ).collect()[0]
+    for (p, want), got in zip(cases.items(), row):
+        assert got == want, f"{p}: {got!r} != {want!r}"
