@@ -351,6 +351,13 @@ class Engine:
                     "CREATE TABLE AS SELECT needs Engine(warehouse=...) "
                     "to know where to materialize"
                 )
+            if parsed.or_replace and parsed.name in getattr(
+                self, "_user_tables", {}
+            ):
+                # CREATE OR REPLACE TABLE (MTR create_or_replace):
+                # atomic-enough drop+create of a USER table; fixtures
+                # stay protected by the checks below
+                self.execute(f"DROP TABLE {parsed.name}")
             if parsed.name in TABLES or parsed.name in getattr(
                 self, "_user_tables", {}
             ):
@@ -378,6 +385,10 @@ class Engine:
                     "CREATE TABLE needs Engine(warehouse=...) to know "
                     "where to materialize"
                 )
+            if parsed.or_replace and parsed.name in getattr(
+                self, "_user_tables", {}
+            ):
+                self.execute(f"DROP TABLE {parsed.name}")
             if parsed.name in TABLES or parsed.name in getattr(
                 self, "_user_tables", {}
             ):

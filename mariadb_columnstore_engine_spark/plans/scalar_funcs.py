@@ -1709,3 +1709,60 @@ def json_path_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "sf_decimal38_join_sort",
+    section="§2.8/§2.3/§2.6 DECIMAL(38) as JOIN key and SORT key "
+    "(mysql-test/columnstore/basic/t/mcol641-joins.test, "
+    "mcol641-sorting.test — the int128 suite's join/order-by shapes): "
+    "equality join on a scale-10 decimal expression key, descending "
+    "decimal sort, decimal aggregate. Non-window row: decimal-typed "
+    "outputs stay under the local type-aware gate (registry.py policy).",
+    oracle="""
+    WITH l AS (
+        SELECT CAST(l_orderkey AS DECIMAL(30,10))
+                 * CAST(1.5 AS DECIMAL(2,1)) AS k,
+               l_quantity
+        FROM lineitem WHERE l_orderkey < 300
+    ), o AS (
+        SELECT CAST(o_orderkey AS DECIMAL(30,10))
+                 * CAST(1.5 AS DECIMAL(2,1)) AS k
+        FROM orders WHERE o_orderkey < 300
+    )
+    SELECT CAST(l.k AS DECIMAL(38,10)) AS key38,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS qty_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM l JOIN o ON l.k = o.k
+    GROUP BY l.k
+    ORDER BY key38 DESC
+    LIMIT 50
+    """,
+)
+def decimal38_join_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    half3 = F.lit("1.5").cast("decimal(2,1)")
+    lk = (F.col("l_orderkey").cast("decimal(30,10)") * half3).alias("k")
+    ok = (F.col("o_orderkey").cast("decimal(30,10)") * half3).alias("k")
+    l = t.lineitem.where(F.col("l_orderkey") < 300).select(
+        lk, "l_quantity"
+    )
+    o = t.orders.where(F.col("o_orderkey") < 300).select(ok)
+    return (
+        l.join(o, "k")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("qty_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("k").cast("decimal(38,10)").alias("key38"),
+            "qty_sum",
+            "n",
+        )
+        .orderBy(F.desc("key38"))
+        .limit(50)
+    )

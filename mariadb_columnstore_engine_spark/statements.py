@@ -45,6 +45,7 @@ class Insert:
 class CreateTable:
     name: str
     select_sql: str
+    or_replace: bool = False
 
 
 @dataclass
@@ -64,6 +65,7 @@ class CreateTableDef:
     columns: list[ColumnDef]
     primary_key: list[str] = field(default_factory=list)
     checks: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
+    or_replace: bool = False
 
 
 @dataclass
@@ -521,15 +523,22 @@ def parse(sql: str):
         )
 
     m = re.match(
-        r"CREATE\s+TABLE\s+(\S+)\s+AS\s+", masked, re.IGNORECASE
+        r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\S+)\s+AS\s+",
+        masked,
+        re.IGNORECASE,
     )
     if m:
         return CreateTable(
-            name=_ident(m.group(1), store),
+            name=_ident(m.group(2), store),
             select_sql=_unmask(rest_of(m), store),
+            or_replace=bool(m.group(1)),
         )
 
-    m = re.match(r"CREATE\s+TABLE\s+([^\s(]+)\s*\(", masked, re.IGNORECASE)
+    m = re.match(
+        r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([^\s(]+)\s*\(",
+        masked,
+        re.IGNORECASE,
+    )
     if m:
         open_at = masked.index("(", m.start())
         end = _find_balanced(masked, open_at)
@@ -544,11 +553,13 @@ def parse(sql: str):
             re.IGNORECASE,
         ):
             raise ValueError(f"unsupported CREATE TABLE tail: {tail[:40]!r}")
-        return _parse_column_defs(
-            _ident(m.group(1), store),
+        parsed_def = _parse_column_defs(
+            _ident(m.group(2), store),
             masked[open_at + 1 : end - 1],
             store,
         )
+        parsed_def.or_replace = bool(m.group(1))
+        return parsed_def
 
     m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\S+)\s*$", masked, re.I)
     if m:

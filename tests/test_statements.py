@@ -718,3 +718,22 @@ def test_new_statement_keywords_inert_inside_literals(engine_with_table):
         "DELETE FROM t1 WHERE id = 600 RETURNING id, note"
     )
     assert df.collect()[0].note.startswith("LOAD DATA")
+
+
+def test_create_or_replace_table(engine_wh, tmp_path):
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    eng.execute("CREATE TABLE cor (id BIGINT, v DOUBLE)")
+    eng.execute("INSERT INTO cor (id, v) VALUES (1, 1.0)")
+    # replace swaps schema AND contents
+    eng.execute("CREATE OR REPLACE TABLE cor AS SELECT 7 AS x, 'y' AS tag")
+    rows = eng.execute("SELECT * FROM cor").collect()
+    assert [(r.x, r.tag) for r in rows] == [(7, "y")]
+    # plain CREATE still refuses to clobber
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute("CREATE TABLE cor (id BIGINT)")
+    # OR REPLACE never touches fixtures
+    with pytest.raises(ValueError, match="already exists|fixture"):
+        eng.execute("CREATE OR REPLACE TABLE region AS SELECT 1 AS z")
