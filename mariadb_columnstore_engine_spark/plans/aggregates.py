@@ -523,3 +523,36 @@ def hll_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.02)
         ).alias("union_consistent"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_count_distinct_multiparam",
+    section="§2.4 multi-parameter COUNT(DISTINCT a, b, c) "
+    "(mcol3738_count_distinct_multiparm.test; rowaggregation.h "
+    "multi-param marker) — the distinct key is the column TUPLE, "
+    "NULL-bearing tuples excluded per SQL COUNT semantics",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT (l_returnflag, l_linestatus, l_linenumber))
+                AS BIGINT) AS nd_tuple,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_single
+    FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def count_distinct_multiparam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    joined = t.lineitem.join(
+        t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct(
+                "l_returnflag", "l_linestatus", "l_linenumber"
+            ).alias("nd_tuple"),
+            F.count_distinct("o_custkey").alias("nd_single"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -373,3 +373,29 @@ def test_oracle_trim_replace_empty_is_null(spark):
     # ...and a fully-removed string collapses to NULL
     assert row.p2 is None
     assert row.p3 == "aca"
+
+
+def test_empty_string_is_not_null(spark, tmp_path):
+    """mcol271-empty-string-is-not-null.test: '' and NULL are distinct
+    values — '' IS NOT NULL, equals itself, LENGTH 0 — and both survive
+    a parquet round trip distinctly (unlike Oracle's ''≡NULL)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "x")], ["id", "s"])
+    p = str(tmp_path / "es")
+    df.write.parquet(p)
+    back = spark.read.parquet(p)
+    rows = {r.id: r for r in back.select(
+        "id",
+        F.col("s").isNull().alias("is_null"),
+        (F.col("s") == "").alias("eq_empty"),
+        F.length("s").alias("ln"),
+    ).collect()}
+    assert (rows[1].is_null, rows[1].eq_empty, rows[1].ln) == (False, True, 0)
+    assert rows[2].is_null and rows[2].eq_empty is None and rows[2].ln is None
+    assert (rows[3].is_null, rows[3].eq_empty, rows[3].ln) == (False, False, 1)
+    # aggregation treats them differently too: COUNT skips NULL only
+    agg = back.agg(
+        F.count("s").alias("cnt"), F.count(F.lit(1)).alias("cnt_star")
+    ).collect()[0]
+    assert (agg.cnt, agg.cnt_star) == (2, 3)
