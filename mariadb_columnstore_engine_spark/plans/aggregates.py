@@ -556,3 +556,63 @@ def count_distinct_multiparam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_moda",
+    section="§2.4 MODA — ColumnStore's statistical-mode UDAF "
+    "(utils/regr/moda.h:24-35, mcs98_moda_function.test): most frequent "
+    "value per group; ties broken by closest-to-AVG then smallest. "
+    "Spark-first as counts → weighted mean → max_by struct (operators/"
+    "moda.py) — no UDF, two aggregated-data shuffles",
+    oracle="""
+    WITH c1 AS (
+        SELECT l_returnflag, l_quantity AS v, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), a1 AS (
+        SELECT l_returnflag, sum(v * n) / sum(n) AS avgv
+        FROM c1 GROUP BY l_returnflag
+    ), r1 AS (
+        SELECT c1.l_returnflag, v,
+               row_number() OVER (
+                   PARTITION BY c1.l_returnflag
+                   ORDER BY n DESC, abs(v - avgv), v
+               ) AS rn
+        FROM c1 JOIN a1 ON c1.l_returnflag = a1.l_returnflag
+    ), c2 AS (
+        SELECT l_returnflag, l_linenumber AS v, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linenumber
+    ), a2 AS (
+        SELECT l_returnflag, sum(v * n) / sum(n) AS avgv
+        FROM c2 GROUP BY l_returnflag
+    ), r2 AS (
+        SELECT c2.l_returnflag, v,
+               row_number() OVER (
+                   PARTITION BY c2.l_returnflag
+                   ORDER BY n DESC, abs(v - avgv), v
+               ) AS rn
+        FROM c2 JOIN a2 ON c2.l_returnflag = a2.l_returnflag
+    )
+    SELECT r1.l_returnflag,
+           CAST(r1.v AS BIGINT) AS moda_qty,
+           CAST(r2.v AS BIGINT) AS moda_line
+    FROM r1 JOIN r2 ON r1.l_returnflag = r2.l_returnflag
+    WHERE r1.rn = 1 AND r2.rn = 1
+    ORDER BY r1.l_returnflag
+    """,
+)
+def agg_moda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.operators.moda import moda
+
+    t = Catalog(spark, sf_dir)
+    m_qty = moda(t.lineitem, "l_quantity", ("l_returnflag",), "moda_qty")
+    m_line = moda(t.lineitem, "l_linenumber", ("l_returnflag",), "moda_line")
+    return (
+        m_qty.join(m_line, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("moda_qty").cast("long").alias("moda_qty"),
+            F.col("moda_line").cast("long").alias("moda_line"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,58 @@
+"""MODA aggregate semantics (utils/regr/moda.h:32-35,
+mcs98_moda_function.test): greatest occurrence count, ties broken by
+closest-to-group-AVG, then smallest value. Hand-built vectors pin each
+tie-break stage; the registry row agg_moda pins the fixture-scale parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mariadb_columnstore_engine_spark.operators.moda import moda
+
+
+def _moda_of(spark, values, expect):
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    [row] = moda(df, "v").collect()
+    assert row["moda"] == expect, (values, row["moda"], expect)
+
+
+def test_plain_mode_no_tie(spark):
+    _moda_of(spark, [1.0, 2.0, 2.0, 3.0], 2.0)
+
+
+def test_tie_broken_by_closest_to_avg(spark):
+    # counts: 1→2, 2→2, 3→1; avg = 9/5 = 1.8 → 2 is closer (0.2 < 0.8)
+    _moda_of(spark, [1.0, 1.0, 2.0, 2.0, 3.0], 2.0)
+
+
+def test_tie_equidistant_takes_smallest(spark):
+    # counts tied 1↔3, avg = 2, both at distance 1 → smallest wins
+    _moda_of(spark, [1.0, 3.0], 1.0)
+
+
+def test_nulls_ignored_and_all_null_group(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("a", 5.0), ("a", 7.0), ("b", None)],
+        "g string, v double",
+    )
+    got = {r["g"]: r["moda"] for r in moda(df, "v", ("g",)).collect()}
+    assert got == {"a": 5.0, "b": None}
+
+
+def test_grouped_independent_ties(spark):
+    # group x: mode 4 outright; group y: tie 10↔20, avg 14 → 10 closer
+    rows = [("x", 4.0), ("x", 4.0), ("x", 9.0),
+            ("y", 10.0), ("y", 10.0), ("y", 20.0), ("y", 20.0),
+            ("y", 10.0), ("y", 20.0), ("y", 14.0)]
+    # recompute: counts y: 10→3, 20→3, 14→1; avg = (30+60+14)/7 = 14.857
+    # dist(10)=4.857, dist(20)=5.143 → 10 wins
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r["moda"] for r in moda(df, "v", ("g",)).collect()}
+    assert got == {"x": 4.0, "y": 10.0}
+
+
+def test_string_column_rejected(spark):
+    df = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(TypeError):
+        moda(df, "s")
