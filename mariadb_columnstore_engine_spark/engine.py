@@ -270,6 +270,38 @@ class Engine:
             rows = ret_df.collect()
             return self.spark.createDataFrame(rows, ret_df.schema)
 
+        def join_pred_sql(join: "st.JoinSpec", where: str | None) -> str:
+            """Rewrite a multi-table UPDATE/DELETE's join into a
+            single-table predicate on the target (mcs82/mcs83 MTR
+            forms). A target row is affected iff SOME row of the join
+            result contains it and satisfies WHERE — i.e. a semi-join:
+
+              EXISTS (SELECT 1 FROM other WHERE on AND where)
+
+            When the target is on the preserved side of an outer join,
+            NULL-extended rows also reach WHERE with the other table's
+            columns all NULL; that branch is expressed by evaluating
+            WHERE against a literal all-NULL one-row relation aliased
+            to the other table's name — no string surgery on the WHERE
+            text, the resolver does the substitution.
+            """
+            other = join.table
+            p = where or "TRUE"
+            c = join.on
+            inner = f"EXISTS (SELECT 1 FROM {other} WHERE ({c}) AND ({p}))"
+            if not join.outer_target:
+                return inner
+            null_cols = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
+                for f in self.spark.table(other).schema.fields
+            )
+            unmatched = (
+                f"(NOT EXISTS (SELECT 1 FROM {other} WHERE ({c})) AND "
+                f"EXISTS (SELECT 1 FROM (SELECT {null_cols}) AS {other} "
+                f"WHERE ({p})))"
+            )
+            return f"({inner}) OR {unmatched}"
+
         parsed = st.parse(stmt)
         if isinstance(parsed, st.Other):
             if parsed.kind == "select":
@@ -647,7 +679,23 @@ class Engine:
                 validate_checks,
             )
 
-            pred = texpr(parsed.where) if parsed.where else F.lit(True)
+            if parsed.join is not None:
+                import re as _re
+
+                for c, e in parsed.assignments.items():
+                    if _re.search(
+                        rf"\b{_re.escape(parsed.join.table)}\s*\.", e
+                    ):
+                        raise ValueError(
+                            "UPDATE JOIN assignments may reference only "
+                            f"the target table's columns; {c!r} uses "
+                            f"{parsed.join.table!r} (multi-match value "
+                            "choice is nondeterministic on a "
+                            "distributed engine)"
+                        )
+                pred = texpr(join_pred_sql(parsed.join, parsed.where))
+            else:
+                pred = texpr(parsed.where) if parsed.where else F.lit(True)
             gen_cols = {
                 c["name"] for c in _evolution(path).get("generated", [])
             }
@@ -689,7 +737,10 @@ class Engine:
             self._refresh(parsed.table)
             return n
         if isinstance(parsed, st.Delete):
-            pred = texpr(parsed.where) if parsed.where else F.lit(True)
+            if parsed.join is not None:
+                pred = texpr(join_pred_sql(parsed.join, parsed.where))
+            else:
+                pred = texpr(parsed.where) if parsed.where else F.lit(True)
             ret = None
             if parsed.returning:
                 from mariadb_columnstore_engine_spark.sources.ingest import (

@@ -79,10 +79,24 @@ class Alter:
 
 
 @dataclass
+class JoinSpec:
+    """One joined relation in a multi-table UPDATE/DELETE
+    (mcs82_update_join.test / mcs83_delete_join.test). ``outer_target``
+    is True when the DML target sits on the preserved side of an outer
+    join (UPDATE t1 LEFT JOIN t2 — every t1 row appears, possibly
+    NULL-extended), which changes the predicate rewrite in the engine."""
+
+    table: str
+    on: str  # raw ON condition (dialect SQL)
+    outer_target: bool = False
+
+
+@dataclass
 class Update:
     table: str
     assignments: dict[str, str] = field(default_factory=dict)
     where: str | None = None
+    join: JoinSpec | None = None
 
 
 @dataclass
@@ -92,6 +106,7 @@ class Delete:
     #: RETURNING select-list (MariaDB 10.0 DELETE..RETURNING): the
     #: deleted rows' projections come back as a result set
     returning: list[str] = field(default_factory=list)
+    join: JoinSpec | None = None
 
 
 @dataclass
@@ -475,6 +490,101 @@ def parse(sql: str):
             replace=m.group(1).upper() == "REPLACE",
             on_dup_update=on_dup,
             returning=returning,
+        )
+
+    m = re.match(
+        r"UPDATE\s+([^\s(,]+)\s+(?:(INNER|LEFT|RIGHT)\s+)?JOIN\s+"
+        r"([^\s(]+)\s+ON\s+",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        # multi-table UPDATE (mcs82_update_join.test): UPDATE t1 [INNER|
+        # LEFT|RIGHT] JOIN t2 ON cond SET ... [WHERE ...]. The updated
+        # table is whichever one the SET assignments qualify (MariaDB
+        # allows either side); unqualified assignments target the first.
+        body = rest_of(m)
+        sm = _top_level_search(r"\bSET\b", body)
+        if not sm:
+            raise ValueError("UPDATE JOIN requires a SET clause")
+        on_sql = _unmask(body[: sm.start()].strip(), store)
+        body = body[sm.end() :]
+        where = None
+        wm = _top_level_search(r"\bWHERE\b", body)
+        if wm:
+            where = _unmask(body[wm.end() :].strip(), store)
+            body = body[: wm.start()].strip()
+        t1 = _ident(m.group(1), store)
+        t2 = _ident(m.group(3), store)
+        jtype = (m.group(2) or "INNER").upper()
+        assignments: dict[str, str] = {}
+        target = None
+        for part in _split_top_level_commas(body):
+            am = re.match(r"\s*(\S+)\s*=\s*(.+)\s*$", part, re.DOTALL)
+            if not am:
+                raise ValueError(f"cannot parse SET assignment: {part!r}")
+            col = _ident(am.group(1), store)
+            if "." in col:
+                qual, col = col.rsplit(".", 1)
+                if target is not None and qual != target:
+                    raise ValueError(
+                        "UPDATE JOIN can assign columns of ONE table; "
+                        f"got both {target!r} and {qual!r}"
+                    )
+                if qual not in (t1, t2):
+                    raise ValueError(
+                        f"SET qualifier {qual!r} is not a joined table"
+                    )
+                target = qual
+            assignments[col] = _unmask(am.group(2).strip(), store)
+        target = target or t1
+        other = t2 if target == t1 else t1
+        outer_target = (jtype == "LEFT" and target == t1) or (
+            jtype == "RIGHT" and target == t2
+        )
+        return Update(
+            table=target,
+            assignments=assignments,
+            where=where,
+            join=JoinSpec(table=other, on=on_sql,
+                          outer_target=outer_target),
+        )
+
+    m = re.match(
+        r"DELETE\s+([^\s(]+)\s+FROM\s+([^\s(,]+)\s+"
+        r"(?:(INNER|LEFT|RIGHT)\s+)?JOIN\s+([^\s(]+)\s+ON\s+",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        # multi-table DELETE (mcs83_delete_join.test): DELETE t FROM t1
+        # [INNER|LEFT|RIGHT] JOIN t2 ON cond [WHERE ...] — rows of t
+        # that appear in the join result (and satisfy WHERE) are removed.
+        target = _ident(m.group(1), store)
+        t1 = _ident(m.group(2), store)
+        t2 = _ident(m.group(4), store)
+        jtype = (m.group(3) or "INNER").upper()
+        if target not in (t1, t2):
+            raise ValueError(
+                f"DELETE target {target!r} is not one of the joined "
+                f"tables ({t1!r}, {t2!r})"
+            )
+        body = rest_of(m)
+        where = None
+        wm = _top_level_search(r"\bWHERE\b", body)
+        if wm:
+            where = _unmask(body[wm.end() :].strip(), store)
+            body = body[: wm.start()].strip()
+        on_sql = _unmask(body.strip(), store)
+        other = t2 if target == t1 else t1
+        outer_target = (jtype == "LEFT" and target == t1) or (
+            jtype == "RIGHT" and target == t2
+        )
+        return Delete(
+            table=target,
+            where=where,
+            join=JoinSpec(table=other, on=on_sql,
+                          outer_target=outer_target),
         )
 
     m = re.match(r"UPDATE\s+([^\s(]+)\s+SET\s+", masked, re.IGNORECASE)
