@@ -443,6 +443,15 @@ class Engine:
             if defaults:
                 evo["defaults"] = defaults
                 _write_evolution(path, evo)
+            if parsed.auto_increment:
+                # ≈ BRM's autoincrement manager: a per-table sequence
+                # counter in catalog metadata (the sidecar); INSERT
+                # assigns from it and bumps it past the table max
+                evo = _evolution(path)
+                evo["autoinc"] = {
+                    "column": parsed.auto_increment, "next": 1
+                }
+                _write_evolution(path, evo)
             for c in parsed.columns:
                 if not c.nullable:
                     add_check_constraint(
@@ -645,6 +654,32 @@ class Engine:
                     for f in target.schema.fields
                 ]
             )
+            ai = _evolution(path).get("autoinc")
+            if ai:
+                # AUTO_INCREMENT assignment (BRM autoincrement-manager
+                # analogue): omitted or NULL values draw from the stored
+                # counter; explicit values pass through and push the
+                # counter past them (MariaDB semantics, gaps allowed).
+                # The row_number window makes the batch single-partition
+                # for numbering — a sequential sequence is inherently a
+                # serialization point; at bulk-load scale use explicit
+                # keys instead (the reference's cpimport does the same:
+                # one counter reservation per import).
+                from pyspark.sql import Window as _W
+
+                acol = ai["column"]
+                atype = target.schema[acol].dataType
+                w_ai = _W.orderBy(F.monotonically_increasing_id())
+                out = out.withColumn(
+                    acol,
+                    F.when(
+                        F.col(acol).isNull(),
+                        (
+                            F.lit(int(ai["next"]) - 1)
+                            + F.row_number().over(w_ai)
+                        ).cast(atype),
+                    ).otherwise(F.col(acol)),
+                )
             validate_checks(out, table_checks(path))
             ret = (
                 returning_result(out, parsed.returning)
@@ -669,6 +704,26 @@ class Engine:
             else:
                 out.write.mode("append").parquet(path)
                 n = self.spark.read.parquet(path).count()
+            if ai:
+                # counter = table max + 1 (covers both assigned and
+                # explicit values; parquet footer stats make the max a
+                # metadata-only scan)
+                from mariadb_columnstore_engine_spark.sources.ingest import (  # noqa: E501
+                    _write_evolution,
+                )
+
+                mx = (
+                    self.spark.read.parquet(path)
+                    .agg(F.max(ai["column"]))
+                    .first()[0]
+                )
+                evo_ai = _evolution(path)
+                evo_ai["autoinc"] = {
+                    "column": ai["column"],
+                    "next": (int(mx) + 1) if mx is not None
+                    else int(ai["next"]),
+                }
+                _write_evolution(path, evo_ai)
             self._refresh(parsed.table)
             return ret if ret is not None else n
         if isinstance(parsed, st.Update):

@@ -103,8 +103,12 @@ def _rewrite(spark: SparkSession, path: str,
         "checks": evo.get("checks", []),
         "defaults": surviving_defaults,
     }
+    # the AUTO_INCREMENT counter (BRM autoincrement-manager analogue) is
+    # pure metadata — a rewrite must not reset the sequence
+    if evo.get("autoinc"):
+        surviving["autoinc"] = evo["autoinc"]
     if any((surviving["generated"], surviving["checks"],
-            surviving["defaults"])):
+            surviving["defaults"], surviving.get("autoinc"))):
         _write_evolution(path, surviving)
     # the swapped directory invalidates any cached file listing
     spark.catalog.clearCache()

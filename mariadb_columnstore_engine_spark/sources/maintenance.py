@@ -132,17 +132,19 @@ def compact_table(
         if c.get("default") is not None
     }
     surviving_defaults.update(evo.get("defaults", {}))
-    if evo.get("generated") or evo.get("checks") or surviving_defaults:
-        _write_evolution(
-            path,
-            {
-                "added": [],
-                "dropped": [],
-                "generated": evo.get("generated", []),
-                "checks": evo.get("checks", []),
-                "defaults": surviving_defaults,
-            },
-        )
+    if (evo.get("generated") or evo.get("checks") or surviving_defaults
+            or evo.get("autoinc")):
+        fresh = {
+            "added": [],
+            "dropped": [],
+            "generated": evo.get("generated", []),
+            "checks": evo.get("checks", []),
+            "defaults": surviving_defaults,
+        }
+        # AUTO_INCREMENT counter is sequence state, not layout debt
+        if evo.get("autoinc"):
+            fresh["autoinc"] = evo["autoinc"]
+        _write_evolution(path, fresh)
     after = layout_stats(spark, path)
     return {
         "files_before": before["n_files"],

@@ -54,6 +54,7 @@ class ColumnDef:
     dtype: str  # Spark type string
     nullable: bool = True
     default: object = None
+    auto_increment: bool = False
 
 
 @dataclass
@@ -66,6 +67,7 @@ class CreateTableDef:
     primary_key: list[str] = field(default_factory=list)
     checks: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
     or_replace: bool = False
+    auto_increment: str | None = None  # column carrying AUTO_INCREMENT
 
 
 @dataclass
@@ -268,13 +270,9 @@ def _parse_column_defs(name: str, body: str, store: list[str]):
             raise ValueError(f"cannot parse column definition: {e!r}")
         cname = _ident(cm.group(1), store)
         rest = cm.group(2).strip()
-        if re.search(r"\bAUTO_INCREMENT\b", rest, re.IGNORECASE):
-            raise ValueError(
-                "AUTO_INCREMENT has no deterministic distributed "
-                "equivalent — generate keys explicitly "
-                "(e.g. monotonically_increasing_id is not stable across "
-                "rewrites)"
-            )
+        auto_inc = bool(
+            re.search(r"\bAUTO_INCREMENT\b", rest, re.IGNORECASE)
+        )
         nullable = not re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE)
         default = None
         dm = re.search(r"\bDEFAULT\s+(\S+)", rest, re.IGNORECASE)
@@ -303,12 +301,30 @@ def _parse_column_defs(name: str, body: str, store: list[str]):
                 dtype=_map_column_type(_unmask(type_text, store)),
                 nullable=nullable,
                 default=default,
+                auto_increment=auto_inc,
             )
         )
     if not cols:
         raise ValueError("CREATE TABLE needs at least one column")
-    return CreateTableDef(name=name, columns=cols, primary_key=pk,
-                          checks=checks)
+    auto_cols = [c for c in cols if c.auto_increment]
+    if len(auto_cols) > 1:
+        raise ValueError(
+            "only one AUTO_INCREMENT column per table (MariaDB rule)"
+        )
+    if auto_cols and not (
+        auto_cols[0].dtype.endswith("int")
+        or auto_cols[0].dtype == "decimal(20,0)"  # BIGINT UNSIGNED
+    ):
+        # reference restricts autoincrement to integer types
+        # (writeengine rejects others at DDL time)
+        raise ValueError(
+            f"AUTO_INCREMENT column {auto_cols[0].name!r} must be an "
+            f"integer type, not {auto_cols[0].dtype}"
+        )
+    return CreateTableDef(
+        name=name, columns=cols, primary_key=pk, checks=checks,
+        auto_increment=auto_cols[0].name if auto_cols else None,
+    )
 
 
 def parse(sql: str):

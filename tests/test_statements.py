@@ -504,8 +504,13 @@ def test_create_table_rejects_unsupported(engine_wh, tmp_path):
     eng = engine_wh
     os.makedirs(str(tmp_path / "wh"), exist_ok=True)
     with pytest.raises(ValueError, match="AUTO_INCREMENT"):
+        # autoinc must be an integer type (writeengine DDL rule)
         eng.execute(
-            "CREATE TABLE t (id INT AUTO_INCREMENT, v INT)"
+            "CREATE TABLE t (id VARCHAR(10) AUTO_INCREMENT, v INT)"
+        )
+    with pytest.raises(ValueError, match="one AUTO_INCREMENT"):
+        eng.execute(
+            "CREATE TABLE t (a INT AUTO_INCREMENT, b INT AUTO_INCREMENT)"
         )
     with pytest.raises(ValueError, match="unsupported column type"):
         eng.execute("CREATE TABLE t (id GEOMETRY)")
