@@ -302,6 +302,55 @@ class Engine:
             )
             return f"({inner}) OR {unmatched}"
 
+        import re as _re_cal
+
+        cm = _re_cal.match(
+            r"\s*SELECT\s+cal(show|disable|enable|drop)partitions\s*\(\s*"
+            r"'([^']*)'\s*(?:,\s*'([^']*)'\s*)?\)\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE,
+        )
+        if cm:
+            # partition-management UDFs (dbcon/mysql/ha_mcs_partition
+            # .cpp:484-738; udf_calshowpartitions.test). Partition unit
+            # = data file (the extent analogue); ids are file names as
+            # printed by calshowpartitions.
+            from mariadb_columnstore_engine_spark.sources import (
+                maintenance as maint,
+            )
+
+            verb, tname, arg = cm.group(1).lower(), cm.group(2), cm.group(3)
+            mpath = self._writable(tname)["path"]
+            if verb == "show":
+                if not arg:
+                    raise ValueError(
+                        "calshowpartitions('table','column') needs a "
+                        "column argument"
+                    )
+                rows = maint.show_partitions(self.spark, mpath, arg)
+                lines = ["Part# Min Max Status"] + [
+                    f"{r['partition']} {r['min']} {r['max']} {r['status']}"
+                    for r in rows
+                ]
+                return "\n".join(lines)
+            parts = [p.strip() for p in (arg or "").split(",") if p.strip()]
+            if not parts:
+                raise ValueError(
+                    f"cal{verb}partitions('table','p1,p2,...') needs a "
+                    "partition list"
+                )
+            if verb == "disable":
+                maint.disable_partitions(mpath, parts)
+                msg = "Partitions are disabled successfully"
+            elif verb == "enable":
+                maint.enable_partitions(mpath, parts)
+                msg = "Partitions are enabled successfully"
+            else:
+                maint.drop_partitions(self.spark, mpath, parts)
+                msg = "Partitions are deleted successfully"
+            self._refresh(tname)
+            return msg
+
         parsed = st.parse(stmt)
         if isinstance(parsed, st.Other):
             if parsed.kind == "select":

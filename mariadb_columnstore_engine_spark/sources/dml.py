@@ -60,6 +60,17 @@ def _rewrite(spark: SparkSession, path: str,
     )
 
     evo = _evolution(path)
+    if evo.get("disabled_partitions") and (
+        evo.get("added") or evo.get("dropped")
+    ):
+        # the rewrite would materialize instant-ALTER debt for enabled
+        # files only, leaving disabled files with a schema the consumed
+        # sidecar can no longer describe — same reason the reference
+        # blocks DDL/DML interplay with disabled partitions
+        raise ValueError(
+            "table has disabled partitions AND pending instant-ALTER "
+            "debt; calenablepartitions first, then rerun the DML"
+        )
     df = read_table_evolved(spark, path)
     if alias:
         # correlated subqueries in predicates (WHERE EXISTS (... WHERE
@@ -82,7 +93,24 @@ def _rewrite(spark: SparkSession, path: str,
         out = out.withColumn(g["name"], F.expr(g["expr"]))
     tmp = f"{path.rstrip('/')}__cow_{uuid.uuid4().hex[:8]}"
     out.write.parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    n = spark.read.parquet(tmp).count()  # visible rows (pre-carry)
+    # disabled partitions are invisible to queries AND to DML (the
+    # reference blocks DML/import on them) — read_table_evolved excluded
+    # their files above, so carry them through the swap byte-wise or the
+    # copy-on-write would silently destroy them
+    disabled = set(evo.get("disabled_partitions", []))
+    if disabled:
+        from mariadb_columnstore_engine_spark.sources.ingest import (
+            _live_data_files,
+        )
+
+        for f in _live_data_files(path, set()):
+            name = os.path.basename(f)
+            if name in disabled:
+                rel = os.path.relpath(f, path)
+                dst = os.path.join(tmp, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(f, dst)
     old = f"{tmp}__old"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -107,8 +135,11 @@ def _rewrite(spark: SparkSession, path: str,
     # pure metadata — a rewrite must not reset the sequence
     if evo.get("autoinc"):
         surviving["autoinc"] = evo["autoinc"]
+    if disabled:
+        surviving["disabled_partitions"] = sorted(disabled)
     if any((surviving["generated"], surviving["checks"],
-            surviving["defaults"], surviving.get("autoinc"))):
+            surviving["defaults"], surviving.get("autoinc"),
+            surviving.get("disabled_partitions"))):
         _write_evolution(path, surviving)
     # the swapped directory invalidates any cached file listing
     spark.catalog.clearCache()

@@ -340,18 +340,59 @@ def alter_drop_column(path: str, name: str) -> None:
     _write_evolution(path, evo)
 
 
+def _live_data_files(path: str, disabled: set[str]) -> list[str]:
+    """Absolute paths of the table's data files minus disabled ones
+    (disabled partitions are keyed by bare file name — the extent
+    analogue of ha_mcs_partition.cpp's partition ids)."""
+    import os
+
+    files: list[str] = []
+    for root, _dirs, fnames in os.walk(path):
+        for fn in sorted(fnames):
+            if (
+                fn.endswith((".parquet", ".orc"))
+                and not fn.startswith("_")
+                and fn not in disabled
+            ):
+                files.append(os.path.join(root, fn))
+    return files
+
+
 def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Read a table through its evolution sidecar: mergeSchema unions
     old and new file schemas, added columns get their declared default
-    where files predate them, dropped columns are projected away."""
+    where files predate them, dropped columns are projected away.
+    Disabled partitions (caldisablepartitions analogue) are excluded at
+    the FILE level — their extents are never opened, exactly the
+    reference's extent-elimination of disabled partitions."""
     import pyspark.sql.functions as F
 
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .option("recursiveFileLookup", "false")
-        .parquet(path)
-    )
     evo = _evolution(path)
+    disabled = set(evo.get("disabled_partitions", []))
+    if disabled:
+        live = _live_data_files(path, disabled)
+        reader = (
+            spark.read.option("mergeSchema", "true")
+            # basePath keeps hive partition-directory columns resolvable
+            # when reading an explicit file list
+            .option("basePath", path)
+        )
+        if live:
+            df = reader.parquet(*live)
+        else:
+            # every partition disabled: empty relation, full schema
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .option("recursiveFileLookup", "false")
+                .parquet(path)
+                .limit(0)
+            )
+    else:
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "false")
+            .parquet(path)
+        )
     for c in evo["added"]:
         if c["name"] not in df.columns:
             df = df.withColumn(

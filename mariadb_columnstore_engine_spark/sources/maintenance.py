@@ -81,6 +81,19 @@ def compact_table(
     """
     before = layout_stats(spark, path)
     if format == "parquet":
+        from mariadb_columnstore_engine_spark.sources.ingest import (
+            _evolution as _evo_peek,
+        )
+
+        _e = _evo_peek(path)
+        if _e.get("disabled_partitions") and (
+            _e.get("added") or _e.get("dropped")
+        ):
+            raise ValueError(
+                "table has disabled partitions AND pending instant-"
+                "ALTER debt; calenablepartitions first, then compact"
+            )
+    if format == "parquet":
         # read through the schema-evolution sidecar: the rewrite
         # MATERIALIZES pending instant ALTERs (added columns become
         # physical with their defaults, dropped ones disappear) and the
@@ -118,6 +131,24 @@ def compact_table(
         evo = _evolution(path)
     else:
         evo = {}
+    # disabled partitions were excluded from the compaction read
+    # (read_table_evolved skips their files) — carry them byte-wise or
+    # the delete+rename would destroy them
+    disabled = set(evo.get("disabled_partitions", []))
+    if disabled:
+        import os as _os
+        import shutil as _shutil
+
+        from mariadb_columnstore_engine_spark.sources.ingest import (
+            _live_data_files,
+        )
+
+        for f in _live_data_files(path, set()):
+            if _os.path.basename(f) in disabled:
+                rel = _os.path.relpath(f, path)
+                dst = _os.path.join(tmp, rel)
+                _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+                _shutil.copy2(f, dst)
     fs.delete(jpath, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):
         raise IOError(f"compact_table: rename {tmp} -> {path} failed")
@@ -133,7 +164,7 @@ def compact_table(
     }
     surviving_defaults.update(evo.get("defaults", {}))
     if (evo.get("generated") or evo.get("checks") or surviving_defaults
-            or evo.get("autoinc")):
+            or evo.get("autoinc") or disabled):
         fresh = {
             "added": [],
             "dropped": [],
@@ -144,6 +175,8 @@ def compact_table(
         # AUTO_INCREMENT counter is sequence state, not layout debt
         if evo.get("autoinc"):
             fresh["autoinc"] = evo["autoinc"]
+        if disabled:
+            fresh["disabled_partitions"] = sorted(disabled)
         _write_evolution(path, fresh)
     after = layout_stats(spark, path)
     return {
@@ -187,3 +220,130 @@ def extent_map(
                     }
                 )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Partition management (ha_mcs_partition.cpp: calshowpartitions /
+# caldisablepartitions / calenablepartitions / caldroppartitions;
+# udf_calshowpartitions.test). The partition unit here is a data FILE —
+# the extent analogue: it has footer min/max (casual partitioning), can
+# be excluded from scans without being opened, and can be dropped O(1).
+
+
+def show_partitions(
+    spark: SparkSession, path: str, column: str
+) -> list[dict]:
+    """calshowpartitions('t','col'): one row per data file with the
+    column's min/max (from parquet footers, no scan) and its
+    Enabled/Disabled status."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        _evolution,
+        _live_data_files,
+    )
+
+    disabled = set(
+        _evolution(path).get("disabled_partitions", [])
+    )
+    out = []
+    for f in _live_data_files(path, set()):
+        meta = pq.ParquetFile(f).metadata
+        names = [
+            meta.schema.column(i).name for i in range(meta.num_columns)
+        ]
+        mn = mx = None
+        if column in names:
+            ci = names.index(column)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        name = os.path.basename(f)
+        out.append(
+            {
+                "partition": name,
+                "min": mn,
+                "max": mx,
+                "status": "Disabled" if name in disabled else "Enabled",
+            }
+        )
+    return out
+
+
+def _set_partition_status(
+    path: str, partitions: list[str], *, disabled: bool
+) -> int:
+    import os
+
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        _evolution,
+        _live_data_files,
+        _write_evolution,
+    )
+
+    known = {
+        os.path.basename(f) for f in _live_data_files(path, set())
+    }
+    missing = [p for p in partitions if p not in known]
+    if missing:
+        raise ValueError(f"no such partition(s): {missing}")
+    evo = _evolution(path)
+    cur = set(evo.get("disabled_partitions", []))
+    cur = cur | set(partitions) if disabled else cur - set(partitions)
+    if cur:
+        evo["disabled_partitions"] = sorted(cur)
+    else:
+        evo.pop("disabled_partitions", None)
+    _write_evolution(path, evo)
+    return len(partitions)
+
+
+def disable_partitions(path: str, partitions: list[str]) -> int:
+    """caldisablepartitions: mark files invisible to scans and DML.
+    O(1) metadata — the files are never opened again until re-enabled."""
+    return _set_partition_status(path, partitions, disabled=True)
+
+
+def enable_partitions(path: str, partitions: list[str]) -> int:
+    """calenablepartitions: undo disable_partitions."""
+    return _set_partition_status(path, partitions, disabled=False)
+
+
+def drop_partitions(spark: SparkSession, path: str,
+                    partitions: list[str]) -> int:
+    """caldroppartitions: physically remove the files (O(1) per file, no
+    rewrite of survivors — the reference's extent drop). Refuses to drop
+    every file: an empty directory loses the table's schema."""
+    import os
+
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        _evolution,
+        _live_data_files,
+        _write_evolution,
+    )
+
+    all_files = _live_data_files(path, set())
+    by_name = {os.path.basename(f): f for f in all_files}
+    missing = [p for p in partitions if p not in by_name]
+    if missing:
+        raise ValueError(f"no such partition(s): {missing}")
+    if len(partitions) >= len(all_files):
+        raise ValueError(
+            "cannot drop every partition (schema would be lost); "
+            "use TRUNCATE"
+        )
+    for p in partitions:
+        os.remove(by_name[p])
+    evo = _evolution(path)
+    cur = set(evo.get("disabled_partitions", [])) - set(partitions)
+    if cur:
+        evo["disabled_partitions"] = sorted(cur)
+    else:
+        evo.pop("disabled_partitions", None)
+    _write_evolution(path, evo)
+    spark.catalog.clearCache()
+    return len(partitions)
