@@ -99,8 +99,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "join_bucketed_zero_exchange",
     # §2.3 joins
     "join_anti_customers_without_orders",
-    # §2.4 aggregation — rotated in: rollup/cube/group_concat/regr
-    "agg_approx_count_distinct",
+    # §2.4 aggregation — rotated in: rollup/cube/group_concat/regr +
+    # MODA (new r4; agg_approx_count_distinct tenured out, r3-green)
+    "agg_moda",
     "agg_rollup",
     "agg_cube",
     "agg_group_concat_ordered",
