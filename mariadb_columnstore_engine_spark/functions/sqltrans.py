@@ -303,6 +303,82 @@ _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
         " cast(cast(floor(({0}) / 256) % 256 as bigint) as string), '.',"
         " cast(cast(({0}) % 256 as bigint) as string))",
     ),
+    # func_strcmp.cpp: -1/0/1 three-way compare, NULL-propagating
+    (
+        "STRCMP",
+        2,
+        "(CASE WHEN ({0}) IS NULL OR ({1}) IS NULL THEN NULL"
+        " WHEN ({0}) < ({1}) THEN -1 WHEN ({0}) = ({1}) THEN 0"
+        " ELSE 1 END)",
+    ),
+    ("SPACE", 1, "repeat(' ', {0})"),
+    ("OCT", 1, "conv(cast({0} as string), 10, 8)"),
+    # func_makedate.cpp: Jan 1 of year + (doy - 1); NULL when doy < 1
+    (
+        "MAKEDATE",
+        2,
+        "(CASE WHEN ({1}) < 1 THEN NULL ELSE"
+        " date_add(make_date(cast({0} as int), 1, 1),"
+        " cast(({1}) - 1 as int)) END)",
+    ),
+    # PERIOD_ADD / PERIOD_DIFF (func_period_diff.test; two-digit-year
+    # periods century-resolved with the 70 cutoff, dialect._period_months)
+    (
+        "PERIOD_ADD",
+        2,
+        "(CASE WHEN ({MONTHS0}) + cast({1} as bigint) = 0 THEN 0 ELSE"
+        " (CASE WHEN (({MONTHS0}) + cast({1} as bigint)) div 12 < 70"
+        "   THEN (({MONTHS0}) + cast({1} as bigint)) div 12 + 2000"
+        "  WHEN (({MONTHS0}) + cast({1} as bigint)) div 12 < 100"
+        "   THEN (({MONTHS0}) + cast({1} as bigint)) div 12 + 1900"
+        "  ELSE (({MONTHS0}) + cast({1} as bigint)) div 12 END) * 100"
+        " + (({MONTHS0}) + cast({1} as bigint)) % 12 + 1 END)",
+    ),
+    ("PERIOD_DIFF", 2, "(({MONTHS0}) - ({MONTHS1}))"),
+    # ADDTIME/SUBTIME shift by a non-negative 'HH:MM:SS' offset (the
+    # signed form needs dialect.add_time, same caveat as SEC_TO_TIME)
+    (
+        "ADDTIME",
+        2,
+        "timestampadd(SECOND,"
+        " (hour({1}) * 3600 + minute({1}) * 60 + second({1})), {0})",
+    ),
+    (
+        "SUBTIME",
+        2,
+        "timestampadd(SECOND,"
+        " -(hour({1}) * 3600 + minute({1}) * 60 + second({1})), {0})",
+    ),
+    # TIMEDIFF → signed 'HH:MM:SS' (sign-aware, unlike SEC_TO_TIME)
+    (
+        "TIMEDIFF",
+        2,
+        "(CASE WHEN ({0}) IS NULL OR ({1}) IS NULL THEN NULL ELSE"
+        " concat(CASE WHEN cast(cast({0} as timestamp) as bigint)"
+        "   < cast(cast({1} as timestamp) as bigint) THEN '-' ELSE ''"
+        "  END,"
+        " lpad(cast(abs(cast(cast({0} as timestamp) as bigint)"
+        "   - cast(cast({1} as timestamp) as bigint)) div 3600"
+        "   as string), 2, '0'), ':',"
+        " lpad(cast(abs(cast(cast({0} as timestamp) as bigint)"
+        "   - cast(cast({1} as timestamp) as bigint)) % 3600 div 60"
+        "   as string), 2, '0'), ':',"
+        " lpad(cast(abs(cast(cast({0} as timestamp) as bigint)"
+        "   - cast(cast({1} as timestamp) as bigint)) % 60"
+        "   as string), 2, '0')) END)",
+    ),
+)
+
+#: absolute month count of a period argument slot (mirrors
+#: dialect._period_months: YYMM century rule, period 0 → month 0)
+_PERIOD_MONTHS = (
+    "(CASE WHEN cast({n} as bigint) = 0 THEN 0 ELSE"
+    " (CASE WHEN cast({n} as bigint) div 100 < 70"
+    "   THEN cast({n} as bigint) div 100 + 2000"
+    "  WHEN cast({n} as bigint) div 100 < 100"
+    "   THEN cast({n} as bigint) div 100 + 1900"
+    "  ELSE cast({n} as bigint) div 100 END) * 12"
+    " + cast({n} as bigint) % 100 - 1 END)"
 )
 
 
@@ -320,10 +396,44 @@ def _rewrite_fn_templates(masked: str, store: list[str]) -> str:
             args = _split_top_level_commas(masked[open_at + 1 : end - 1])
             if len(args) != n_args:
                 raise ValueError(f"{name} expects {n_args} argument(s)")
+            a = [x.strip() for x in args]
+            tpl = template
+            # {MONTHSn} slots expand to the period-months formula of
+            # argument n (PERIOD_ADD/PERIOD_DIFF)
+            for slot in range(n_args):
+                tpl = tpl.replace(
+                    "{MONTHS%d}" % slot,
+                    _PERIOD_MONTHS.replace("{n}", "{%d}" % slot),
+                )
             out.append(masked[i : m.start()])
-            out.append(template.format(*(a.strip() for a in args)))
+            out.append(tpl.format(*a))
             i = end
         masked = "".join(out)
+    # FIELD(x, a, b, ...) — variadic: 1-based index of x in the list,
+    # 0 when absent or x NULL (func_field semantics match
+    # array_position's not-found = 0 with a NULL-x coalesce)
+    pat = re.compile(r"\bFIELD\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = [
+            x.strip()
+            for x in _split_top_level_commas(masked[open_at + 1 : end - 1])
+        ]
+        if len(args) < 2:
+            raise ValueError("FIELD expects at least 2 arguments")
+        out.append(masked[i : m.start()])
+        out.append(
+            f"coalesce(array_position(array({', '.join(args[1:])}), "
+            f"{args[0]}), 0)"
+        )
+        i = end
+    masked = "".join(out)
     return masked
 
 

@@ -129,9 +129,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "subq_not_in_null_trap",
     "subq_correlated_scalar_q17",
     "subq_scalar_in_select_list",
-    # SQL front end: translation battery #1 + r4 rewrites (#3)
-    "sql_mariadb_front_end",
+    # SQL front end: r4 rewrite batteries (#3 rollup/convert, #4 scalar
+    # templates; #1 tenured out, r3-green)
     "sql_mariadb_front_end3",
+    "sql_mariadb_front_end4",
     # LLM pillar: event-time
     "events_tumbling_window",
     "events_sessionization",

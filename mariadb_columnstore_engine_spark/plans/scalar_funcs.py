@@ -1766,3 +1766,65 @@ def decimal38_join_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key38"))
         .limit(50)
     )
+
+
+@query(
+    "sql_mariadb_front_end4",
+    section="front-end dialect translation #4 (sqltrans.py r4 batch): "
+    "STRCMP / FIELD / PERIOD_ADD / PERIOD_DIFF / MAKEDATE / OCT / SPACE "
+    "(func_strcmp.cpp, func_field, func_period_diff, func_makedate, "
+    "func_math oct) — typed as literal MariaDB SQL, oracle derives "
+    "every value independently in DuckDB",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderstatus < 'O' THEN -1
+                     WHEN o_orderstatus = 'O' THEN 0
+                     ELSE 1 END AS BIGINT) AS cmp_o,
+           CAST(coalesce(list_position(
+                ['1-URGENT', '2-HIGH', '3-MEDIUM'], o_orderpriority), 0)
+                AS BIGINT) AS pri_idx,
+           CAST(((year(o_orderdate) * 12 + month(o_orderdate) - 1 + 3)
+                 // 12) * 100
+                + ((year(o_orderdate) * 12 + month(o_orderdate) - 1 + 3)
+                   % 12) + 1 AS BIGINT) AS pa,
+           CAST((2000 * 12 + 12 - 1)
+                - (year(o_orderdate) * 12 + month(o_orderdate) - 1)
+                AS BIGINT) AS pd,
+           CAST(make_date(year(o_orderdate), 1, 1) + INTERVAL 59 DAY
+                AS DATE) AS md,
+           printf('%o', o_orderkey) AS okt,
+           '[' || '  ' || ']' AS sp
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+)
+def sql_mariadb_front_end4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth switching-user statement: the round-4 scalar rewrite batch
+    typed exactly as a MariaDB user would; DuckDB recomputes each value
+    from first principles (CASE three-way compare, list_position,
+    month-arithmetic periods, printf octal)."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT o_orderkey,
+           CAST(STRCMP(o_orderstatus, 'O') AS SIGNED) AS cmp_o,
+           CAST(FIELD(o_orderpriority,
+                      '1-URGENT', '2-HIGH', '3-MEDIUM') AS SIGNED)
+                AS pri_idx,
+           CAST(PERIOD_ADD(YEAR(o_orderdate) * 100 + MONTH(o_orderdate),
+                           3) AS SIGNED) AS pa,
+           CAST(PERIOD_DIFF(200012,
+                YEAR(o_orderdate) * 100 + MONTH(o_orderdate)) AS SIGNED)
+                AS pd,
+           CAST(MAKEDATE(YEAR(o_orderdate), 60) AS DATE) AS md,
+           OCT(o_orderkey) AS okt,
+           CONCAT('[', SPACE(2), ']') AS sp
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey;
+    """
+    return spark.sql(translate_statement(stmt))

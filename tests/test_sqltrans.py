@@ -370,3 +370,53 @@ def test_cast_char_n_truncates_and_nested_convert():
     got = translate_statement("SELECT CONVERT(CONVERT(x, CHAR), SIGNED) FROM t")
     assert "CONVERT" not in got
     assert got == "SELECT CAST(CAST(x AS STRING) AS BIGINT) FROM t"
+
+
+def test_fn_templates_round4_vectors(spark):
+    """Round-4 template batch: STRCMP / SPACE / OCT / MAKEDATE /
+    PERIOD_ADD / PERIOD_DIFF / FIELD (MariaDB documented examples)."""
+    got = spark.sql(
+        translate_statement(
+            "SELECT STRCMP('text', 'text2') AS c1,"
+            " STRCMP('text2', 'text') AS c2,"
+            " STRCMP('text', 'text') AS c3,"
+            " STRCMP(NULL, 'x') AS c4,"
+            " concat('[', SPACE(3), ']') AS sp,"
+            " OCT(34) AS o,"
+            " MAKEDATE(2011, 31) AS md,"
+            " MAKEDATE(2011, 0) AS md0,"
+            " PERIOD_ADD(200801, 2) AS pa,"
+            " PERIOD_ADD(6801, 2) AS pa2,"
+            " PERIOD_DIFF(200802, 200703) AS pd,"
+            " FIELD('b', 'a', 'b', 'c') AS f1,"
+            " FIELD('z', 'a', 'b', 'c') AS f2,"
+            " FIELD(NULL, 'a', 'b') AS f3"
+        )
+    ).collect()[0]
+    assert (got.c1, got.c2, got.c3, got.c4) == (-1, 1, 0, None)
+    assert got.sp == "[   ]"
+    assert got.o == "42"
+    assert str(got.md) == "2011-01-31" and got.md0 is None
+    assert got.pa == 200803
+    assert got.pa2 == 206803  # YYMM: 68 → 2068 (70-cutoff rule)
+    assert got.pd == 11
+    assert (got.f1, got.f2, got.f3) == (2, 0, 0)
+
+
+def test_timediff_addtime_subtime_vectors(spark):
+    got = spark.sql(
+        translate_statement(
+            "SELECT TIMEDIFF(TIMESTAMP '2000-01-01 12:00:00',"
+            "  TIMESTAMP '2000-01-01 10:30:05') AS td,"
+            " TIMEDIFF(TIMESTAMP '2000-01-01 10:00:00',"
+            "  TIMESTAMP '2000-01-01 12:00:00') AS tdneg,"
+            " ADDTIME(TIMESTAMP '2007-12-31 23:59:59',"
+            "  TIMESTAMP '1970-01-01 01:01:01') AS at,"
+            " SUBTIME(TIMESTAMP '2008-01-01 01:01:00',"
+            "  TIMESTAMP '1970-01-01 01:01:01') AS st"
+        )
+    ).collect()[0]
+    assert got.td == "01:29:55"
+    assert got.tdneg == "-02:00:00"
+    assert str(got.at) == "2008-01-01 01:01:00"
+    assert str(got.st) == "2007-12-31 23:59:59"
