@@ -551,8 +551,36 @@ class Engine:
                 )
             elif parsed.action == "add_check":
                 add_check_constraint(path, parsed.column, tsql(parsed.expr))
-            else:
+            elif parsed.action == "rename_col":
+                from mariadb_columnstore_engine_spark.sources.ingest import (  # noqa: E501
+                    alter_rename_column,
+                )
+
+                alter_rename_column(path, parsed.column, parsed.expr)
+            elif parsed.action == "modify_col":
+                from mariadb_columnstore_engine_spark.sources.ingest import (  # noqa: E501
+                    alter_modify_column,
+                )
+
+                alter_modify_column(path, parsed.column, parsed.dtype)
+            elif parsed.action == "change_col":
+                from mariadb_columnstore_engine_spark.sources.ingest import (  # noqa: E501
+                    alter_modify_column,
+                    alter_rename_column,
+                )
+
+                # rename first, then retype the NEW name — read-side
+                # applies renames before retypes, so the retype entry
+                # must reference the post-rename spelling
+                if parsed.expr != parsed.column:
+                    alter_rename_column(path, parsed.column, parsed.expr)
+                alter_modify_column(path, parsed.expr, parsed.dtype)
+            elif parsed.action == "drop":
                 alter_drop_column(path, parsed.column)
+            else:
+                raise AssertionError(
+                    f"unroutable ALTER action: {parsed.action!r}"
+                )
             self._refresh(parsed.table)
             return None
 
@@ -729,7 +757,19 @@ class Engine:
                         ).cast(atype),
                     ).otherwise(F.col(acol)),
                 )
-            validate_checks(out, table_checks(path))
+            if parsed.ignore:
+                # INSERT IGNORE (mcol641-insert semantics): rows
+                # violating any CHECK are skipped instead of failing the
+                # statement. Documented deviation: MariaDB fills an
+                # implicit default for NOT NULL violations; here NOT
+                # NULL is modelled as a CHECK, so such rows are skipped
+                # too (deterministic, no silent zero-fill).
+                for c in table_checks(path):
+                    out = out.where(
+                        F.coalesce(F.expr(c["expr"]), F.lit(True))
+                    )
+            else:
+                validate_checks(out, table_checks(path))
             ret = (
                 returning_result(out, parsed.returning)
                 if parsed.returning

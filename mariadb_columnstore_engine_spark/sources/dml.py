@@ -62,6 +62,7 @@ def _rewrite(spark: SparkSession, path: str,
     evo = _evolution(path)
     if evo.get("disabled_partitions") and (
         evo.get("added") or evo.get("dropped")
+        or evo.get("renamed") or evo.get("retyped")
     ):
         # the rewrite would materialize instant-ALTER debt for enabled
         # files only, leaving disabled files with a schema the consumed
@@ -124,6 +125,11 @@ def _rewrite(spark: SparkSession, path: str,
         if c.get("default") is not None
     }
     surviving_defaults.update(evo.get("defaults", {}))
+    # renames are materialized by this rewrite (files now carry the new
+    # names) — re-key any default that referenced the old spelling
+    for r in evo.get("renamed", []):
+        if r["from"] in surviving_defaults:
+            surviving_defaults[r["to"]] = surviving_defaults.pop(r["from"])
     surviving = {
         "added": [],
         "dropped": [],

@@ -340,6 +340,105 @@ def alter_drop_column(path: str, name: str) -> None:
     _write_evolution(path, evo)
 
 
+def _logical_columns(path: str) -> list[str]:
+    """Column names of the table's LOGICAL schema (physical footer
+    columns + sidecar adds − drops, renames applied)."""
+    import pyarrow.parquet as pq
+
+    files = _live_data_files(path, set())
+    cols: list[str] = []
+    if files:
+        cols = list(pq.ParquetFile(files[0]).schema_arrow.names)
+    evo = _evolution(path)
+    for c in evo.get("added", []):
+        if c["name"] not in cols:
+            cols.append(c["name"])
+    for r in evo.get("renamed", []):
+        cols = [r["to"] if c == r["from"] else c for c in cols]
+    for g in evo.get("generated", []):
+        if g["name"] not in cols:
+            cols.append(g["name"])
+    return [c for c in cols if c not in evo.get("dropped", [])]
+
+
+def _refuse_if_referenced(evo: dict, name: str, what: str) -> None:
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(name)}\b")
+    for c in evo.get("checks", []):
+        if pat.search(c["expr"]):
+            raise ValueError(
+                f"cannot {what} {name!r}: referenced by CHECK "
+                f"{c['name']!r} ({c['expr']}) — drop the constraint "
+                "first (MariaDB renames inside expressions; this engine "
+                "refuses rather than rewriting SQL text)"
+            )
+    for g in evo.get("generated", []):
+        if pat.search(g["expr"]):
+            raise ValueError(
+                f"cannot {what} {name!r}: referenced by generated "
+                f"column {g['name']!r} ({g['expr']})"
+            )
+
+
+def alter_rename_column(path: str, old: str, new: str) -> None:
+    """Instant RENAME COLUMN (ALTER TABLE .. RENAME COLUMN / CHANGE —
+    mcs87_alter_column.test; the reference's DDLProc updates SYSCOLUMN
+    metadata only, dbcon/ddlpackage renames are O(1)): recorded in the
+    sidecar, applied on read; materialized (and consumed) by the next
+    copy-on-write rewrite or compaction."""
+    cols = _logical_columns(path)
+    if old not in cols:
+        raise ValueError(f"no such column: {old!r}")
+    if new in cols:
+        raise ValueError(f"column {new!r} already exists")
+    evo = _evolution(path)
+    _refuse_if_referenced(evo, old, "rename column")
+    # a rename of a sidecar-added (not yet materialized) column just
+    # rewrites the add entry; physical columns append a rename step
+    for c in evo.get("added", []):
+        if c["name"] == old:
+            c["name"] = new
+            break
+    else:
+        evo.setdefault("renamed", []).append({"from": old, "to": new})
+    for g in evo.get("generated", []):
+        if g["name"] == old:
+            g["name"] = new
+    if evo.get("autoinc", {}).get("column") == old:
+        evo["autoinc"]["column"] = new
+    if old in evo.get("defaults", {}):
+        evo["defaults"][new] = evo["defaults"].pop(old)
+    _write_evolution(path, evo)
+
+
+def alter_modify_column(path: str, name: str, dtype: str) -> None:
+    """Instant MODIFY COLUMN type (ALTER TABLE .. MODIFY — mcs12/mcs87):
+    records a read-time cast in the sidecar; the physical files keep the
+    old type until the next rewrite materializes it (the reference's
+    altertable.cpp likewise defers the data conversion). Spark cast
+    semantics apply (overflow → NULL under ANSI-off, the MariaDB
+    truncating analogue)."""
+    cols = _logical_columns(path)
+    if name not in cols:
+        raise ValueError(f"no such column: {name!r}")
+    evo = _evolution(path)
+    _refuse_if_referenced(evo, name, "modify column")
+    for c in evo.get("added", []):
+        if c["name"] == name:
+            c["dtype"] = dtype
+            _write_evolution(path, evo)
+            return
+    retyped = evo.setdefault("retyped", [])
+    for r in retyped:
+        if r["name"] == name:
+            r["dtype"] = dtype
+            break
+    else:
+        retyped.append({"name": name, "dtype": dtype})
+    _write_evolution(path, evo)
+
+
 def _live_data_files(path: str, disabled: set[str]) -> list[str]:
     """Absolute paths of the table's data files minus disabled ones
     (disabled partitions are keyed by bare file name — the extent
@@ -405,6 +504,13 @@ def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
                     F.col(c["name"]), F.lit(c["default"]).cast(c["dtype"])
                 ),
             )
+    # instant renames/retypes: metadata-only on write, projections on
+    # read, in ALTER order (a later rename may target an earlier one's
+    # result)
+    for r in evo.get("renamed", []):
+        df = df.withColumnRenamed(r["from"], r["to"])
+    for r in evo.get("retyped", []):
+        df = df.withColumn(r["name"], F.col(r["name"]).cast(r["dtype"]))
     for c in evo.get("generated", []):
         if c["name"] not in df.columns:
             df = df.withColumn(c["name"], F.expr(c["expr"]))

@@ -88,6 +88,7 @@ def compact_table(
         _e = _evo_peek(path)
         if _e.get("disabled_partitions") and (
             _e.get("added") or _e.get("dropped")
+            or _e.get("renamed") or _e.get("retyped")
         ):
             raise ValueError(
                 "table has disabled partitions AND pending instant-"
@@ -163,6 +164,9 @@ def compact_table(
         if c.get("default") is not None
     }
     surviving_defaults.update(evo.get("defaults", {}))
+    for r in evo.get("renamed", []):  # renames materialized by compaction
+        if r["from"] in surviving_defaults:
+            surviving_defaults[r["to"]] = surviving_defaults.pop(r["from"])
     if (evo.get("generated") or evo.get("checks") or surviving_defaults
             or evo.get("autoinc") or disabled):
         fresh = {

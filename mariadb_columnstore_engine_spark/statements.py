@@ -39,6 +39,8 @@ class Insert:
     on_dup_update: list[str] = field(default_factory=list)
     #: RETURNING select-list expressions (MariaDB 10.5 INSERT..RETURNING)
     returning: list[str] = field(default_factory=list)
+    #: INSERT IGNORE: constraint-violating rows are skipped, not fatal
+    ignore: bool = False
 
 
 @dataclass
@@ -417,7 +419,7 @@ def parse(sql: str):
         return Other("rollback", "")
 
     m = re.match(
-        r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+([^\s(]+)\s+SET\s+",
+        r"(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+([^\s(]+)\s+SET\s+",
         masked,
         re.IGNORECASE,
     )
@@ -444,18 +446,19 @@ def parse(sql: str):
             cols.append(_ident(am.group(1), store))
             vals.append(_unmask(am.group(2).strip(), store))
         return Insert(
-            table=_ident(m.group(2), store),
+            table=_ident(m.group(3), store),
             columns=cols,
             source_sql="VALUES (" + ", ".join(vals) + ")",
             replace=m.group(1).upper() == "REPLACE",
             returning=returning,
+            ignore=bool(m.group(2)) and m.group(1).upper() == "INSERT",
         )
 
     m = re.match(
         # table token is [^\s(]+ , not \S+: MariaDB allows the column
         # list directly adjacent — INSERT INTO t1(id,val) VALUES ... —
         # and \S+ would swallow "(id,val)" into the table name
-        r"(INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+([^\s(]+)\s*",
+        r"(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+([^\s(]+)\s*",
         masked,
         re.IGNORECASE,
     )
@@ -500,12 +503,13 @@ def parse(sql: str):
                 on_dup.append(_ident(am.group(1), store))
             body = body[: om.start()].strip()
         return Insert(
-            table=_ident(m.group(2), store),
+            table=_ident(m.group(3), store),
             columns=cols,
             source_sql=_unmask(body, store),
             replace=m.group(1).upper() == "REPLACE",
             on_dup_update=on_dup,
             returning=returning,
+            ignore=bool(m.group(2)) and m.group(1).upper() == "INSERT",
         )
 
     m = re.match(
@@ -804,6 +808,49 @@ def parse(sql: str):
             table=_ident(m.group(1), store),
             action="drop",
             column=_ident(m.group(2), store),
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\S+)\s+TO\s+(\S+)\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        # MariaDB 10.5 RENAME COLUMN (mcs87_alter_column shapes)
+        return Alter(
+            table=_ident(m.group(1), store),
+            action="rename_col",
+            column=_ident(m.group(2), store),
+            expr=_ident(m.group(3), store),
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+CHANGE\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+"
+        r"(.+?)\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        # CHANGE old new TYPE — rename + retype in one statement
+        return Alter(
+            table=_ident(m.group(1), store),
+            action="change_col",
+            column=_ident(m.group(2), store),
+            expr=_ident(m.group(3), store),
+            dtype=_map_column_type(_unmask(m.group(4), store)),
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+MODIFY\s+(?:COLUMN\s+)?(\S+)\s+(.+?)\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        return Alter(
+            table=_ident(m.group(1), store),
+            action="modify_col",
+            column=_ident(m.group(2), store),
+            dtype=_map_column_type(_unmask(m.group(3), store)),
         )
 
     m = re.match(
