@@ -1082,3 +1082,121 @@ def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(50)
     )
+
+
+# ---- BM25 lexical retrieval -----------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q_spark_window", ("spark", "window", "agg")),
+    ("q_customer_scan", ("customer", "query", "scan")),
+)
+
+
+@query(
+    "text_bm25_topk",
+    section="LLM-pipeline: BM25 lexical retrieval top-k — the keyword "
+    "twin of the embedding ANN path (Robertson/Sparck Jones BM25, "
+    "k1=1.2 b=0.75). One explode pass builds tf and doc-length; the "
+    "constant query-term set broadcasts and FILTERS tf before df/idf "
+    "are computed, so the scored relation is |docs containing query "
+    "terms|, never the full posting list universe",
+    oracle="""
+    WITH q(qid, term) AS (VALUES
+        ('q_spark_window', 'spark'), ('q_spark_window', 'window'),
+        ('q_spark_window', 'agg'),
+        ('q_customer_scan', 'customer'), ('q_customer_scan', 'query'),
+        ('q_customer_scan', 'scan')
+    ), tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term <> '' GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok
+        WHERE term <> '' GROUP BY doc_id
+    ), st AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+    ), dfq AS (
+        SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), sc AS (
+        SELECT q.qid, tf.doc_id,
+               sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+               ) AS score
+        FROM q
+        JOIN tf  ON q.term = tf.term
+        JOIN dl  ON dl.doc_id = tf.doc_id
+        JOIN dfq ON dfq.term = q.term, st
+        GROUP BY q.qid, tf.doc_id
+    ), r AS (
+        SELECT qid, doc_id, round(score, 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM sc
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
+    FROM r WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k. Scale shape: tf is one explode + map-side-combined
+    groupBy; the broadcast query-term join prunes tf to matching
+    postings BEFORE df/idf aggregation, so every downstream relation is
+    bounded by the query terms' posting lists. The per-query rank
+    window partitions on qid over ≤ |matching docs| rows — at web scale
+    swap for a per-qid top-k heap (same pattern as text_vocab_zipf).
+    Ranking compares the ROUNDED score (6 dp) with a doc_id tiebreak on
+    both engines, so float summation-order drift cannot flip ranks.
+    """
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(qid, term) for qid, terms in BM25_QUERIES for term in terms],
+        "qid string, term string",
+    )
+    tok = t.documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf_q = tf.join(F.broadcast(qterms), "term")
+    dfq = (
+        tf_q.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    scored = (
+        tf_q.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(st))
+        .withColumn(
+            "w",
+            F.log((F.col("n") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1)
+            * F.col("tf") * (k1 + 1)
+            / (F.col("tf")
+               + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
