@@ -55,7 +55,16 @@ class Engine:
             )
 
             query = translate_statement(query)
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        if getattr(self, "_trace", False):
+            # calsettrace(1) → calgettrace() reads the compiled physical
+            # plan of the last statement (ha_mcs_client_udfs.cpp:910 —
+            # the reference returns the joblist trace the same way)
+            mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            self._last_trace = df._jdf.queryExecution().explainString(
+                mode.fromString("formatted")
+            )
+        return df
 
     def table(self, name: str) -> DataFrame:
         if name in getattr(self, "_user_tables", {}):
@@ -303,6 +312,73 @@ class Engine:
             return f"({inner}) OR {unmatched}"
 
         import re as _re_cal
+
+        um = _re_cal.match(
+            r"\s*SELECT\s+(calgetversion|mcssystemready|calgettrace|"
+            r"calgetstats)\s*\(\s*\)\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE,
+        )
+        if um:
+            # client introspection UDFs (ha_mcs_client_udfs.cpp:260-960;
+            # basic/t/cal_named_udfs.test)
+            name = um.group(1).lower()
+            if name == "calgetversion":
+                from mariadb_columnstore_engine_spark import __version__
+
+                return (
+                    f"mcs-spark {__version__} "
+                    f"(Spark {self.spark.version})"
+                )
+            if name == "mcssystemready":
+                try:
+                    self.spark.sql("SELECT 1").collect()
+                    return 1
+                except Exception:
+                    return 0
+            if name == "calgettrace":
+                return getattr(
+                    self, "_last_trace",
+                    "no trace recorded — calsettrace(1) first",
+                )
+            # calgetstats: summary counters for the last traced query
+            trace = getattr(self, "_last_trace", None)
+            if trace is None:
+                return "no stats — calsettrace(1) first"
+            return (
+                f"plan nodes: {trace.count('(')}; "
+                f"exchanges: {trace.count('Exchange')}; "
+                f"scans: {trace.count('Scan parquet')}"
+            )
+        tm = _re_cal.match(
+            r"\s*SELECT\s+calsettrace\s*\(\s*(\d+)\s*\)\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE,
+        )
+        if tm:
+            self._trace = bool(int(tm.group(1)))
+            return int(tm.group(1))
+        if _re_cal.fullmatch(
+            r"\s*SHOW\s+TABLE\s+STATUS\s*;?\s*", stmt, _re_cal.IGNORECASE
+        ):
+            from mariadb_columnstore_engine_spark.sources.maintenance import (  # noqa: E501
+                layout_stats,
+            )
+
+            out = []
+            for tname, info in sorted(
+                getattr(self, "_user_tables", {}).items()
+            ):
+                st_ = layout_stats(self.spark, info["path"])
+                out.append(
+                    {
+                        "name": tname,
+                        "engine": "mcs-spark",
+                        "data_length": st_["total_bytes"],
+                        "files": st_["n_files"],
+                    }
+                )
+            return out
 
         cm = _re_cal.match(
             r"\s*SELECT\s+cal(show|disable|enable|drop)partitions\s*\(\s*"

@@ -137,8 +137,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_join",
-    # LLM pillar: text analysis + dedup — rotated in: CC clustering, zipf
-    "text_token_stats",
+    # LLM pillar: text analysis + dedup — rotated in: CC clustering,
+    # zipf, BM25 (new r4; text_token_stats tenured out, r3-green)
+    "text_bm25_topk",
     "text_fingerprint_exact_dedup",
     "text_ngram_jaccard_pairs",
     "text_minhash_lsh_dedup",

@@ -742,3 +742,25 @@ def test_create_or_replace_table(engine_wh, tmp_path):
     # OR REPLACE never touches fixtures
     with pytest.raises(ValueError, match="already exists|fixture"):
         eng.execute("CREATE OR REPLACE TABLE region AS SELECT 1 AS z")
+
+
+def test_client_udfs_and_table_status(engine_with_table):
+    """Client introspection UDFs (ha_mcs_client_udfs.cpp:260-960,
+    basic/t/cal_named_udfs.test): calgetversion / mcssystemready /
+    calsettrace→calgettrace/calgetstats, plus SHOW TABLE STATUS."""
+    eng = engine_with_table
+    v = eng.execute("SELECT calgetversion()")
+    assert "mcs-spark" in v and "Spark" in v
+    assert eng.execute("SELECT mcssystemready()") == 1
+    # trace off → helpful message; on → formatted plan of the last query
+    assert "calsettrace" in eng.execute("SELECT calgettrace()")
+    assert eng.execute("SELECT calsettrace(1)") == 1
+    eng.execute("SELECT count(*) AS n FROM t1").collect()
+    trace = eng.execute("SELECT calgettrace()")
+    assert "Physical Plan" in trace
+    stats = eng.execute("SELECT calgetstats()")
+    assert "plan nodes" in stats
+    assert eng.execute("SELECT calsettrace(0)") == 0
+    rows = eng.execute("SHOW TABLE STATUS")
+    assert [r["name"] for r in rows] == ["t1"]
+    assert rows[0]["data_length"] > 0 and rows[0]["files"] >= 1
