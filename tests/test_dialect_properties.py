@@ -126,3 +126,87 @@ def test_period_add_diff_roundtrip(spark, cases):
     for r in rows:
         assert r.diff == r.n
         assert 1 <= r.added % 100 <= 12
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz", max_size=6),
+            st.text(alphabet="abcxyz", max_size=6),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_strcmp_rewrite_matches_python(spark, pairs):
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    df.createOrReplaceTempView("_strcmp_prop")
+    rows = spark.sql(
+        translate_statement(
+            "SELECT a, b, STRCMP(a, b) AS c FROM _strcmp_prop"
+        )
+    ).collect()
+    for r in rows:
+        expected = (r.a > r.b) - (r.a < r.b)
+        assert r.c == expected, (r.a, r.b, r.c, expected)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 12).map(lambda m: 199000 + m),
+            st.integers(-60, 60),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_period_add_diff_inverse_property(spark, cases):
+    """PERIOD_DIFF(PERIOD_ADD(p, n), p) == n for 4-digit-year periods
+    (the month-arithmetic identity func_period_diff pins)."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    df = spark.createDataFrame(cases, "p long, n long")
+    df.createOrReplaceTempView("_period_prop")
+    rows = spark.sql(
+        translate_statement(
+            "SELECT p, n, PERIOD_DIFF(PERIOD_ADD(p, n), p) AS d "
+            "FROM _period_prop"
+        )
+    ).collect()
+    for r in rows:
+        assert r.d == r.n, (r.p, r.n, r.d)
+
+
+@given(
+    st.lists(
+        st.integers(0, 2).map(lambda i: ["aa", "bb", "cc"][i]),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_field_rewrite_index_property(spark, vals):
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    df.createOrReplaceTempView("_field_prop")
+    rows = spark.sql(
+        translate_statement(
+            "SELECT x, FIELD(x, 'aa', 'bb', 'cc') AS i, "
+            "FIELD(x, 'zz') AS miss FROM _field_prop"
+        )
+    ).collect()
+    for r in rows:
+        assert r.i == ["aa", "bb", "cc"].index(r.x) + 1
+        assert r.miss == 0
