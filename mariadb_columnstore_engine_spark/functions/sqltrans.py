@@ -185,10 +185,14 @@ def _rewrite_group_concat(masked: str, store: list[str]) -> str:
             distinct = "DISTINCT "
             inner = inner[dm.end() :].strip()
 
-        if _top_level_search(r"\bLIMIT\b", inner):
+        limit = None
+        lm = _top_level_search(r"\bLIMIT\s+(\d+)\s*$", inner)
+        if lm:
+            limit = int(lm.group(1))
+            inner = inner[: lm.start()].strip()
+        elif _top_level_search(r"\bLIMIT\b", inner):
             raise ValueError(
-                "GROUP_CONCAT(... LIMIT n) has no Spark SQL spelling — "
-                "use dialect.group_concat(limit=n) on the DataFrame side"
+                "GROUP_CONCAT LIMIT must be a trailing integer literal"
             )
 
         sep = "','"
@@ -198,13 +202,49 @@ def _rewrite_group_concat(masked: str, store: list[str]) -> str:
             inner = inner[: sm.start()].strip()
 
         order = ""
+        order_key, order_asc = None, True
         om = _top_level_search(r"\bORDER\s+BY\b", inner)
         if om:
-            order = f" WITHIN GROUP (ORDER BY {inner[om.end():].strip()})"
+            spec = inner[om.end() :].strip()
+            order = f" WITHIN GROUP (ORDER BY {spec})"
             inner = inner[: om.start()].strip()
+            am = re.fullmatch(
+                r"(.+?)\s+(ASC|DESC)", spec, re.IGNORECASE | re.DOTALL
+            )
+            order_key = am.group(1) if am else spec
+            order_asc = not (am and am.group(2).upper() == "DESC")
 
         out.append(masked[i : m.start()])
-        out.append(f"listagg({distinct}{inner}, {sep}){order}")
+        if limit is None:
+            out.append(f"listagg({distinct}{inner}, {sep}){order}")
+        else:
+            # GROUP_CONCAT(... LIMIT n) — MariaDB 10.6 extension
+            # (dbcon/joblist/groupconcat.cpp's limit): first n of the
+            # ordered (deduped) list, spelled as the same collect →
+            # sort → [distinct] → slice pipeline dialect.group_concat
+            # builds (listagg has no limit in any dialect)
+            if order_key is None:
+                coll = (
+                    f"collect_set({inner})" if distinct
+                    else f"collect_list({inner})"
+                )
+                vals = f"sort_array({coll})"
+            else:
+                if _top_level_search(r",", order_key):
+                    raise ValueError(
+                        "GROUP_CONCAT LIMIT supports one ORDER BY key"
+                    )
+                asc = "true" if order_asc else "false"
+                vals = (
+                    f"transform(sort_array(collect_list(struct("
+                    f"({order_key}) AS k, ({inner}) AS v)), {asc}),"
+                    " s -> s.v)"
+                )
+                if distinct:
+                    vals = f"array_distinct({vals})"
+            out.append(
+                f"array_join(slice({vals}, 1, {limit}), {sep})"
+            )
         i = end
     return "".join(out)
 

@@ -70,9 +70,17 @@ def test_group_concat_bare_and_nested_args():
     )
 
 
-def test_group_concat_limit_raises():
-    with pytest.raises(ValueError, match="LIMIT"):
-        translate_statement("SELECT GROUP_CONCAT(a LIMIT 3) FROM t")
+def test_group_concat_limit_rewrites():
+    # MariaDB 10.6 GROUP_CONCAT LIMIT → collect/sort/slice pipeline
+    got = translate_statement("SELECT GROUP_CONCAT(a LIMIT 3) FROM t")
+    assert "slice" in got and "sort_array(collect_list(a))" in got
+    got = translate_statement(
+        "SELECT GROUP_CONCAT(DISTINCT a ORDER BY b DESC"
+        " SEPARATOR '|' LIMIT 2) FROM t"
+    )
+    assert "array_distinct" in got and "false)" in got
+    with pytest.raises(ValueError, match="trailing integer"):
+        translate_statement("SELECT GROUP_CONCAT(a LIMIT n) FROM t")
 
 
 def test_date_format_translated():
@@ -420,3 +428,24 @@ def test_timediff_addtime_subtime_vectors(spark):
     assert got.tdneg == "-02:00:00"
     assert str(got.at) == "2008-01-01 01:01:00"
     assert str(got.st) == "2007-12-31 23:59:59"
+
+
+def test_group_concat_limit_executes(spark):
+    df = spark.createDataFrame(
+        [("g", "b", 2), ("g", "a", 1), ("g", "c", 3), ("g", "a", 4)],
+        "g string, s string, k int",
+    )
+    df.createOrReplaceTempView("_gc_lim")
+    row = spark.sql(
+        translate_statement(
+            "SELECT g,"
+            " GROUP_CONCAT(s ORDER BY k SEPARATOR '-' LIMIT 3) AS top3,"
+            " GROUP_CONCAT(DISTINCT s ORDER BY k SEPARATOR ','"
+            "   LIMIT 2) AS d2,"
+            " GROUP_CONCAT(s LIMIT 2) AS plain2"
+            " FROM _gc_lim GROUP BY g"
+        )
+    ).collect()[0]
+    assert row.top3 == "a-b-c"  # ordered by k: a(1), b(2), c(3)
+    assert row.d2 == "a,b"  # distinct after ordering, first two
+    assert row.plain2 == "a,a"  # value-sorted, first two
