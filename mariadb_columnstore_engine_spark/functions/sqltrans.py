@@ -214,6 +214,17 @@ def _rewrite_group_concat(masked: str, store: list[str]) -> str:
             order_key = am.group(1) if am else spec
             order_asc = not (am and am.group(2).upper() == "DESC")
 
+        if _top_level_search(r",", inner):
+            # GROUP_CONCAT(e1, e2, ...) concatenates the expressions
+            # per row (MariaDB expr-list form) — left as-is, e2 would
+            # silently become listagg's separator
+            inner = (
+                "concat("
+                + ", ".join(
+                    p.strip() for p in _split_top_level_commas(inner)
+                )
+                + ")"
+            )
         out.append(masked[i : m.start()])
         if limit is None:
             out.append(f"listagg({distinct}{inner}, {sep}){order}")

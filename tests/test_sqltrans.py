@@ -449,3 +449,20 @@ def test_group_concat_limit_executes(spark):
     assert row.top3 == "a-b-c"  # ordered by k: a(1), b(2), c(3)
     assert row.d2 == "a,b"  # distinct after ordering, first two
     assert row.plain2 == "a,a"  # value-sorted, first two
+
+
+def test_group_concat_expr_list_concatenates(spark):
+    # GROUP_CONCAT(e1, e2) is MariaDB's per-row expr concat — e2 must
+    # NOT become listagg's separator
+    df = spark.createDataFrame(
+        [("g", "a", "1"), ("g", "b", None)], "g string, s string, t string"
+    )
+    df.createOrReplaceTempView("_gc_multi")
+    row = spark.sql(
+        translate_statement(
+            "SELECT g, GROUP_CONCAT(s, t ORDER BY s SEPARATOR ';') AS c"
+            " FROM _gc_multi GROUP BY g"
+        )
+    ).collect()[0]
+    # (b, NULL) row → concat NULL → skipped, MariaDB-style
+    assert row.c == "a1"
