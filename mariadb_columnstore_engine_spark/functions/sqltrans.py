@@ -418,6 +418,45 @@ _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
         "   - cast(cast({1} as timestamp) as bigint)) % 60"
         "   as string), 2, '0')) END)",
     ),
+    # TRUNCATE(X, D) toward zero in DECIMAL arithmetic (func_truncate
+    # .cpp; double×10^d would turn 0.29*100 into 28.999…996 — mirrors
+    # dialect.truncate_number's decimal path incl. negative D, which
+    # truncates left of the point: TRUNCATE(123.45, -1) = 120)
+    (
+        "TRUNCATE",
+        2,
+        "cast((CASE WHEN ({1}) >= 0 THEN"
+        " cast((CASE WHEN ({0}) >= 0"
+        "  THEN floor(cast({0} as decimal(38,15))"
+        "    * cast(power(10, {1}) as decimal(20,0)))"
+        "  ELSE ceil(cast({0} as decimal(38,15))"
+        "    * cast(power(10, {1}) as decimal(20,0))) END)"
+        "  as decimal(38,15))"
+        "  / cast(power(10, {1}) as decimal(20,0))"
+        " ELSE"
+        " cast((CASE WHEN ({0}) >= 0"
+        "  THEN floor(cast({0} as decimal(38,15))"
+        "    / cast(power(10, -({1})) as decimal(20,0)))"
+        "  ELSE ceil(cast({0} as decimal(38,15))"
+        "    / cast(power(10, -({1})) as decimal(20,0))) END)"
+        "  as decimal(38,15))"
+        "  * cast(power(10, -({1})) as decimal(20,0))"
+        " END) as double)",
+    ),
+    # INSERT(str, pos, len, newstr) (func_insert.cpp edge semantics:
+    # pos out of 1..len(str) → unchanged; len < 0 or past end →
+    # replace the rest; NULL in → NULL out via concat/substr nulls)
+    (
+        "INSERT",
+        4,
+        "(CASE WHEN ({0}) IS NULL OR ({1}) IS NULL OR ({2}) IS NULL"
+        "   OR ({3}) IS NULL THEN NULL"
+        " WHEN ({1}) < 1 OR ({1}) > char_length({0}) THEN ({0})"
+        " WHEN ({2}) < 0 OR ({1}) + ({2}) > char_length({0})"
+        "   THEN concat(substr({0}, 1, ({1}) - 1), {3})"
+        " ELSE concat(substr({0}, 1, ({1}) - 1), {3},"
+        "   substr({0}, ({1}) + ({2}))) END)",
+    ),
 )
 
 #: absolute month count of a period argument slot (mirrors

@@ -466,3 +466,28 @@ def test_group_concat_expr_list_concatenates(spark):
     ).collect()[0]
     # (b, NULL) row → concat NULL → skipped, MariaDB-style
     assert row.c == "a1"
+
+
+def test_truncate_and_insert_vectors(spark):
+    got = spark.sql(
+        translate_statement(
+            "SELECT TRUNCATE(0.29, 1) AS t1,"
+            " TRUNCATE(-1.999, 1) AS t2,"
+            " TRUNCATE(123.45, -1) AS t3,"
+            " TRUNCATE(28.99, 0) AS t4,"
+            " INSERT('Quadratic', 3, 4, 'What') AS i1,"
+            " INSERT('Quadratic', -1, 4, 'What') AS i2,"
+            " INSERT('Quadratic', 3, 100, 'What') AS i3,"
+            " INSERT('Quadratic', 3, -1, 'What') AS i4,"
+            " INSERT('Quadratic', 3, 4, NULL) AS i5"
+        )
+    ).collect()[0]
+    assert got.t1 == 0.2  # the double-arith trap case (0.29*10)
+    assert got.t2 == -1.9
+    assert got.t3 == 120.0
+    assert got.t4 == 28.0
+    assert got.i1 == "QuWhattic"  # MariaDB doc example
+    assert got.i2 == "Quadratic"  # pos out of range → unchanged
+    assert got.i3 == "QuWhat"  # len past end → replace rest
+    assert got.i4 == "QuWhat"  # negative len → replace rest
+    assert got.i5 is None
