@@ -350,6 +350,14 @@ class Engine:
                 f"exchanges: {trace.count('Exchange')}; "
                 f"scans: {trace.count('Scan parquet')}"
             )
+        if _re_cal.fullmatch(
+            r"\s*SELECT\s+LAST_INSERT_ID\s*\(\s*\)\s*;?\s*",
+            stmt,
+            _re_cal.IGNORECASE,
+        ):
+            # first auto-generated id of the most recent INSERT batch
+            # (MariaDB LAST_INSERT_ID; backed by the sidecar sequence)
+            return getattr(self, "_last_insert_id", 0)
         tm = _re_cal.match(
             r"\s*SELECT\s+calsettrace\s*\(\s*(\d+)\s*\)\s*;?\s*$",
             stmt,
@@ -822,6 +830,10 @@ class Engine:
 
                 acol = ai["column"]
                 atype = target.schema[acol].dataType
+                if out.where(F.col(acol).isNull()).count() > 0:
+                    # LAST_INSERT_ID(): first auto-generated value of
+                    # the batch (MariaDB contract)
+                    self._last_insert_id = int(ai["next"])
                 w_ai = _W.orderBy(F.monotonically_increasing_id())
                 out = out.withColumn(
                     acol,

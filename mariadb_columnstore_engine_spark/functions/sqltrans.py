@@ -263,6 +263,9 @@ def _rewrite_group_concat(masked: str, store: list[str]) -> str:
 def _rewrite_format_calls(masked: str, store: list[str]) -> str:
     for name, template, what in (
         ("DATE_FORMAT", "date_format({0}, {1})", "format"),
+        # TIME_FORMAT is DATE_FORMAT restricted to time specifiers
+        # (func_time_format via funcexp.cpp dispatch)
+        ("TIME_FORMAT", "date_format({0}, {1})", "format"),
         ("STR_TO_DATE", "to_timestamp({0}, {1})", "parse"),
     ):
         pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
@@ -457,6 +460,10 @@ _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
         " ELSE concat(substr({0}, 1, ({1}) - 1), {3},"
         "   substr({0}, ({1}) + ({2}))) END)",
     ),
+    ("MID", 3, "substring({0}, {1}, {2})"),
+    # ORD == ASCII for single-byte charsets (func_ascii; the multibyte
+    # leading-byte arithmetic form is out of scope — documents ASCII)
+    ("ORD", 1, "ascii({0})"),
 )
 
 #: absolute month count of a period argument slot (mirrors
@@ -522,6 +529,55 @@ def _rewrite_fn_templates(masked: str, store: list[str]) -> str:
             f"coalesce(array_position(array({', '.join(args[1:])}), "
             f"{args[0]}), 0)"
         )
+        i = end
+    masked = "".join(out)
+    # MAKE_SET(bits, s1, ..., sn): comma-join of the strings whose bit
+    # is set; NULL items are skipped (concat_ws semantics = MariaDB's)
+    pat = re.compile(r"\bMAKE_SET\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = [
+            x.strip()
+            for x in _split_top_level_commas(masked[open_at + 1 : end - 1])
+        ]
+        if len(args) < 2:
+            raise ValueError("MAKE_SET expects at least 2 arguments")
+        items = ", ".join(
+            f"(CASE WHEN (shiftright(cast({args[0]} as bigint), {k})"
+            f" & 1) = 1 THEN {a} END)"
+            for k, a in enumerate(args[1:])
+        )
+        out.append(masked[i : m.start()])
+        out.append(f"concat_ws(',', {items})")
+        i = end
+    masked = "".join(out)
+    # CHAR(c1, c2, ...): per-code-point chars concatenated, NULL args
+    # skipped (MariaDB CHAR); single-arg CHAR is Spark-native
+    pat = re.compile(r"\bCHAR\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = [
+            x.strip()
+            for x in _split_top_level_commas(masked[open_at + 1 : end - 1])
+        ]
+        out.append(masked[i : m.start()])
+        if len(args) <= 1:
+            out.append(masked[m.start() : end])
+        else:
+            chars = ", ".join(f"char({a})" for a in args)
+            out.append(f"concat_ws('', {chars})")
         i = end
     masked = "".join(out)
     return masked

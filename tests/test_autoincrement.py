@@ -76,3 +76,14 @@ def test_counter_survives_compaction(eng_ai, tmp_path):
     eng_ai._refresh("seq_t")
     eng_ai.execute("INSERT INTO seq_t (v) VALUES ('c')")
     assert _rows(eng_ai) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_last_insert_id(eng_ai):
+    assert eng_ai.execute("SELECT LAST_INSERT_ID()") == 0
+    eng_ai.execute("INSERT INTO seq_t (v) VALUES ('a'), ('b')")
+    assert eng_ai.execute("SELECT LAST_INSERT_ID()") == 1  # first of batch
+    eng_ai.execute("INSERT INTO seq_t (v) VALUES ('c')")
+    assert eng_ai.execute("SELECT LAST_INSERT_ID()") == 3
+    # explicit-id insert does not move LAST_INSERT_ID (MariaDB rule)
+    eng_ai.execute("INSERT INTO seq_t (id, v) VALUES (100, 'x')")
+    assert eng_ai.execute("SELECT LAST_INSERT_ID()") == 3

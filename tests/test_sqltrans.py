@@ -491,3 +491,26 @@ def test_truncate_and_insert_vectors(spark):
     assert got.i3 == "QuWhat"  # len past end → replace rest
     assert got.i4 == "QuWhat"  # negative len → replace rest
     assert got.i5 is None
+
+
+def test_mid_ord_makeset_char_vectors(spark):
+    got = spark.sql(
+        translate_statement(
+            "SELECT MID('Quadratic', 3, 4) AS m,"
+            " ORD('2') AS o,"
+            " MAKE_SET(1 | 4, 'hello', 'nice', 'world') AS ms,"
+            " MAKE_SET(1 | 4, 'hello', 'nice', NULL, 'world') AS msn,"
+            " MAKE_SET(0, 'a', 'b') AS ms0,"
+            " CHAR(77, 77.3, 256 % 256 + 77) AS ch,"
+            " CHAR(77, NULL, 78) AS chn,"
+            " CAST('x' AS CHAR(50)) AS castok"
+        )
+    ).collect()[0]
+    assert got.m == "adra"  # MariaDB doc example
+    assert got.o == 50
+    assert got.ms == "hello,world"
+    assert got.msn == "hello"  # bit-2 member is NULL → skipped (doc ex.)
+    assert got.ms0 == ""
+    assert got.ch.startswith("MM")  # 77.3 rounds per char() cast
+    assert got.chn == "MN"  # NULL arg skipped
+    assert got.castok == "x"
