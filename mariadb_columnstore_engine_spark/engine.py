@@ -313,6 +313,94 @@ class Engine:
 
         import re as _re_cal
 
+        # --- session user variables (@var) -------------------------------
+        # MariaDB SET @x = expr / SELECT ... INTO @x / @x references —
+        # the MTR scripts' state-carrying idiom (devregression uses
+        # `select calflushcache() into @dummy` style throughout). The
+        # row-order-dependent `@x := expr` inline assignment has no
+        # distributed meaning and is NOT supported (use window funcs).
+        def _render_var(v) -> str:
+            import datetime as _dt
+
+            from mariadb_columnstore_engine_spark.functions.sqltrans import (
+                _string_literal,
+            )
+
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            if isinstance(v, _dt.datetime):
+                return f"TIMESTAMP '{v}'"
+            if isinstance(v, _dt.date):
+                return f"DATE '{v}'"
+            return _string_literal(str(v))
+
+        uvars = getattr(self, "_user_vars", None)
+        if uvars is None:
+            uvars = self._user_vars = {}
+        if "@" in stmt:
+            from mariadb_columnstore_engine_spark.functions.sqltrans import (
+                _mask,
+                _unmask,
+            )
+
+            sm = _re_cal.match(
+                r"\s*SET\s+@(\w+)\s*:?=\s*(.+?)\s*;?\s*$",
+                stmt,
+                _re_cal.IGNORECASE | _re_cal.DOTALL,
+            )
+            if sm:
+                val = self.sql(
+                    f"SELECT ({sm.group(2)}) AS v", dialect=dialect
+                ).collect()[0][0]
+                uvars[sm.group(1)] = val
+                return val
+            masked, store_ = _mask(stmt)
+            # substitute known @vars (mask-aware: never inside literals)
+            def _sub(m):
+                name = m.group(1)
+                if name in uvars:
+                    return _render_var(uvars[name])
+                raise ValueError(
+                    f"user variable @{name} is not set (note: inline "
+                    "@var := assignment is row-order-dependent and "
+                    "unsupported — use window functions)"
+                )
+
+            im = _re_cal.search(
+                r"\sINTO\s+(@\w+(?:\s*,\s*@\w+)*)\s",
+                masked + " ",
+                _re_cal.IGNORECASE,
+            )
+            if im:
+                # SELECT <exprs> INTO @a[, @b ...] [FROM ...]
+                names = [
+                    t.strip()[1:]
+                    for t in im.group(1).split(",")
+                ]
+                sel = (
+                    masked[: im.start()] + " " + (masked + " ")[im.end() :]
+                ).strip()
+                sel = _re_cal.sub(r"@(\w+)", _sub, sel)
+                rows = self.sql(
+                    _unmask(sel, store_), dialect=dialect
+                ).collect()
+                if len(rows) != 1 or len(rows[0]) != len(names):
+                    raise ValueError(
+                        "SELECT INTO @vars needs exactly one row with "
+                        f"{len(names)} column(s), got {len(rows)} row(s)"
+                    )
+                for nm, v in zip(names, rows[0]):
+                    uvars[nm] = v
+                return list(rows[0])
+            if _re_cal.search(r"@\w+", masked):
+                stmt = _unmask(
+                    _re_cal.sub(r"@(\w+)", _sub, masked), store_
+                )
+
         um = _re_cal.match(
             r"\s*SELECT\s+(calgetversion|mcssystemready|calgettrace|"
             r"calgetstats)\s*\(\s*\)\s*;?\s*$",
