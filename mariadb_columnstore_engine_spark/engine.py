@@ -341,6 +341,82 @@ class Engine:
         uvars = getattr(self, "_user_vars", None)
         if uvars is None:
             uvars = self._user_vars = {}
+        # --- prepared statements ----------------------------------------
+        # PREPARE s FROM '...'/@var; EXECUTE s [USING @a, ...];
+        # DEALLOCATE PREPARE s — the server-side prepared-statement
+        # surface MTR scripts lean on; ? placeholders are substituted
+        # mask-aware at EXECUTE time with typed literal rendering.
+        preps = getattr(self, "_prepared", None)
+        if preps is None:
+            preps = self._prepared = {}
+        pm = _re_cal.match(
+            r"\s*PREPARE\s+(\w+)\s+FROM\s+(.+?)\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE | _re_cal.DOTALL,
+        )
+        if pm:
+            src = pm.group(2).strip()
+            if src.startswith("@"):
+                name = src[1:]
+                if name not in uvars:
+                    raise ValueError(f"user variable @{name} is not set")
+                text = str(uvars[name])
+            elif src[:1] in ("'", '"'):
+                text = src[1:-1].replace(src[0] * 2, src[0])
+            else:
+                raise ValueError(
+                    "PREPARE needs a quoted statement or @var"
+                )
+            preps[pm.group(1)] = text
+            return "Statement prepared"
+        em = _re_cal.match(
+            r"\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE | _re_cal.DOTALL,
+        )
+        if em and em.group(1) in preps:
+            from mariadb_columnstore_engine_spark.functions.sqltrans import (
+                _mask as _m2,
+                _unmask as _u2,
+            )
+
+            text = preps[em.group(1)]
+            args = []
+            if em.group(2):
+                for tok in em.group(2).split(","):
+                    tok = tok.strip()
+                    if not tok.startswith("@"):
+                        raise ValueError(
+                            "EXECUTE USING takes @var arguments"
+                        )
+                    if tok[1:] not in uvars:
+                        raise ValueError(
+                            f"user variable {tok} is not set"
+                        )
+                    args.append(uvars[tok[1:]])
+            masked2, store2 = _m2(text)
+            n_slots = masked2.count("?")
+            if n_slots != len(args):
+                raise ValueError(
+                    f"prepared statement has {n_slots} placeholder(s), "
+                    f"EXECUTE supplied {len(args)}"
+                )
+            it = iter(args)
+
+            def _fill(m):
+                return _render_var(next(it))
+
+            filled = _u2(_re_cal.sub(r"\?", _fill, masked2), store2)
+            return self.execute(filled, dialect=dialect)
+        dm_ = _re_cal.match(
+            r"\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE,
+        )
+        if dm_:
+            preps.pop(dm_.group(1), None)
+            return None
+
         if "@" in stmt:
             from mariadb_columnstore_engine_spark.functions.sqltrans import (
                 _mask,

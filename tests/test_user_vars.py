@@ -58,3 +58,32 @@ def test_at_inside_literal_untouched(eng_uv):
 def test_into_vars_requires_single_row(eng_uv):
     with pytest.raises(ValueError, match="one row"):
         eng_uv.execute("SELECT n_nationkey INTO @x FROM nation")
+
+
+def test_prepare_execute_deallocate(eng_uv):
+    assert (
+        eng_uv.execute(
+            "PREPARE q1 FROM 'SELECT count(*) AS n FROM nation"
+            " WHERE n_regionkey = ?'"
+        )
+        == "Statement prepared"
+    )
+    eng_uv.execute("SET @r = 2")
+    n = eng_uv.execute("EXECUTE q1 USING @r").collect()[0].n
+    direct = eng_uv.execute(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey = 2"
+    ).collect()[0].n
+    assert n == direct
+    # placeholder count mismatch
+    with pytest.raises(ValueError, match="placeholder"):
+        eng_uv.execute("EXECUTE q1")
+    # PREPARE FROM @var; literal '?' inside strings is not a slot
+    eng_uv.execute(
+        "SET @src = 'SELECT count(*) AS n FROM nation"
+        " WHERE n_name <> ''?'' AND n_regionkey = ?'"
+    )
+    eng_uv.execute("PREPARE q2 FROM @src")
+    assert eng_uv.execute("EXECUTE q2 USING @r").collect()[0].n == direct
+    eng_uv.execute("DEALLOCATE PREPARE q1")
+    with pytest.raises(Exception):
+        eng_uv.execute("EXECUTE q1 USING @r")
