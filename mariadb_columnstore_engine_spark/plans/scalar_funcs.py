@@ -1828,3 +1828,45 @@ def sql_mariadb_front_end4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "op_skyline_pareto",
+    section="custom operator: skyline / Pareto-optimal selection "
+    "(EDBT 2023 'Integration of Skyline Queries into Spark SQL' "
+    "pattern, PAPERS.md; no reference or Spark analogue) — two-phase "
+    "distributed skyline: per-partition local skylines (mapInPandas, "
+    "no shuffle) then one candidate-set pass; oracle is the O(N²) "
+    "NOT-EXISTS dominance definition",
+    oracle="""
+    SELECT p.p_partkey,
+           round(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS BIGINT) AS psize
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_partkey
+    """,
+)
+def op_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-and-largest Pareto frontier of part: minimize
+    p_retailprice, maximize p_size. Equal criterion vectors never
+    dominate each other, so duplicates survive on both engines."""
+    from mariadb_columnstore_engine_spark.operators.skyline import skyline
+
+    t = Catalog(spark, sf_dir)
+    sky = skyline(
+        t.part.select("p_partkey", "p_retailprice", "p_size"),
+        minimize=["p_retailprice"],
+        maximize=["p_size"],
+    )
+    return sky.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("long").alias("psize"),
+    ).orderBy("p_partkey")

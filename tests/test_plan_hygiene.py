@@ -31,6 +31,7 @@ CARTESIAN_OK = {
     "sim_lsh_recall_eval",  # composes the brute-force plan above
     "sim_ivf_ann_topk",  # constant centroid set
     "sim_kmeans_two_iterations",  # constant centroid set per iteration
+    "text_bm25_topk",  # 1-row (N, avgdl) corpus stats x postings
 }
 
 #: queries whose POINT is Python execution (§2.11 UDF/UDAF/UDTF surface
@@ -43,6 +44,10 @@ PYTHON_OK = {
     "win_pandas_udaf_over_window",
     "multimodal_media_features",
     "multimodal_frame_sample",
+    # two-phase distributed skyline: dominance has no JVM-relational
+    # spelling short of an O(N²) self-join; mapInPandas local skylines
+    # (no shuffle) + one candidate pass is the scale-correct shape
+    "op_skyline_pareto",
 }
 
 _SPECS = load_all()
