@@ -753,3 +753,86 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# ---- linear-model inference in pure relational ops ------------------------
+
+#: fixed 3-class x 64-dim weight matrix (deterministic, small literals
+#: that parse to identical doubles in both engines)
+_LM_CLASSES = 3
+_LM_DIM = 64
+_LM_W = [
+    [(((c * _LM_DIM + d) * 37) % 13 - 6) / 10.0 for d in range(_LM_DIM)]
+    for c in range(_LM_CLASSES)
+]
+
+
+def _lm_oracle() -> str:
+    wrows = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in _LM_W[c])}])"
+        for c in range(_LM_CLASSES)
+    )
+    return f"""
+    WITH w(cls, wv) AS (VALUES {wrows}),
+    l AS (
+        SELECT e.vec_id, w.cls,
+               round(list_sum(list_transform(generate_series(1, {_LM_DIM}),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * wv[i])), 4)
+                   AS logit
+        FROM embeddings e, w
+    ), r AS (
+        SELECT vec_id, cls, logit,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY logit DESC, cls) AS rn
+        FROM l
+    )
+    SELECT vec_id, CAST(cls AS BIGINT) AS pred, logit AS best_logit
+    FROM r WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "sim_linear_model_inference",
+    section="LLM-pipeline: linear-model inference in pure relational "
+    "ops (the ICDE 2025 'ML inference in pure SQL via operator fusion' "
+    "pattern, PAPERS.md) — per-class dot products as JVM-side zip_with "
+    "+ sequential fold (bit-identical to the oracle's index-ordered "
+    "list_sum), argmax with smallest-class tiebreak; broadcast-free, "
+    "one map-side pass over the corpus",
+    oracle=_lm_oracle(),
+)
+def linear_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every embedding against a fixed 3-class linear model and
+    emit the argmax class + its logit. Scale shape: weights are plan
+    literals (no join at all); the whole computation is one projection
+    inside whole-stage codegen — the fused-operator inference shape."""
+    t = Catalog(spark, sf_dir)
+    emb = F.col("embedding").cast("array<double>")
+    logits = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.array(*[F.lit(x) for x in _LM_W[c]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias(f"l{c}")
+        for c in range(_LM_CLASSES)
+    ]
+    scored = t.embeddings.select("vec_id", *logits)
+    l0, l1, l2 = F.col("l0"), F.col("l1"), F.col("l2")
+    pred = (
+        F.when((l0 >= l1) & (l0 >= l2), F.lit(0))
+        .when(l1 >= l2, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return scored.select(
+        "vec_id",
+        pred.cast("long").alias("pred"),
+        F.greatest(l0, l1, l2).alias("best_logit"),
+    ).orderBy("vec_id")
