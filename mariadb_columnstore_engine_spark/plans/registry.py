@@ -108,7 +108,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_regr_family",
     # §2.5 windows — rotated in: lag/lead + ROWS frames
     "win_percentiles_within_group",
-    "win_pandas_udaf_over_window",
     "win_lag_lead",
     "win_rows_frame_running",
     # §2.6/§2.7 sort + setops — rotated in: intersect/except/limit-offset
@@ -152,8 +151,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sim_bruteforce_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
-    # LLM pillar: UDF surface + multimodal
-    "udf_pandas_median",
+    # LLM pillar: UDF surface + multimodal + r4 custom operators
+    # (udf_pandas_median / win_pandas_udaf_over_window tenured out,
+    # r3-green; §2.11 stays evidenced by the UDTF row)
+    "op_skyline_pareto",
+    "sim_linear_model_inference",
     "multimodal_media_features",
     "udtf_split_sentences",
 )
