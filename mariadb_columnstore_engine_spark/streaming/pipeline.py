@@ -203,3 +203,45 @@ def daily_from_hourly(hourly: DataFrame) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def document_quality_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the text-pillar intake: per-document quality
+    features + content fingerprint on a live document feed (the shape a
+    continuous training-data ingest runs before anything touches the
+    corpus store). Stateless projection — every expression is JVM-side
+    and identical to plans/text_plans.quality_scores, so stream output
+    equals the batch run row-for-row; the fingerprint column feeds
+    ``fingerprint_dedup_stream`` or a downstream merge-dedup."""
+    import pyspark.sql.functions as F
+
+    w = F.split(F.col("text"), " ")
+    stop_raw = F.size(
+        F.filter(w, lambda x: x.isin("a", "the"))
+    ) / F.size(w)
+    ttr_raw = F.size(F.array_distinct(w)) / F.size(w)
+    n_tok = F.size(w)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fingerprint"),
+        n_tok.alias("n_tok"),
+        F.round(stop_raw, 6).alias("stop_ratio"),
+        F.round(ttr_raw, 6).alias("ttr"),
+        F.round(
+            0.4 * F.least(n_tok / 50.0, F.lit(1.0))
+            + 0.3 * (1.0 - stop_raw)
+            + 0.3 * ttr_raw,
+            6,
+        ).alias("quality"),
+    )
+
+
+def fingerprint_dedup_stream(scored: DataFrame) -> DataFrame:
+    """Drop exact-duplicate documents by content fingerprint as they
+    stream in. Documents carry no event time, so state is one entry per
+    distinct fingerprint for the stream's lifetime — right for bounded
+    backfills (availableNow) and compaction-window runs; an unbounded
+    7×24 feed should attach an ingest timestamp and use
+    ``dropDuplicatesWithinWatermark`` (events dedup_stream pattern) to
+    bound state."""
+    return scored.dropDuplicates(["fingerprint"])

@@ -188,3 +188,43 @@ def test_stream_hierarchical_rollup_matches_batch(spark, sf_dir, tmp_path):
         spark, sf_dir
     ).collect()
     assert streamed_daily == batch_daily
+
+
+def test_stream_document_quality_matches_batch(spark, sf_dir, tmp_path):
+    """Text-pillar streaming twin: quality features scored on a doc
+    stream equal the batch computation row-for-row; fingerprint dedup
+    keeps one copy per distinct content."""
+    src = str(tmp_path / "docs_stream_src")
+    Catalog(spark, sf_dir).documents.repartition(4).write.parquet(src)
+    stream_src = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    scored = pipeline.fingerprint_dedup_stream(
+        pipeline.document_quality_stream(stream_src)
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("doc_quality")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_docq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.n_tok, r.stop_ratio, r.ttr, r.quality)
+        for r in spark.sql("SELECT * FROM doc_quality").collect()
+    }
+    batch = pipeline.document_quality_stream(spark.read.parquet(src))
+    batch_deduped = batch.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("n_copies")  # just count distinct prints
+    )
+    expected_all = {
+        r.doc_id: (r.n_tok, r.stop_ratio, r.ttr, r.quality)
+        for r in batch.collect()
+    }
+    # every streamed row matches its batch twin exactly
+    assert got and all(expected_all[k] == v for k, v in got.items())
+    # dedup kept exactly one row per distinct fingerprint
+    assert len(got) == batch_deduped.count()
