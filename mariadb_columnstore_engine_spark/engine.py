@@ -477,6 +477,77 @@ class Engine:
                     _re_cal.sub(r"@(\w+)", _sub, masked), store_
                 )
 
+        am_ = _re_cal.match(
+            r"\s*ANALYZE\s+TABLE\s+([\w`]+(?:\s*,\s*[\w`]+)*)"
+            r"(\s+COMPUTE\s+STATISTICS)?\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE,
+        )
+        if am_:
+            # ANALYZE TABLE t1[, t2 ...] (basic/t/analyze_table.test) —
+            # CBO statistics; attached user tables are temp views Spark
+            # cannot persist stats for, so their row count lands in the
+            # engine's table info instead (still drives broadcast
+            # decisions via AQE's runtime sizes)
+            out = []
+            for tname in [
+                t.strip().strip("`") for t in am_.group(1).split(",")
+            ]:
+                try:
+                    self.analyze(tname)
+                    out.append((tname, "analyze", "status", "OK"))
+                except Exception:
+                    info = getattr(self, "_user_tables", {}).get(tname)
+                    if info is None and tname not in TABLES:
+                        out.append(
+                            (tname, "analyze", "Error",
+                             "Table doesn't exist")
+                        )
+                        continue
+                    n_rows = self.table(tname).count()
+                    if info is not None:
+                        info["row_count"] = n_rows
+                    out.append((tname, "analyze", "status", "OK"))
+            return out
+
+        km_ = _re_cal.match(
+            r"\s*CHECKSUM\s+TABLE\s+([\w`]+(?:\s*,\s*[\w`]+)*)\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE,
+        )
+        if km_:
+            # CHECKSUM TABLE t1[, t2 ...]: deterministic, row-order-
+            # independent content checksum (sum of per-row xxhash64 over
+            # all columns, mod 2^32 like MariaDB's counter width). The
+            # exact MariaDB CRC differs by design — this is an engine-
+            # defined checksum for copy/restore verification.
+            out = []
+            for tname in [
+                t.strip().strip("`") for t in km_.group(1).split(",")
+            ]:
+                df = self.table(tname)
+                # per-row hash folded to 32 bits BEFORE the sum, and the
+                # sum carried in DECIMAL(38,0) — an int64 sum of 2^63-
+                # scale hashes overflows (ANSI ArithmeticException)
+                h = F.pmod(
+                    F.xxhash64(
+                        *[
+                            F.coalesce(
+                                F.col(c).cast("string"),
+                                F.lit("\x00NULL"),
+                            )
+                            for c in df.columns
+                        ]
+                    ),
+                    F.lit(2**32),
+                ).cast("decimal(38,0)")
+                row = df.select(
+                    F.pmod(F.sum(h), F.lit(2**32).cast("decimal(38,0)"))
+                    .alias("ck")
+                ).collect()[0]
+                out.append((tname, int(row.ck) if row.ck is not None else 0))
+            return out
+
         um = _re_cal.match(
             r"\s*SELECT\s+(calgetversion|mcssystemready|calgettrace|"
             r"calgetstats)\s*\(\s*\)\s*;?\s*$",

@@ -764,3 +764,23 @@ def test_client_udfs_and_table_status(engine_with_table):
     rows = eng.execute("SHOW TABLE STATUS")
     assert [r["name"] for r in rows] == ["t1"]
     assert rows[0]["data_length"] > 0 and rows[0]["files"] >= 1
+
+
+def test_analyze_and_checksum_table(engine_with_table):
+    """ANALYZE TABLE t1[, t2] (basic/t/analyze_table.test) and CHECKSUM
+    TABLE: per-table status rows; checksum is deterministic, row-order
+    independent, and changes when content changes."""
+    eng = engine_with_table
+    rows = eng.execute("ANALYZE TABLE t1, nation")
+    assert [r[0] for r in rows] == ["t1", "nation"]
+    assert all(r[-1] == "OK" for r in rows)
+    bad = eng.execute("ANALYZE TABLE missing_tbl")
+    assert bad[0][2] == "Error"
+    [(_, ck1)] = eng.execute("CHECKSUM TABLE t1")
+    [(_, ck1b)] = eng.execute("CHECKSUM TABLE t1")
+    assert ck1 == ck1b and 0 <= ck1 < 2**32
+    eng.execute("UPDATE t1 SET val = val + 1 WHERE id = 0")
+    [(_, ck2)] = eng.execute("CHECKSUM TABLE t1")
+    assert ck2 != ck1
+    pair = eng.execute("CHECKSUM TABLE t1, nation")
+    assert len(pair) == 2 and pair[1][0] == "nation"
