@@ -677,7 +677,8 @@ class Engine:
             if parsed.kind == "drop_view":
                 return self.drop_view(parsed.arg)
             if parsed.kind == "explain":
-                return self.explain(parsed.arg)
+                mode, _, sql_text = parsed.arg.partition("\x00")
+                return self.explain(sql_text, mode=mode or "formatted")
             if parsed.kind == "explain_analyze":
                 return self.explain_analyze(parsed.arg)
             if parsed.kind == "show_tables":
@@ -1240,12 +1241,13 @@ class Engine:
 
         analyze_table(self.spark, name, columns)
 
-    def explain(self, query: str) -> str:
-        """Formatted physical plan for a SQL statement."""
+    def explain(self, query: str, *, mode: str = "formatted") -> str:
+        """Physical (or, with mode="extended", logical+physical) plan
+        for a SQL statement (EXPLAIN [EXTENDED] spelling routed here)."""
         df = self.sql(query)
-        mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
         return df._jdf.queryExecution().explainString(
-            mode.fromString("formatted")
+            jmode.fromString(mode)
         )
 
     def explain_analyze(self, query: str) -> str:

@@ -381,9 +381,31 @@ def parse(sql: str):
             **_parse_ldi_options(masked[m.end() :], store),
         )
 
-    m = re.match(r"EXPLAIN\s+", masked, re.IGNORECASE)
+    m = re.match(
+        r"EXPLAIN\s+(?:(EXTENDED|PARTITIONS)\s+|FORMAT\s*=\s*(\w+)\s+)?",
+        masked,
+        re.IGNORECASE,
+    )
+    if m and re.match(
+        r"(SELECT|WITH|VALUES|INSERT|UPDATE|DELETE)\b",
+        masked[m.end() :],
+        re.IGNORECASE,
+    ):
+        # MariaDB EXPLAIN modifiers → Spark explain modes: EXTENDED →
+        # "extended" (logical+physical), PARTITIONS folds into formatted
+        # (partition pruning shows in the scan node), FORMAT=JSON has no
+        # Spark emitter → "formatted" text (documented deviation)
+        mode = "formatted"
+        if m.group(1) and m.group(1).upper() == "EXTENDED":
+            mode = "extended"
+        return Other(
+            "explain", mode + "\x00" + _unmask(rest_of(m), store)
+        )
+
+    m = re.match(r"EXPLAIN\s+([\w`]+)\s*;?\s*$", masked, re.IGNORECASE)
     if m:
-        return Other("explain", _unmask(rest_of(m), store))
+        # MariaDB `EXPLAIN t` is DESCRIBE t
+        return Other("describe", _ident(m.group(1), store))
 
     # MariaDB ANALYZE <select>: execute + return the plan with actual
     # runtime row counts (r_rows). Bare ANALYZE TABLE goes to the stats

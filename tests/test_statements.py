@@ -784,3 +784,14 @@ def test_analyze_and_checksum_table(engine_with_table):
     assert ck2 != ck1
     pair = eng.execute("CHECKSUM TABLE t1, nation")
     assert len(pair) == 2 and pair[1][0] == "nation"
+
+
+def test_explain_variants(engine_with_table):
+    eng = engine_with_table
+    ext = eng.execute("EXPLAIN EXTENDED SELECT count(*) FROM t1")
+    assert "Optimized Logical Plan" in ext and "Physical Plan" in ext
+    fmt = eng.execute("EXPLAIN FORMAT=JSON SELECT count(*) FROM t1")
+    assert "Physical Plan" in fmt  # documented deviation: text render
+    # MariaDB `EXPLAIN t` == DESCRIBE t
+    cols = dict(eng.execute("EXPLAIN t1"))
+    assert cols["id"] == "bigint"
