@@ -634,3 +634,62 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "op_nested_shred_topk",
+    section="custom operator / nested data: Dremel-style record "
+    "shredding round-trip (PAPERS.md, 'Dremel: A Decade of Interactive "
+    "SQL Analysis at Web Scale', VLDB 2020) — per-user nested record "
+    "assembly (collect_list of structs → sort → slice) then shredding "
+    "back to flat rows (posexplode, the repetition-level walk). The "
+    "reference is flat-relational only (SURVEY §1.2: no arrays/structs) "
+    "— this is the Spark-native upgrade; oracle recomputes via window "
+    "rank without any nesting",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), r AS (
+        SELECT user_id, t, event_type, cents,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY t DESC, event_type DESC, cents DESC) AS rn
+        FROM e
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS rank, event_type, cents
+    FROM r WHERE rn <= 3
+    ORDER BY user_id, rank
+    """,
+)
+def nested_shred_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-3 events per user THROUGH the nested path: records are
+    assembled into per-user arrays of structs, truncated while nested,
+    then shredded back to rows. Scale shape: one shuffle on user_id;
+    the nested array is bounded to 3 elements by the slice before any
+    downstream work — the nested-truncate-early pattern Dremel's
+    columnar stripes make cheap."""
+    t = Catalog(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ).alias("s"),
+    )
+    nested = e.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list("s"), asc=False), 1, 3
+        ).alias("top")
+    )
+    return (
+        nested.select("user_id", F.posexplode("top").alias("pos", "rec"))
+        .select(
+            "user_id",
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("rec.event_type").alias("event_type"),
+            F.col("rec.cents").alias("cents"),
+        )
+        .orderBy("user_id", "rank")
+    )
