@@ -679,6 +679,16 @@ class Engine:
             if parsed.kind == "explain":
                 mode, _, sql_text = parsed.arg.partition("\x00")
                 return self.explain(sql_text, mode=mode or "formatted")
+            if parsed.kind == "index_noop":
+                # index DDL accepted, nothing stored (mcs73: parquet
+                # row-group min/max is the extent-map index analogue)
+                self._writable(parsed.arg)
+                return None
+            if parsed.kind == "add_primary_key":
+                tname, _, cols = parsed.arg.partition("\x01")
+                info = self._writable(tname)
+                info["keys"] = [c for c in cols.split("\x00") if c]
+                return None
             if parsed.kind == "explain_analyze":
                 return self.explain_analyze(parsed.arg)
             if parsed.kind == "show_tables":

@@ -793,6 +793,38 @@ def parse(sql: str):
         )
 
     m = re.match(
+        r"CREATE\s+(?:UNIQUE\s+)?INDEX\s+\S+\s+ON\s+([^\s(]+)\s*\(",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        # mcs73_indexes_keys: index DDL is accepted and has no planning
+        # effect on a columnar engine (the reference stores no indexes;
+        # extent min/max IS the index analogue)
+        return Other("index_noop", _ident(m.group(1), store))
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        cols = "\x00".join(
+            _ident(c, store) for c in m.group(2).split(",") if c.strip()
+        )
+        return Other(
+            "add_primary_key", _ident(m.group(1), store) + "\x01" + cols
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:UNIQUE\s+)?(?:INDEX|KEY)\b",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        return Other("index_noop", _ident(m.group(1), store))
+
+    m = re.match(
         r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(\S+)\s+(\S+)"
         r"(?:\s+DEFAULT\s+(\S+))?\s*$",
         masked,

@@ -795,3 +795,27 @@ def test_explain_variants(engine_with_table):
     # MariaDB `EXPLAIN t` == DESCRIBE t
     cols = dict(eng.execute("EXPLAIN t1"))
     assert cols["id"] == "bigint"
+
+
+def test_index_ddl_accepted_and_pk_wires_keys(engine_wh, tmp_path):
+    """mcs73_indexes_keys: index DDL accepted as a no-op (extent min/max
+    is the index analogue); ALTER ADD PRIMARY KEY wires upsert keys."""
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    eng.execute("CREATE TABLE it (a BIGINT, b VARCHAR(10))")
+    eng.execute("CREATE INDEX idx1 ON it(a)")
+    eng.execute("ALTER TABLE it ADD INDEX(a)")
+    eng.execute("ALTER TABLE it ADD UNIQUE INDEX(a)")
+    eng.execute("ALTER TABLE it ADD KEY(a)")
+    eng.execute("INSERT INTO it (a, b) VALUES (1, 'x')")
+    # no keys yet → REPLACE refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keys"):
+        eng.execute("REPLACE INTO it VALUES (1, 'y')")
+    eng.execute("ALTER TABLE it ADD PRIMARY KEY(a)")
+    eng.execute("REPLACE INTO it VALUES (1, 'y')")
+    rows = {(r.a, r.b) for r in eng.execute("SELECT * FROM it").collect()}
+    assert rows == {(1, "y")}
