@@ -526,3 +526,52 @@ def bit_ops_over_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "win_moda_analytic",
+    section="§2.5 MODA as analytic function (utils/regr/moda.h:25-26 "
+    "registers moda as UDAnF too) — the scale-correct unbounded-frame "
+    "spelling: per-partition MODA computed ONCE by the grouped operator "
+    "(operators/moda.py) and broadcast-joined back to the rows, instead "
+    "of shipping every partition's rows to a per-row window UDAF",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), c AS (
+        SELECT event_type, cents AS v, count(*) AS n
+        FROM e GROUP BY event_type, cents
+    ), a AS (
+        SELECT event_type, sum(v * n) / sum(n) AS avgv
+        FROM c GROUP BY event_type
+    ), r AS (
+        SELECT c.event_type, v,
+               row_number() OVER (PARTITION BY c.event_type
+                   ORDER BY n DESC, abs(v - avgv), v) AS rn
+        FROM c JOIN a ON c.event_type = a.event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents,
+           r.v AS type_moda
+    FROM e JOIN r ON e.event_type = r.event_type AND r.rn = 1
+    WHERE e.event_id < 100
+    ORDER BY e.event_id
+    """,
+)
+def moda_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.operators.moda import moda
+
+    t = Catalog(spark, sf_dir)
+    e = t.events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    per_type = moda(e, "cents", ("event_type",), "type_moda")
+    return (
+        e.where(F.col("event_id") < 100)
+        .join(F.broadcast(per_type), "event_type")
+        .select("event_id", "event_type", "cents", "type_moda")
+        .orderBy("event_id")
+    )
