@@ -819,3 +819,29 @@ def test_index_ddl_accepted_and_pk_wires_keys(engine_wh, tmp_path):
     eng.execute("REPLACE INTO it VALUES (1, 'y')")
     rows = {(r.a, r.b) for r in eng.execute("SELECT * FROM it").collect()}
     assert rows == {(1, "y")}
+
+
+def test_ldi_rollback(engine_wh, tmp_path):
+    """mcs7002_ldi_rollback: LOAD DATA INFILE inside a transaction is
+    undone by ROLLBACK (the version-buffer bulk-load rollback path)."""
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    eng.execute("CREATE TABLE ldi_t (a BIGINT, b VARCHAR(10))")
+    eng.execute("INSERT INTO ldi_t (a, b) VALUES (1, 'keep')")
+    csv = tmp_path / "in.csv"
+    csv.write_text("2\tx\n3\ty\n")
+    eng.execute("BEGIN")
+    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE ldi_t")
+    assert eng.execute("SELECT count(*) AS n FROM ldi_t").collect()[0].n == 3
+    eng.execute("ROLLBACK")
+    rows = [
+        (r.a, r.b) for r in eng.execute("SELECT * FROM ldi_t").collect()
+    ]
+    assert rows == [(1, "keep")]
+    # and COMMIT keeps a second load
+    eng.execute("BEGIN")
+    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE ldi_t")
+    eng.execute("COMMIT")
+    assert eng.execute("SELECT count(*) AS n FROM ldi_t").collect()[0].n == 3
