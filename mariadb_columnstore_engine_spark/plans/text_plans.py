@@ -1200,3 +1200,67 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "doc_id", "score")
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "text_bpe_pair_frequency",
+    section="LLM-pipeline: BPE merge-step pair frequencies — the "
+    "tokenizer-training inner loop (count adjacent token pairs over "
+    "the corpus, pick the top merges). One transform+explode pass, "
+    "map-side combined groupBy; top-10 via rank with a pair tiebreak",
+    oracle="""
+    WITH d AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents
+    ), p AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1])) AS pair
+        FROM d WHERE len(w) >= 2
+    ), c AS (
+        SELECT pair, count(*) AS n FROM p GROUP BY pair
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+               AS merge_rank
+    FROM c
+    ORDER BY merge_rank
+    LIMIT 10
+    """,
+)
+def bpe_pair_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 adjacent-pair frequencies (the argmax set a BPE trainer
+    merges next). Scale shape: the pair stream is one JVM transform +
+    explode (≈ corpus token count rows), combined map-side on the pair
+    key; the global top-10 rides a TakeOrdered heap feeding the rank
+    window over exactly 10 rows (text_vocab_zipf pattern). Guarded for
+    <2-token docs — Spark's sequence(1, 0) is the DESCENDING [1,0]
+    trap, not an empty array."""
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    w = F.filter(_tokens(F.col("text")), lambda x: x != "")
+    pairs = (
+        t.documents.select(w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i ->"
+                    " concat(element_at(w, i), ' ',"
+                    " element_at(w, i + 1)))"
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(10)
+    rank_w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        top.select(
+            "pair",
+            F.col("n").cast("long").alias("n"),
+            F.row_number().over(rank_w).cast("long").alias("merge_rank"),
+        )
+        .orderBy("merge_rank")
+    )
