@@ -45,6 +45,38 @@ def _char_ratio():
     return _CACHE["char_ratio"]
 
 
+def _moda():
+    if "moda" not in _CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def moda_impl(v: pd.Series) -> float:
+            # utils/regr/moda.h:32-35 semantics: greatest count, ties →
+            # closest to AVG, then smallest. GROUPED_AGG form = the
+            # reference's `CREATE AGGREGATE FUNCTION moda` UX; the
+            # JVM-side composition (operators/moda.py) stays the scale
+            # path for hot queries.
+            vv = v.dropna()
+            if vv.empty:
+                return float("nan")
+            counts = vv.value_counts()
+            avg = vv.mean()
+            best = sorted(
+                counts.items(),
+                key=lambda kv: (-kv[1], abs(kv[0] - avg), kv[0]),
+            )[0][0]
+            return float(best)
+
+        _CACHE["moda"] = moda_impl
+    return _CACHE["moda"]
+
+
+def moda_udaf(col: Column | str) -> Column:
+    """GROUPED_AGG pandas UDAF spelling of MODA (SQL: ``SELECT
+    moda(x) ... GROUP BY g`` after register_all)."""
+    return _moda()(col)
+
+
 def median_udaf(col: Column | str) -> Column:
     """GROUPED_AGG pandas UDAF: exact interpolated median (the SDK
     example utils/udfsdk/median.cpp; equals percentile_cont(0.5))."""
@@ -62,3 +94,4 @@ def register_all(spark: SparkSession) -> None:
     dbcon/mysql/ha_mcs_udf.cpp)."""
     spark.udf.register("engine_median", _median())
     spark.udf.register("engine_char_ratio", _char_ratio())
+    spark.udf.register("moda", _moda())

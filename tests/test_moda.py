@@ -56,3 +56,29 @@ def test_string_column_rejected(spark):
     df = spark.createDataFrame([("a",)], "s string")
     with pytest.raises(TypeError):
         moda(df, "s")
+
+
+def test_moda_sql_spelling(spark, sf_dir):
+    """`CREATE AGGREGATE FUNCTION moda` UX (moda.h:29-31): after
+    register_all, plain SQL `SELECT moda(x) .. GROUP BY g` works and
+    matches the JVM-side grouped operator."""
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+    from mariadb_columnstore_engine_spark.operators.moda import moda as moda_op
+
+    eng = Engine(spark, sf_dir)
+    got = {
+        r.l_returnflag: r.m
+        for r in eng.sql(
+            "SELECT l_returnflag, moda(l_quantity) AS m FROM lineitem "
+            "GROUP BY l_returnflag"
+        ).collect()
+    }
+    expected = {
+        r.l_returnflag: r.moda
+        for r in moda_op(
+            eng.table("lineitem"), "l_quantity", ("l_returnflag",)
+        ).collect()
+    }
+    assert got == expected
