@@ -227,6 +227,43 @@ class Engine:
             "column_name string, num_rows bigint, min_value string, "
             "max_value string, null_count bigint",
         ).createOrReplaceTempView("information_schema_extents")
+        # columnstore_files analogue: per-data-file size + partition
+        # status (disabled files = excluded extents)
+        from mariadb_columnstore_engine_spark.sources.ingest import (
+            _evolution,
+            _live_data_files,
+        )
+
+        files = []
+        import os as _os
+
+        for tn in names:
+            if tn in getattr(self, "_user_tables", {}):
+                path = self._user_tables[tn]["path"]
+            else:
+                path = f"{self.catalog._sf_dir}/{tn}.parquet"
+            try:
+                if _os.path.isdir(path):
+                    disabled = set(
+                        _evolution(path).get("disabled_partitions", [])
+                    )
+                    for f in _live_data_files(path, set()):
+                        nm = _os.path.basename(f)
+                        files.append(
+                            (tn, nm, _os.path.getsize(f),
+                             "Disabled" if nm in disabled else "Enabled")
+                        )
+                else:
+                    files.append(
+                        (tn, _os.path.basename(path),
+                         _os.path.getsize(path), "Enabled")
+                    )
+            except OSError:
+                continue
+        self.spark.createDataFrame(
+            files,
+            "table_name string, file string, bytes bigint, status string",
+        ).createOrReplaceTempView("information_schema_files")
 
     def run_script(self, script: str, *, dialect: str = "mariadb") -> list:
         """Execute a multi-statement script (mask-aware ``;`` split);
@@ -978,20 +1015,33 @@ class Engine:
             )
             tmp = tempfile.mkdtemp(prefix="mcs_ldi_")
             try:
-                dest = os.path.join(tmp, "staged")
-                bulk_load_csv(
-                    self.spark,
-                    parsed.path,
-                    schema_ddl,
-                    dest,
-                    header=False,
-                    delimiter=parsed.delimiter,
-                    quote=parsed.quote,
-                    escape=parsed.escape,
-                    line_sep=parsed.line_sep,
-                    skip_rows=parsed.skip_rows,
-                )
-                src = self.spark.read.parquet(dest)
+                if parsed.path.endswith(".parquet"):
+                    # mcol-5505 cpimport-parquet: LDI of a parquet file —
+                    # columns map POSITIONALLY like the delimited path
+                    # (cpimport contract), types re-cast below
+                    pq_src = self.spark.read.parquet(parsed.path)
+                    if len(pq_src.columns) != len(file_fields):
+                        raise ValueError(
+                            f"parquet file has {len(pq_src.columns)} "
+                            f"columns for {len(file_fields)} loadable "
+                            "table columns"
+                        )
+                    src = pq_src.toDF(*[f.name for f in file_fields])
+                else:
+                    dest = os.path.join(tmp, "staged")
+                    bulk_load_csv(
+                        self.spark,
+                        parsed.path,
+                        schema_ddl,
+                        dest,
+                        header=False,
+                        delimiter=parsed.delimiter,
+                        quote=parsed.quote,
+                        escape=parsed.escape,
+                        line_sep=parsed.line_sep,
+                        skip_rows=parsed.skip_rows,
+                    )
+                    src = self.spark.read.parquet(dest)
                 out = src.select(
                     *[
                         (

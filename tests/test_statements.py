@@ -845,3 +845,31 @@ def test_ldi_rollback(engine_wh, tmp_path):
     eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE ldi_t")
     eng.execute("COMMIT")
     assert eng.execute("SELECT count(*) AS n FROM ldi_t").collect()[0].n == 3
+
+
+def test_ldi_parquet_and_files_view(engine_wh, tmp_path):
+    """mcol-5505 cpimport-parquet: LOAD DATA INFILE of a .parquet file
+    (positional column map), plus the i_s files view."""
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    eng.execute("CREATE TABLE pq_t (a BIGINT, b VARCHAR(10))")
+    src = str(tmp_path / "in0.parquet")
+    eng.spark.createDataFrame(
+        [(1, "x"), (2, "y")], "c1 long, c2 string"
+    ).coalesce(1).write.parquet(str(tmp_path / "pqdir"))
+    import glob
+    import shutil
+
+    [part] = glob.glob(str(tmp_path / "pqdir" / "*.parquet"))
+    shutil.copy(part, src)
+    n = eng.execute(f"LOAD DATA INFILE '{src}' INTO TABLE pq_t")
+    assert n == 2
+    rows = {(r.a, r.b) for r in eng.execute("SELECT * FROM pq_t").collect()}
+    assert rows == {(1, "x"), (2, "y")}
+    eng.refresh_information_schema()
+    fr = eng.execute(
+        "SELECT * FROM information_schema_files WHERE table_name = 'pq_t'"
+    ).collect()
+    assert fr and all(r.status == "Enabled" and r.bytes > 0 for r in fr)
