@@ -639,6 +639,12 @@ class Engine:
             self._trace = bool(int(tm.group(1)))
             return int(tm.group(1))
         if _re_cal.fullmatch(
+            r"\s*SHOW\s+WARNINGS\s*;?\s*", stmt, _re_cal.IGNORECASE
+        ):
+            # (level, code, message) rows from the last statement that
+            # produced any (INSERT IGNORE skip counts)
+            return list(getattr(self, "_warnings", []))
+        if _re_cal.fullmatch(
             r"\s*SHOW\s+TABLE\s+STATUS\s*;?\s*", stmt, _re_cal.IGNORECASE
         ):
             from mariadb_columnstore_engine_spark.sources.maintenance import (  # noqa: E501
@@ -1148,12 +1154,29 @@ class Engine:
                 # implicit default for NOT NULL violations; here NOT
                 # NULL is modelled as a CHECK, so such rows are skipped
                 # too (deterministic, no silent zero-fill).
-                for c in table_checks(path):
-                    out = out.where(
-                        F.coalesce(F.expr(c["expr"]), F.lit(True))
+                checks = table_checks(path)
+                if checks:
+                    n_before = out.count()
+                    for c in checks:
+                        out = out.where(
+                            F.coalesce(F.expr(c["expr"]), F.lit(True))
+                        )
+                    n_skipped = n_before - out.count()
+                    self._warnings = (
+                        [
+                            (
+                                "Warning",
+                                4025,  # MariaDB CONSTRAINT_FAILED code
+                                f"{n_skipped} row(s) skipped: CHECK "
+                                "constraint violated (INSERT IGNORE)",
+                            )
+                        ]
+                        if n_skipped
+                        else []
                     )
             else:
                 validate_checks(out, table_checks(path))
+                self._warnings = []
             ret = (
                 returning_result(out, parsed.returning)
                 if parsed.returning

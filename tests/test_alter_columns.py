@@ -97,3 +97,20 @@ def test_insert_ignore_skips_check_violations(eng_ac):
     )
     ids = sorted(r.id for r in eng_ac.execute("SELECT id FROM ac").collect())
     assert ids == [1, 2, 4]
+
+
+def test_show_warnings_after_insert_ignore(eng_ac):
+    eng_ac.execute(
+        "ALTER TABLE ac ADD CONSTRAINT amt_pos CHECK (amount >= 0)"
+    )
+    eng_ac.execute(
+        "INSERT IGNORE INTO ac (id, amount, tag) VALUES "
+        "(3, -5, 'x'), (4, -6, 'y'), (5, 50, 'z')"
+    )
+    warns = eng_ac.execute("SHOW WARNINGS")
+    assert len(warns) == 1
+    level, code, msg = warns[0]
+    assert level == "Warning" and code == 4025 and "2 row(s)" in msg
+    # a clean insert clears the diagnostics area
+    eng_ac.execute("INSERT INTO ac (id, amount, tag) VALUES (6, 1, 'w')")
+    assert eng_ac.execute("SHOW WARNINGS") == []
