@@ -719,6 +719,75 @@ class Engine:
                 return self.sql(parsed.arg, dialect=dialect)
             if parsed.kind == "drop_view":
                 return self.drop_view(parsed.arg)
+            if parsed.kind in ("create_db", "create_db_if_not_exists"):
+                import os as _os
+
+                if self.warehouse is None:
+                    raise ValueError(
+                        "CREATE DATABASE needs Engine(warehouse=...)"
+                    )
+                dbs = self._databases = getattr(
+                    self, "_databases", {"default"}
+                )
+                if parsed.arg in dbs:
+                    if parsed.kind == "create_db_if_not_exists":
+                        return None
+                    raise ValueError(
+                        f"database {parsed.arg!r} already exists"
+                    )
+                _os.makedirs(
+                    _os.path.join(self.warehouse, parsed.arg),
+                    exist_ok=True,
+                )
+                dbs.add(parsed.arg)
+                return None
+            if parsed.kind in ("drop_db", "drop_db_if_exists"):
+                import os as _os
+                import shutil as _shutil
+
+                dbs = self._databases = getattr(
+                    self, "_databases", {"default"}
+                )
+                if parsed.arg not in dbs or parsed.arg == "default":
+                    if parsed.kind == "drop_db_if_exists":
+                        return None
+                    raise ValueError(
+                        f"database {parsed.arg!r} does not exist"
+                    )
+                if getattr(self, "_txn", None) is not None:
+                    raise ValueError(
+                        "DROP DATABASE inside a transaction is not "
+                        "supported"
+                    )
+                # drop every table registered under this database
+                for tn, info in list(
+                    getattr(self, "_user_tables", {}).items()
+                ):
+                    if info.get("db") == parsed.arg:
+                        _shutil.rmtree(info["path"], ignore_errors=True)
+                        self.spark.catalog.dropTempView(tn)
+                        del self._user_tables[tn]
+                _shutil.rmtree(
+                    _os.path.join(self.warehouse, parsed.arg),
+                    ignore_errors=True,
+                )
+                dbs.discard(parsed.arg)
+                if getattr(self, "_current_db", "default") == parsed.arg:
+                    self._current_db = "default"
+                return None
+            if parsed.kind == "use_db":
+                dbs = getattr(self, "_databases", {"default"})
+                if parsed.arg not in dbs:
+                    raise ValueError(
+                        f"unknown database {parsed.arg!r}"
+                    )
+                self._current_db = parsed.arg
+                return None
+            if parsed.kind == "do_expr":
+                self.sql(
+                    f"SELECT ({parsed.arg}) AS v", dialect=dialect
+                ).collect()
+                return None
             if parsed.kind == "explain":
                 mode, _, sql_text = parsed.arg.partition("\x00")
                 return self.explain(sql_text, mode=mode or "formatted")
@@ -816,7 +885,12 @@ class Engine:
                 self, "_user_tables", {}
             ):
                 raise ValueError(f"table {parsed.name!r} already exists")
-            path = os.path.join(self.warehouse, parsed.name)
+            _db = getattr(self, "_current_db", "default")
+            path = (
+                os.path.join(self.warehouse, _db, parsed.name)
+                if _db != "default"
+                else os.path.join(self.warehouse, parsed.name)
+            )
             df = self.sql(parsed.select_sql, dialect=dialect)
             df.write.mode("errorifexists").parquet(path)
             self.attach_table(parsed.name, path)
@@ -851,7 +925,12 @@ class Engine:
                 f"{c.name} {c.dtype}" for c in parsed.columns
             )
             schema = self.spark.createDataFrame([], ddl).schema
-            path = os.path.join(self.warehouse, parsed.name)
+            _db = getattr(self, "_current_db", "default")
+            path = (
+                os.path.join(self.warehouse, _db, parsed.name)
+                if _db != "default"
+                else os.path.join(self.warehouse, parsed.name)
+            )
             if os.path.exists(path):
                 raise ValueError(f"table path already exists: {path}")
             self.spark.createDataFrame([], schema).repartition(1)\
@@ -883,6 +962,9 @@ class Engine:
                 add_check_constraint(path, cname, tsql(cexpr))
             self.attach_table(
                 parsed.name, path, keys=parsed.primary_key or None
+            )
+            self._user_tables[parsed.name]["db"] = getattr(
+                self, "_current_db", "default"
             )
             return 0
         if isinstance(parsed, st.Alter):

@@ -793,6 +793,33 @@ def parse(sql: str):
         )
 
     m = re.match(
+        r"CREATE\s+(DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)\s*;?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        kind = "create_db_if_not_exists" if m.group(2) else "create_db"
+        return Other(kind, _ident(m.group(3), store))
+
+    m = re.match(
+        r"DROP\s+(DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?(\S+)\s*;?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        kind = "drop_db_if_exists" if m.group(2) else "drop_db"
+        return Other(kind, _ident(m.group(3), store))
+
+    m = re.match(r"USE\s+(\S+)\s*;?\s*$", masked, re.IGNORECASE)
+    if m:
+        return Other("use_db", _ident(m.group(1), store))
+
+    m = re.match(r"DO\s+", masked, re.IGNORECASE)
+    if m:
+        # MariaDB DO expr: evaluate for side effects, discard result
+        return Other("do_expr", _unmask(rest_of(m), store))
+
+    m = re.match(
         r"CREATE\s+(?:UNIQUE\s+)?INDEX\s+\S+\s+ON\s+([^\s(]+)\s*\(",
         masked,
         re.IGNORECASE,

@@ -873,3 +873,35 @@ def test_ldi_parquet_and_files_view(engine_wh, tmp_path):
         "SELECT * FROM information_schema_files WHERE table_name = 'pq_t'"
     ).collect()
     assert fr and all(r.status == "Enabled" and r.bytes > 0 for r in fr)
+
+
+def test_databases_create_use_drop(engine_wh, tmp_path):
+    """CREATE/DROP DATABASE + USE (every MTR script's preamble) and DO:
+    databases are warehouse subdirectories; DROP DATABASE removes its
+    tables; table names stay globally unique (documented limitation)."""
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    eng.execute("CREATE DATABASE db1")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute("CREATE DATABASE db1")
+    eng.execute("CREATE DATABASE IF NOT EXISTS db1")
+    eng.execute("USE db1")
+    eng.execute("CREATE TABLE dbt (a BIGINT)")
+    eng.execute("INSERT INTO dbt (a) VALUES (1), (2)")
+    assert eng.execute("SELECT count(*) AS n FROM dbt").collect()[0].n == 2
+    # table materialized under the database directory
+    assert "db1" in eng._writable("dbt")["path"]
+    eng.execute("DO 1 + 1")
+    eng.execute("DROP DATABASE db1")
+    with pytest.raises(Exception):
+        eng.execute("SELECT count(*) FROM dbt").collect()
+    eng.execute("DROP DATABASE IF EXISTS db1")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.execute("DROP DATABASE db1")
+    # back on default; a fresh script-style round trip works
+    eng.execute("CREATE DATABASE db2")
+    eng.execute("USE db2")
+    eng.execute("CREATE TABLE dbt (a BIGINT)")
+    eng.execute("DROP DATABASE db2")
