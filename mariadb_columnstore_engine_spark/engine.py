@@ -267,14 +267,26 @@ class Engine:
 
     def run_script(self, script: str, *, dialect: str = "mariadb") -> list:
         """Execute a multi-statement script (mask-aware ``;`` split);
-        returns each statement's execute() result in order."""
+        returns each statement's execute() result in order.
+
+        SELECT results are MATERIALIZED at their point in the script
+        (collect + re-wrap), matching MariaDB's statement-at-a-time
+        streaming: a lazy DataFrame would re-read the table as of
+        whenever the caller finally collects — after any later DML
+        rewrote or dropped it (copy-on-write swaps the directory, so
+        the stale file list doesn't just read old data, it errors)."""
         from mariadb_columnstore_engine_spark.functions.sqltrans import (
             split_script,
         )
 
-        return [
-            self.execute(s, dialect=dialect) for s in split_script(script)
-        ]
+        out = []
+        for stmt_text in split_script(script):
+            r = self.execute(stmt_text, dialect=dialect)
+            if isinstance(r, DataFrame):
+                rows = r.collect()
+                r = self.spark.createDataFrame(rows, r.schema)
+            out.append(r)
+        return out
 
     def execute(self, stmt: str, *, dialect: str = "mariadb"):
         """Run ONE SQL statement of any supported kind.

@@ -905,3 +905,36 @@ def test_databases_create_use_drop(engine_wh, tmp_path):
     eng.execute("USE db2")
     eng.execute("CREATE TABLE dbt (a BIGINT)")
     eng.execute("DROP DATABASE db2")
+
+
+def test_mtr_style_script_end_to_end(engine_wh, tmp_path):
+    """A reference MTR script shape (mcs98/mcs82 style: database
+    preamble, ENGINE=Columnstore DDL, moda, multi-table UPDATE,
+    teardown) runs verbatim through run_script — the switching-user
+    contract."""
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    results = eng.run_script(
+        """
+        CREATE DATABASE IF NOT EXISTS mcs98_db;
+        USE mcs98_db;
+        CREATE TABLE t1 (t TINYINT, i INT, d1 DECIMAL(5,2)) ENGINE=Columnstore;
+        INSERT INTO t1 VALUES (NULL, -1000012898, 34.21),
+                              (12, -1000012899, 34.21),
+                              (12, -1000012898, 34.22),
+                              (13, NULL, NULL),
+                              (28, -2000012898, 134.22);
+        SELECT moda(t) AS m FROM t1;
+        CREATE TABLE t2 (t2_int INT, t2_char VARCHAR(20)) ENGINE=Columnstore;
+        INSERT INTO t2 VALUES (12, 'x'), (28, 'y');
+        UPDATE t1 JOIN t2 ON t1.t = t2.t2_int SET t1.i = 0;
+        SELECT count(*) AS z FROM t1 WHERE i = 0;
+        DROP DATABASE mcs98_db;
+        """
+    )
+    # moda(t): counts 12→2, 13→1, 28→1 → 12
+    assert results[4].collect()[0].m == 12.0
+    # UPDATE JOIN hit the three t∈{12,28} rows
+    assert results[8].collect()[0].z == 3
