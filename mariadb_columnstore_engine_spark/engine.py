@@ -635,6 +635,12 @@ class Engine:
                 f"scans: {trace.count('Scan parquet')}"
             )
         if _re_cal.fullmatch(
+            r"\s*SELECT\s+DATABASE\s*\(\s*\)\s*;?\s*",
+            stmt,
+            _re_cal.IGNORECASE,
+        ):
+            return getattr(self, "_current_db", "default")
+        if _re_cal.fullmatch(
             r"\s*SELECT\s+LAST_INSERT_ID\s*\(\s*\)\s*;?\s*",
             stmt,
             _re_cal.IGNORECASE,
@@ -787,6 +793,8 @@ class Engine:
                 if getattr(self, "_current_db", "default") == parsed.arg:
                     self._current_db = "default"
                 return None
+            if parsed.kind == "show_databases":
+                return sorted(getattr(self, "_databases", {"default"}))
             if parsed.kind == "use_db":
                 dbs = getattr(self, "_databases", {"default"})
                 if parsed.arg not in dbs:

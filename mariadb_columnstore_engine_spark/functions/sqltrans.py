@@ -791,6 +791,14 @@ def translate_statement(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     masked = re.sub(r"\bSTRAIGHT_JOIN\b", "JOIN", masked, flags=re.I)
+    # row-lock trailers: no row locks in a batch columnar engine (the
+    # reference likewise treats them as no-ops on ColumnStore tables)
+    masked = re.sub(
+        r"\s+(FOR\s+UPDATE|LOCK\s+IN\s+SHARE\s+MODE)\s*(;?\s*)$",
+        r"\2",
+        masked,
+        flags=re.IGNORECASE,
+    )
     masked = re.sub(
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", masked,
         flags=re.IGNORECASE,

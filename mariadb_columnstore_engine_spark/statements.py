@@ -810,6 +810,9 @@ def parse(sql: str):
         kind = "drop_db_if_exists" if m.group(2) else "drop_db"
         return Other(kind, _ident(m.group(3), store))
 
+    if re.fullmatch(r"SHOW\s+DATABASES\s*", masked, re.IGNORECASE):
+        return Other("show_databases", "")
+
     m = re.match(r"USE\s+(\S+)\s*;?\s*$", masked, re.IGNORECASE)
     if m:
         return Other("use_db", _ident(m.group(1), store))

@@ -938,3 +938,27 @@ def test_mtr_style_script_end_to_end(engine_wh, tmp_path):
     assert results[4].collect()[0].m == 12.0
     # UPDATE JOIN hit the three t∈{12,28} rows
     assert results[8].collect()[0].z == 3
+
+
+def test_show_databases_database_fn_and_lock_trailers(engine_wh, tmp_path):
+    import os
+
+    eng = engine_wh
+    os.makedirs(str(tmp_path / "wh"), exist_ok=True)
+    assert eng.execute("SELECT DATABASE()") == "default"
+    eng.execute("CREATE DATABASE locks_db")
+    eng.execute("USE locks_db")
+    assert eng.execute("SELECT DATABASE()") == "locks_db"
+    assert "locks_db" in eng.execute("SHOW DATABASES")
+    eng.execute("CREATE TABLE lt (a BIGINT)")
+    eng.execute("INSERT INTO lt (a) VALUES (1)")
+    # FOR UPDATE / LOCK IN SHARE MODE stripped (no row locks here)
+    assert (
+        eng.execute("SELECT a FROM lt WHERE a = 1 FOR UPDATE")
+        .collect()[0].a == 1
+    )
+    assert (
+        eng.execute("SELECT a FROM lt LOCK IN SHARE MODE").collect()[0].a
+        == 1
+    )
+    eng.execute("DROP DATABASE locks_db")
