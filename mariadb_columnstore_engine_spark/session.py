@@ -59,6 +59,14 @@ ENGINE_CONF: dict[str, str] = {
     # Turn full-precision decimal ops on (reference supports DECIMAL(38)
     # via int128, datatypes/mcs_int128.h:56).
     "spark.sql.decimalOperations.allowPrecisionLoss": "false",
+    # Long-lived sessions run thousands of statements; the SQL UI's
+    # default retention (1000 executions, each holding full plan strings
+    # and per-stage metrics) grows driver heap without bound and can OOM
+    # a small driver mid-run. Keep a short history only.
+    "spark.sql.ui.retainedExecutions": "50",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
+    "spark.ui.retainedTasks": "1000",
 }
 
 
@@ -93,6 +101,16 @@ def get_session(
     if master is None:
         master = f"local[{_default_parallelism()}]"
     builder = builder.master(master)
+    if master.startswith("local") and not (
+        extra_conf and "spark.driver.memory" in extra_conf
+    ):
+        # In local mode the driver JVM hosts every executor thread too;
+        # the 1g default dies on long test/bench runs. Launch-time conf —
+        # only effective on the first session of the process.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     builder = configure(builder, shuffle_partitions=shuffle_partitions)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
