@@ -241,3 +241,42 @@ def constant_select_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def constant_false(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     return t.region.where(F.lit(1) == 0).select("r_regionkey", "r_name")
+
+
+@query(
+    "filter_extent_minmax_pseudocols",
+    section="§2.1 PseudoColStep: idbExtentMin/idbExtentMax/idbExtentId "
+    "(ha_pseudocolumn.cpp:39-41; mcs211-213 MTR tests) — the BRM extent "
+    "map's casual-partitioning min/max surfaced as a relation, read from "
+    "parquet footers with NO data scan (sources/maintenance.extent_map).",
+    oracle="""
+    -- The fixture tables are written as one row group per file, so the
+    -- extent map has exactly one extent whose footer min/max must equal
+    -- the column's true min/max — which IS the invariant extent
+    -- elimination relies on (a wrong footer range silently breaks
+    -- pruning; this row would catch it).
+    SELECT 0 AS extent_id,
+           round(min(o_totalprice), 2) AS ext_min,
+           round(max(o_totalprice), 2) AS ext_max,
+           count(*) AS n_rows
+    FROM orders
+    """,
+)
+def extent_minmax_pseudocols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.sources.maintenance import (
+        extent_map,
+    )
+
+    stats = extent_map(spark, f"{sf_dir}/orders.parquet", ["o_totalprice"])
+    rows = [
+        (
+            int(e["row_group"]),
+            round(float(e["min"]), 2),
+            round(float(e["max"]), 2),
+            int(e["num_rows"]),
+        )
+        for e in stats
+    ]
+    return spark.createDataFrame(
+        rows, "extent_id int, ext_min double, ext_max double, n_rows bigint"
+    ).orderBy("extent_id")

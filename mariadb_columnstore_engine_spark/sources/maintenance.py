@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -351,3 +352,89 @@ def drop_partitions(spark: SparkSession, path: str,
     _write_evolution(path, evo)
     spark.catalog.clearCache()
     return len(partitions)
+
+
+# ---------------------------------------------------------------------------
+# Extent elimination (TupleBPS casual partitioning: tuple-bps.cpp:507-508
+# consults the BRM extent map's per-extent min/max to skip extents whose
+# range cannot satisfy the pushed predicate, before any block is read).
+# The file analogue: select data files by footer stats, then build the
+# scan over the survivors only. Spark's parquet reader already does the
+# in-scan complement (row-group skipping from the same footer stats via
+# pushed filters); this explicit pass removes files from the plan
+# entirely — fewer scan tasks, fewer footer opens on the executors.
+#
+# Scale note: the footer pass is a DRIVER-side metadata read, O(files).
+# That mirrors BRM (the extent map is centralized metadata, not data),
+# but at 100 TB the map should be computed once and persisted —
+# extent_map()'s output is exactly that relation; pass it in via
+# `stats` to skip re-reading footers.
+
+
+def extent_eliminate(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    stats: list[dict] | None = None,
+) -> tuple[list[str], list[str]]:
+    """Partition the table's live data files into (kept, skipped) for the
+    predicate ``lo <= column <= hi`` (either bound may be None) using
+    footer min/max only. A file with no stats for the column is always
+    kept (cannot prove it irrelevant — same conservative rule as the
+    reference's invalid casual-partitioning ranges)."""
+    import os
+
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        _evolution,
+        _live_data_files,
+    )
+
+    disabled = set(_evolution(path).get("disabled_partitions", []))
+    live = _live_data_files(path, disabled)
+    if stats is None:
+        stats = extent_map(spark, path, [column])
+    # file-level range = union of its row-group ranges; any None → unknown
+    ranges: dict[str, tuple] = {}
+    for e in stats:
+        if e["column"] != column:
+            continue
+        mn, mx = ranges.get(e["file"], (e["min"], e["max"]))
+        if e["min"] is None or e["max"] is None or mn is None or mx is None:
+            ranges[e["file"]] = (None, None)
+        else:
+            ranges[e["file"]] = (min(mn, e["min"]), max(mx, e["max"]))
+    kept, skipped = [], []
+    for f in live:
+        mn, mx = ranges.get(os.path.basename(f), (None, None))
+        dead = (
+            mn is not None
+            and mx is not None
+            and ((lo is not None and mx < lo) or (hi is not None and mn > hi))
+        )
+        (skipped if dead else kept).append(f)
+    return kept, skipped
+
+
+def scan_extent_eliminated(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    stats: list[dict] | None = None,
+) -> DataFrame:
+    """Scan with explicit extent elimination: read only the files whose
+    footer range can overlap ``[lo, hi]``, then apply the residual
+    predicate (footer ranges are necessary, not sufficient). Equivalent
+    to ``read + filter`` by construction; cheaper by len(skipped) scan
+    tasks."""
+    kept, _skipped = extent_eliminate(spark, path, column, lo, hi, stats)
+    df = spark.read.parquet(*kept)
+    c = F.col(column)
+    if lo is not None:
+        df = df.where(c >= F.lit(lo))
+    if hi is not None:
+        df = df.where(c <= F.lit(hi))
+    return df
