@@ -640,6 +640,33 @@ class Engine:
             _re_cal.IGNORECASE,
         ):
             return getattr(self, "_current_db", "default")
+        sm_ = _re_cal.fullmatch(
+            r"\s*SELECT\s+(USER|SESSION_USER|SYSTEM_USER|CURRENT_USER|"
+            r"CONNECTION_ID|VERSION|SCHEMA)\s*(?:\(\s*\))?\s*;?\s*",
+            stmt,
+            _re_cal.IGNORECASE,
+        )
+        if sm_:
+            # session information functions (mcs170_session_functions
+            # .test): USER == SESSION_USER == SYSTEM_USER ==
+            # CURRENT_USER here (no proxy users in a single-user
+            # engine); CONNECTION_ID is stable for this Engine's
+            # lifetime; SCHEMA is the DATABASE alias
+            name = sm_.group(1).upper()
+            if name in ("USER", "SESSION_USER", "SYSTEM_USER",
+                        "CURRENT_USER"):
+                return (
+                    f"{self.spark.sparkContext.sparkUser()}@localhost"
+                )
+            if name == "CONNECTION_ID":
+                import os
+
+                return os.getpid()
+            if name == "VERSION":
+                from mariadb_columnstore_engine_spark import __version__
+
+                return f"11.4.0-mcs-spark-{__version__}"
+            return getattr(self, "_current_db", "default")  # SCHEMA
         if _re_cal.fullmatch(
             r"\s*SELECT\s+LAST_INSERT_ID\s*\(\s*\)\s*;?\s*",
             stmt,

@@ -334,6 +334,18 @@ _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
         " lpad(cast(cast(({0}) % 60 as bigint) as string), 2, '0'))",
     ),
     ("TO_DAYS", 1, "(datediff({0}, DATE'1970-01-01') + 719528)"),
+    # TO_SECONDS (mcs250): seconds since year 0 = TO_DAYS * 86400 +
+    # seconds-of-day; bigint before the multiply (day count ~7.4e5
+    # overflows int32 at the 86400 scale)
+    (
+        "TO_SECONDS",
+        1,
+        "(cast(datediff(cast({0} as date), DATE'1970-01-01') + 719528"
+        " as bigint) * 86400"
+        " + hour(cast({0} as timestamp)) * 3600"
+        " + minute(cast({0} as timestamp)) * 60"
+        " + second(cast({0} as timestamp)))",
+    ),
     (
         "FROM_DAYS",
         1,
@@ -801,6 +813,15 @@ def translate_statement(sql: str) -> str:
     )
     masked = re.sub(
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", masked,
+        flags=re.IGNORECASE,
+    )
+    # ODBC-style unit spellings: TIMESTAMPADD(SQL_TSI_MINUTE, ...) —
+    # MariaDB accepts both; Spark's native timestampadd/timestampdiff
+    # take the bare unit keyword (mcs277_timestampadd_function.test)
+    masked = re.sub(
+        r"\bSQL_TSI_(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)\b",
+        r"\1",
+        masked,
         flags=re.IGNORECASE,
     )
     masked = _rewrite_with_rollup(masked, store)

@@ -89,9 +89,109 @@ def char_ratio_udf(col: Column | str) -> Column:
     return _char_ratio()(col)
 
 
+def _compress():
+    if "compress" not in _CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("binary")
+        def compress_impl(s: pd.Series) -> pd.Series:
+            # MariaDB COMPRESS (mcs268_compress_function.test): empty
+            # string -> empty; else 4-byte little-endian uncompressed
+            # length + zlib stream; a '.' is appended when the stream
+            # ends in a space so trailing-space-stripping storage can't
+            # corrupt it (MariaDB item_strfunc.cc documented format).
+            import zlib
+
+            def one(x):
+                if x is None:
+                    return None
+                b = x.encode() if isinstance(x, str) else bytes(x)
+                if not b:
+                    return b""
+                z = len(b).to_bytes(4, "little") + zlib.compress(b)
+                return z + b"." if z.endswith(b" ") else z
+
+            return s.map(one)
+
+        _CACHE["compress"] = compress_impl
+    return _CACHE["compress"]
+
+
+def _uncompress():
+    if "uncompress" not in _CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def uncompress_impl(b: pd.Series) -> pd.Series:
+            import zlib
+
+            def one(x):
+                if x is None:
+                    return None
+                if len(x) == 0:
+                    return ""
+                if len(x) <= 4:
+                    return None  # not a COMPRESS value (MariaDB: NULL)
+                try:
+                    # decompressobj tolerates the trailing '.' sentinel
+                    return (
+                        zlib.decompressobj()
+                        .decompress(bytes(x[4:]))
+                        .decode()
+                    )
+                except zlib.error:
+                    return None
+
+            return b.map(one)
+
+        _CACHE["uncompress"] = uncompress_impl
+    return _CACHE["uncompress"]
+
+
+def _uncompressed_length():
+    if "uncompressed_length" not in _CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def uncompressed_length_impl(b: pd.Series) -> pd.Series:
+            def one(x):
+                if x is None:
+                    return None
+                if len(x) == 0:
+                    return 0
+                return int.from_bytes(bytes(x[:4]), "little")
+
+            return b.map(one)
+
+        _CACHE["uncompressed_length"] = uncompressed_length_impl
+    return _CACHE["uncompressed_length"]
+
+
+def compress_udf(col: Column | str) -> Column:
+    """COMPRESS(s) -> binary (mcs268; 4-byte LE length + zlib). A pandas
+    UDF because Spark SQL has no zlib expression; Arrow-batched, and the
+    payload column stays binary end to end."""
+    return _compress()(col)
+
+
+def uncompress_udf(col: Column | str) -> Column:
+    """UNCOMPRESS(b) -> string; NULL for values COMPRESS didn't produce
+    (mcs269 semantics)."""
+    return _uncompress()(col)
+
+
+def uncompressed_length_udf(col: Column | str) -> Column:
+    """UNCOMPRESSED_LENGTH(b) -> bigint from the 4-byte header, no
+    decompression (mcs270)."""
+    return _uncompressed_length()(col)
+
+
 def register_all(spark: SparkSession) -> None:
     """Expose the UDFs to spark.sql (≈ CREATE FUNCTION in the reference,
     dbcon/mysql/ha_mcs_udf.cpp)."""
     spark.udf.register("engine_median", _median())
     spark.udf.register("engine_char_ratio", _char_ratio())
     spark.udf.register("moda", _moda())
+    spark.udf.register("compress", _compress())
+    spark.udf.register("uncompress", _uncompress())
+    spark.udf.register("uncompressed_length", _uncompressed_length())

@@ -514,3 +514,72 @@ def test_mid_ord_makeset_char_vectors(spark):
     assert got.ch.startswith("MM")  # 77.3 rounds per char() cast
     assert got.chn == "MN"  # NULL arg skipped
     assert got.castok == "x"
+
+
+def test_to_seconds_and_sql_tsi_units(spark):
+    """mcs250_to_seconds_function / mcs277_timestampadd_function:
+    TO_SECONDS MariaDB doc vectors; ODBC SQL_TSI_ unit spellings map to
+    Spark's bare unit keywords (literals stay mask-protected)."""
+    got = spark.sql(
+        translate_statement(
+            "SELECT TO_SECONDS(TIMESTAMP '2009-11-29 13:43:32') AS ts1,"
+            " TO_SECONDS(DATE '2009-11-29') AS ts2,"
+            " TO_SECONDS('2009-11-29') AS ts3,"
+            " TIMESTAMPADD(SQL_TSI_MINUTE, 1,"
+            "  TIMESTAMP '2003-01-02 00:00:00') AS ta,"
+            " TIMESTAMPDIFF(SQL_TSI_MONTH, DATE '2002-05-01',"
+            "  DATE '2001-01-01') AS tdm,"
+            " 'keep SQL_TSI_HOUR literal' AS lit"
+        )
+    ).collect()[0]
+    assert got.ts1 == 63426721412
+    assert got.ts2 == 63426672000
+    assert got.ts3 == 63426672000
+    assert str(got.ta) == "2003-01-02 00:01:00"
+    assert got.tdm == -16
+    assert got.lit == "keep SQL_TSI_HOUR literal"
+
+
+def test_compress_family_round_trip(spark):
+    """mcs268-270: COMPRESS 4-byte LE header + zlib; UNCOMPRESS inverts
+    it and returns NULL on non-COMPRESS input; UNCOMPRESSED_LENGTH reads
+    the header without decompressing."""
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.functions import udf as U
+
+    df = spark.createDataFrame(
+        [("a" * 1000,), ("short",), ("",), (None,)], "s string"
+    )
+    got = df.select(
+        U.compress_udf("s").alias("c"),
+        F.length("s").alias("n"),
+    ).select(
+        U.uncompress_udf("c").alias("back"),
+        U.uncompressed_length_udf("c").alias("ulen"),
+        F.length("c").alias("clen"),
+        "n",
+    ).collect()
+    by_n = {r.n: r for r in got}
+    assert by_n[1000].back == "a" * 1000 and by_n[1000].ulen == 1000
+    assert by_n[1000].clen < 1000  # actually compressed
+    assert by_n[5].back == "short" and by_n[5].ulen == 5
+    assert by_n[0].back == "" and by_n[0].ulen == 0 and by_n[0].clen == 0
+    none_row = [r for r in got if r.n is None][0]
+    assert none_row.back is None and none_row.ulen is None
+    # garbage input -> NULL, not an error (MariaDB returns NULL)
+    bad = spark.createDataFrame([(b"\x05\x00\x00\x00junk",)], "b binary")
+    assert bad.select(U.uncompress_udf("b").alias("u")).collect()[0].u is None
+
+
+def test_session_functions_routed(engine_with_table):
+    eng = engine_with_table
+    assert eng.execute("SELECT VERSION()").startswith("11.4.0-mcs-spark")
+    assert eng.execute("SELECT USER()").endswith("@localhost")
+    assert eng.execute("SELECT CURRENT_USER") == eng.execute(
+        "SELECT SESSION_USER()"
+    )
+    assert isinstance(eng.execute("SELECT CONNECTION_ID()"), int)
+    assert eng.execute("SELECT SCHEMA()") == eng.execute(
+        "SELECT DATABASE()"
+    )
