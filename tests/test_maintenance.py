@@ -233,3 +233,30 @@ def test_extent_eliminate_respects_disabled_partitions(spark, tmp_path):
         assert files[0] not in {os.path.basename(f) for f in kept + skipped}
     finally:
         maintenance.enable_partitions(dest, [files[0]])
+
+
+def test_extent_eliminate_string_keys(spark, tmp_path):
+    """ctype_extent_*.test / mcol4580-dictionary-extent-elimination:
+    extent elimination on a STRING column — footer min/max are byte
+    strings, comparable with the same BINARY ordering Spark uses for
+    utf8mb4_bin predicates."""
+    dest = str(tmp_path / "strext")
+    df = spark.range(0, 26_000).select(
+        F.concat(
+            F.chr(F.lit(65) + (F.col("id") / 1000).cast("int")),
+            F.lpad(F.col("id").cast("string"), 6, "0"),
+        ).alias("name"),
+        F.col("id").alias("v"),
+    )
+    df.repartitionByRange(13, "name").write.parquet(dest)
+    kept, skipped = maintenance.extent_eliminate(
+        spark, dest, "name", lo="M", hi="N￿"
+    )
+    assert skipped and len(kept) <= 2
+    got = maintenance.scan_extent_eliminated(
+        spark, dest, "name", lo="M", hi="N￿"
+    )
+    full = spark.read.parquet(dest).where(
+        (F.col("name") >= "M") & (F.col("name") <= "N￿")
+    )
+    assert got.count() == full.count() == 2_000

@@ -962,3 +962,30 @@ def test_show_databases_database_fn_and_lock_trailers(engine_wh, tmp_path):
         == 1
     )
     eng.execute("DROP DATABASE locks_db")
+
+
+def test_wide_table_600_columns(engine_wh):
+    """mcs230_wide_table_600columns: DDL/INSERT/projection/DML survive a
+    600-column table (the reference caps at 4096 with dictionary
+    overhead per string column; here the pressure point is Catalyst
+    analysis and codegen width — projection must prune to the selected
+    columns, not materialize all 600)."""
+    eng = engine_wh
+    cols = ", ".join(f"c{i} INT" for i in range(600))
+    eng.execute(f"CREATE TABLE wide ({cols})")
+    vals = ", ".join(str(i) for i in range(600))
+    eng.execute(f"INSERT INTO wide VALUES ({vals})")
+    eng.execute(
+        "INSERT INTO wide (c0, c1, c599) VALUES (1000, 1001, 1599)"
+    )
+    df = eng.execute("SELECT c0, c299, c599 FROM wide")
+    assert df.columns == ["c0", "c299", "c599"]
+    rows = {r.c0: r for r in df.collect()}
+    assert (rows[0].c299, rows[0].c599) == (299, 599)
+    assert (rows[1000].c299, rows[1000].c599) == (None, 1599)
+    # engine DML convention: returns the table's post-statement row count
+    assert eng.execute("UPDATE wide SET c299 = -1 WHERE c0 = 1000") == 2
+    got = eng.execute(
+        "SELECT c299 FROM wide WHERE c0 = 1000"
+    ).collect()[0]
+    assert got.c299 == -1
