@@ -838,6 +838,39 @@ class Engine:
             if parsed.kind == "explain":
                 mode, _, sql_text = parsed.arg.partition("\x00")
                 return self.explain(sql_text, mode=mode or "formatted")
+            if parsed.kind == "create_function":
+                name, params, rettype, body = parsed.arg.split("\x01")
+                # the body runs through the same dialect pass as any
+                # statement (MariaDB functions inside stored functions)
+                import re as _re_fn
+
+                body_sql = _re_fn.sub(
+                    r"^SELECT\s+", "", tsql(f"SELECT {body}"), count=1,
+                    flags=_re_fn.IGNORECASE,
+                )
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {name} "
+                    f"({params}) RETURNS {rettype} RETURN {body_sql}"
+                )
+                funcs = getattr(self, "_sql_functions", set())
+                funcs.add(name.lower())
+                self._sql_functions = funcs
+                return None
+            if parsed.kind in (
+                "drop_function", "drop_function_if_exists"
+            ):
+                funcs = getattr(self, "_sql_functions", set())
+                if parsed.arg.lower() not in funcs:
+                    if parsed.kind == "drop_function":
+                        raise ValueError(
+                            f"unknown function {parsed.arg!r}"
+                        )
+                    return None
+                self.spark.sql(
+                    f"DROP TEMPORARY FUNCTION {parsed.arg}"
+                )
+                funcs.discard(parsed.arg.lower())
+                return None
             if parsed.kind == "index_noop":
                 # index DDL accepted, nothing stored (mcs73: parquet
                 # row-group min/max is the extent-map index analogue)

@@ -822,6 +822,70 @@ def parse(sql: str):
         # MariaDB DO expr: evaluate for side effects, discard result
         return Other("do_expr", _unmask(rest_of(m), store))
 
+    if re.match(
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\b", masked, re.IGNORECASE
+    ) and re.search(r"\bBEGIN\b", masked, re.IGNORECASE):
+        # mcs16: procedural BEGIN..END bodies are refused, not
+        # mistranslated — only single-expression RETURN is supported
+        raise ValueError(
+            "only single-expression RETURN function bodies are "
+            "supported (procedural BEGIN..END is not)"
+        )
+    m = re.match(
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([^\s(]+)\s*\(([^)]*)\)\s*RETURNS\s+"
+        r"(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s+UNSIGNED)?)"
+        r"((?:\s+(?:NOT\s+)?DETERMINISTIC|\s+NO\s+SQL|\s+CONTAINS\s+SQL"
+        r"|\s+READS\s+SQL\s+DATA|\s+LANGUAGE\s+SQL|\s+COMMENT\s+\S+)*)"
+        r"\s+RETURN\s+(.+?)\s*;?\s*$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # mcs16_functions_define_call_drop: stored SQL functions with a
+        # single RETURN expression become Spark SQL UDFs (analyzed and
+        # inlined by Catalyst — no per-row interpretation). Procedural
+        # BEGIN..END bodies are refused, not mistranslated.
+        body = _unmask(m.group(5), store).strip()
+        if re.match(r"BEGIN\b", body, re.IGNORECASE):
+            raise ValueError(
+                "only single-expression RETURN function bodies are "
+                "supported (procedural BEGIN..END is not)"
+            )
+        params = []
+        for p in _split_top_level_commas(m.group(2)):
+            if not p.strip():
+                continue
+            pm = re.match(r"\s*(\S+)\s+(.+?)\s*$", p)
+            if not pm:
+                raise ValueError(f"bad function parameter: {p!r}")
+            params.append(
+                f"{_ident(pm.group(1), store)} "
+                f"{_map_column_type(pm.group(2))}"
+            )
+        return Other(
+            "create_function",
+            "\x01".join(
+                [
+                    _ident(m.group(1), store),
+                    ", ".join(params),
+                    _map_column_type(m.group(3)),
+                    body,
+                ]
+            ),
+        )
+
+    m = re.match(
+        r"DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([^\s(;]+)\s*;?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        kind = (
+            "drop_function_if_exists" if m.group(1) else "drop_function"
+        )
+        return Other(kind, _ident(m.group(2), store))
+
     m = re.match(
         r"CREATE\s+(?:UNIQUE\s+)?INDEX\s+\S+\s+ON\s+([^\s(]+)\s*\(",
         masked,

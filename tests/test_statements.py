@@ -989,3 +989,45 @@ def test_wide_table_600_columns(engine_wh):
         "SELECT c299 FROM wide WHERE c0 = 1000"
     ).collect()[0]
     assert got.c299 == -1
+
+
+def test_stored_sql_functions_define_call_drop(engine_wh):
+    """mcs16_functions_define_call_drop: CREATE FUNCTION with a single
+    RETURN expression becomes a Spark SQL UDF (inlined by Catalyst); the
+    body runs through the MariaDB dialect pass; DROP removes it;
+    procedural bodies are refused."""
+    import pytest
+
+    eng = engine_wh
+    eng.execute(
+        "CREATE FUNCTION add_tax (price DOUBLE, rate DOUBLE) "
+        "RETURNS DOUBLE DETERMINISTIC RETURN price * (1 + rate)"
+    )
+    got = eng.execute("SELECT add_tax(100.0, 0.2) AS v").collect()[0]
+    assert abs(got.v - 120.0) < 1e-9
+    # dialect-translated body (TO_DAYS is MariaDB-only spelling)
+    eng.execute(
+        "CREATE FUNCTION order_day (d DATE) RETURNS BIGINT "
+        "RETURN TO_DAYS(d)"
+    )
+    row = eng.execute(
+        "SELECT order_day(DATE '2007-10-07') AS v"
+    ).collect()[0]
+    assert row.v == 733321
+    # usable over tables, composed with other functions
+    n = eng.execute(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE add_tax(o_totalprice, 0.1) > o_totalprice"
+    ).collect()[0].n
+    assert n > 0
+    eng.execute("DROP FUNCTION add_tax")
+    with pytest.raises(Exception):
+        eng.execute("SELECT add_tax(1.0, 1.0) AS v").collect()
+    with pytest.raises(ValueError, match="unknown function"):
+        eng.execute("DROP FUNCTION add_tax")
+    eng.execute("DROP FUNCTION IF EXISTS add_tax")  # no error
+    with pytest.raises(ValueError, match="BEGIN"):
+        eng.execute(
+            "CREATE FUNCTION f2 (x INT) RETURNS INT "
+            "BEGIN RETURN x; END"
+        )
