@@ -1870,3 +1870,44 @@ def op_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_retailprice", 2).alias("price"),
         F.col("p_size").cast("long").alias("psize"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "sql_stored_function_pushdown",
+    section="front-end: stored SQL functions "
+    "(mcs16_functions_define_call_drop) — CREATE FUNCTION .. RETURN "
+    "expr through the statement router becomes a Catalyst-inlined SQL "
+    "UDF, then drives a filtered aggregate; the oracle recomputes the "
+    "body inline (TO_SECONDS included, so the function body also "
+    "exercises the dialect pass).",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(min((EXTRACT(EPOCH FROM CAST(o_orderdate AS TIMESTAMP))
+                     / 86400 + 719528) * 86400) AS BIGINT) AS min_secs
+    FROM orders
+    WHERE o_totalprice * 1.1 > 150000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_stored_function_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.execute(
+        "CREATE FUNCTION gate_tax (p DOUBLE) RETURNS DOUBLE "
+        "DETERMINISTIC RETURN p * 1.1"
+    )
+    eng.execute(
+        "CREATE FUNCTION gate_day_secs (d DATE) RETURNS BIGINT "
+        "DETERMINISTIC RETURN TO_SECONDS(d)"
+    )
+    return eng.execute(
+        "SELECT o_orderpriority, count(*) AS n, "
+        "CAST(min(gate_day_secs(o_orderdate)) AS SIGNED) AS min_secs "
+        "FROM orders WHERE gate_tax(o_totalprice) > 150000 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
