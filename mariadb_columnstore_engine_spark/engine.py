@@ -598,8 +598,8 @@ class Engine:
             return out
 
         um = _re_cal.match(
-            r"\s*SELECT\s+(calgetversion|mcssystemready|calgettrace|"
-            r"calgetstats)\s*\(\s*\)\s*;?\s*$",
+            r"\s*SELECT\s+(calgetversion|mcssystemready|mcssystemreadonly|"
+            r"calgettrace|calgetstats)\s*\(\s*\)\s*;?\s*$",
             stmt,
             _re_cal.IGNORECASE,
         )
@@ -614,6 +614,12 @@ class Engine:
                     f"mcs-spark {__version__} "
                     f"(Spark {self.spark.version})"
                 )
+            if name == "mcssystemreadonly":
+                # mcs207_utility_functions: 0 = writable, 1 = read-only,
+                # 2 = read-only because a PM is down. This engine has no
+                # degraded-PM state; DML availability is per-table
+                # (attached vs fixture), so system-wide it is writable.
+                return 0
             if name == "mcssystemready":
                 try:
                     self.spark.sql("SELECT 1").collect()

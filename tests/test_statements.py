@@ -752,6 +752,8 @@ def test_client_udfs_and_table_status(engine_with_table):
     v = eng.execute("SELECT calgetversion()")
     assert "mcs-spark" in v and "Spark" in v
     assert eng.execute("SELECT mcssystemready()") == 1
+    # mcs207: 0 = writable (no degraded-PM read-only state here)
+    assert eng.execute("SELECT mcsSystemReadOnly()") == 0
     # trace off → helpful message; on → formatted plan of the last query
     assert "calsettrace" in eng.execute("SELECT calgettrace()")
     assert eng.execute("SELECT calsettrace(1)") == 1
