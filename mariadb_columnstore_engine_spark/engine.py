@@ -22,6 +22,20 @@ from mariadb_columnstore_engine_spark.catalog import TABLES, Catalog
 from mariadb_columnstore_engine_spark.functions.udf import register_all
 from mariadb_columnstore_engine_spark.session import get_session
 
+# Stored-SQL-function bookkeeping, keyed on the SparkSession: the
+# TEMPORARY FUNCTIONs themselves live on the shared session, so their
+# registry must too — two Engines over one session see the same set
+# (and a builtin name never false-positives as a user function).
+import weakref
+
+_SQL_FUNCTIONS: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_sql_functions(spark: SparkSession) -> set[str]:
+    return _SQL_FUNCTIONS.setdefault(spark, set())
+
 
 class Engine:
     """SQL + DataFrame entry point over a directory of parquet tables."""
@@ -265,7 +279,18 @@ class Engine:
             "table_name string, file string, bytes bigint, status string",
         ).createOrReplaceTempView("information_schema_files")
 
-    def run_script(self, script: str, *, dialect: str = "mariadb") -> list:
+    #: run_script refuses to materialize a SELECT bigger than this on
+    #: the driver (MTR-style scripts SELECT small result sets; a stray
+    #: `SELECT * FROM lineitem` at sf1+ would OOM the driver silently).
+    script_select_row_cap: int = 1_000_000
+
+    def run_script(
+        self,
+        script: str,
+        *,
+        dialect: str = "mariadb",
+        materialize: bool = True,
+    ) -> list:
         """Execute a multi-statement script (mask-aware ``;`` split);
         returns each statement's execute() result in order.
 
@@ -274,16 +299,31 @@ class Engine:
         streaming: a lazy DataFrame would re-read the table as of
         whenever the caller finally collects — after any later DML
         rewrote or dropped it (copy-on-write swaps the directory, so
-        the stale file list doesn't just read old data, it errors)."""
+        the stale file list doesn't just read old data, it errors).
+
+        Driver-memory guard: a SELECT whose result exceeds
+        ``script_select_row_cap`` rows raises instead of collecting
+        (the cap is checked with ``limit(cap+1)``, never a full
+        collect). Pass ``materialize=False`` as the documented escape
+        hatch for read-only scripts — results stay lazy DataFrames and
+        scale to any size, at the cost of statement-time snapshot
+        semantics when a later statement mutates the same table."""
         from mariadb_columnstore_engine_spark.functions.sqltrans import (
             split_script,
         )
 
+        cap = self.script_select_row_cap
         out = []
         for stmt_text in split_script(script):
             r = self.execute(stmt_text, dialect=dialect)
-            if isinstance(r, DataFrame):
-                rows = r.collect()
+            if isinstance(r, DataFrame) and materialize:
+                rows = r.limit(cap + 1).collect()
+                if len(rows) > cap:
+                    raise ValueError(
+                        f"script SELECT exceeds {cap} rows; raise "
+                        "Engine.script_select_row_cap or pass "
+                        "materialize=False for lazy results"
+                    )
                 r = self.spark.createDataFrame(rows, r.schema)
             out.append(r)
         return out
@@ -845,7 +885,20 @@ class Engine:
                 mode, _, sql_text = parsed.arg.partition("\x00")
                 return self.explain(sql_text, mode=mode or "formatted")
             if parsed.kind == "create_function":
-                name, params, rettype, body = parsed.arg.split("\x01")
+                name, params, rettype, body, mode = parsed.arg.split(
+                    "\x01"
+                )
+                funcs = _session_sql_functions(self.spark)
+                if name.lower() in funcs:
+                    # MariaDB: ER_SP_ALREADY_EXISTS unless OR REPLACE /
+                    # IF NOT EXISTS was given
+                    if mode == "ifnotexists":
+                        return None
+                    if mode != "replace":
+                        raise ValueError(
+                            f"function {name!r} already exists "
+                            "(use OR REPLACE or IF NOT EXISTS)"
+                        )
                 # the body runs through the same dialect pass as any
                 # statement (MariaDB functions inside stored functions)
                 import re as _re_fn
@@ -858,14 +911,15 @@ class Engine:
                     f"CREATE OR REPLACE TEMPORARY FUNCTION {name} "
                     f"({params}) RETURNS {rettype} RETURN {body_sql}"
                 )
-                funcs = getattr(self, "_sql_functions", set())
                 funcs.add(name.lower())
-                self._sql_functions = funcs
                 return None
             if parsed.kind in (
                 "drop_function", "drop_function_if_exists"
             ):
-                funcs = getattr(self, "_sql_functions", set())
+                # bookkeeping lives on the shared SparkSession (the
+                # temporary function does too), so a second Engine on
+                # the same session can DROP what the first created
+                funcs = _session_sql_functions(self.spark)
                 if parsed.arg.lower() not in funcs:
                     if parsed.kind == "drop_function":
                         raise ValueError(

@@ -222,6 +222,22 @@ def json_compact(col: Column | str) -> Column:
     )
 
 
+# A position is OUTSIDE every string literal iff the remainder of the
+# document parses as (non-quote chars | complete string literals)* —
+# valid for well-formed JSON, where quotes always pair up.
+_OUTSIDE_STRINGS = '(?=(?:[^"]|"(?:[^"\\\\]|\\\\.)*")*$)'
+
+
+def json_loose(col: Column | str) -> Column:
+    """JSON_LOOSE (func_json_format.cpp JSON_FORMAT loose mode — the
+    one funcexp spelling previously missing here): normalize to compact
+    then add one space after every ':' and ',' that sits outside string
+    literals, MariaDB's documented readable single-line form."""
+    s = json_compact(col)
+    s = F.regexp_replace(s, "," + _OUTSIDE_STRINGS, ", ")
+    return F.regexp_replace(s, ":" + _OUTSIDE_STRINGS, ": ")
+
+
 def json_path_ext(col: Column | str, path: str) -> Column:
     """MariaDB 10.9 JSON path EXTENSIONS on a LITERAL path: negative
     array indices ``$.a[-2]``, ``[last]`` / ``[last-N]``, and range

@@ -334,17 +334,17 @@ _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
         " lpad(cast(cast(({0}) % 60 as bigint) as string), 2, '0'))",
     ),
     ("TO_DAYS", 1, "(datediff({0}, DATE'1970-01-01') + 719528)"),
-    # TO_SECONDS (mcs250): seconds since year 0 = TO_DAYS * 86400 +
-    # seconds-of-day; bigint before the multiply (day count ~7.4e5
-    # overflows int32 at the 86400 scale)
+    # TO_SECONDS (mcs250): seconds since year 0 = unix epoch seconds +
+    # 719528 days * 86400 (= 62167219200). The argument is bound exactly
+    # ONCE: the session runs UTC (session.py), so unix_timestamp round-
+    # trips the wall-clock value and an expensive or non-deterministic
+    # argument (TO_SECONDS(NOW()) near midnight) can't mix date and time
+    # from different evaluations.
     (
         "TO_SECONDS",
         1,
-        "(cast(datediff(cast({0} as date), DATE'1970-01-01') + 719528"
-        " as bigint) * 86400"
-        " + hour(cast({0} as timestamp)) * 3600"
-        " + minute(cast({0} as timestamp)) * 60"
-        " + second(cast({0} as timestamp)))",
+        "(cast(floor(unix_timestamp(cast({0} as timestamp))) as bigint)"
+        " + 62167219200)",
     ),
     (
         "FROM_DAYS",
@@ -749,11 +749,33 @@ def _rewrite_cast_targets(masked: str, store: list[str]) -> str:
             open_at = masked.index("(", m.start())
             end = _find_balanced(masked, open_at)
             args = _split_top_level_commas(masked[open_at + 1 : end - 1])
-            if len(args) != 2:
-                raise ValueError(
-                    "CONVERT expects 2 arguments (the USING charset form "
-                    "has no Spark translation)"
+            if len(args) == 1:
+                # CONVERT(expr USING charset): every Spark string is
+                # UTF-8, so a charset transcode is a documented no-op
+                # cast-to-string (binary target keeps bytes)
+                um = re.match(
+                    r"(.+)\s+USING\s+(\w+)\s*$",
+                    args[0].strip(),
+                    re.IGNORECASE | re.DOTALL,
                 )
+                if not um:
+                    raise ValueError("CONVERT expects 2 arguments")
+                cs = um.group(2).lower()
+                if cs not in (
+                    "utf8", "utf8mb3", "utf8mb4", "latin1", "ascii",
+                    "ucs2", "utf16", "utf32", "binary",
+                ):
+                    raise ValueError(
+                        f"CONVERT USING: unknown charset {cs!r}"
+                    )
+                target = "BINARY" if cs == "binary" else "STRING"
+                out.append(masked[i : m.start()])
+                out.append(f"CAST({um.group(1).strip()} AS {target})")
+                changed = True
+                i = end
+                continue
+            if len(args) != 2:
+                raise ValueError("CONVERT expects 1 or 2 arguments")
             t = args[1].strip().upper()
             expr = args[0].strip()
             out.append(masked[i : m.start()])
@@ -785,6 +807,206 @@ def _rewrite_cast_targets(masked: str, store: list[str]) -> str:
             i = end
         masked = "".join(out)
     return masked
+
+
+_JT_TYPES: tuple[tuple[str, str], ...] = (
+    # MariaDB COLUMNS type → Spark cast target (JSON scalars only)
+    (r"(TINYINT|SMALLINT|MEDIUMINT|INT|INTEGER)(\s*\(\d+\))?"
+     r"(\s+UNSIGNED)?", "INT"),
+    (r"BIGINT(\s*\(\d+\))?(\s+UNSIGNED)?", "BIGINT"),
+    (r"DECIMAL(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?", None),  # keep as-is
+    (r"(DOUBLE|REAL|FLOAT)(\s+PRECISION)?", "DOUBLE"),
+    (r"(VARCHAR|CHAR)\s*\(\s*\d+\s*\)", "STRING"),
+    (r"(TINY|MEDIUM|LONG)?TEXT", "STRING"),
+    (r"JSON", "STRING"),
+    (r"DATETIME(\s*\(\d+\))?|TIMESTAMP(\s*\(\d+\))?", "TIMESTAMP"),
+    (r"DATE", "DATE"),
+    (r"(BOOLEAN|BOOL)", "BOOLEAN"),
+)
+
+
+def _jt_spark_type(t: str) -> str:
+    t = t.strip()
+    for pat, target in _JT_TYPES:
+        if re.fullmatch(pat, t, re.IGNORECASE):
+            return t.upper() if target is None else target
+    raise ValueError(f"JSON_TABLE: unsupported column type {t!r}")
+
+
+def _jt_parse_columns(src: str, store: list[str]) -> list[dict]:
+    """Parse a JSON_TABLE COLUMNS(...) body (masked text) into column
+    specs: {kind: ordinality|path|exists|nested, ...}."""
+    cols: list[dict] = []
+    for entry in _split_top_level_commas(src):
+        e = entry.strip()
+        if not e:
+            continue
+        nm = re.match(r"NESTED\s+(PATH\s+)?(\x00\d+\x00)\s+COLUMNS\s*\(",
+                      e, re.IGNORECASE)
+        if nm:
+            end = _find_balanced(e, e.index("(", nm.end() - 1))
+            path = _literal_text(nm.group(2), store)
+            cols.append({
+                "kind": "nested",
+                "path": path,
+                "columns": _jt_parse_columns(e[nm.end(): end - 1], store),
+            })
+            continue
+        om = re.match(r"(\S+)\s+FOR\s+ORDINALITY\s*$", e, re.IGNORECASE)
+        if om:
+            cols.append({"kind": "ordinality", "name": om.group(1)})
+            continue
+        xm = re.match(
+            r"(\S+)\s+(.+?)\s+EXISTS\s+PATH\s+(\x00\d+\x00)\s*$",
+            e, re.IGNORECASE | re.DOTALL,
+        )
+        if xm:
+            cols.append({
+                "kind": "exists",
+                "name": xm.group(1),
+                "type": _jt_spark_type(xm.group(2)),
+                "path": _literal_text(xm.group(3), store),
+            })
+            continue
+        pm = re.match(
+            r"(\S+)\s+(.+?)\s+PATH\s+(\x00\d+\x00)"
+            r"(\s+DEFAULT\s+(\x00\d+\x00|\S+)\s+ON\s+EMPTY)?"
+            r"(\s+(NULL|DEFAULT\s+(\x00\d+\x00|\S+))\s+ON\s+ERROR)?"
+            r"(\s+NULL\s+ON\s+EMPTY)?\s*$",
+            e, re.IGNORECASE | re.DOTALL,
+        )
+        if not pm:
+            raise ValueError(f"JSON_TABLE: cannot parse column {e!r}")
+        cols.append({
+            "kind": "path",
+            "name": pm.group(1),
+            "type": _jt_spark_type(pm.group(2)),
+            "path": _literal_text(pm.group(3), store),
+            "default": pm.group(5),
+        })
+    return cols
+
+
+def _jt_container(elem_sql: str, path: str) -> tuple[str, bool]:
+    """Split a row path into (container extraction SQL, iterates)."""
+    path = path.strip()
+    if path.endswith("[*]"):
+        container = path[:-3] or "$"
+        return (
+            f"from_json(get_json_object({elem_sql}, "
+            f"{_string_literal(container)}), 'array<string>')",
+            True,
+        )
+    if path == "$":
+        return f"array({elem_sql})", False
+    return (
+        f"array(get_json_object({elem_sql}, {_string_literal(path)}))",
+        False,
+    )
+
+
+def _rewrite_json_table(masked: str, store: list[str]) -> str:
+    """``JSON_TABLE(expr, '<row path>' COLUMNS(...)) [AS] alias`` →
+    a Spark derived table: posexplode over ``from_json(...,
+    'array<string>')`` (each element captured as raw JSON text, exactly
+    the reference's row buffer), ``get_json_object`` + CAST per PATH
+    column, ``pos+1`` for ORDINALITY (1-based, resets per parent row —
+    MariaDB semantics), one additional LATERAL VIEW OUTER per NESTED
+    PATH level. The whole replacement is stored as a single mask token
+    so later rewrite passes cannot fire inside the generated SQL.
+
+    MariaDB 10.6 JSON_TABLE is a server-side table function the
+    reference's users get upstream of the engine; Spark-first it is a
+    lateral-view pipeline that stays JVM-side (no UDF) and parallelizes
+    per source row.
+    """
+    pat = re.compile(r"\bJSON_TABLE\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(masked)
+        if not m:
+            return masked
+        open_at = masked.index("(", m.end() - 1)
+        end = _find_balanced(masked, open_at)
+        parts = _split_top_level_commas(masked[open_at + 1 : end - 1])
+        if len(parts) < 2:
+            raise ValueError("JSON_TABLE expects (expr, path COLUMNS(...))")
+        src_expr = _unmask(parts[0].strip(), store)
+        spec = ",".join(parts[1:]).strip()
+        sm = re.match(r"(\x00\d+\x00)\s+COLUMNS\s*\(", spec, re.IGNORECASE)
+        if not sm:
+            raise ValueError(
+                "JSON_TABLE: expected '<path>' COLUMNS(...) after expr"
+            )
+        row_path = _literal_text(sm.group(1), store)
+        cend = _find_balanced(spec, spec.index("(", sm.end() - 1))
+        if spec[cend:].strip():
+            raise ValueError(
+                f"JSON_TABLE: trailing tokens {spec[cend:].strip()!r}"
+            )
+        cols = _jt_parse_columns(spec[sm.end() : cend - 1], store)
+
+        laterals: list[str] = []
+        projections: list[str] = []
+        level = 0
+
+        def emit(cols: list[dict], parent_elem: str, path: str) -> None:
+            nonlocal level
+            lvl = level
+            level += 1
+            arr, _ = _jt_container(parent_elem, path)
+            laterals.append(
+                f"LATERAL VIEW OUTER posexplode({arr}) _jtv{lvl} "
+                f"AS _jt_o{lvl}, _jt_e{lvl}"
+            )
+            elem = f"_jt_e{lvl}"
+            for c in cols:
+                if c["kind"] == "ordinality":
+                    projections.append(
+                        f"CAST(_jt_o{lvl} + 1 AS BIGINT) AS {c['name']}"
+                    )
+                elif c["kind"] == "exists":
+                    projections.append(
+                        f"CAST(get_json_object({elem}, "
+                        f"{_string_literal(c['path'])}) IS NOT NULL "
+                        f"AS {c['type']}) AS {c['name']}"
+                    )
+                elif c["kind"] == "path":
+                    if c["path"].strip() == "$":
+                        # element itself (already unquoted raw value for
+                        # scalars; raw JSON text for objects/arrays)
+                        val = elem
+                    else:
+                        val = (
+                            f"get_json_object({elem}, "
+                            f"{_string_literal(c['path'])})"
+                        )
+                    cast = f"CAST({val} AS {c['type']})"
+                    if c.get("default"):
+                        dflt = _unmask(c["default"], store)
+                        cast = (
+                            f"coalesce({cast}, CAST({dflt} AS {c['type']}))"
+                        )
+                    projections.append(f"{cast} AS {c['name']}")
+                else:  # nested
+                    emit(c["columns"], elem, c["path"])
+
+        emit(cols, "_jt_src", row_path)
+        replacement = (
+            "(SELECT " + ", ".join(projections)
+            + f" FROM (SELECT {src_expr} AS _jt_src) "
+            + " ".join(laterals) + ")"
+        )
+        # MariaDB JSON_TABLE is implicitly lateral: when it follows a
+        # comma or JOIN its source expr may reference the preceding
+        # table, which Spark only allows under the LATERAL keyword
+        before = masked[: m.start()].rstrip()
+        if before.endswith(",") or re.search(
+            r"\bJOIN\s*$", before, re.IGNORECASE
+        ):
+            replacement = "LATERAL " + replacement
+        ph = _PH.format(len(store))
+        store.append(replacement)
+        masked = masked[: m.start()] + ph + masked[end:]
 
 
 def translate_statement(sql: str) -> str:
@@ -830,6 +1052,10 @@ def translate_statement(sql: str) -> str:
     masked = _rewrite_format_calls(masked, store)
     masked = _rewrite_interval_arith(masked, store)
     masked = _rewrite_fn_templates(masked, store)
+    # JSON_TABLE runs after the expression rewrites (so MariaDB-isms in
+    # its source expr are already translated) and stores its generated
+    # SQL as one mask token (no later pass can fire inside it)
+    masked = _rewrite_json_table(masked, store)
     # LAST: Catalyst-rendered rewrites inject raw SQL (with quotes), so
     # no masked-text scan may run after them
     masked = _rewrite_week_functions(masked, store)

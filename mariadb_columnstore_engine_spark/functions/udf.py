@@ -139,7 +139,11 @@ def _uncompress():
                         .decompress(bytes(x[4:]))
                         .decode()
                     )
-                except zlib.error:
+                except (zlib.error, UnicodeDecodeError):
+                    # MariaDB UNCOMPRESS returns the original *binary*;
+                    # this surface is string-typed, so a valid zlib
+                    # payload of non-UTF8 bytes maps to NULL rather than
+                    # killing the task (documented string-only limit)
                     return None
 
             return b.map(one)
@@ -159,6 +163,8 @@ def _uncompressed_length():
                     return None
                 if len(x) == 0:
                     return 0
+                if len(x) <= 4:
+                    return None  # partial header: not a COMPRESS value
                 return int.from_bytes(bytes(x[:4]), "little")
 
             return b.map(one)

@@ -60,11 +60,21 @@ def moda(
     # the (group) exchange for the final max_by.
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
-    with_avg = counts.withColumn(
-        "_avg",
-        F.sum(v * F.col("_n")).over(w) / F.sum("_n").over(w),
-    )
+    if g:
+        w = Window.partitionBy(*g)
+        with_avg = counts.withColumn(
+            "_avg",
+            F.sum(v * F.col("_n")).over(w) / F.sum("_n").over(w),
+        )
+    else:
+        # Global case: a partitionBy(lit(1)) window would funnel every
+        # distinct value into ONE task — at 100 TB that's a scale trap.
+        # The global weighted mean is a 1-row aggregate; broadcast it
+        # back (same shape as subq_scalar_filter_avg).
+        totals = counts.agg(
+            (F.sum(v * F.col("_n")) / F.sum("_n")).alias("_avg")
+        )
+        with_avg = counts.crossJoin(F.broadcast(totals))
     # Lexicographic struct max: highest count, then smallest |v - avg|,
     # then smallest value (moda.h:33-35 tie order).
     rank_key = F.struct(

@@ -230,3 +230,105 @@ def collation_ci_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# locale-injected characters, cycled deterministically by nationkey so
+# the ASCII fixture corpus exercises each tailoring class
+_DA_CHARS = ("å", "æ", "ø", "a", "z")
+_DE_CHARS = ("ä", "a", "ö", "o", "z", "p")
+
+
+@query(
+    "collation_locale_battery",
+    section="§2.8 locale-tailored collations (utils/common/collation.h "
+    "per-locale weight tables; MTR ctype_cmp_* locale matrices — "
+    "Turkish dotless-i, German ä/ö umlauts, Nordic å/æ/ø) — Spark 4 "
+    "ICU locale collations tr_CI / de / da. Ordering is pinned engine-"
+    "vs-engine (DuckDB ships the same ICU tailorings: 'å' sorts after "
+    "'z' under da, 'ö' adjacent to 'o' under de); Turkish equality is "
+    "pinned against an explicit fold contract (DuckDB's tr.nocase is a "
+    "plain lowercase fold, NOT ICU Turkish CI, so 'I' = 'i' there — "
+    "the CASE/contains spellings below are the Turkish-correct truth "
+    "the reference's tr collation weight table encodes: upper('i') is "
+    "'İ', upper('ı') is 'I').",
+    oracle="""
+    WITH v AS (
+        SELECT n_nationkey,
+               lower(n_name) AS base,
+               replace(lower(n_name), 'i', 'İ') AS dotted,
+               (['å','æ','ø','a','z'])[(n_nationkey % 5) + 1]
+                   || lower(n_name) AS da_key,
+               (['ä','a','ö','o','z','p'])[(n_nationkey % 6) + 1]
+                   || lower(n_name) AS de_key
+        FROM nation
+    )
+    SELECT n_nationkey, base,
+           -- tr_CI: dotted-İ folds to i, so the İ-injected variant
+           -- always equals the base (fold contract)
+           (replace(dotted, 'İ', 'i') = base) AS tr_dotted_eq,
+           -- tr_CI: ASCII 'I' folds to DOTLESS ı, never to i — so
+           -- UPPER(name) = lower(name) holds iff the name has no i
+           (NOT contains(base, 'i')) AS tr_upper_eq,
+           -- distinct tr_CI equivalence classes among {base, İ-variant,
+           -- I-variant}: the I-variant splits off iff an i exists
+           CAST(CASE WHEN contains(base, 'i') THEN 2 ELSE 1 END
+               AS BIGINT) AS n_tr_classes,
+           CAST(row_number() OVER (ORDER BY da_key COLLATE da, da_key)
+               AS BIGINT) AS da_rank,
+           CAST(row_number() OVER (ORDER BY de_key COLLATE de, de_key)
+               AS BIGINT) AS de_rank
+    FROM v
+    ORDER BY n_nationkey
+    """,
+)
+def collation_locale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-tailored =, ORDER BY and DISTINCT: Turkish tr_CI equality
+    (İ=i but I≠i), Danish ordering (å/æ/ø collate after z) and German
+    ordering (ä/ö collate with a/o) all routed through Spark's ICU
+    locale collations JVM-side. Scale note: the rank windows are
+    unpartitioned but run over the constant 25-row nation dim — at
+    100 TB locale keys live on dimension-sized domains; fact-side use
+    is the GROUP BY path (collation_ci_join_group shape)."""
+    t = Catalog(spark, sf_dir)
+    base = F.lower(F.col("n_name"))
+    v = t.nation.select(
+        "n_nationkey",
+        base.alias("base"),
+        F.replace(base, F.lit("i"), F.lit("İ")).alias("dotted"),
+        F.replace(base, F.lit("i"), F.lit("I")).alias("dotless_cap"),
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(c) for c in _DA_CHARS]),
+                (F.col("n_nationkey") % 5 + 1).cast("int"),
+            ),
+            base,
+        ).alias("da_key"),
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(c) for c in _DE_CHARS]),
+                (F.col("n_nationkey") % 6 + 1).cast("int"),
+            ),
+            base,
+        ).alias("de_key"),
+        F.upper(F.col("n_name")).alias("up"),
+    )
+    tr = lambda c: F.collate(c, "tr_CI")  # noqa: E731
+    w_da = Window.orderBy(F.collate(F.col("da_key"), "da"), F.col("da_key"))
+    w_de = Window.orderBy(F.collate(F.col("de_key"), "de"), F.col("de_key"))
+    return v.select(
+        "n_nationkey",
+        "base",
+        (tr(F.col("dotted")) == tr(F.col("base"))).alias("tr_dotted_eq"),
+        (tr(F.col("up")) == tr(F.col("base"))).alias("tr_upper_eq"),
+        F.size(
+            F.array_distinct(
+                F.array(
+                    tr(F.col("base")),
+                    tr(F.col("dotted")),
+                    tr(F.col("dotless_cap")),
+                )
+            )
+        ).cast("long").alias("n_tr_classes"),
+        F.row_number().over(w_da).cast("long").alias("da_rank"),
+        F.row_number().over(w_de).cast("long").alias("de_rank"),
+    ).orderBy("n_nationkey")

@@ -88,76 +88,80 @@ def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None
 # Non-window queries MAY keep decimal/array outputs — the local
 # type-aware gate still pins those carriages (the *_typed variants).
 PRIORITY_WINDOW: tuple[str, ...] = (
+    # ---- r5 rotation: 9 permanent bench anchors + 41 rows that have
+    # NEVER had a driver CORRECTNESS entry (r2∪r3∪r4 keys excluded).
+    # Tenured r4-greens (rollup/cube, lag/lead, intersect/except,
+    # decimal38/unsigned/json reds-now-green, collation CI/CI_AI,
+    # front_end3/4, skyline, linear-model, LSH/IVF ANN, cluster-star,
+    # BM25, zipf, asof, …) cycle out; their driver evidence is recorded
+    # and the local sf0.01 sweep + pytest parity keep pinning them.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # §2.1 scans/metadata + bucketed DDL (new r4)
-    "filter_metadata_pseudocols",
-    "join_bucketed_zero_exchange",
-    # §2.3 joins
-    "join_anti_customers_without_orders",
-    # §2.4 aggregation — rotated in: rollup/cube/group_concat/regr +
-    # MODA (new r4; agg_approx_count_distinct tenured out, r3-green)
-    "agg_moda",
-    "agg_rollup",
-    "agg_cube",
-    "agg_group_concat_ordered",
-    "agg_regr_family",
-    # §2.5 windows — rotated in: lag/lead + ROWS frames
-    "win_percentiles_within_group",
-    "win_lag_lead",
-    "win_rows_frame_running",
-    # §2.6/§2.7 sort + setops — rotated in: intersect/except/limit-offset
-    "setop_intersect",
-    "setop_except_all",
-    "setop_distinct_limit_offset",
-    # §2.8 scalar functions — r3 reds (now driver-hashable) + batteries
-    "sf_decimal38_matrix",
-    "sf_json_long_tail",
-    "sf_unsigned_semantics",
-    "sf_math_matrix",
-    "sf_string_matrix",
-    "sf_datetime_matrix",
-    # §2.8 collation: CI (tenured) + accent-insensitive CI_AI (new r4)
-    "collation_ci_battery",
-    "collation_ci_ai_battery",
-    # §2.9 subqueries — rotated in: correlated-scalar + select-list
-    "subq_not_in_null_trap",
-    "subq_correlated_scalar_q17",
-    "subq_scalar_in_select_list",
-    # SQL front end: r4 rewrite batteries (#3 rollup/convert, #4 scalar
-    # templates; #1 tenured out, r3-green)
-    "sql_mariadb_front_end3",
-    "sql_mariadb_front_end4",
-    # LLM pillar: event-time
+    # bench anchors, LLM pillars (events/text/sim stay measured)
     "events_tumbling_window",
     "events_sessionization",
-    "events_asof_join",
-    # LLM pillar: text analysis + dedup — rotated in: CC clustering,
-    # zipf, BM25 (new r4; text_token_stats tenured out, r3-green)
-    "text_bm25_topk",
-    "text_fingerprint_exact_dedup",
-    "text_ngram_jaccard_pairs",
     "text_minhash_lsh_dedup",
-    "text_dedup_cluster_star",
-    "text_vocab_zipf",
-    # LLM pillar: training-corpus pipeline primitives
-    "pipeline_hash_split",
-    "pipeline_quality_dedup_budget",
-    # LLM pillar: embeddings / similarity search
     "sim_bruteforce_cosine_topk",
-    "sim_lsh_ann_topk",
-    "sim_ivf_ann_topk",
-    # LLM pillar: UDF surface + multimodal + r4 custom operators
-    # (udf_pandas_median / win_pandas_udaf_over_window tenured out,
-    # r3-green; §2.11 stays evidenced by the UDTF row)
-    "op_skyline_pareto",
-    "sim_linear_model_inference",
-    "multimodal_media_features",
+    # TPC-H long tail — the reference's devregression tpch1 corpus
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_suppliers_kept_waiting",
+    # §2.1 extent elimination relation (judge-verified r4, no driver row)
+    "filter_extent_minmax_pseudocols",
+    # §2.3 joins (family keeps one row; theta was r3-green, longest ago)
+    "join_theta_band",
+    # §2.7 set operations — the ALL/DISTINCT variants
+    "setop_union_distinct",
+    "setop_intersect_all",
+    "setop_except_distinct",
+    # §2.4 aggregation
+    "agg_approx_percentile",
+    "agg_group_concat_limit",
+    "agg_hll_sketch_mergeable_rollup",
+    # §2.5 windows
+    "win_moda_analytic",
+    "win_range_interval_event_time",
+    # §2.8 scalar batteries
+    "sf_bitwise_matrix",
+    "sf_conditional_cast_matrix",
+    "sf_time_matrix",
+    "sf_week_modes",
+    "sf_json_path_extensions",
+    # §2.8 collation + locale tailorings (new r5)
+    "collation_ci_join_group",
+    "collation_locale_battery",
+    # §2.9 subqueries
+    "subq_exists_correlated_q4",
+    "subq_having_scalar_q11",
+    "subq_recursive_bfs_reachability",
+    # SQL front end: stored-function pushdown + JSON_TABLE (new r5)
+    "sql_stored_function_pushdown",
+    "sql_json_table",
+    # LLM pillar: event-time analytics
+    "events_gapfill_locf",
+    "events_hierarchical_rollup",
+    "events_funnel_steps",
+    # LLM pillar: text analysis + dedup
+    "text_bpe_pair_frequency",
+    "text_pii_redaction",
+    # LLM pillar: training-corpus pipeline primitives
+    "pipeline_sequence_packing",
+    "pipeline_chunk_overlap",
+    # LLM pillar: embeddings / similarity search
+    "sim_kmeans_two_iterations",
+    # custom operators + UDF/UDTF surface + multimodal
+    "op_nested_shred_topk",
+    "udf_apply_in_pandas_zscore",
     "udtf_split_sentences",
+    "multimodal_frame_sample",
 )
 
 

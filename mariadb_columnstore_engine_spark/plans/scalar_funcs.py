@@ -1898,12 +1898,12 @@ def sql_stored_function_pushdown(
 
     eng = Engine(spark, sf_dir)
     eng.execute(
-        "CREATE FUNCTION gate_tax (p DOUBLE) RETURNS DOUBLE "
+        "CREATE OR REPLACE FUNCTION gate_tax (p DOUBLE) RETURNS DOUBLE "
         "DETERMINISTIC RETURN p * 1.1"
     )
     eng.execute(
-        "CREATE FUNCTION gate_day_secs (d DATE) RETURNS BIGINT "
-        "DETERMINISTIC RETURN TO_SECONDS(d)"
+        "CREATE OR REPLACE FUNCTION gate_day_secs (d DATE) RETURNS "
+        "BIGINT DETERMINISTIC RETURN TO_SECONDS(d)"
     )
     return eng.execute(
         "SELECT o_orderpriority, count(*) AS n, "
@@ -1911,3 +1911,72 @@ def sql_stored_function_pushdown(
         "FROM orders WHERE gate_tax(o_totalprice) > 150000 "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     )
+
+
+@query(
+    "sql_json_table",
+    section="front-end: JSON_TABLE rows-from-JSON table function "
+    "(MariaDB 10.6 server feature upstream of the engine; the engine's "
+    "JSON surface is func_json_*.cpp) — sqltrans._rewrite_json_table "
+    "translates it to posexplode over from_json(.., 'array<string>') "
+    "LATERAL VIEWs (JVM-side, no UDF). Exercises a LATERAL column "
+    "source built with GROUP_CONCAT, NESTED PATH, FOR ORDINALITY at "
+    "both levels, and typed PATH columns; the oracle derives the same "
+    "relation without JSON (both engines agree on the data, the Spark "
+    "side proves the JSON round-trip).",
+    oracle="""
+    WITH l AS (
+        SELECT n_regionkey AS rkey,
+               CAST(row_number() OVER (PARTITION BY n_regionkey
+                    ORDER BY n_nationkey) AS BIGINT) AS ord,
+               n_name AS name,
+               CAST(n_nationkey AS INT) AS nkey
+        FROM nation
+    ), x AS (
+        SELECT rkey, ord, name, nkey,
+               CAST(1 AS BIGINT) AS lord, substr(name, 1, 1) AS letter
+        FROM l
+        UNION ALL
+        SELECT rkey, ord, name, nkey,
+               CAST(2 AS BIGINT), substr(name, 2, 1)
+        FROM l
+    )
+    SELECT * FROM x ORDER BY rkey, ord, lord
+    """,
+)
+def sql_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: pack each region's nations into a JSON array document
+    (GROUP_CONCAT front-end path), then shred it back to rows with
+    JSON_TABLE — NESTED PATH letters + ORDINALITY at both levels must
+    reproduce the relational truth. Scale note: the lateral-view plan
+    parallelizes per source row and stays whole-stage-codegen
+    (get_json_object/from_json are JVM expressions)."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    WITH src AS (
+      SELECT r.r_regionkey AS rkey,
+             CONCAT('[', GROUP_CONCAT(
+               CONCAT('{"name":"', n.n_name,
+                      '","key":', n.n_nationkey,
+                      ',"letters":["', SUBSTR(n.n_name, 1, 1),
+                      '","', SUBSTR(n.n_name, 2, 1), '"]}')
+               ORDER BY n.n_nationkey SEPARATOR ','), ']') AS doc
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_regionkey
+    )
+    SELECT src.rkey, jt.ord, jt.name, jt.nkey, jt.lord, jt.letter
+    FROM src, JSON_TABLE(src.doc, '$[*]' COLUMNS(
+        ord FOR ORDINALITY,
+        name VARCHAR(25) PATH '$.name',
+        nkey INT PATH '$.key',
+        NESTED PATH '$.letters[*]' COLUMNS(
+          lord FOR ORDINALITY,
+          letter CHAR(1) PATH '$'
+        ))) AS jt
+    ORDER BY src.rkey, jt.ord, jt.lord;
+    """
+    return spark.sql(translate_statement(stmt))

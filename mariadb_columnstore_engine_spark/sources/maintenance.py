@@ -430,7 +430,16 @@ def scan_extent_eliminated(
     predicate (footer ranges are necessary, not sufficient). Equivalent
     to ``read + filter`` by construction; cheaper by len(skipped) scan
     tasks."""
-    kept, _skipped = extent_eliminate(spark, path, column, lo, hi, stats)
+    kept, skipped = extent_eliminate(spark, path, column, lo, hi, stats)
+    if not kept:
+        # Every live file was pruned (predicate fully out of range).
+        # spark.read.parquet() with zero paths raises "unable to infer
+        # schema"; the correct result is an empty relation with the table
+        # schema, so borrow it from a pruned file's footer (skipped files
+        # still carry the schema — only their value ranges were dead).
+        if not skipped:
+            raise ValueError(f"no live data files under {path}")
+        return spark.read.parquet(*skipped).limit(0)
     df = spark.read.parquet(*kept)
     c = F.col(column)
     if lo is not None:

@@ -822,55 +822,81 @@ def parse(sql: str):
         # MariaDB DO expr: evaluate for side effects, discard result
         return Other("do_expr", _unmask(rest_of(m), store))
 
-    if re.match(
-        r"CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\b", masked, re.IGNORECASE
-    ) and re.search(r"\bBEGIN\b", masked, re.IGNORECASE):
-        # mcs16: procedural BEGIN..END bodies are refused, not
-        # mistranslated — only single-expression RETURN is supported
-        raise ValueError(
-            "only single-expression RETURN function bodies are "
-            "supported (procedural BEGIN..END is not)"
-        )
     m = re.match(
-        r"CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"([^\s(]+)\s*\(([^)]*)\)\s*RETURNS\s+"
-        r"(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s+UNSIGNED)?)"
-        r"((?:\s+(?:NOT\s+)?DETERMINISTIC|\s+NO\s+SQL|\s+CONTAINS\s+SQL"
-        r"|\s+READS\s+SQL\s+DATA|\s+LANGUAGE\s+SQL|\s+COMMENT\s+\S+)*)"
-        r"\s+RETURN\s+(.+?)\s*;?\s*$",
+        r"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([^\s(]+)\s*\(",
         masked,
-        re.IGNORECASE | re.DOTALL,
+        re.IGNORECASE,
     )
     if m:
         # mcs16_functions_define_call_drop: stored SQL functions with a
         # single RETURN expression become Spark SQL UDFs (analyzed and
-        # inlined by Catalyst — no per-row interpretation). Procedural
-        # BEGIN..END bodies are refused, not mistranslated.
-        body = _unmask(m.group(5), store).strip()
-        if re.match(r"BEGIN\b", body, re.IGNORECASE):
+        # inlined by Catalyst — no per-row interpretation). The parameter
+        # list is scanned paren-depth-aware (not [^)]*) so typed params
+        # like DECIMAL(10,2) / VARCHAR(20) parse. Trivial BEGIN..END
+        # bodies that wrap exactly one RETURN statement (the mcs16 long
+        # form) are unwrapped; genuinely procedural bodies are refused,
+        # not mistranslated.
+        open_idx = masked.index("(", m.end() - 1)
+        end = _find_balanced(masked, open_idx)
+        param_src = masked[open_idx + 1 : end - 1]
+        tail = masked[end:]
+        tm = re.match(
+            r"\s*RETURNS\s+"
+            r"(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s+UNSIGNED)?)"
+            r"((?:\s+(?:NOT\s+)?DETERMINISTIC|\s+NO\s+SQL|\s+CONTAINS\s+SQL"
+            r"|\s+READS\s+SQL\s+DATA|\s+LANGUAGE\s+SQL|\s+COMMENT\s+\S+)*)"
+            r"\s+(RETURN|BEGIN)\b\s*(.*?)\s*;?\s*$",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not tm:
             raise ValueError(
-                "only single-expression RETURN function bodies are "
-                "supported (procedural BEGIN..END is not)"
+                "unsupported CREATE FUNCTION form: expected "
+                "'RETURNS <type> [attrs] RETURN <expr>' (stored SQL "
+                "functions support single-expression bodies only)"
             )
+        masked_body = tm.group(4).strip()
+        if tm.group(3).upper() == "BEGIN":
+            # unwrap `BEGIN RETURN <expr>; END` — exactly one statement
+            # (checked on the MASKED text so ';' inside string literals
+            # can't fake a second statement)
+            bm = re.match(
+                r"RETURN\s+(.+?)\s*;\s*END\s*$",
+                masked_body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not bm or ";" in bm.group(1):
+                raise ValueError(
+                    "only single-expression RETURN function bodies are "
+                    "supported (procedural BEGIN..END is not)"
+                )
+            masked_body = bm.group(1).strip()
+        body = _unmask(masked_body, store)
         params = []
-        for p in _split_top_level_commas(m.group(2)):
+        for p in _split_top_level_commas(param_src):
             if not p.strip():
                 continue
-            pm = re.match(r"\s*(\S+)\s+(.+?)\s*$", p)
+            pm = re.match(r"\s*(\S+)\s+(.+?)\s*$", p, re.DOTALL)
             if not pm:
                 raise ValueError(f"bad function parameter: {p!r}")
             params.append(
                 f"{_ident(pm.group(1), store)} "
                 f"{_map_column_type(pm.group(2))}"
             )
+        mode = (
+            "replace" if m.group(1) else
+            "ifnotexists" if m.group(2) else ""
+        )
         return Other(
             "create_function",
             "\x01".join(
                 [
-                    _ident(m.group(1), store),
+                    _ident(m.group(3), store),
                     ", ".join(params),
-                    _map_column_type(m.group(3)),
+                    _map_column_type(tm.group(1)),
                     body,
+                    mode,
                 ]
             ),
         )

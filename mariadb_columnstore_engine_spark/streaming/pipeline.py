@@ -245,3 +245,38 @@ def fingerprint_dedup_stream(scored: DataFrame) -> DataFrame:
     ``dropDuplicatesWithinWatermark`` (events dedup_stream pattern) to
     bound state."""
     return scored.dropDuplicates(["fingerprint"])
+
+
+def embedding_intake_stream(embs: DataFrame) -> DataFrame:
+    """Streaming twin of the similarity-pillar intake: per-vector int8
+    quantization scale (symmetric max-abs/127, the
+    sim_embedding_quantize contract) + random-hyperplane LSH bucket
+    assignment (bit-for-bit the signature stage of
+    plans/similarity_plans.lsh_ann_topk) on a live embedding feed.
+    Stateless projection — every expression is JVM-side higher-order
+    array math, so stream output equals the batch bucketing
+    row-for-row; downstream the bucket id routes each vector to its ANN
+    shard and the scale column rides along for the quantized store."""
+    import pyspark.sql.functions as F
+
+    from mariadb_columnstore_engine_spark.plans.similarity_plans import (
+        N_PLANES,
+        PLANES,
+        _as_double,
+        _dot,
+    )
+
+    e = _as_double(F.col("embedding"))
+    bucket = None
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(float(s)) for s in PLANES[p]])
+        term = F.when(_dot(e, plane) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    mx = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.when(mx == 0, F.lit(1.0)).otherwise(mx) / 127.0
+    return embs.select(
+        "vec_id",
+        "label",
+        bucket.cast("int").alias("bucket"),
+        F.round(scale, 9).alias("q_scale"),
+    )

@@ -101,6 +101,19 @@ def test_json_compact_preserves_string_spaces(spark):
     )
 
 
+def test_json_loose_readable_form(spark):
+    # MariaDB doc vector: space after ':' and ',' OUTSIDE strings only
+    assert (
+        _one(spark, J.json_loose(F.lit('{"a":1,"b":[1,2],"s":"x:y,z"}')))
+        == '{"a": 1, "b": [1, 2], "s": "x:y,z"}'
+    )
+    # idempotent on already-loose input (compact normalizes first)
+    assert (
+        _one(spark, J.json_loose(F.lit('{ "a" : 1 ,  "b" : 2 }')))
+        == '{"a": 1, "b": 2}'
+    )
+
+
 def test_sha1_known_vector(spark):
     # completes the checksum family (md5/sha2 are oracle-checked in
     # sf_string_battery2; sha1 has no DuckDB twin in this build)

@@ -220,6 +220,24 @@ def test_extent_eliminate_open_bounds_and_reused_stats(spark, tmp_path):
     assert skipped2 == [] and len(kept2) == 5
 
 
+def test_extent_eliminate_all_files_pruned_returns_empty(spark, tmp_path):
+    """A fully-out-of-range but valid predicate (lo greater than the
+    table max) must return an EMPTY result with the table schema, not
+    crash with 'unable to infer schema' from a zero-path parquet read."""
+    dest = str(tmp_path / "extents_empty")
+    spark.range(0, 1_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(4, "k").write.parquet(dest)
+
+    kept, skipped = maintenance.extent_eliminate(
+        spark, dest, "k", lo=10_000_000
+    )
+    assert kept == [] and len(skipped) == 4
+    out = maintenance.scan_extent_eliminated(spark, dest, "k", lo=10_000_000)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}  # schema preserved
+
+
 def test_extent_eliminate_respects_disabled_partitions(spark, tmp_path):
     import os
 
@@ -255,7 +273,10 @@ def test_extent_eliminate_string_keys(spark, tmp_path):
     kept, skipped = maintenance.extent_eliminate(
         spark, dest, "name", lo="M", hi="N￿"
     )
-    assert skipped and len(kept) <= 2
+    # range-partition boundaries are sample-based: the 2-letter window
+    # usually lands in <=2 files but a sampling shift can add one more;
+    # the invariant is that MOST files die
+    assert skipped and len(kept) <= 3
     got = maintenance.scan_extent_eliminated(
         spark, dest, "name", lo="M", hi="N￿"
     )

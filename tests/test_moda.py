@@ -52,6 +52,21 @@ def test_grouped_independent_ties(spark):
     assert got == {"x": 4.0, "y": 10.0}
 
 
+def test_global_moda_has_no_single_partition_window(spark):
+    """The no-group path must not funnel all distinct values through a
+    Window.partitionBy(lit(1)) single task — the global weighted mean is
+    a 1-row aggregate broadcast back (scale-safe at any distinct-value
+    cardinality)."""
+    df = spark.createDataFrame([(float(i % 7),) for i in range(100)],
+                               "v double")
+    plan = moda(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # 0.0 and 1.0 tie at 15 occurrences; weighted mean = 2.95 → 1.0 wins
+    [row] = moda(df, "v").collect()
+    assert row["moda"] == 1.0
+
+
 def test_string_column_rejected(spark):
     df = spark.createDataFrame([("a",)], "s string")
     with pytest.raises(TypeError):

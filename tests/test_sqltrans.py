@@ -305,6 +305,73 @@ def test_convert_two_arg_form():
         translate_statement("SELECT CONVERT(x, BLOB) FROM t")
 
 
+def test_convert_using_charset_form():
+    # CONVERT(x USING charset): Spark strings are UTF-8, so a charset
+    # transcode is a documented no-op cast-to-string (binary keeps bytes)
+    assert (
+        translate_statement("SELECT CONVERT(x USING utf8mb4) FROM t")
+        == "SELECT CAST(x AS STRING) FROM t"
+    )
+    assert (
+        translate_statement("SELECT CONVERT(x USING latin1) FROM t")
+        == "SELECT CAST(x AS STRING) FROM t"
+    )
+    assert (
+        translate_statement("SELECT CONVERT(x USING binary) FROM t")
+        == "SELECT CAST(x AS BINARY) FROM t"
+    )
+    with pytest.raises(ValueError, match="charset"):
+        translate_statement("SELECT CONVERT(x USING klingon) FROM t")
+
+
+def test_json_table_translation(spark):
+    """MariaDB 10.6 JSON_TABLE → posexplode/from_json lateral views:
+    PATH columns with types, FOR ORDINALITY (1-based, resets per parent
+    row), NESTED PATH, DEFAULT .. ON EMPTY, EXISTS PATH, and OUTER rows
+    for documents missing the nested array."""
+    doc = (
+        '[{"name":"a","qty":2,"tags":["x","y"]},'
+        '{"name":"b","qty":5,"tags":["z"]},{"name":"c"}]'
+    )
+    rows = spark.sql(
+        translate_statement(
+            f"""SELECT jt.rid, jt.name, jt.qty, jt.has_tags,
+                       jt.tag_ord, jt.tag
+            FROM JSON_TABLE('{doc}', '$[*]' COLUMNS(
+                rid FOR ORDINALITY,
+                name VARCHAR(20) PATH '$.name',
+                qty INT PATH '$.qty' DEFAULT '0' ON EMPTY,
+                has_tags INT EXISTS PATH '$.tags',
+                NESTED PATH '$.tags[*]' COLUMNS(
+                    tag_ord FOR ORDINALITY,
+                    tag VARCHAR(10) PATH '$'
+                ))) AS jt
+            ORDER BY jt.rid, jt.tag_ord"""
+        )
+    ).collect()
+    got = [tuple(r) for r in rows]
+    assert got == [
+        (1, "a", 2, 1, 1, "x"),
+        (1, "a", 2, 1, 2, "y"),
+        (2, "b", 5, 1, 1, "z"),
+        (3, "c", 0, 0, None, None),  # OUTER row, DEFAULT fired
+    ]
+
+
+def test_json_table_lateral_column_source(spark):
+    # comma-joined JSON_TABLE over a column reference → LATERAL derived
+    # table (MariaDB's implicit laterality)
+    rows = spark.sql(
+        translate_statement(
+            """SELECT t.id, jt.v FROM
+            (SELECT 1 AS id, '[10,20]' AS doc) t,
+            JSON_TABLE(t.doc, '$[*]' COLUMNS(v INT PATH '$')) AS jt
+            ORDER BY jt.v"""
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 10), (1, 20)]
+
+
 @pytest.fixture()
 def engine_with_table(spark, sf_dir, tmp_path):
     import pyspark.sql.functions as F
@@ -538,6 +605,10 @@ def test_to_seconds_and_sql_tsi_units(spark):
     assert str(got.ta) == "2003-01-02 00:01:00"
     assert got.tdm == -16
     assert got.lit == "keep SQL_TSI_HOUR literal"
+    # the argument is bound exactly ONCE: TO_SECONDS(NOW()) near
+    # midnight must not mix date and time from different evaluations
+    t = translate_statement("SELECT TO_SECONDS(NOW()) AS v")
+    assert t.lower().count("now()") + t.lower().count("current_timestamp") == 1
 
 
 def test_compress_family_round_trip(spark):
@@ -570,6 +641,28 @@ def test_compress_family_round_trip(spark):
     # garbage input -> NULL, not an error (MariaDB returns NULL)
     bad = spark.createDataFrame([(b"\x05\x00\x00\x00junk",)], "b binary")
     assert bad.select(U.uncompress_udf("b").alias("u")).collect()[0].u is None
+    # valid zlib payload of NON-UTF8 bytes: this string-typed surface
+    # maps it to NULL (documented limitation) instead of killing the
+    # task with UnicodeDecodeError
+    import zlib as _zlib
+
+    raw = b"\xff\xfe\x00\x80binary"
+    payload = len(raw).to_bytes(4, "little") + _zlib.compress(raw)
+    nonutf8 = spark.createDataFrame([(payload,)], "b binary")
+    assert (
+        nonutf8.select(U.uncompress_udf("b").alias("u")).collect()[0].u
+        is None
+    )
+    # 1-4 byte garbage: partial header -> NULL from UNCOMPRESSED_LENGTH
+    # (MariaDB returns NULL, not a bogus int from a truncated header)
+    short = spark.createDataFrame(
+        [(b"\x01",), (b"\x01\x02\x03",), (b"\x01\x02\x03\x04",)],
+        "b binary",
+    )
+    ulens = short.select(
+        U.uncompressed_length_udf("b").alias("u")
+    ).collect()
+    assert all(r.u is None for r in ulens)
 
 
 def test_session_functions_routed(engine_with_table):

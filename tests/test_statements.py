@@ -206,6 +206,28 @@ def test_run_script_multi_statement(engine_with_table):
     assert note == "batch; one"  # the literal semicolon didn't split
 
 
+def test_run_script_select_row_cap_guard(engine_with_table):
+    """A script SELECT bigger than the driver cap raises instead of
+    collecting (the check reads cap+1 rows, never the full result);
+    materialize=False is the lazy escape hatch for read-only scripts."""
+    import pytest
+
+    eng = engine_with_table
+    old_cap = eng.script_select_row_cap
+    eng.script_select_row_cap = 5
+    try:
+        with pytest.raises(ValueError, match="exceeds 5 rows"):
+            eng.run_script("SELECT id FROM t1;")
+        # under the cap: materialized as before
+        [small] = eng.run_script("SELECT id FROM t1 WHERE id < 3;")
+        assert small.count() == 3  # ids 0,1,2
+        # escape hatch: lazy DataFrame of any size
+        [lazy] = eng.run_script("SELECT id FROM t1;", materialize=False)
+        assert lazy.count() > 5
+    finally:
+        eng.script_select_row_cap = old_cap
+
+
 def test_show_columns_and_show_create(engine_with_table):
     eng = engine_with_table
     assert dict(eng.execute("SHOW COLUMNS FROM t1")) == {
@@ -1028,8 +1050,46 @@ def test_stored_sql_functions_define_call_drop(engine_wh):
     with pytest.raises(ValueError, match="unknown function"):
         eng.execute("DROP FUNCTION add_tax")
     eng.execute("DROP FUNCTION IF EXISTS add_tax")  # no error
+    # mcs16 long form: a trivial BEGIN..END wrapping exactly one RETURN
+    # is unwrapped and accepted
+    eng.execute(
+        "CREATE FUNCTION f2 (x INT) RETURNS INT "
+        "BEGIN RETURN x + 1; END"
+    )
+    assert eng.execute("SELECT f2(41) AS v").collect()[0].v == 42
+    eng.execute("DROP FUNCTION f2")
+    # genuinely procedural bodies stay refused, not mistranslated
     with pytest.raises(ValueError, match="BEGIN"):
         eng.execute(
-            "CREATE FUNCTION f2 (x INT) RETURNS INT "
-            "BEGIN RETURN x; END"
+            "CREATE FUNCTION f3 (x INT) RETURNS INT "
+            "BEGIN DECLARE y INT; RETURN x; END"
         )
+    # parenthesized parameter types parse (paren-depth-aware scan)
+    eng.execute(
+        "CREATE FUNCTION disc (p DECIMAL(10,2), tag VARCHAR(20)) "
+        "RETURNS DOUBLE RETURN p * 0.9"
+    )
+    assert abs(
+        eng.execute("SELECT disc(10.0, 'x') AS v").collect()[0].v - 9.0
+    ) < 1e-9
+    eng.execute("DROP FUNCTION disc")
+    # duplicate CREATE without OR REPLACE errors (ER_SP_ALREADY_EXISTS);
+    # OR REPLACE and IF NOT EXISTS are accepted; a SECOND engine on the
+    # same SparkSession can DROP (session-level bookkeeping)
+    eng.execute("CREATE FUNCTION dup1 (x INT) RETURNS INT RETURN x")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute("CREATE FUNCTION dup1 (x INT) RETURNS INT RETURN x")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION dup1 (x INT) RETURNS INT RETURN x*2"
+    )
+    assert eng.execute("SELECT dup1(3) AS v").collect()[0].v == 6
+    eng.execute(
+        "CREATE FUNCTION IF NOT EXISTS dup1 (x INT) RETURNS INT RETURN x"
+    )  # no error, keeps the existing definition
+    assert eng.execute("SELECT dup1(3) AS v").collect()[0].v == 6
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng2 = Engine(eng.spark, eng.catalog._sf_dir)
+    eng2.execute("DROP FUNCTION dup1")
+    with pytest.raises(ValueError, match="unknown function"):
+        eng.execute("DROP FUNCTION dup1")

@@ -228,3 +228,44 @@ def test_stream_document_quality_matches_batch(spark, sf_dir, tmp_path):
     assert got and all(expected_all[k] == v for k, v in got.items())
     # dedup kept exactly one row per distinct fingerprint
     assert len(got) == batch_deduped.count()
+
+
+def test_stream_embedding_intake_matches_batch_bucketing(
+    spark, sf_dir, tmp_path
+):
+    """Similarity-pillar streaming twin: LSH bucket assignment +
+    quantization scale on an embedding stream equal the batch signature
+    stage of sim_lsh_ann_topk row-for-row (stream==batch parity)."""
+    src = str(tmp_path / "emb_stream_src")
+    Catalog(spark, sf_dir).embeddings.repartition(4).write.parquet(src)
+    stream_src = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = (
+        pipeline.embedding_intake_stream(stream_src)
+        .writeStream.format("memory")
+        .queryName("emb_intake")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_embq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.vec_id: (r.label, r.bucket, r.q_scale)
+        for r in spark.sql("SELECT * FROM emb_intake").collect()
+    }
+    batch = {
+        r.vec_id: (r.label, r.bucket, r.q_scale)
+        for r in pipeline.embedding_intake_stream(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+    # bucket ids live in the lsh_ann_topk domain [0, 2^N_PLANES)
+    from mariadb_columnstore_engine_spark.plans.similarity_plans import (
+        N_PLANES,
+    )
+
+    assert all(0 <= v[1] < (1 << N_PLANES) for v in got.values())
