@@ -156,12 +156,24 @@ def normalize(rows, colnames):
     return out
 
 
+def table_glob(sf_dir: str, t: str) -> str:
+    """DuckDB-readable path for a fixture table: the driver fixtures are
+    single files; Spark-written fixtures (e.g. the local sf1 anchor) are
+    directories of part files, which DuckDB needs as a glob."""
+    import os
+
+    path = f"{sf_dir}/{t}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Connection with every fixture table registered as a view (the
     driver pre-registers the same views for oracle SQL)."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'"
+        )
     return con
 
 

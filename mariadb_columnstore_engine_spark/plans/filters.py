@@ -250,13 +250,14 @@ def constant_false(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map's casual-partitioning min/max surfaced as a relation, read from "
     "parquet footers with NO data scan (sources/maintenance.extent_map).",
     oracle="""
-    -- The fixture tables are written as one row group per file, so the
-    -- extent map has exactly one extent whose footer min/max must equal
-    -- the column's true min/max — which IS the invariant extent
-    -- elimination relies on (a wrong footer range silently breaks
-    -- pruning; this row would catch it).
-    SELECT 0 AS extent_id,
-           round(min(o_totalprice), 2) AS ext_min,
+    -- Layout-agnostic invariant: whatever the file/row-group layout,
+    -- the extent map's envelope (min of mins, max of maxes, sum of
+    -- per-extent row counts) must equal the column's true min/max and
+    -- the table's row count — which IS the contract extent elimination
+    -- relies on (a wrong footer range silently breaks pruning; this
+    -- row would catch it at any scale, including the multi-file sf1
+    -- anchor).
+    SELECT round(min(o_totalprice), 2) AS ext_min,
            round(max(o_totalprice), 2) AS ext_max,
            count(*) AS n_rows
     FROM orders
@@ -268,15 +269,10 @@ def extent_minmax_pseudocols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stats = extent_map(spark, f"{sf_dir}/orders.parquet", ["o_totalprice"])
-    rows = [
-        (
-            int(e["row_group"]),
-            round(float(e["min"]), 2),
-            round(float(e["max"]), 2),
-            int(e["num_rows"]),
-        )
-        for e in stats
-    ]
+    ext_min = round(min(float(e["min"]) for e in stats), 2)
+    ext_max = round(max(float(e["max"]) for e in stats), 2)
+    n_rows = sum(int(e["num_rows"]) for e in stats)
     return spark.createDataFrame(
-        rows, "extent_id int, ext_min double, ext_max double, n_rows bigint"
-    ).orderBy("extent_id")
+        [(ext_min, ext_max, n_rows)],
+        "ext_min double, ext_max double, n_rows bigint",
+    )

@@ -31,10 +31,52 @@ PM (broadcast) and UM (partitioned) joins (tuplehashjoin.h:503).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from mariadb_columnstore_engine_spark.catalog import Catalog
 from mariadb_columnstore_engine_spark.plans.registry import query
+
+# --- exact money arithmetic -------------------------------------------------
+# TPC-H money/discount columns are 2-dp by definition; float double-sums can
+# land on half-cent boundaries where Spark's and DuckDB's round() flip the
+# last digit (first seen at the sf1 sweep: q1 sum_charge, q7 revenue). Every
+# revenue aggregate therefore sums exact BIGINT hundredth-cents and converts
+# to dollars with ONE half-up integer division — bit-identical in both
+# engines at any scale; sums stay exact to ~9e18 units ≈ sf1000.
+
+_REV4_SQL = (
+    "(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))"
+)
+_DISC4_SQL = (
+    "(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * CAST(round(l_discount * 100, 0) AS BIGINT))"
+)
+
+
+def _rev4() -> Column:
+    """l_extendedprice * (1 - l_discount), exact, in 1e-4 dollars."""
+    ep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return ep * (100 - d)
+
+
+def _disc4() -> Column:
+    """l_extendedprice * l_discount, exact, in 1e-4 dollars."""
+    ep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return ep * d
+
+
+def _dollars2(sum_col: str) -> Column:
+    """Half-up 1e-4-dollar BIGINT sum → 2-dp dollars (double). The
+    division uses a Python float literal (a SQL-text 100.0 would parse
+    as DECIMAL and type the output decimal(27,6) — driver-unhashable)."""
+    return F.expr(f"({sum_col} + 50) DIV 100") / 100.0
+
+
+def _dollars2_sql(inner: str) -> str:
+    return f"((CAST(sum({inner}) AS BIGINT) + 50) // 100) / 100.0"
 
 
 @query(
@@ -42,39 +84,73 @@ from mariadb_columnstore_engine_spark.plans.registry import query
     section="§2.1 scan, §2.2 filter pushdown, §2.4 two-phase agg, §2.6 sort",
     bench=True,
     oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ep_c,
+               CAST(round(l_discount * 100, 0) AS BIGINT)      AS d_p,
+               CAST(round(l_tax * 100, 0) AS BIGINT)           AS t_p,
+               CAST(l_quantity AS BIGINT)                      AS qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ), g AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(qty) AS BIGINT)                          AS sq,
+               CAST(sum(ep_c) AS BIGINT)                         AS sbp,
+               CAST(sum(ep_c * (100 - d_p)) AS BIGINT)           AS sdp4,
+               CAST(sum(ep_c * (100 - d_p) * (100 + t_p)) AS BIGINT) AS sc6,
+               CAST(sum(d_p) AS BIGINT)                          AS sd,
+               count(*)                                          AS n
+        FROM c GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(sq AS DOUBLE)                      AS sum_qty,
+           sbp / 100.0                             AS sum_base_price,
+           ((sdp4 + 50) // 100) / 100.0            AS sum_disc_price,
+           ((sc6 + 5000) // 10000) / 100.0         AS sum_charge,
+           round(CAST(sq AS DOUBLE) / n, 6)        AS avg_qty,
+           round(sbp / 100.0 / n, 6)               AS avg_price,
+           round(sd / 100.0 / n, 6)                AS avg_disc,
+           n                                       AS count_order
+    FROM g
     ORDER BY l_returnflag, l_linestatus
     """,
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregates run in EXACT integer cents (prices/discounts/tax
+    are 2-dp by TPC-H definition): float double-sums round-flip on
+    half-cent boundaries at sf1 (caught by the 100x sweep — sum_charge
+    .34 vs .35), while bigint sums + a single half-up integer division
+    are bit-identical in both engines at any scale. Sums stay exact up
+    to ~9e18 hundredth-cents ≈ sf1000."""
     t = Catalog(spark, sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d_p = F.round(F.col("l_discount") * 100, 0).cast("long")
+    t_p = F.round(F.col("l_tax") * 100, 0).cast("long")
+    qty = F.col("l_quantity").cast("long")
     return (
         t.lineitem.where(
             F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).alias("sq"),
+            F.sum(ep_c).alias("sbp"),
+            F.sum(ep_c * (100 - d_p)).alias("sdp4"),
+            F.sum(ep_c * (100 - d_p) * (100 + t_p)).alias("sc6"),
+            F.sum(d_p).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            (F.col("sbp") / 100.0).alias("sum_base_price"),
+            (F.expr("(sdp4 + 50) DIV 100") / 100.0).alias("sum_disc_price"),
+            (F.expr("(sc6 + 5000) DIV 10000") / 100.0).alias("sum_charge"),
+            F.round(F.col("sq").cast("double") / F.col("n"), 6).alias("avg_qty"),
+            F.round(F.col("sbp") / 100.0 / F.col("n"), 6).alias("avg_price"),
+            F.round(F.col("sd") / 100.0 / F.col("n"), 6).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -84,9 +160,9 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     section="§2.3 hash join (broadcast small dim), §2.4 agg, §2.6 top-k",
     bench=True,
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_dollars2_sql(_REV4_SQL)} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -95,7 +171,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+    ORDER BY sum({_REV4_SQL}) DESC, l_orderkey
     LIMIT 10
     """,
 )
@@ -114,16 +190,12 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         # while it fits and shuffle-hash beyond (≈ PM vs UM join choice).
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "_revenue"
-            )
-        )
-        .orderBy(F.desc("_revenue"), "l_orderkey")
+        .agg(F.sum(_rev4()).alias("_rev4"))
+        .orderBy(F.desc("_rev4"), "l_orderkey")
         .limit(10)
         .select(
             "l_orderkey",
-            F.round("_revenue", 2).alias("revenue"),
+            _dollars2("_rev4").alias("revenue"),
             "o_orderdate",
             "o_orderpriority",
         )
@@ -134,9 +206,9 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     section="§2.3 multi-way join w/ join ordering, §2.4 agg",
     bench=True,
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_dollars2_sql(_REV4_SQL)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -169,11 +241,8 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(_rev4()).alias("_rev4"))
+        .select("n_name", _dollars2("_rev4").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -182,8 +251,8 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast_revenue",
     section="§2.1 scan w/ multi-predicate pushdown, §2.4 scalar agg",
     bench=True,
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+    SELECT {_dollars2_sql(_DISC4_SQL)} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -200,11 +269,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.sum(_disc4()).alias("_d4"))
+        .select(_dollars2("_d4").alias("revenue"))
     )
 
 
@@ -212,9 +278,9 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     section="§2.3 join, §2.4 agg w/ wide group key, §2.6 top-k",
     bench=True,
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_dollars2_sql(_REV4_SQL)} AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -224,7 +290,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    ORDER BY sum({_REV4_SQL}) DESC, c_custkey
     LIMIT 20
     """,
 )
@@ -240,17 +306,13 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "_revenue"
-            )
-        )
-        .orderBy(F.desc("_revenue"), "c_custkey")
+        .agg(F.sum(_rev4()).alias("_rev4"))
+        .orderBy(F.desc("_rev4"), "c_custkey")
         .limit(20)
         .select(
             "c_custkey",
             "c_name",
-            F.round("_revenue", 2).alias("revenue"),
+            _dollars2("_rev4").alias("revenue"),
             "c_acctbal",
             "n_name",
         )
@@ -261,13 +323,13 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_volume_shipping",
     section="§2.3 multi-join nation pairs + §2.8 year() + OR-pair filter "
     "(TPC-H Q7 shape, devregression corpus)",
-    oracle="""
+    oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           ((CAST(sum(vol4) AS BIGINT) + 50) // 100) / 100.0 AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               {_REV4_SQL} AS vol4
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
@@ -302,10 +364,10 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(_rev4()).alias("_rev4"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            _dollars2("_rev4").alias("revenue"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -457,7 +519,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(TPC-H Q22 shape: customers with no orders above-average balance)",
     oracle="""
     SELECT cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               / 100.0 AS totacctbal
     FROM (
         SELECT substr(c_name, 10, 2) AS cntrycode, c_acctbal
         FROM customer
@@ -489,7 +552,10 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+                / 100.0
+            ).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -536,8 +602,8 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="§2.2 disjunctive multi-table predicates (TPC-H Q19 adapted "
     "to fixture columns: brand/size/type OR-branches). The OR of ANDs "
     "must still push the join-independent part into the scans",
-    oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT {_dollars2_sql(_REV4_SQL)} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 5 AND 25)
@@ -569,12 +635,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
-        )
+        .agg(F.sum(_rev4()).alias("_rev4"))
+        .select(_dollars2("_rev4").alias("revenue"))
     )
 
 

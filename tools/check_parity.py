@@ -73,10 +73,12 @@ def main() -> int:
         n for n in specs if not filters or any(f in n for f in filters)
     ]
 
+    from mariadb_columnstore_engine_spark.oracle import table_glob
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'"
         )
 
     if tuned:
@@ -95,6 +97,11 @@ def main() -> int:
     for name in names:
         spec = specs[name]
         t0 = time.time()
+        # Caches some plans create (LSH signature tables, cluster
+        # frontiers) must not accumulate across 180 queries — at sf1 the
+        # pile-up exhausts the heap (GCLocker retry cascade) and fails
+        # every query after it. One query, one cache lifetime.
+        spark.catalog.clearCache()
         try:
             sdf = spec.fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
