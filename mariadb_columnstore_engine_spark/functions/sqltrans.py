@@ -1056,6 +1056,9 @@ def translate_statement(sql: str) -> str:
     # its source expr are already translated) and stores its generated
     # SQL as one mask token (no later pass can fire inside it)
     masked = _rewrite_json_table(masked, store)
+    # JSON formatters render through Catalyst but stash their SQL as
+    # mask tokens, so later scans never see their quoted regexes
+    masked = _rewrite_json_format_functions(masked, store)
     # LAST: Catalyst-rendered rewrites inject raw SQL (with quotes), so
     # no masked-text scan may run after them
     masked = _rewrite_week_functions(masked, store)
@@ -1092,22 +1095,88 @@ _ARG = "__mcs_arg__"
 _TPL_CACHE: dict = {}
 
 
-def _render_column_sql(build):
-    """SQL text of ``build(F.col(_ARG))`` with ``{0}`` at the arg slot."""
+def _render_column_sql(build, *, arg_type: str = "date"):
+    """SQL text of ``build(F.col(_ARG))`` with ``{0}`` at the arg slot.
+    ``arg_type`` types the probe column so analysis doesn't wrap the
+    slot in spurious implicit casts (date for WEEK/…, string for the
+    JSON formatters)."""
     from pyspark.sql import SparkSession
     import pyspark.sql.functions as F
 
     spark = SparkSession.getActiveSession()
     if spark is None:
         raise ValueError(
-            "WEEK/YEARWEEK/week-format translation needs an active "
+            "WEEK/YEARWEEK/JSON-format translation needs an active "
             "SparkSession (use Engine.sql, or start a session first)"
         )
-    df = spark.range(1).select(
-        F.lit("2000-01-01").cast("date").alias(_ARG)
-    ).select(build(F.col(_ARG)).alias("__out__"))
+    probe = (
+        F.lit("2000-01-01").cast("date")
+        if arg_type == "date"
+        else F.lit("{}").cast(arg_type)
+    )
+    df = spark.range(1).select(probe.alias(_ARG)).select(
+        build(F.col(_ARG)).alias("__out__")
+    )
     expr = df._jdf.queryExecution().analyzed().expressions().apply(0)
     return "(" + expr.child().sql().replace(_ARG, "({0})") + ")"
+
+
+def _rewrite_json_format_functions(masked: str, store: list[str]) -> str:
+    """``JSON_COMPACT(x)`` / ``JSON_LOOSE(x)`` / ``JSON_NORMALIZE(x)``
+    (func_json_format.cpp + json_normalize) → the json_ext Column
+    implementations rendered to SQL text through Catalyst, so the SQL
+    spelling reuses exactly the unit-tested semantics. Rendered SQL is
+    stashed as one mask token (it contains quoted regexes no later scan
+    may touch). JSON_DETAILED (multi-line pretty print) is refused, not
+    mistranslated."""
+    if re.search(r"\bJSON_DETAILED\s*\(", masked, re.IGNORECASE):
+        raise ValueError(
+            "JSON_DETAILED (multi-line pretty print) has no Spark "
+            "translation; use JSON_LOOSE for readable one-line form"
+        )
+    if re.search(r"\bJSON_NORMALIZE\s*\(", masked, re.IGNORECASE):
+        # json_ext.json_normalize exists as a Column function, but its
+        # higher-order lambdas don't render to re-parseable SQL text —
+        # honest refusal instead of a mistranslation
+        raise ValueError(
+            "JSON_NORMALIZE is available on the DataFrame surface "
+            "(functions.json_ext.json_normalize); its lambda-based "
+            "implementation has no SQL-text rendering"
+        )
+    from mariadb_columnstore_engine_spark.functions import json_ext
+
+    for name, builder in (
+        ("JSON_COMPACT", json_ext.json_compact),
+        ("JSON_LOOSE", json_ext.json_loose),
+    ):
+        pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+        out, i = [], 0
+        while True:
+            m = pat.search(masked, i)
+            if not m:
+                out.append(masked[i:])
+                break
+            open_at = masked.index("(", m.start())
+            end = _find_balanced(masked, open_at)
+            args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+            if len(args) != 1:
+                raise ValueError(f"{name} expects exactly 1 argument")
+            if name not in _TPL_CACHE:
+                _TPL_CACHE[name] = _render_column_sql(
+                    builder, arg_type="string"
+                )
+            # literal slot replacement, NOT str.format — the rendered
+            # regexes contain `{n}` quantifiers format would mangle
+            rendered = _TPL_CACHE[name].replace(
+                "({0})", "(" + _unmask(args[0].strip(), store) + ")"
+            )
+            ph = _PH.format(len(store))
+            store.append(rendered)
+            out.append(masked[i : m.start()])
+            out.append(ph)
+            i = end
+        masked = "".join(out)
+    return masked
 
 
 def _rewrite_week_functions(masked: str, store: list[str]) -> str:

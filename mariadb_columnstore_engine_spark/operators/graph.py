@@ -133,7 +133,14 @@ def connected_components(
     prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
-        neighbor_labels = labels.join(
+        # shuffle_hash hint: BOTH join sides are SF-scaled (labels =
+        # every node, sym = every edge), so letting AQE broadcast the
+        # frontier is wrong at scale — it re-broadcasts a growing
+        # relation each round and trips the driver's broadcast-build
+        # memory check long before 100 TB. A partitioned hash join
+        # keeps consecutive rounds co-partitioned on the same key
+        # (exchange reuse) with per-partition build memory only.
+        neighbor_labels = labels.hint("shuffle_hash").join(
             sym, labels["node"] == sym["a"]
         ).select(F.col("b").alias("node"), "component")
         labels = (
@@ -211,7 +218,8 @@ def connected_components_star(
 
     def _large_star(ed: DataFrame) -> DataFrame:
         sym = _sym(ed)
-        j = sym.join(_mins(sym), "a")
+        # shuffle_hash: both sides SF-scaled (see connected_components)
+        j = sym.join(_mins(sym).hint("shuffle_hash"), "a")
         return (
             j.where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
@@ -222,7 +230,7 @@ def connected_components_star(
     def _small_star(ed: DataFrame) -> DataFrame:
         sym = _sym(ed)
         mins = _mins(sym)
-        j = sym.join(mins, "a")
+        j = sym.join(mins.hint("shuffle_hash"), "a")
         emit = j.where(F.col("b") <= F.col("a")).select(
             F.col("b").alias("a"), F.col("m").alias("b")
         )

@@ -478,9 +478,14 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = mh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    # shuffle_hash hints: x/y are the SF-scaled shingle table — AQE's
+    # compressed-size estimate lets it BROADCAST one side at mid scales
+    # (seen at sf1: a >64 MB broadcast build), which is wrong at 100 TB
+    # by construction. Partitioned hash joins on doc keys keep build
+    # memory per-partition and scale linearly.
     return (
-        cands.join(x, "doc_a")
-        .join(y, "doc_b")
+        cands.join(x.hint("shuffle_hash"), "doc_a")
+        .join(y.hint("shuffle_hash"), "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

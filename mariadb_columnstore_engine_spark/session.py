@@ -67,6 +67,17 @@ ENGINE_CONF: dict[str, str] = {
     "spark.ui.retainedJobs": "100",
     "spark.ui.retainedStages": "100",
     "spark.ui.retainedTasks": "1000",
+    # JDK-17 G1 GCLocker workaround: a large allocation (e.g. a 128 MB
+    # broadcast-build array) retries only twice by default while JNI
+    # critical sections (Arrow/Parquet native buffers) hold the GCLocker,
+    # then fails as spurious OOM ("Not enough memory to build and
+    # broadcast") with tens of GB actually free — seen on sf1 runs whose
+    # plans mix parquet scans with a ~64 MB broadcast. Launch-time conf;
+    # only effective on the process's first session.
+    "spark.driver.extraJavaOptions": (
+        "-XX:+UnlockDiagnosticVMOptions "
+        "-XX:GCLockerRetryAllocationCount=64"
+    ),
 }
 
 

@@ -676,3 +676,22 @@ def test_session_functions_routed(engine_with_table):
     assert eng.execute("SELECT SCHEMA()") == eng.execute(
         "SELECT DATABASE()"
     )
+
+
+def test_json_format_functions_sql_spellings(spark):
+    """JSON_COMPACT / JSON_LOOSE SQL spellings route through the tested
+    json_ext Column implementations (Catalyst-rendered); JSON_DETAILED
+    and JSON_NORMALIZE are refused with documented errors, never
+    mistranslated."""
+    got = spark.sql(
+        translate_statement(
+            """SELECT JSON_COMPACT(' { "a" : 1 , "b" : [1, 2] } ') AS c,
+                      JSON_LOOSE('{"a":1,"s":"x:y,z"}') AS l"""
+        )
+    ).collect()[0]
+    assert got.c == '{"a":1,"b":[1,2]}'
+    assert got.l == '{"a": 1, "s": "x:y,z"}'
+    with pytest.raises(ValueError, match="JSON_DETAILED"):
+        translate_statement("SELECT JSON_DETAILED('{}') AS d")
+    with pytest.raises(ValueError, match="JSON_NORMALIZE"):
+        translate_statement("SELECT JSON_NORMALIZE('{}') AS n")

@@ -100,8 +100,24 @@ def main() -> int:
         # Caches some plans create (LSH signature tables, cluster
         # frontiers) must not accumulate across 180 queries — at sf1 the
         # pile-up exhausts the heap (GCLocker retry cascade) and fails
-        # every query after it. One query, one cache lifetime.
+        # every query after it. One query, one cache lifetime. The
+        # gc.collect() drops Python refs to the previous query's
+        # localCheckpoint DataFrames so the JVM ContextCleaner can
+        # release their storage blocks too (clearCache alone leaves
+        # checkpoint RDDs pinned).
+        import gc
+
         spark.catalog.clearCache()
+        gc.collect()
+        try:
+            # Python gc alone isn't enough: the JVM only releases the
+            # previous query's localCheckpoint storage blocks once ITS
+            # GC collects the RDD handles py4j just dropped. Without
+            # this, the broadcast-build memory check fails mid-sweep at
+            # sf1 ("Not enough memory to build and broadcast").
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         try:
             sdf = spec.fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
