@@ -69,9 +69,16 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     filters = args[1:]
     specs = load_all()
-    names = [
-        n for n in specs if not filters or any(f in n for f in filters)
-    ]
+    if filters and all(f in specs for f in filters):
+        # every filter is an exact registry name → exact selection (so
+        # a name that prefixes another, e.g. setop_intersect vs
+        # setop_intersect_all, can't pull in strays — sweep_chunked
+        # relies on this for per-chunk accounting)
+        names = [n for n in specs if n in set(filters)]
+    else:
+        names = [
+            n for n in specs if not filters or any(f in n for f in filters)
+        ]
 
     from mariadb_columnstore_engine_spark.oracle import table_glob
 
