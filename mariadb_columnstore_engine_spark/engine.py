@@ -328,6 +328,258 @@ class Engine:
             out.append(r)
         return out
 
+    # statements with no place in a single-expression body (control
+    # flow / cursors): refused at CREATE, not mistranslated at CALL
+    _PROC_UNSUPPORTED = (
+        r"\bDECLARE\b|\bCURSOR\b|\bIF\s|\bWHILE\b|\bLOOP\b|\bREPEAT\b"
+        r"|\bLEAVE\b|\bITERATE\b|\bFETCH\b|\bOPEN\s|\bCLOSE\s"
+        r"|\bSIGNAL\b|\bHANDLER\b"
+    )
+
+    def _handle_procedure_stmt(self, stmt: str, dialect: str):
+        """CREATE/DROP PROCEDURE + CALL (mcs17). Returns None when the
+        statement is not procedure-related, else a 1-tuple with the
+        result.
+
+        Scope (documented): bodies are straight-line statement lists —
+        any statement ``execute`` routes, plus ``SELECT .. INTO <OUT
+        param>`` capture. IN params substitute as typed literals
+        (mask-aware, so a param name inside a string literal never
+        rewrites); OUT/INOUT call-site arguments must be @variables
+        (MariaDB ER_SP_NOT_VAR_ARG) and receive values at return.
+        Control flow (IF/WHILE/DECLARE/CURSOR/...) is refused at CREATE
+        — single-expression procedures cover the MTR surface without
+        mistranslating procedural semantics Spark cannot honor.
+        """
+        import re
+
+        from mariadb_columnstore_engine_spark.functions.sqltrans import (
+            _find_balanced,
+            _mask,
+            _split_top_level_commas,
+            _unmask,
+            split_script,
+        )
+        from mariadb_columnstore_engine_spark.statements import (
+            _map_column_type,
+        )
+
+        procs = getattr(self, "_procedures", None)
+        if procs is None:
+            procs = self._procedures = {}
+
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s*\(",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            masked, store = _mask(stmt)
+            mm = re.match(
+                r"\s*CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+"
+                r"(IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s*\(",
+                masked,
+                re.IGNORECASE,
+            )
+            name = mm.group(3).strip("`").lower()
+            open_at = masked.index("(", mm.end() - 1)
+            end = _find_balanced(masked, open_at)
+            params = []
+            for p in _split_top_level_commas(
+                masked[open_at + 1 : end - 1]
+            ):
+                if not p.strip():
+                    continue
+                pm = re.match(
+                    r"\s*(IN|OUT|INOUT)?\s*(\w+)\s+(.+?)\s*$",
+                    p,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not pm:
+                    raise ValueError(f"bad procedure parameter: {p!r}")
+                params.append(
+                    (
+                        (pm.group(1) or "IN").upper(),
+                        pm.group(2).lower(),
+                        _map_column_type(pm.group(3)),
+                    )
+                )
+            tail = masked[end:]
+            tm = re.match(
+                r"\s*(?:COMMENT\s+(\x00\d+\x00)\s*)?"
+                r"(?:(?:NOT\s+)?DETERMINISTIC\s*|CONTAINS\s+SQL\s*"
+                r"|NO\s+SQL\s*|READS\s+SQL\s+DATA\s*"
+                r"|MODIFIES\s+SQL\s+DATA\s*|LANGUAGE\s+SQL\s*)*"
+                r"BEGIN\b(.*)\bEND\s*;?\s*$",
+                tail,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not tm:
+                raise ValueError(
+                    "CREATE PROCEDURE expects a BEGIN .. END body"
+                )
+            body_text = _unmask(tm.group(2), store).strip()
+            if re.search(self._PROC_UNSUPPORTED, body_text, re.IGNORECASE):
+                raise ValueError(
+                    "procedural control flow (DECLARE/IF/WHILE/CURSOR/"
+                    "...) is not supported in procedure bodies — only "
+                    "straight-line statement lists"
+                )
+            body = split_script(body_text)
+            comment = None
+            if tm.group(1):
+                raw = store[int(tm.group(1).strip("\x00"))]
+                comment = raw[1:-1]
+            if name in procs and not mm.group(1):
+                if mm.group(2):
+                    return (None,)
+                raise ValueError(
+                    f"procedure {name!r} already exists "
+                    "(ER_SP_ALREADY_EXISTS; use OR REPLACE)"
+                )
+            procs[name] = {
+                "params": params, "body": body, "comment": comment,
+            }
+            return (None,)
+
+        m = re.match(
+            r"\s*DROP\s+PROCEDURE\s+(IF\s+EXISTS\s+)?([\w`]+)\s*;?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group(2).strip("`").lower()
+            if name not in procs:
+                if m.group(1):
+                    return (None,)
+                raise ValueError(
+                    f"unknown procedure {name!r} (ER_SP_DOES_NOT_EXIST)"
+                )
+            del procs[name]
+            return (None,)
+
+        m = re.match(
+            r"\s*SHOW\s+PROCEDURE\s+STATUS\s*;?\s*$", stmt, re.IGNORECASE
+        )
+        if m:
+            return (
+                [
+                    (n, "PROCEDURE", p["comment"])
+                    for n, p in sorted(procs.items())
+                ],
+            )
+
+        m = re.match(r"\s*CALL\s+([\w`]+)\s*(\(|;?\s*$)", stmt, re.IGNORECASE)
+        if not m:
+            return None
+        name = m.group(1).strip("`").lower()
+        if name not in procs:
+            raise ValueError(
+                f"unknown procedure {name!r} (ER_SP_DOES_NOT_EXIST)"
+            )
+        proc = procs[name]
+        masked, store = _mask(stmt)
+        cm = re.match(r"\s*CALL\s+[\w`]+\s*(\()?", masked, re.IGNORECASE)
+        if cm.group(1):
+            open_at = masked.index("(", cm.end() - 1)
+            end = _find_balanced(masked, open_at)
+            args = [
+                a.strip()
+                for a in _split_top_level_commas(
+                    masked[open_at + 1 : end - 1]
+                )
+                if a.strip()
+            ]
+        else:
+            args = []
+        if len(args) != len(proc["params"]):
+            raise ValueError(
+                f"procedure {name!r} expects {len(proc['params'])} "
+                f"argument(s), got {len(args)} (ER_SP_WRONG_NO_OF_ARGS)"
+            )
+        uvars = getattr(self, "_user_vars", None)
+        if uvars is None:
+            uvars = self._user_vars = {}
+        subs: dict[str, str] = {}   # param name -> literal SQL
+        out_targets: dict[str, str] = {}  # param name -> @var name
+        locals_: dict[str, object] = {}
+        for (mode, pname, _ptype), arg in zip(proc["params"], args):
+            arg_raw = _unmask(arg, store).strip()
+            if mode in ("OUT", "INOUT"):
+                if not re.fullmatch(r"@\w+", arg_raw):
+                    raise ValueError(
+                        f"{mode} argument for {pname!r} must be a "
+                        "@variable (ER_SP_NOT_VAR_ARG)"
+                    )
+                out_targets[pname] = arg_raw[1:]
+                if mode == "INOUT":
+                    locals_[pname] = uvars.get(arg_raw[1:])
+            else:
+                # IN: evaluate the expression (literals, @vars, exprs)
+                # through execute() so @variable references resolve
+                r = self.execute(
+                    f"SELECT ({arg_raw}) AS v", dialect=dialect
+                )
+                val = (
+                    r.collect()[0][0] if isinstance(r, DataFrame) else r
+                )
+                subs[pname] = self._render_uservar_literal(val)
+
+        results = []
+        for body_stmt in proc["body"]:
+            bmasked, bstore = _mask(body_stmt)
+            # SELECT ... INTO <outparam> capture
+            im = re.search(r"\sINTO\s+(\w+)\s", bmasked + " ", re.IGNORECASE)
+            capture = None
+            if im and im.group(1).lower() in out_targets:
+                capture = im.group(1).lower()
+                bmasked = (
+                    bmasked[: im.start()] + " "
+                    + (bmasked + " ")[im.end():]
+                ).strip()
+            def _sub_param(mo):
+                nm = mo.group(0).lower()
+                if nm in subs:
+                    return subs[nm]
+                if nm in locals_ and nm in out_targets:
+                    return self._render_uservar_literal(locals_[nm])
+                return mo.group(0)
+            bmasked = re.sub(r"\b\w+\b", _sub_param, bmasked)
+            r = self.execute(_unmask(bmasked, bstore), dialect=dialect)
+            if capture is not None:
+                rows = r.collect() if isinstance(r, DataFrame) else r
+                if len(rows) != 1 or len(rows[0]) != 1:
+                    raise ValueError(
+                        "SELECT INTO <param> needs exactly one row/"
+                        f"column, got {len(rows)} row(s)"
+                    )
+                locals_[capture] = rows[0][0]
+            else:
+                results.append(r)
+        for pname, varname in out_targets.items():
+            uvars[varname] = locals_.get(pname)
+        return (results[-1] if results else None,)
+
+    def _render_uservar_literal(self, v) -> str:
+        import datetime as _dt
+
+        from mariadb_columnstore_engine_spark.functions.sqltrans import (
+            _string_literal,
+        )
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v}'"
+        return _string_literal(str(v))
+
     def execute(self, stmt: str, *, dialect: str = "mariadb"):
         """Run ONE SQL statement of any supported kind.
 
@@ -401,6 +653,13 @@ class Engine:
             return f"({inner}) OR {unmatched}"
 
         import re as _re_cal
+
+        # --- stored procedures (mcs17_procedures_define_call_drop) ------
+        # Handled BEFORE @var substitution: `CALL p(@out)` names an OUT
+        # target that is legitimately unset at call time.
+        proc_result = self._handle_procedure_stmt(stmt, dialect)
+        if proc_result is not None:
+            return proc_result[0]
 
         # --- session user variables (@var) -------------------------------
         # MariaDB SET @x = expr / SELECT ... INTO @x / @x references —
@@ -930,6 +1189,16 @@ class Engine:
                     f"DROP TEMPORARY FUNCTION {parsed.arg}"
                 )
                 funcs.discard(parsed.arg.lower())
+                return None
+            if parsed.kind == "auth_noop":
+                # parsed and accepted; no auth layer in a library
+                # engine (mysqld owns accounts upstream of the
+                # reference too). Recorded as a note-level warning.
+                self._warnings = [
+                    ("Note", 1105,
+                     f"{parsed.arg} is a no-op: single-user engine, "
+                     "account management delegated to the host")
+                ]
                 return None
             if parsed.kind == "index_noop":
                 # index DDL accepted, nothing stored (mcs73: parquet

@@ -1069,11 +1069,36 @@ def translate_statement(sql: str) -> str:
 
 def split_script(script: str) -> list[str]:
     """Split a multi-statement script on semicolons, mask-aware (a ``;``
-    inside a literal or comment never splits). Empty fragments drop."""
+    inside a literal or comment never splits) and block-aware: a ``;``
+    inside a ``BEGIN .. END`` body (CREATE PROCEDURE/FUNCTION) or a
+    ``CASE .. END`` expression does not split either — MTR scripts use
+    DELIMITER for this; the depth tracker makes that unnecessary here.
+    A standalone transaction ``BEGIN`` (its own fragment) is a
+    statement, not a block opener. Empty fragments drop."""
     masked, store = _mask(script)
-    out = []
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
     for frag in masked.split(";"):
-        stmt = _unmask(frag, store).strip()
+        opens = len(re.findall(r"\bBEGIN\b|\bCASE\b", frag, re.IGNORECASE))
+        closes = len(re.findall(r"\bEND\b", frag, re.IGNORECASE))
+        if (
+            depth == 0
+            and not buf
+            and re.fullmatch(
+                r"\s*BEGIN(\s+WORK)?\s*", frag, re.IGNORECASE
+            )
+        ):
+            opens -= 1  # transaction BEGIN, not a block
+        buf.append(frag)
+        depth += opens - closes
+        if depth <= 0:
+            stmt = _unmask(";".join(buf), store).strip()
+            if stmt:
+                out.append(stmt)
+            buf, depth = [], 0
+    if buf:
+        stmt = _unmask(";".join(buf), store).strip()
         if stmt:
             out.append(stmt)
     return out

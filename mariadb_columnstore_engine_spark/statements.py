@@ -440,6 +440,26 @@ def parse(sql: str):
     if re.fullmatch(r"ROLLBACK(\s+WORK)?\s*", masked, re.IGNORECASE):
         return Other("rollback", "")
 
+    # single-user engine: account management parses and no-ops (mcs18/
+    # mcs19 run these around every suite; the reference delegates auth
+    # to mysqld — there is no auth layer in a library engine)
+    m = re.match(
+        r"(GRANT\b|REVOKE\b|CREATE\s+USER\b|DROP\s+USER\b|"
+        r"ALTER\s+USER\b|SET\s+PASSWORD\b|FLUSH\s+PRIVILEGES\b|"
+        r"SHOW\s+GRANTS\b)",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        return Other("auth_noop", m.group(1).upper().split()[0])
+
+    # INSERT DELAYED: the delayed-write queue is a MyISAM-era hint;
+    # MariaDB itself treats it as plain INSERT on engines without the
+    # queue (mcs25_insert_delayed) — strip the keyword
+    masked = re.sub(
+        r"^(\s*INSERT\s+)DELAYED\s+", r"\1", masked, flags=re.IGNORECASE
+    )
+
     m = re.match(
         r"(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+([^\s(]+)\s+SET\s+",
         masked,

@@ -42,7 +42,10 @@ def test_parse_delete_and_insert_forms():
 
 def test_parse_rejects_unsupported():
     with pytest.raises(ValueError, match="unsupported statement"):
-        st.parse("GRANT SELECT ON t1 TO someone")
+        st.parse("HANDLER t1 OPEN")
+    # account management now parses as a documented no-op (mcs18/mcs19)
+    p = st.parse("GRANT SELECT ON t1 TO someone")
+    assert p.kind == "auth_noop" and p.arg == "GRANT"
 
 
 # --- execution --------------------------------------------------------------
@@ -1093,3 +1096,91 @@ def test_stored_sql_functions_define_call_drop(engine_wh):
     eng2.execute("DROP FUNCTION dup1")
     with pytest.raises(ValueError, match="unknown function"):
         eng.execute("DROP FUNCTION dup1")
+
+
+def test_stored_procedures_define_call_drop(engine_with_table):
+    """mcs17_procedures_define_call_drop: CREATE PROCEDURE with a
+    straight-line BEGIN..END body, OUT params bound to @variables at
+    CALL (ER_SP_NOT_VAR_ARG otherwise), SELECT .. INTO <param> capture,
+    duplicate/unknown errors, OR REPLACE, IN param literal
+    substitution; control flow is refused at CREATE."""
+    import pytest
+
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE proc1 (OUT cnt INT) COMMENT 'c1' "
+        "BEGIN SELECT COUNT(*) INTO cnt FROM t1; END"
+    )
+    eng.execute("CALL proc1(@cnt)")
+    assert eng.execute("SELECT @cnt AS c").collect()[0].c == 10
+    with pytest.raises(ValueError, match="ER_SP_NOT_VAR_ARG"):
+        eng.execute("CALL proc1(1)")
+    with pytest.raises(ValueError, match="ER_SP_WRONG_NO_OF_ARGS"):
+        eng.execute("CALL proc1()")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute(
+            "CREATE PROCEDURE proc1 (OUT cnt INT) "
+            "BEGIN SELECT 1 INTO cnt; END"
+        )
+    # OR REPLACE + IN parameter substituted as a typed literal
+    eng.execute(
+        "CREATE OR REPLACE PROCEDURE proc1 (IN k INT, OUT cnt INT) "
+        "BEGIN SELECT COUNT(*) INTO cnt FROM t1 WHERE id < k; END"
+    )
+    eng.execute("CALL proc1(3, @cnt)")
+    assert eng.execute("SELECT @cnt AS c").collect()[0].c == 3
+    # IN argument may itself be a @variable
+    eng.execute("SET @k = 5")
+    eng.execute("CALL proc1(@k, @cnt)")
+    assert eng.execute("SELECT @cnt AS c").collect()[0].c == 5
+    eng.execute("DROP PROCEDURE proc1")
+    with pytest.raises(ValueError, match="ER_SP_DOES_NOT_EXIST"):
+        eng.execute("DROP PROCEDURE proc1")
+    eng.execute("DROP PROCEDURE IF EXISTS proc1")  # no error
+    with pytest.raises(ValueError, match="control flow"):
+        eng.execute(
+            "CREATE PROCEDURE p3 () BEGIN "
+            "DECLARE x INT; SELECT 1; END"
+        )
+
+
+def test_procedure_in_run_script_block_aware_split(engine_with_table):
+    """split_script must not split on ';' inside BEGIN..END — MTR uses
+    DELIMITER for this; the depth tracker makes it unnecessary."""
+    eng = engine_with_table
+    results = eng.run_script(
+        "CREATE PROCEDURE p2 (IN d BIGINT) BEGIN "
+        "SELECT count(*) + d AS n FROM t1; END;\n"
+        "CALL p2(100);\n"
+        "DROP PROCEDURE p2;"
+    )
+    assert results[1].collect()[0].n == 110
+    # a transaction BEGIN is still its own statement
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        split_script,
+    )
+
+    assert split_script("BEGIN; SELECT 1; COMMIT;") == [
+        "BEGIN", "SELECT 1", "COMMIT",
+    ]
+    assert split_script(
+        "SELECT CASE WHEN a > 0 THEN 1 ELSE 0 END FROM t; SELECT 2"
+    ) == ["SELECT CASE WHEN a > 0 THEN 1 ELSE 0 END FROM t", "SELECT 2"]
+
+
+def test_auth_noops_and_insert_delayed(engine_with_table):
+    """mcs18/mcs19 account management parses and no-ops with a SHOW
+    WARNINGS note (single-user engine); mcs25 INSERT DELAYED is plain
+    INSERT (MariaDB itself drops the queue on engines without it)."""
+    eng = engine_with_table
+    assert eng.execute("GRANT SELECT ON *.* TO 'u'@'%'") is None
+    w = eng.execute("SHOW WARNINGS")
+    assert w and w[0][0] == "Note" and "no-op" in w[0][2]
+    assert eng.execute("REVOKE SELECT ON *.* FROM 'u'@'%'") is None
+    assert eng.execute("CREATE USER 'u'@'h' IDENTIFIED BY 'x'") is None
+    assert eng.execute("DROP USER 'u'@'h'") is None
+    assert eng.execute("FLUSH PRIVILEGES") is None
+    n0 = eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n
+    eng.execute("INSERT DELAYED INTO t1 VALUES (77, 1.0, 'd')")
+    n1 = eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n
+    assert n1 == n0 + 1
