@@ -561,6 +561,68 @@ class Engine:
             uvars[varname] = locals_.get(pname)
         return (results[-1] if results else None,)
 
+    def _set_sysvar(self, payload: str):
+        """SET <system variable> (mcs229_data_compression_type and the
+        MTR preamble idioms). Real behavior where the engine has one
+        (compression type → parquet write codec); documented no-ops for
+        charset/engine-tuning knobs mysqld or Spark owns; honest errors
+        for semantics-changing modes we cannot honor."""
+        name, _, val = payload.partition("\x01")
+        val = val.strip().strip("'\"").lower()
+        svars = getattr(self, "_sysvars", None)
+        if svars is None:
+            svars = self._sysvars = {}
+        if name == "columnstore_compression_type":
+            # reference codes (idbcompress.h): 0 none, 1/2 snappy, 3 lz4
+            codec = {
+                "0": "uncompressed", "1": "snappy", "2": "snappy",
+                "3": "lz4", "snappy": "snappy", "lz4": "lz4",
+                "none": "uncompressed",
+            }.get(val)
+            if codec is None:
+                raise ValueError(
+                    f"unknown compression type {val!r} (0=none, "
+                    "1/2=snappy, 3=lz4 — idbcompress.h codes)"
+                )
+            self.spark.conf.set(
+                "spark.sql.parquet.compression.codec", codec
+            )
+            svars[name] = val
+            return None
+        if name == "names":
+            return None  # SET NAMES: every Spark string is UTF-8
+        if name == "sql_mode":
+            if val in ("", "''"):
+                svars[name] = ""
+                return None
+            raise ValueError(
+                "SET sql_mode with flags is not supported (behavior-"
+                "changing modes would silently mistranslate; Oracle-"
+                "mode function variants are available as *_oracle "
+                "spellings / dialect helpers)"
+            )
+        if name.startswith(("columnstore_", "infinidb_")) or name in (
+            "autocommit", "character_set_client", "character_set_results",
+            "character_set_connection", "collation_connection",
+            "max_allowed_packet", "net_write_timeout", "sql_log_bin",
+            "unique_checks", "foreign_key_checks", "timestamp",
+            "default_storage_engine", "storage_engine",
+        ):
+            # engine-tuning / protocol knobs mysqld or Spark owns —
+            # stored for SHOW VARIABLES, note-level warning
+            svars[name] = val
+            self._warnings = [
+                ("Note", 1105,
+                 f"SET {name} accepted and stored; no engine behavior "
+                 "is attached to it here")
+            ]
+            return None
+        raise ValueError(
+            f"unsupported system variable {name!r} (supported: "
+            "columnstore_compression_type, sql_mode='', NAMES, and "
+            "stored-only columnstore_*/protocol knobs)"
+        )
+
     def _render_uservar_literal(self, v) -> str:
         import datetime as _dt
 
@@ -1190,6 +1252,32 @@ class Engine:
                 )
                 funcs.discard(parsed.arg.lower())
                 return None
+            if parsed.kind == "set_sysvar":
+                return self._set_sysvar(parsed.arg)
+            if parsed.kind == "show_variables":
+                svars = dict(getattr(self, "_sysvars", {}))
+                svars.setdefault(
+                    "columnstore_compression_type",
+                    {"uncompressed": "0", "snappy": "2", "lz4": "3"}.get(
+                        self.spark.conf.get(
+                            "spark.sql.parquet.compression.codec", "snappy"
+                        ),
+                        "2",
+                    ),
+                )
+                pat = parsed.arg
+                if pat:
+                    import fnmatch
+
+                    rx = fnmatch.translate(
+                        pat.replace("%", "*").replace("_", "?")
+                    )
+                    svars = {
+                        k: v
+                        for k, v in svars.items()
+                        if _re_cal.match(rx, k, _re_cal.IGNORECASE)
+                    }
+                return sorted(svars.items())
             if parsed.kind == "auth_noop":
                 # parsed and accepted; no auth layer in a library
                 # engine (mysqld owns accounts upstream of the

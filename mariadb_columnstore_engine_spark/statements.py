@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 
 from mariadb_columnstore_engine_spark.functions.sqltrans import (
     _find_balanced,
+    _literal_text,
     _mask,
     _split_top_level_commas,
     _top_level_search,
@@ -452,6 +453,33 @@ def parse(sql: str):
     )
     if m:
         return Other("auth_noop", m.group(1).upper().split()[0])
+
+    # session system variables (SET @user_vars are intercepted by the
+    # engine before parse; SET PASSWORD by the auth_noop rule above)
+    m = re.match(
+        r"SET\s+NAMES\s+\S+(\s+COLLATE\s+\S+)?\s*$", masked, re.IGNORECASE
+    )
+    if m:
+        return Other("set_sysvar", "names\x01")
+    m = re.match(
+        r"SET\s+(?:SESSION\s+|GLOBAL\s+)?([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m and not m.group(1).startswith("@"):
+        return Other(
+            "set_sysvar",
+            f"{m.group(1).lower()}\x01{_unmask(m.group(2), store)}",
+        )
+    m = re.match(
+        r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES"
+        r"(?:\s+LIKE\s+(\x00\d+\x00))?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        pat = _literal_text(m.group(1), store) if m.group(1) else ""
+        return Other("show_variables", pat or "")
 
     # INSERT DELAYED: the delayed-write queue is a MyISAM-era hint;
     # MariaDB itself treats it as plain INSERT on engines without the

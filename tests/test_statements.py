@@ -1184,3 +1184,40 @@ def test_auth_noops_and_insert_delayed(engine_with_table):
     eng.execute("INSERT DELAYED INTO t1 VALUES (77, 1.0, 'd')")
     n1 = eng.execute("SELECT count(*) AS n FROM t1").collect()[0].n
     assert n1 == n0 + 1
+
+
+def test_set_compression_type_and_sysvars(engine_with_table, tmp_path):
+    """mcs229_data_compression_type: SET columnstore_compression_type
+    really changes the write codec (idbcompress.h codes: 0 none,
+    1/2 snappy, 3 lz4); SHOW VARIABLES reflects it; SET NAMES is a
+    UTF-8 no-op; behavior-changing sql_mode flags are refused."""
+    import glob
+
+    import pytest
+
+    eng = engine_with_table
+    eng.warehouse = str(tmp_path / "wh_cz")
+    try:
+        eng.execute("SET columnstore_compression_type=0")
+        eng.execute("CREATE TABLE cz0 AS SELECT * FROM t1")
+        f0 = glob.glob(eng.warehouse + "/cz0/*.parquet")[0]
+        assert "snappy" not in f0 and "lz4" not in f0
+        eng.execute("SET SESSION columnstore_compression_type=3")
+        eng.execute("CREATE TABLE cz3 AS SELECT * FROM t1")
+        f3 = glob.glob(eng.warehouse + "/cz3/*.parquet")[0]
+        assert "lz4" in f3
+        got = dict(eng.execute("SHOW VARIABLES LIKE 'columnstore%'"))
+        assert got["columnstore_compression_type"] == "3"
+        assert eng.execute("SET NAMES utf8mb4") is None
+        # stored-only knob: accepted with a note
+        eng.execute("SET columnstore_um_mem_limit=4096")
+        assert any(
+            "stored" in w[2] for w in eng.execute("SHOW WARNINGS")
+        )
+        with pytest.raises(ValueError, match="sql_mode"):
+            eng.execute("SET sql_mode='ANSI_QUOTES'")
+        with pytest.raises(ValueError, match="unsupported system"):
+            eng.execute("SET totally_unknown_var=1")
+    finally:
+        # restore the session default codec for later tests
+        eng.execute("SET columnstore_compression_type=2")
