@@ -21,6 +21,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _free_checkpoint(df: DataFrame | None) -> None:
+    """Release a superseded localCheckpoint's storage blocks NOW.
+
+    Fixpoint loops replace their checkpointed frame every round; the old
+    rounds' MEMORY_AND_DISK blocks otherwise stay pinned until the JVM
+    happens to GC the RDD handles — across a long session (or a 180-
+    query sweep) that pile-up starves later broadcast builds (observed
+    at sf1 as spurious 'Not enough memory to build and broadcast').
+    Best-effort: the internals path (LogicalRDD.rdd) is stable across
+    Spark 3.x/4.x but a refactor must degrade to the old GC-eventually
+    behavior, never to an error."""
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def bfs_reachability(
     edges: DataFrame,
     start_nodes: DataFrame,
@@ -70,7 +91,9 @@ def bfs_reachability(
         )
         n_new = nxt.count()
         if n_new == 0:
+            _free_checkpoint(nxt)
             break
+        old_visited, old_frontier = visited, frontier
         visited = (
             visited.unionByName(nxt)
             .repartition(_parts(n_visited + n_new), "node")
@@ -78,6 +101,9 @@ def bfs_reachability(
         )
         n_visited = visited.count()
         frontier = nxt
+        _free_checkpoint(old_visited)
+        if old_frontier is not old_visited:
+            _free_checkpoint(old_frontier)
     return visited
 
 
@@ -143,6 +169,7 @@ def connected_components(
         neighbor_labels = labels.hint("shuffle_hash").join(
             sym, labels["node"] == sym["a"]
         ).select(F.col("b").alias("node"), "component")
+        old_labels = labels
         labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
@@ -150,6 +177,7 @@ def connected_components(
             .localCheckpoint()
         )
         new_sum = _label_sum(labels)
+        _free_checkpoint(old_labels)
         if new_sum == prev_sum:
             converged = True
             break
@@ -251,8 +279,10 @@ def connected_components_star(
     sig = _sig(e)
     converged = False
     for _ in range(max_iter):
+        old_e = e
         e = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _sig(e)
+        _free_checkpoint(old_e)
         if new_sig == sig:
             converged = True
             break
