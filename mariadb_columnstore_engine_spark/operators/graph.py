@@ -141,10 +141,19 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Loop stages are |nodes|/|edges|-sized, NOT input-table-sized:
+    # inheriting the session's shuffle partitioning (200 on a vanilla
+    # session) makes every round pay hundreds of near-empty tasks.
+    # Size the loop's partitioning from the edge count (~1M rows per
+    # partition, the bfs_reachability discipline) — grows with the
+    # graph at 100 TB, stays single-digit on fixture scales.
+    p = max(1, sym.count() // 1_000_000 + 1)
+    sym = sym.repartition(p, "a").localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
+        .repartition(p, "node")
         .localCheckpoint()
     )
     # Convergence probe: labels only ever DECREASE, so sum(component)
@@ -170,8 +179,12 @@ def connected_components(
             sym, labels["node"] == sym["a"]
         ).select(F.col("b").alias("node"), "component")
         old_labels = labels
+        # repartition BEFORE the aggregate: hash(node, p) satisfies the
+        # aggregation's required distribution, so Catalyst elides the
+        # agg's own (200-partition) exchange
         labels = (
             labels.unionByName(neighbor_labels)
+            .repartition(p, "node")
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
@@ -224,6 +237,9 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # loop partitioning sized from the graph, not the session (see
+    # connected_components)
+    p = max(1, e.count() // 1_000_000 + 1)
     all_nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -232,9 +248,13 @@ def connected_components_star(
     )
 
     def _sym(ed: DataFrame) -> DataFrame:
-        return ed.unionByName(
-            ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
+        return (
+            ed.unionByName(
+                ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .repartition(p, "a")
+            .distinct()
+        )
 
     def _mins(sym: DataFrame) -> DataFrame:
         # min of the closed neighborhood Γ(u) ∪ {u}
