@@ -1980,3 +1980,52 @@ def sql_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY src.rkey, jt.ord, jt.lord;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sql_stored_procedure_call",
+    section="front-end: stored procedures "
+    "(mcs17_procedures_define_call_drop) — CREATE PROCEDURE with a "
+    "straight-line BEGIN..END body through the statement router, IN "
+    "param substituted as a typed literal, OUT param captured via "
+    "SELECT..INTO and read back through @variables; the CALL's result "
+    "set is the gate relation and the oracle recomputes it inline.",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE o_orderkey < 500
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_stored_procedure_call(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.execute("DROP PROCEDURE IF EXISTS gate_prio_stats")
+    eng.execute(
+        "CREATE PROCEDURE gate_prio_stats (IN key_cap INT, OUT total INT)"
+        " COMMENT 'priority rollup below a key cap' BEGIN"
+        " SELECT count(*) INTO total FROM orders"
+        "   WHERE o_orderkey < key_cap;"
+        " SELECT o_orderpriority,"
+        "        CAST(count(*) AS SIGNED) AS n,"
+        "        round(max(o_totalprice), 2) AS max_price"
+        " FROM orders WHERE o_orderkey < key_cap"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority;"
+        " END"
+    )
+    result = eng.execute("CALL gate_prio_stats(500, @total)")
+    # the OUT param must equal the result's count-sum (cross-check
+    # belongs to the plan: a wrong OUT capture should fail the gate)
+    total = eng.execute("SELECT @total AS t").collect()[0].t
+    n_sum = sum(r.n for r in result.collect())
+    if total != n_sum:
+        raise ValueError(
+            f"OUT param mismatch: @total={total} vs result sum {n_sum}"
+        )
+    return result
