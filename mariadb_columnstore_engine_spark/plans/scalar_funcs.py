@@ -2029,3 +2029,61 @@ def sql_stored_procedure_call(
             f"OUT param mismatch: @total={total} vs result sum {n_sum}"
         )
     return result
+
+
+@query(
+    "op_salted_skew_agg_join",
+    section="skew tools as an oracle-checked relation (mcol641-skewed-"
+    "joins; operators/skew.py): a 3-value join/group key over the whole "
+    "lineitem table is the canonical hot-key shape — the salted join "
+    "replicates the constant dim across 16 salts and the salted "
+    "two-stage aggregation merges algebraic partials, so every hot key "
+    "fans across 16 reducers; both transforms are salt-INVARIANT and "
+    "the oracle is the plain one-stage SQL.",
+    oracle="""
+    SELECT concat('flag_', l_returnflag) AS label,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY label
+    """,
+)
+def op_salted_skew_agg_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mariadb_columnstore_engine_spark.operators.skew import (
+        salted_agg,
+        salted_join,
+    )
+
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    # constant 3-row dim derived from the data (no synthesized inputs)
+    dim = (
+        t.lineitem.select("l_returnflag")
+        .distinct()
+        .select(
+            "l_returnflag",
+            F.concat(F.lit("flag_"), F.col("l_returnflag")).alias("label"),
+        )
+    )
+    enriched = salted_join(li, dim, "l_returnflag", n_salts=16)
+    return (
+        salted_agg(
+            enriched,
+            ["label"],
+            [
+                F.sum("qty").alias("_s"),
+                F.count(F.lit(1)).alias("_c"),
+            ],
+            lambda: [
+                F.sum("_s").alias("total_qty"),
+                F.sum("_c").alias("n_rows"),
+            ],
+            n_salts=16,
+        )
+        .orderBy("label")
+    )
