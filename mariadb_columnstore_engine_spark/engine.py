@@ -328,13 +328,153 @@ class Engine:
             out.append(r)
         return out
 
-    # statements with no place in a single-expression body (control
-    # flow / cursors): refused at CREATE, not mistranslated at CALL
+    # statements the interpreter cannot honor (cursors, handlers,
+    # unstructured loops): refused at CREATE, not mistranslated at
+    # CALL. IF/WHILE are NOT here — they are interpreted (mcs17);
+    # scalar IF(a,b,c) inside statements was never meant to be refused
+    # (round-5 finding: the old r"\bIF\s" alternation matched the
+    # function spelled with a space).
     _PROC_UNSUPPORTED = (
-        r"\bDECLARE\b|\bCURSOR\b|\bIF\s|\bWHILE\b|\bLOOP\b|\bREPEAT\b"
+        r"\bDECLARE\b|\bCURSOR\b|\bLOOP\b|\bREPEAT\b"
         r"|\bLEAVE\b|\bITERATE\b|\bFETCH\b|\bOPEN\s|\bCLOSE\s"
         r"|\bSIGNAL\b|\bHANDLER\b"
     )
+
+    #: WHILE-loop hard iteration cap: an interpreted loop whose
+    #: condition never goes false must error, not hang the session
+    #: (the reference bounds runaway procedures with
+    #: max_recursive_iterations-style server limits)
+    _PROC_WHILE_CAP = 10_000
+
+    @staticmethod
+    def _parse_proc_body(body_text: str):
+        """Parse a procedure body into a node tree.
+
+        Nodes: ``("stmt", sql)``, ``("if", [(cond, [nodes]), ...],
+        else_nodes)``, ``("while", cond, [nodes])``. Statement-position
+        ``IF <cond> THEN`` opens a block (a bare statement cannot begin
+        with the scalar IF() function, so a leading IF token followed
+        by a top-level THEN is unambiguous); everything else is a leaf
+        executed through the normal statement router."""
+        import re
+
+        from mariadb_columnstore_engine_spark.functions.sqltrans import (
+            _mask,
+            _unmask,
+            split_script,
+        )
+
+        # split on top-level ';' with strings/comments masked; THEN/DO
+        # keyword scanning below runs on masked text too so literals
+        # can never fake a keyword
+        masked, store = _mask(body_text)
+        tokens = [t for t in (s.strip() for s in masked.split(";")) if t]
+
+        pos = 0
+
+        def parse_block(terminators: tuple[str, ...]):
+            nonlocal pos
+            nodes = []
+            while pos < len(tokens):
+                tok = tokens[pos]
+                up = tok.upper()
+                if any(
+                    re.match(rf"{t}\b", up) for t in terminators
+                ):
+                    return nodes, tok
+                pos += 1
+                m = re.match(
+                    r"IF\s+(.*?)\s+THEN\b\s*(.*)$",
+                    tok,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if m:
+                    branches = []
+                    cond, first = m.group(1), m.group(2).strip()
+                    if first:
+                        tokens.insert(pos, first)
+                    body, term = parse_block(
+                        ("ELSEIF", "ELSE", "END\\s+IF")
+                    )
+                    branches.append((_unmask(cond, store), body))
+                    else_nodes = []
+                    while True:
+                        if pos >= len(tokens):
+                            raise ValueError(
+                                "IF block missing END IF in procedure "
+                                "body"
+                            )
+                        tok2 = tokens[pos]
+                        pos += 1
+                        em = re.match(
+                            r"ELSEIF\s+(.*?)\s+THEN\b\s*(.*)$",
+                            tok2,
+                            re.IGNORECASE | re.DOTALL,
+                        )
+                        if em:
+                            cond2, first2 = (
+                                em.group(1),
+                                em.group(2).strip(),
+                            )
+                            if first2:
+                                tokens.insert(pos, first2)
+                            b2, term = parse_block(
+                                ("ELSEIF", "ELSE", "END\\s+IF")
+                            )
+                            branches.append(
+                                (_unmask(cond2, store), b2)
+                            )
+                            continue
+                        em = re.match(
+                            r"ELSE\b\s*(.*)$",
+                            tok2,
+                            re.IGNORECASE | re.DOTALL,
+                        )
+                        if em and not re.match(
+                            r"ELSEIF\b", tok2, re.IGNORECASE
+                        ):
+                            first2 = em.group(1).strip()
+                            if first2:
+                                tokens.insert(pos, first2)
+                            else_nodes, term = parse_block(
+                                ("END\\s+IF",)
+                            )
+                            pos += 1  # consume END IF
+                            break
+                        if re.match(r"END\s+IF\b", tok2, re.IGNORECASE):
+                            break
+                        raise ValueError(
+                            f"unexpected token in IF block: {tok2[:40]!r}"
+                        )
+                    nodes.append(("if", branches, else_nodes))
+                    continue
+                m = re.match(
+                    r"WHILE\s+(.*?)\s+DO\b\s*(.*)$",
+                    tok,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if m:
+                    cond, first = m.group(1), m.group(2).strip()
+                    if first:
+                        tokens.insert(pos, first)
+                    body, term = parse_block(("END\\s+WHILE",))
+                    pos += 1  # consume END WHILE
+                    nodes.append(("while", _unmask(cond, store), body))
+                    continue
+                # leaf statement: re-split through split_script so a
+                # masked BEGIN..END sub-block or multi-statement token
+                # keeps its own semantics
+                for leaf in split_script(_unmask(tok, store)):
+                    nodes.append(("stmt", leaf))
+            if terminators:
+                raise ValueError(
+                    "procedure body block not closed (expected "
+                    + " or ".join(terminators).replace("\\s+", " ")
+                )
+            return nodes, None
+
+        nodes, _ = parse_block(())
+        return nodes
 
     def _handle_procedure_stmt(self, stmt: str, dialect: str):
         """CREATE/DROP PROCEDURE + CALL (mcs17). Returns None when the
@@ -422,11 +562,11 @@ class Engine:
             body_text = _unmask(tm.group(2), store).strip()
             if re.search(self._PROC_UNSUPPORTED, body_text, re.IGNORECASE):
                 raise ValueError(
-                    "procedural control flow (DECLARE/IF/WHILE/CURSOR/"
-                    "...) is not supported in procedure bodies — only "
-                    "straight-line statement lists"
+                    "unsupported procedural control flow (DECLARE/"
+                    "CURSOR/LOOP/HANDLER/...) in procedure body — "
+                    "statement lists with IF/WHILE blocks only"
                 )
-            body = split_script(body_text)
+            body = self._parse_proc_body(body_text)
             comment = None
             if tm.group(1):
                 raw = store[int(tm.group(1).strip("\x00"))]
@@ -527,17 +667,11 @@ class Engine:
                 subs[pname] = self._render_uservar_literal(val)
 
         results = []
-        for body_stmt in proc["body"]:
-            bmasked, bstore = _mask(body_stmt)
-            # SELECT ... INTO <outparam> capture
-            im = re.search(r"\sINTO\s+(\w+)\s", bmasked + " ", re.IGNORECASE)
-            capture = None
-            if im and im.group(1).lower() in out_targets:
-                capture = im.group(1).lower()
-                bmasked = (
-                    bmasked[: im.start()] + " "
-                    + (bmasked + " ")[im.end():]
-                ).strip()
+
+        def _substitute(text: str) -> str:
+            """Mask-aware IN-param / OUT-local literal substitution."""
+            bmasked, bstore = _mask(text)
+
             def _sub_param(mo):
                 nm = mo.group(0).lower()
                 if nm in subs:
@@ -545,8 +679,25 @@ class Engine:
                 if nm in locals_ and nm in out_targets:
                     return self._render_uservar_literal(locals_[nm])
                 return mo.group(0)
-            bmasked = re.sub(r"\b\w+\b", _sub_param, bmasked)
-            r = self.execute(_unmask(bmasked, bstore), dialect=dialect)
+
+            return _unmask(re.sub(r"\b\w+\b", _sub_param, bmasked), bstore)
+
+        def _run_leaf(body_stmt: str) -> None:
+            bmasked, bstore = _mask(body_stmt)
+            # SELECT ... INTO <outparam> capture
+            im = re.search(
+                r"\sINTO\s+(\w+)\s", bmasked + " ", re.IGNORECASE
+            )
+            capture = None
+            if im and im.group(1).lower() in out_targets:
+                capture = im.group(1).lower()
+                bmasked = (
+                    bmasked[: im.start()] + " "
+                    + (bmasked + " ")[im.end():]
+                ).strip()
+            r = self.execute(
+                _substitute(_unmask(bmasked, bstore)), dialect=dialect
+            )
             if capture is not None:
                 rows = r.collect() if isinstance(r, DataFrame) else r
                 if len(rows) != 1 or len(rows[0]) != 1:
@@ -557,6 +708,43 @@ class Engine:
                 locals_[capture] = rows[0][0]
             else:
                 results.append(r)
+
+        def _truthy(cond_sql: str) -> bool:
+            """MariaDB boolean context: true iff non-NULL and != 0."""
+            r = self.execute(
+                f"SELECT ({_substitute(cond_sql)}) AS v", dialect=dialect
+            )
+            val = r.collect()[0][0] if isinstance(r, DataFrame) else r
+            return val is not None and val != 0
+
+        def _run_nodes(nodes) -> None:
+            for node in nodes:
+                if node[0] == "stmt":
+                    _run_leaf(node[1])
+                elif node[0] == "if":
+                    _, branches, else_nodes = node
+                    for cond, branch_nodes in branches:
+                        if _truthy(cond):
+                            _run_nodes(branch_nodes)
+                            break
+                    else:
+                        _run_nodes(else_nodes)
+                elif node[0] == "while":
+                    _, cond, body_nodes = node
+                    iters = 0
+                    while _truthy(cond):
+                        iters += 1
+                        if iters > self._PROC_WHILE_CAP:
+                            raise ValueError(
+                                f"WHILE loop exceeded "
+                                f"{self._PROC_WHILE_CAP} iterations "
+                                "(runaway-procedure guard)"
+                            )
+                        _run_nodes(body_nodes)
+                else:  # pragma: no cover — parser emits only the above
+                    raise ValueError(f"unknown proc node {node[0]!r}")
+
+        _run_nodes(proc["body"])
         for pname, varname in out_targets.items():
             uvars[varname] = locals_.get(pname)
         return (results[-1] if results else None,)
@@ -839,8 +1027,24 @@ class Engine:
                 _re_cal.IGNORECASE | _re_cal.DOTALL,
             )
             if sm:
+                rhs = sm.group(2)
+                if "@" in rhs:
+                    # SET @x = @x + 1 style: resolve @var references in
+                    # the RHS to literals first (mask-aware — an '@'
+                    # inside a string literal never rewrites)
+                    rm, rstore = _mask(rhs)
+                    rm = _re_cal.sub(
+                        r"@(\w+)",
+                        lambda m: (
+                            _render_var(uvars[m.group(1)])
+                            if m.group(1) in uvars
+                            else m.group(0)
+                        ),
+                        rm,
+                    )
+                    rhs = _unmask(rm, rstore)
                 val = self.sql(
-                    f"SELECT ({sm.group(2)}) AS v", dialect=dialect
+                    f"SELECT ({rhs}) AS v", dialect=dialect
                 ).collect()[0][0]
                 uvars[sm.group(1)] = val
                 return val
@@ -1441,6 +1645,19 @@ class Engine:
             if defaults:
                 evo["defaults"] = defaults
                 _write_evolution(path, evo)
+            collations = {
+                c.name: c.collation
+                for c in parsed.columns
+                if c.collation is not None
+            }
+            if collations:
+                # declared per-column collations (collation.h analogue):
+                # recorded in the sidecar and applied on every read, so
+                # =, GROUP BY, ORDER BY, JOIN honor them without
+                # per-query wrappers (ctype_cmp_* MTR matrices)
+                evo = _evolution(path)
+                evo["collations"] = collations
+                _write_evolution(path, evo)
             if parsed.auto_increment:
                 # ≈ BRM's autoincrement manager: a per-table sequence
                 # counter in catalog metadata (the sidecar); INSERT
@@ -1580,6 +1797,7 @@ class Engine:
                 _evolution,
                 bulk_load_csv,
                 read_table_evolved,
+                strip_collations,
                 table_checks,
                 validate_checks,
             )
@@ -1638,7 +1856,7 @@ class Engine:
                     ]
                 )
                 validate_checks(out, table_checks(path))
-                out.write.mode("append").parquet(path)
+                strip_collations(out).write.mode("append").parquet(path)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
             self._refresh(parsed.table)
@@ -1777,7 +1995,11 @@ class Engine:
                         update_cols=parsed.on_dup_update,
                     )
             else:
-                out.write.mode("append").parquet(path)
+                from mariadb_columnstore_engine_spark.sources.ingest import (  # noqa: E501
+                    strip_collations,
+                )
+
+                strip_collations(out).write.mode("append").parquet(path)
                 n = self.spark.read.parquet(path).count()
             if ai:
                 # counter = table max + 1 (covers both assigned and

@@ -607,3 +607,75 @@ def str_to_date(col: Column, fmt: str) -> Column:
     )
     parsed = F.to_timestamp(col, java)
     return parsed if has_time else parsed.cast("date")
+
+
+# --- per-column declared collations (DDL) ---------------------------
+
+#: MariaDB locale token (the middle of charset_locale_ci collation
+#: names) → ICU locale prefix of Spark's collation registry. Only
+#: locales with a distinct ICU tailoring are listed; everything else a
+#: MariaDB user writes resolves to the root-locale UCA weights
+#: (utils/common/collation.h wraps the server's CHARSET_INFO, whose
+#: per-locale weight tables are these same tailorings).
+_COLLATION_LOCALES = {
+    "turkish": "tr",
+    "danish": "da",
+    "german2": "de",
+    "german1": "de",
+    "swedish": "sv",
+    "spanish": "es",
+    "spanish2": "es",
+    "czech": "cs",
+    "polish": "pl",
+    "hungarian": "hu",
+    "lithuanian": "lt",
+    "latvian": "lv",
+    "slovak": "sk",
+    "romanian": "ro",
+    "slovenian": "sl",
+    "estonian": "et",
+    "icelandic": "is",
+    "croatian": "hr",
+    "vietnamese": "vi",
+    "persian": "fa",
+}
+
+#: root-locale tokens: UCA (or codepage) weights with no tailoring
+_COLLATION_ROOTS = {"unicode", "general", "uca1400", "0900", "unicode_520"}
+
+
+def spark_collation(mariadb_name: str) -> str | None:
+    """Map a declared MariaDB collation name to Spark's ICU collation
+    registry (``None`` = binary, Spark's UTF8_BINARY default).
+
+    Naming grammar is ``charset_locale[_version]_sensitivity``
+    (collation.h / INFORMATION_SCHEMA.COLLATIONS):
+      *_bin            → binary (None)
+      *_ci / *_ai_ci   → primary-strength compare: case- AND
+                         accent-insensitive (MariaDB UCA _ci collations
+                         weight at primary strength) → <locale>_CI_AI
+      *_as_ci          → accent-sensitive, case-insensitive → <locale>_CI
+    Unknown locale tokens raise — honest refusal over silently wrong
+    sort weights (the reference errors on unknown collations at DDL
+    time too, ddl.y → SYSTEM error 'unknown collation')."""
+    n = mariadb_name.strip().strip("'\"").lower()
+    if n == "binary" or n.endswith("_bin") or n.endswith("_nopad_bin"):
+        return None
+    parts = n.split("_")
+    if len(parts) < 2:
+        raise ValueError(f"unknown collation: {mariadb_name!r}")
+    # strip charset prefix + sensitivity suffixes off the locale token
+    body = parts[1:]
+    accent_sensitive = False
+    while body and body[-1] in ("ci", "ai", "as", "nopad", "520"):
+        if body[-1] == "as":
+            accent_sensitive = True
+        body.pop()
+    locale = "_".join(body)
+    if locale in _COLLATION_ROOTS or locale == "":
+        prefix = "UNICODE"
+    elif locale in _COLLATION_LOCALES:
+        prefix = _COLLATION_LOCALES[locale]
+    else:
+        raise ValueError(f"unknown collation: {mariadb_name!r}")
+    return f"{prefix}_CI" if accent_sensitive else f"{prefix}_CI_AI"

@@ -473,6 +473,18 @@ _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
         "   substr({0}, ({1}) + ({2}))) END)",
     ),
     ("MID", 3, "substring({0}, {1}, {2})"),
+    # CONVERT_TZ with named IANA zones OR fixed offsets (func_convert_tz
+    # .cpp — the reference inherits mysqld's tz tables; Spark's zone
+    # parser accepts both 'America/New_York' and '+05:30'). The dt
+    # argument is wall-clock in from_tz: to_utc_timestamp reinterprets
+    # it as UTC, from_utc_timestamp renders it in to_tz — DST-correct on
+    # both legs (verified at the 2021-03-14 US spring-forward boundary,
+    # tests/test_dialect.py).
+    (
+        "CONVERT_TZ",
+        3,
+        "from_utc_timestamp(to_utc_timestamp({0}, {1}), {2})",
+    ),
     # ORD == ASCII for single-byte charsets (func_ascii; the multibyte
     # leading-byte arithmetic form is out of scope — documents ASCII)
     ("ORD", 1, "ascii({0})"),

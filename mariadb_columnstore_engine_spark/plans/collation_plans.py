@@ -332,3 +332,80 @@ def collation_locale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_da).cast("long").alias("da_rank"),
         F.row_number().over(w_de).cast("long").alias("de_rank"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "collation_column_ddl",
+    section="§2.8 per-column declared collation DDL (ddl.y column "
+    "attributes → utils/common/collation.h CHARSET_INFO; "
+    "basic/t/ctype_cmp_* matrices declare collations in CREATE TABLE): "
+    "a column declared COLLATE utf8mb4_unicode_ci at CREATE TABLE time "
+    "groups, compares and orders case-insensitively on every "
+    "subsequent query — the collation is applied on READ from the "
+    "table's sidecar (sources/ingest.py read_table_evolved), not by "
+    "per-query wrappers. Mixed-case rows are derived deterministically "
+    "from customer (UPPER / lower / Title by custkey mod 3) through "
+    "the engine's own DML, then grouped on the declared-CI column.",
+    oracle="""
+    WITH v AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+                    WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+                    ELSE upper(substr(c_mktsegment, 1, 1))
+                         || lower(substr(c_mktsegment, 2)) END AS seg,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_building_ci
+    FROM v
+    GROUP BY lower(seg)
+    ORDER BY segment
+    """,
+)
+def collation_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DDL gate: CREATE TABLE … COLLATE utf8mb4_unicode_ci →
+    INSERT mixed-case rows via the engine's DML → plain GROUP BY /
+    equality over the declared-CI column collapse case variants with NO
+    query-side collate() call (the sidecar supplies it). The oracle
+    derives the same aggregates in DuckDB with an explicit lower()
+    fold, independent of the engine's collation machinery.
+
+    Scale: one scan of customer + one CI hash-agg; the DDL/INSERT leg
+    is a fixed per-run setup cost, not part of the measured shape."""
+    import tempfile
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(
+        spark, sf_dir,
+        warehouse=tempfile.mkdtemp(prefix="mcs_coll_ddl_"),
+    )
+    eng.execute(
+        "CREATE TABLE coll_ddl_seg ("
+        " c_custkey BIGINT,"
+        " seg VARCHAR(20) COLLATE utf8mb4_unicode_ci,"
+        " cents BIGINT)"
+    )
+    eng.execute(
+        "INSERT INTO coll_ddl_seg"
+        " SELECT c_custkey,"
+        " CASE WHEN c_custkey % 3 = 0 THEN UPPER(c_mktsegment)"
+        "      WHEN c_custkey % 3 = 1 THEN LOWER(c_mktsegment)"
+        "      ELSE CONCAT(UPPER(SUBSTR(c_mktsegment, 1, 1)),"
+        "                  LOWER(SUBSTR(c_mktsegment, 2))) END,"
+        " CAST(ROUND(c_acctbal * 100, 0) AS SIGNED)"
+        " FROM customer"
+    )
+    # no collate() anywhere below: the declared collation does the work
+    return eng.sql(
+        "SELECT CAST(LOWER(seg) AS CHAR) AS segment,"
+        " COUNT(*) AS n_customers,"
+        " SUM(cents) AS cents_sum,"
+        " SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)"
+        "   AS n_building_ci"
+        " FROM coll_ddl_seg GROUP BY seg ORDER BY segment"
+    )

@@ -88,80 +88,86 @@ def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None
 # Non-window queries MAY keep decimal/array outputs — the local
 # type-aware gate still pins those carriages (the *_typed variants).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # ---- r5 rotation: 9 permanent bench anchors + 41 rows that have
-    # NEVER had a driver CORRECTNESS entry (r2∪r3∪r4 keys excluded).
-    # Tenured r4-greens (rollup/cube, lag/lead, intersect/except,
-    # decimal38/unsigned/json reds-now-green, collation CI/CI_AI,
-    # front_end3/4, skyline, linear-model, LSH/IVF ANN, cluster-star,
-    # BM25, zipf, asof, …) cycle out; their driver evidence is recorded
-    # and the local sf0.01 sweep + pytest parity keep pinning them.
+    # ---- r6 rotation: FINISH THE DRIVER LEDGER (VERDICT r5 #1).
+    # Contents: the 5 permanent TPC-H bench anchors + every registry row
+    # that has never had a driver CORRECTNESS entry (r1∪…∪r5 = 137 of
+    # 182) and is driver-hashable + the 2 new r6 gate rows (per-column
+    # collation DDL, CONVERT_TZ named zones) = exactly 50. The 4 LLM
+    # bench anchors (events/text/sim pillars) park outside the window
+    # this round — bench.py samples bench=True independently of window
+    # order, so they stay measured. The only rows left without a driver
+    # entry after r6 are the 4 decimal-typed-output variants
+    # (sf_decimal38_matrix_typed/_agg/_join_sort,
+    # sf_unsigned_semantics_typed): structurally driver-unhashable by
+    # the policy above; each now has a wire twin in this window carrying
+    # driver evidence for the same values, and the local type-aware
+    # gate keeps pinning the decimal carriage itself.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # bench anchors, LLM pillars (events/text/sim stay measured)
-    "events_tumbling_window",
-    "events_sessionization",
-    "text_minhash_lsh_dedup",
-    "sim_bruteforce_cosine_topk",
-    # TPC-H long tail — the reference's devregression tpch1 corpus
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_suppliers_kept_waiting",
-    # §2.1 extent elimination relation (judge-verified r4, no driver row)
-    "filter_extent_minmax_pseudocols",
-    # §2.3 joins (family keeps one row; theta was r3-green, longest ago)
-    "join_theta_band",
-    # §2.7 set operations — the ALL/DISTINCT variants
-    "setop_union_distinct",
-    "setop_intersect_all",
-    "setop_except_distinct",
     # §2.4 aggregation
-    "agg_approx_percentile",
-    "agg_group_concat_limit",
-    "agg_hll_sketch_mergeable_rollup",
+    "agg_count_distinct_multiparam",
     # §2.5 windows
-    "win_moda_analytic",
-    "win_range_interval_event_time",
-    # §2.8 scalar batteries
-    "sf_bitwise_matrix",
-    "sf_conditional_cast_matrix",
-    "sf_time_matrix",
-    "sf_week_modes",
-    "sf_json_path_extensions",
-    # §2.8 collation + locale tailorings (new r5)
-    "collation_ci_join_group",
-    "collation_locale_battery",
+    "win_bit_ops_over_partition",
+    # §2.7 set ops composed with CTE + window
+    "setop_cte_window_union",
+    # §2.8 scalar batteries — every variant never driver-checked
+    "sf_json_events",
+    "sf_network_misc",
+    "sf_json_construct",
+    "sf_string_matrix2",
+    "sf_datetime_matrix2",
+    "sf_string_matrix3",
+    "sf_datetime_matrix3",
+    "sf_json_matrix2",
+    "sf_json_ext_classify",
+    "sf_json_ext_flat_ops",
+    "sf_date_format_patterns",
+    "sf_trig_time_constructors",
+    "sf_json_contains_array_ops",
+    # §2.8 decimal38 wire twins (new r6 — driver-hashable renderings of
+    # the decimal-typed originals)
+    "sf_decimal38_agg_wire",
+    "sf_decimal38_join_sort_wire",
+    # §2.8 r6 features: per-column collation DDL + CONVERT_TZ IANA zones
+    "collation_column_ddl",
+    "sf_convert_tz_named",
+    # SQL front end
+    "sql_mariadb_front_end2",
+    "sql_stored_procedure_call",
+    # custom operators
+    "op_salted_skew_agg_join",
     # §2.9 subqueries
-    "subq_exists_correlated_q4",
-    "subq_having_scalar_q11",
-    "subq_recursive_bfs_reachability",
-    # SQL front end: stored-function pushdown + JSON_TABLE (new r5)
-    "sql_stored_function_pushdown",
-    "sql_json_table",
+    "subq_not_in_anti",
+    "subq_in_semi",
+    "subq_scalar_filter_avg",
+    "subq_derived_table_items_per_order",
     # LLM pillar: event-time analytics
-    "events_gapfill_locf",
-    "events_hierarchical_rollup",
-    "events_funnel_steps",
+    "events_sliding_window",
+    "events_daily_activity",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_time_weighted_avg",
     # LLM pillar: text analysis + dedup
-    "text_bpe_pair_frequency",
-    "text_pii_redaction",
-    # LLM pillar: training-corpus pipeline primitives
-    "pipeline_sequence_packing",
-    "pipeline_chunk_overlap",
+    "text_bpe_regex_tokens",
+    "text_rolling_hash_fingerprint",
+    "text_dedup_cluster_canonical",
+    "text_decontaminate_ngram_overlap",
+    "text_repetition_ratio",
+    "text_heavy_hitter_shingles",
     # LLM pillar: embeddings / similarity search
-    "sim_kmeans_two_iterations",
-    # custom operators + UDF/UDTF surface + multimodal
-    "op_nested_shred_topk",
-    "udf_apply_in_pandas_zscore",
-    "udtf_split_sentences",
-    "multimodal_frame_sample",
+    "sim_embedding_stats",
+    "sim_embedding_quantize",
+    "sim_lsh_recall_eval",
+    # LLM pillar: training-corpus pipeline primitives
+    "pipeline_mixture_upsample",
+    "pipeline_stratified_sample",
+    "pipeline_deterministic_shuffle",
+    # UDF surface
+    "udf_pandas_scalar",
 )
 
 

@@ -518,6 +518,50 @@ def decimal38_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sf_decimal38_agg_wire",
+    section="§2.8/§2.4 exact decimal SUM at precision 38, driver-window "
+    "twin of sf_decimal38_agg: identical decimal(38,2) accumulation, "
+    "outputs rendered as integer cents (value × 100 → BIGINT) so the "
+    "driver canonicalizer can hash them (registry.py driver-hashable "
+    "policy — decimal outputs never hash-match). The typed original "
+    "stays under the local type-aware gate.",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) * 100 AS BIGINT) AS total_price_c,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) * 100 AS BIGINT) AS total_qty_c
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def decimal38_agg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    cents = F.lit(100).cast("decimal(3,0)")
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                * cents
+            )
+            .cast("bigint")
+            .alias("total_price_c"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                * cents
+            )
+            .cast("bigint")
+            .alias("total_qty_c"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "sf_string_matrix2",
     section="§2.8 string functions batch 2: locate/find_in_set/elt/field/"
     "space/strcmp/chr/hex/translate (funcexp long tail)",
@@ -1618,6 +1662,62 @@ def sql_mariadb_front_end2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sf_convert_tz_named",
+    section="§2.8 CONVERT_TZ with named IANA time zones "
+    "(utils/funcexp/func_convert_tz.cpp — the reference inherits "
+    "mysqld's tz tables; mcs224_convert_tz coverage): UTC→named zone, "
+    "named→named double-hop, fixed-offset args, and a +60 DAY shifted "
+    "column that crosses the 2024-03-10 US spring-forward boundary so "
+    "both EST and EDT renderings appear in one result. Typed as literal "
+    "MariaDB SQL through the front end; the oracle derives every value "
+    "independently via DuckDB's ICU timezone().",
+    oracle="""
+    SELECT event_id,
+           timezone('America/New_York', timezone('UTC', ts)) AS ny,
+           timezone('Asia/Kolkata', timezone('UTC', ts))     AS kolkata,
+           timezone('Australia/Sydney',
+                    timezone('America/New_York', ts))        AS syd_from_ny,
+           -- DuckDB's ICU zone parser silently no-ops on offset-spelled
+           -- zones ('+05:45'); Asia/Kathmandu is +05:45 year-round since
+           -- 1986, so it derives the same instants independently of the
+           -- Spark side's fixed-offset spelling.
+           timezone('Asia/Kathmandu', timezone('UTC', ts))   AS fixed_0545,
+           timezone('America/New_York',
+                    timezone('UTC', ts + INTERVAL 60 DAY))   AS ny_dst_edge
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def convert_tz_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT_TZ(dt, from_tz, to_tz) through the MariaDB front end:
+    sqltrans rewrites it to from_utc_timestamp(to_utc_timestamp(dt,
+    from_tz), to_tz), whose zone parser accepts IANA names and fixed
+    offsets alike. The ny_dst_edge column shifts January events by 60
+    days so the converted range [Mar 1, Mar 30] straddles the US DST
+    transition — rows on both sides pin the offset change."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT event_id,
+           CONVERT_TZ(ts, 'UTC', 'America/New_York')  AS ny,
+           CONVERT_TZ(ts, 'UTC', 'Asia/Kolkata')      AS kolkata,
+           CONVERT_TZ(ts, 'America/New_York', 'Australia/Sydney')
+                                                      AS syd_from_ny,
+           CONVERT_TZ(ts, '+00:00', '+05:45')         AS fixed_0545,
+           CONVERT_TZ(DATE_ADD(ts, INTERVAL 60 DAY), 'UTC',
+                      'America/New_York')             AS ny_dst_edge
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id;
+    """
+    return spark.sql(translate_statement(stmt))
+
+
+@query(
     "sql_mariadb_front_end3",
     section="front-end dialect translation #3 (sqltrans.py): GROUP BY "
     "... WITH ROLLUP → ROLLUP(...) (the form MariaDB's server executes "
@@ -1764,6 +1864,68 @@ def decimal38_join_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
         .orderBy(F.desc("key38"))
+        .limit(50)
+    )
+
+
+@query(
+    "sf_decimal38_join_sort_wire",
+    section="§2.8/§2.3/§2.6 DECIMAL(38) join/sort keys, driver-window "
+    "twin of sf_decimal38_join_sort: identical decimal(30,10) equality "
+    "join key and decimal(38,2) aggregate, outputs rendered as scaled "
+    "BIGINT (key × 10^10, sum × 100) so the driver canonicalizer can "
+    "hash them. Keys are bounded by the orderkey < 300 literal filter, "
+    "so the ×10^10 rendering cannot overflow BIGINT at any SF.",
+    oracle="""
+    WITH l AS (
+        SELECT CAST(l_orderkey AS DECIMAL(30,10))
+                 * CAST(1.5 AS DECIMAL(2,1)) AS k,
+               l_quantity
+        FROM lineitem WHERE l_orderkey < 300
+    ), o AS (
+        SELECT CAST(o_orderkey AS DECIMAL(30,10))
+                 * CAST(1.5 AS DECIMAL(2,1)) AS k
+        FROM orders WHERE o_orderkey < 300
+    )
+    SELECT CAST(CAST(l.k AS DECIMAL(38,10)) * 10000000000
+                AS BIGINT) AS key_e10,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) * 100 AS BIGINT) AS qty_sum_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM l JOIN o ON l.k = o.k
+    GROUP BY l.k
+    ORDER BY key_e10 DESC
+    LIMIT 50
+    """,
+)
+def decimal38_join_sort_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    half3 = F.lit("1.5").cast("decimal(2,1)")
+    e10 = F.lit(10_000_000_000).cast("decimal(14,0)")
+    cents = F.lit(100).cast("decimal(3,0)")
+    lk = (F.col("l_orderkey").cast("decimal(30,10)") * half3).alias("k")
+    ok = (F.col("o_orderkey").cast("decimal(30,10)") * half3).alias("k")
+    l = t.lineitem.where(F.col("l_orderkey") < 300).select(
+        lk, "l_quantity"
+    )
+    o = t.orders.where(F.col("o_orderkey") < 300).select(ok)
+    return (
+        l.join(o, "k")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("qty_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            (F.col("k").cast("decimal(38,10)") * e10)
+            .cast("bigint")
+            .alias("key_e10"),
+            (F.col("qty_sum") * cents).cast("bigint").alias("qty_sum_c"),
+            "n",
+        )
+        .orderBy(F.desc("key_e10"))
         .limit(50)
     )
 

@@ -93,6 +93,11 @@ def _rewrite(spark: SparkSession, path: str,
     for g in evo.get("generated", []):
         out = out.withColumn(g["name"], F.expr(g["expr"]))
     tmp = f"{path.rstrip('/')}__cow_{uuid.uuid4().hex[:8]}"
+    from mariadb_columnstore_engine_spark.sources.ingest import (
+        strip_collations,
+    )
+
+    out = strip_collations(out)
     out.write.parquet(tmp)
     n = spark.read.parquet(tmp).count()  # visible rows (pre-carry)
     # disabled partitions are invisible to queries AND to DML (the

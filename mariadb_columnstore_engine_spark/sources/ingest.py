@@ -514,8 +514,39 @@ def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
     for c in evo.get("generated", []):
         if c["name"] not in df.columns:
             df = df.withColumn(c["name"], F.expr(c["expr"]))
+    # declared per-column collations (CREATE TABLE … COLLATE): applied
+    # on read so every comparison/grouping/sort over the view runs
+    # under the declared ICU collation JVM-side (collation.h analogue;
+    # stays inside whole-stage codegen — no UDF)
+    for cname, coll in evo.get("collations", {}).items():
+        if cname in df.columns:
+            df = df.withColumn(cname, F.collate(F.col(cname), coll))
     keep = [c for c in df.columns if c not in evo["dropped"]]
     return df.select(*keep)
+
+
+def strip_collations(df: DataFrame) -> DataFrame:
+    """Cast collated string columns back to plain ``string`` for
+    storage. Declared collations are a READ-side contract (the sidecar
+    applies them on every read); letting them leak into written parquet
+    footers makes new files schema-incompatible with the table's
+    existing plain-string files (mergeSchema refuses STRING COLLATE X
+    vs STRING)."""
+    from pyspark.sql.types import StringType
+
+    import pyspark.sql.functions as F
+
+    cols, changed = [], False
+    for f in df.schema.fields:
+        if (
+            isinstance(f.dataType, StringType)
+            and f.dataType.simpleString() != "string"
+        ):
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+            changed = True
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols) if changed else df
 
 
 def write_jdbc(

@@ -58,6 +58,9 @@ class ColumnDef:
     nullable: bool = True
     default: object = None
     auto_increment: bool = False
+    #: Spark ICU collation name for a declared COLLATE (None = binary,
+    #: the UTF8_BINARY default) — utils/common/collation.h analogue
+    collation: str | None = None
 
 
 @dataclass
@@ -291,20 +294,45 @@ def _parse_column_defs(name: str, body: str, store: list[str]):
                 raise ValueError(f"unsupported DEFAULT: {tok!r}")
         if re.search(r"\bPRIMARY\s+KEY\b", rest, re.IGNORECASE):
             pk = [cname]
+        # per-column declared collation (ddl.y column attributes →
+        # collation.h CHARSET_INFO): CHARACTER SET is metadata-only
+        # (parquet is always UTF-8); COLLATE maps to a Spark ICU
+        # collation applied on read so =, GROUP BY, ORDER BY honor it
+        # without per-query wrappers
+        collation = None
+        collm = re.search(r"\bCOLLATE[\s=]+(\S+)", rest, re.IGNORECASE)
+        if collm:
+            from mariadb_columnstore_engine_spark.functions.dialect import (
+                spark_collation,
+            )
+
+            # an EXPLICIT binary collation must survive a table-level
+            # COLLATE default, so it parses to the marker 'UTF8_BINARY'
+            # (normalized back to None after defaults apply)
+            collation = (
+                spark_collation(_unmask(collm.group(1), store))
+                or "UTF8_BINARY"
+            )
         # strip attributes off the type text
         type_text = re.split(
             r"\b(NOT\s+NULL|NULL|DEFAULT|PRIMARY\s+KEY|UNIQUE|COMMENT|"
-            r"AUTO_INCREMENT)\b",
+            r"AUTO_INCREMENT|CHARACTER\s+SET|CHARSET|COLLATE)\b",
             rest,
             flags=re.IGNORECASE,
         )[0].strip()
+        dtype = _map_column_type(_unmask(type_text, store))
+        if collation is not None and dtype != "string":
+            raise ValueError(
+                f"COLLATE on non-string column {cname!r} ({dtype})"
+            )
         cols.append(
             ColumnDef(
                 name=cname,
-                dtype=_map_column_type(_unmask(type_text, store)),
+                dtype=dtype,
                 nullable=nullable,
                 default=default,
                 auto_increment=auto_inc,
+                collation=collation,
             )
         )
     if not cols:
@@ -759,6 +787,23 @@ def parse(sql: str):
             store,
         )
         parsed_def.or_replace = bool(m.group(1))
+        # table-level COLLATE option = default collation for string
+        # columns that don't declare their own (MariaDB table charset
+        # semantics, ddl.y table_option)
+        tcoll = re.search(r"\bCOLLATE\s*=?\s*(\w+)", tail, re.IGNORECASE)
+        if tcoll:
+            from mariadb_columnstore_engine_spark.functions.dialect import (
+                spark_collation,
+            )
+
+            default_coll = spark_collation(tcoll.group(1))
+            if default_coll is not None:
+                for c in parsed_def.columns:
+                    if c.dtype == "string" and c.collation is None:
+                        c.collation = default_coll
+        for c in parsed_def.columns:
+            if c.collation == "UTF8_BINARY":  # explicit binary marker
+                c.collation = None
         return parsed_def
 
     m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\S+)\s*$", masked, re.I)

@@ -695,3 +695,39 @@ def test_json_format_functions_sql_spellings(spark):
         translate_statement("SELECT JSON_DETAILED('{}') AS d")
     with pytest.raises(ValueError, match="JSON_NORMALIZE"):
         translate_statement("SELECT JSON_NORMALIZE('{}') AS n")
+
+
+def test_convert_tz_named_zones_dst_vectors(spark):
+    """CONVERT_TZ with named IANA zones (func_convert_tz.cpp — the
+    reference inherits mysqld's tz tables). Vectors bracket the US
+    2024-03-10 spring-forward: 06:30 UTC renders EST (-5) the day
+    before and EDT (-4) the day after; the 02:30 local gap hour on the
+    transition day maps forward. Fixed offsets still work."""
+    rows = spark.sql(
+        translate_statement(
+            """SELECT
+            CONVERT_TZ(TIMESTAMP'2024-03-09 06:30:00', 'UTC',
+                       'America/New_York') AS est_day,
+            CONVERT_TZ(TIMESTAMP'2024-03-11 06:30:00', 'UTC',
+                       'America/New_York') AS edt_day,
+            CONVERT_TZ(TIMESTAMP'2024-03-10 02:30:00',
+                       'America/New_York', 'UTC') AS gap_fwd,
+            CONVERT_TZ(TIMESTAMP'2024-11-03 05:30:00', 'UTC',
+                       'America/New_York') AS fallback_dup,
+            CONVERT_TZ(TIMESTAMP'2024-01-15 12:00:00', '+00:00',
+                       '+05:45') AS fixed_off,
+            CONVERT_TZ(TIMESTAMP'2024-06-15 12:00:00',
+                       'Australia/Sydney', 'Europe/Paris') AS syd_paris"""
+        )
+    ).collect()[0]
+    assert str(rows.est_day) == "2024-03-09 01:30:00"  # UTC-5
+    assert str(rows.edt_day) == "2024-03-11 02:30:00"  # UTC-4
+    # 02:30 local does not exist on 2024-03-10; Spark's zone rules
+    # resolve the gap with the pre-transition offset (-5) → 07:30 UTC
+    assert str(rows.gap_fwd) == "2024-03-10 07:30:00"
+    # fall-back day: 05:30 UTC is 01:30 EDT? No — 2024-11-03 06:00 UTC
+    # is the 02:00 EDT→EST switch; 05:30 UTC is still EDT (-4) → 01:30
+    assert str(rows.fallback_dup) == "2024-11-03 01:30:00"
+    assert str(rows.fixed_off) == "2024-01-15 17:45:00"
+    # June: Sydney is AEST (+10, southern winter), Paris CEST (+2)
+    assert str(rows.syd_paris) == "2024-06-15 04:00:00"

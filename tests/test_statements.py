@@ -1221,3 +1221,190 @@ def test_set_compression_type_and_sysvars(engine_with_table, tmp_path):
     finally:
         # restore the session default codec for later tests
         eng.execute("SET columnstore_compression_type=2")
+
+
+def test_create_table_column_collation(engine_wh):
+    """Per-column COLLATE in CREATE TABLE (ddl.y column attributes →
+    utils/common/collation.h; ctype_cmp_* MTR matrices): a declared-CI
+    column groups, compares, and joins case-insensitively on every
+    subsequent query — no per-query wrappers — while a _bin column on
+    the same table stays case-sensitive."""
+    eng = engine_wh
+    eng.execute(
+        "CREATE TABLE coll_t ("
+        " id INT,"
+        " seg VARCHAR(20) COLLATE utf8mb4_unicode_ci,"
+        " tag VARCHAR(20) COLLATE utf8mb4_bin,"
+        " plain VARCHAR(20))"
+    )
+    eng.execute(
+        "INSERT INTO coll_t VALUES"
+        " (1, 'Auto', 'Auto', 'Auto'), (2, 'AUTO', 'auto', 'AUTO'),"
+        " (3, 'auto', 'AUTO', 'auto'), (4, 'Bike', 'Bike', 'Bike')"
+    )
+    # CI grouping collapses the case variants; _bin and undeclared stay
+    rows = eng.execute(
+        "SELECT count(*) AS n FROM coll_t GROUP BY seg ORDER BY n DESC"
+    ).collect()
+    assert [r.n for r in rows] == [3, 1]
+    assert (
+        eng.execute(
+            "SELECT count(*) AS n FROM coll_t GROUP BY tag"
+        ).count()
+        == 4
+    )
+    assert (
+        eng.execute(
+            "SELECT count(*) AS n FROM coll_t GROUP BY plain"
+        ).count()
+        == 4
+    )
+    # CI equality + ORDER BY honor the declared collation
+    assert eng.execute(
+        "SELECT count(*) AS n FROM coll_t WHERE seg = 'AUTO'"
+    ).collect()[0].n == 3
+    assert eng.execute(
+        "SELECT count(*) AS n FROM coll_t WHERE tag = 'AUTO'"
+    ).collect()[0].n == 1
+    # CI join key: joining the table to itself on seg matches all case
+    # variants pairwise (3×3 for the auto class + 1 for bike)
+    assert eng.execute(
+        "SELECT count(*) AS n FROM coll_t a JOIN coll_t b"
+        " ON a.seg = b.seg"
+    ).collect()[0].n == 10
+    eng.execute("DROP TABLE coll_t")
+
+
+def test_create_table_table_level_collate_default(engine_wh):
+    """Table-level COLLATE= option: the default for string columns that
+    don't declare their own; non-string columns unaffected."""
+    eng = engine_wh
+    eng.execute(
+        "CREATE TABLE coll_d (id INT, a VARCHAR(10),"
+        " b VARCHAR(10) COLLATE utf8mb4_bin)"
+        " ENGINE=Columnstore DEFAULT CHARSET=utf8mb4"
+        " COLLATE=utf8mb4_general_ci"
+    )
+    eng.execute(
+        "INSERT INTO coll_d VALUES (1,'X','X'), (2,'x','x')"
+    )
+    assert eng.execute(
+        "SELECT count(*) AS n FROM coll_d WHERE a = 'x'"
+    ).collect()[0].n == 2
+    assert eng.execute(
+        "SELECT count(*) AS n FROM coll_d WHERE b = 'x'"
+    ).collect()[0].n == 1
+    eng.execute("DROP TABLE coll_d")
+
+
+def test_collate_on_non_string_column_refused(engine_wh):
+    with pytest.raises(ValueError, match="non-string"):
+        engine_wh.execute(
+            "CREATE TABLE bad_c (n INT COLLATE utf8mb4_general_ci)"
+        )
+    with pytest.raises(ValueError, match="unknown collation"):
+        engine_wh.execute(
+            "CREATE TABLE bad_c (s VARCHAR(5) COLLATE utf8mb4_klingon_ci)"
+        )
+
+
+def test_procedure_if_then_else_control_flow(engine_with_table):
+    """mcs17: IF <cond> THEN … [ELSEIF … THEN …] [ELSE …] END IF is
+    interpreted (round-5 gap); only the taken branch executes, and the
+    scalar IF(a,b,c) function — including spelled with a space before
+    the paren — is no longer refused inside bodies."""
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE pif (IN k INT, OUT tag VARCHAR(10)) BEGIN "
+        "IF k > 100 THEN "
+        "  SELECT 'big' INTO tag; "
+        "ELSEIF k > 10 THEN "
+        "  SELECT 'mid' INTO tag; "
+        "ELSE "
+        "  SELECT IF (k < 0, 'neg', 'small') INTO tag; "
+        "END IF; "
+        "END"
+    )
+    for k, want in ((500, "big"), (50, "mid"), (5, "small"), (-1, "neg")):
+        eng.execute(f"CALL pif({k}, @tag)")
+        assert eng.execute("SELECT @tag AS t").collect()[0].t == want
+    eng.execute("DROP PROCEDURE pif")
+
+
+def test_procedure_if_branch_side_effects_isolated(engine_with_table):
+    """Only the taken IF branch runs: the ELSE branch's INSERT must not
+    fire when the condition is true (interpretation, not speculative
+    execution of both branches)."""
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE pins (IN k INT) BEGIN "
+        "IF k > 0 THEN "
+        "  INSERT INTO t1 (id, val) VALUES (900, 1.0); "
+        "ELSE "
+        "  INSERT INTO t1 (id, val) VALUES (901, 2.0); "
+        "END IF; "
+        "END"
+    )
+    eng.execute("CALL pins(1)")
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM t1 WHERE id IN (900, 901)"
+    ).collect()[0].n == 1
+    eng.execute("DROP PROCEDURE pins")
+    eng.execute("DELETE FROM t1 WHERE id = 900")
+
+
+def test_procedure_while_loop_and_cap(engine_with_table):
+    """WHILE <cond> DO … END WHILE over @session variables, plus the
+    runaway-loop guard (hard iteration cap raises instead of hanging).
+    Mirrors the MTR shape of a counter loop."""
+    import pytest
+
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE ploop (IN n INT, OUT total INT) BEGIN "
+        "SET @i = 0; "
+        "SET @acc = 0; "
+        "WHILE @i < n DO "
+        "  SET @acc = @acc + @i; "
+        "  SET @i = @i + 1; "
+        "END WHILE; "
+        "SELECT @acc INTO total; "
+        "END"
+    )
+    eng.execute("CALL ploop(5, @tot)")
+    assert eng.execute("SELECT @tot AS t").collect()[0].t == 10
+    # nested IF inside WHILE
+    eng.execute(
+        "CREATE PROCEDURE podd (IN n INT, OUT odds INT) BEGIN "
+        "SET @i = 0; "
+        "SET @odds = 0; "
+        "WHILE @i < n DO "
+        "  IF @i % 2 = 1 THEN SET @odds = @odds + 1; END IF; "
+        "  SET @i = @i + 1; "
+        "END WHILE; "
+        "SELECT @odds INTO odds; "
+        "END"
+    )
+    eng.execute("CALL podd(7, @o)")
+    assert eng.execute("SELECT @o AS o").collect()[0].o == 3
+    # runaway guard: condition never goes false
+    eng.execute(
+        "CREATE PROCEDURE pinf () BEGIN "
+        "SET @x = 1; "
+        "WHILE @x > 0 DO SET @x = @x + 1; END WHILE; "
+        "END"
+    )
+    with pytest.raises(ValueError, match="iterations"):
+        eng.execute("CALL pinf()")
+    for p in ("ploop", "podd", "pinf"):
+        eng.execute(f"DROP PROCEDURE {p}")
+
+
+def test_procedure_unclosed_block_refused(engine_with_table):
+    import pytest
+
+    with pytest.raises(ValueError, match="END IF|not closed"):
+        engine_with_table.execute(
+            "CREATE PROCEDURE pbad () BEGIN "
+            "IF 1 = 1 THEN SELECT 1; END"
+        )
