@@ -34,7 +34,16 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    specs = [s for s in load_all().values() if s.bench]
+    # BENCH_QUERIES=name1,name2 overrides the bench=True sample — used
+    # to time the sf1 heavy tail (fixpoint dedup loops, skew operators)
+    # that is deliberately NOT in the per-round headline set (BENCH.md
+    # records the command + JSON line each round)
+    names = os.environ.get("BENCH_QUERIES")
+    if names:
+        all_q = load_all()
+        specs = [all_q[n.strip()] for n in names.split(",") if n.strip()]
+    else:
+        specs = [s for s in load_all().values() if s.bench]
     spark = get_session(
         "mcs-spark-bench",
         extra_conf={

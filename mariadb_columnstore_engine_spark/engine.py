@@ -329,13 +329,15 @@ class Engine:
         return out
 
     # statements the interpreter cannot honor (cursors, handlers,
-    # unstructured loops): refused at CREATE, not mistranslated at
-    # CALL. IF/WHILE are NOT here — they are interpreted (mcs17);
-    # scalar IF(a,b,c) inside statements was never meant to be refused
-    # (round-5 finding: the old r"\bIF\s" alternation matched the
-    # function spelled with a space).
+    # unstructured LOOP/LEAVE/ITERATE): refused at CREATE, not
+    # mistranslated at CALL. IF/WHILE/REPEAT/DECLARE are NOT here —
+    # they are interpreted (mcs17); scalar IF(a,b,c) inside statements
+    # was never meant to be refused (round-5 finding: the old
+    # r"\bIF\s" alternation matched the function spelled with a space).
+    # DECLARE .. CURSOR / DECLARE .. HANDLER still hit the CURSOR /
+    # HANDLER alternations below, so only variable DECLAREs pass.
     _PROC_UNSUPPORTED = (
-        r"\bDECLARE\b|\bCURSOR\b|\bLOOP\b|\bREPEAT\b"
+        r"\bCURSOR\b|\bLOOP\b"
         r"|\bLEAVE\b|\bITERATE\b|\bFETCH\b|\bOPEN\s|\bCLOSE\s"
         r"|\bSIGNAL\b|\bHANDLER\b"
     )
@@ -351,11 +353,13 @@ class Engine:
         """Parse a procedure body into a node tree.
 
         Nodes: ``("stmt", sql)``, ``("if", [(cond, [nodes]), ...],
-        else_nodes)``, ``("while", cond, [nodes])``. Statement-position
-        ``IF <cond> THEN`` opens a block (a bare statement cannot begin
-        with the scalar IF() function, so a leading IF token followed
-        by a top-level THEN is unambiguous); everything else is a leaf
-        executed through the normal statement router."""
+        else_nodes)``, ``("while", cond, [nodes])``, ``("repeat",
+        until_cond, [nodes])``, ``("declare", [names], default_expr)``.
+        Statement-position ``IF <cond> THEN`` opens a block (a bare
+        statement cannot begin with the scalar IF() function, so a
+        leading IF token followed by a top-level THEN is unambiguous);
+        everything else is a leaf executed through the normal
+        statement router."""
         import re
 
         from mariadb_columnstore_engine_spark.functions.sqltrans import (
@@ -461,6 +465,48 @@ class Engine:
                     pos += 1  # consume END WHILE
                     nodes.append(("while", _unmask(cond, store), body))
                     continue
+                m = re.match(
+                    r"REPEAT\b\s*(.*)$", tok, re.IGNORECASE | re.DOTALL
+                )
+                if m:
+                    first = m.group(1).strip()
+                    if first:
+                        tokens.insert(pos, first)
+                    body, term = parse_block(("UNTIL",))
+                    um = re.match(
+                        r"UNTIL\s+(.*?)\s+END\s+REPEAT\s*$",
+                        tokens[pos],
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if not um:
+                        raise ValueError(
+                            "REPEAT block missing UNTIL .. END REPEAT "
+                            "in procedure body"
+                        )
+                    pos += 1  # consume UNTIL .. END REPEAT
+                    nodes.append(
+                        ("repeat", _unmask(um.group(1), store), body)
+                    )
+                    continue
+                m = re.match(
+                    r"DECLARE\s+(.+?)\s+"
+                    r"(\w+(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?)"
+                    r"(?:\s+DEFAULT\s+(.+))?\s*$",
+                    tok,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if m:
+                    names = [
+                        n.strip().strip("`").lower()
+                        for n in m.group(1).split(",")
+                    ]
+                    default = (
+                        _unmask(m.group(3), store)
+                        if m.group(3)
+                        else None
+                    )
+                    nodes.append(("declare", names, default))
+                    continue
                 # leaf statement: re-split through split_script so a
                 # masked BEGIN..END sub-block or multi-statement token
                 # keeps its own semantics
@@ -481,15 +527,19 @@ class Engine:
         statement is not procedure-related, else a 1-tuple with the
         result.
 
-        Scope (documented): bodies are straight-line statement lists —
-        any statement ``execute`` routes, plus ``SELECT .. INTO <OUT
-        param>`` capture. IN params substitute as typed literals
-        (mask-aware, so a param name inside a string literal never
-        rewrites); OUT/INOUT call-site arguments must be @variables
-        (MariaDB ER_SP_NOT_VAR_ARG) and receive values at return.
-        Control flow (IF/WHILE/DECLARE/CURSOR/...) is refused at CREATE
-        — single-expression procedures cover the MTR surface without
-        mistranslating procedural semantics Spark cannot honor.
+        Scope (documented): statement lists with interpreted control
+        flow — IF/ELSEIF/ELSE, WHILE, REPEAT..UNTIL (both loops behind
+        a runaway cap), DECLARE'd local variables with DEFAULTs, SET
+        over locals, and ``SELECT .. INTO <local|OUT param>`` capture.
+        IN params and locals substitute as typed literals (mask-aware,
+        so a name inside a string literal never rewrites); OUT/INOUT
+        call-site arguments must be @variables (MariaDB
+        ER_SP_NOT_VAR_ARG) and receive values at return. Cursors,
+        handlers, SIGNAL and unstructured LOOP/LEAVE/ITERATE are
+        refused at CREATE — honest refusal over mistranslating
+        row-at-a-time semantics a set-oriented engine cannot honor
+        (the reference gets these from mysqld:
+        mysql-test/columnstore/basic/t/mcs17_procedures_define_call_drop.test).
         """
         import re
 
@@ -653,8 +703,12 @@ class Engine:
                         "@variable (ER_SP_NOT_VAR_ARG)"
                     )
                 out_targets[pname] = arg_raw[1:]
-                if mode == "INOUT":
-                    locals_[pname] = uvars.get(arg_raw[1:])
+                # OUT params read as NULL until assigned (MariaDB
+                # initializes them to NULL on entry); INOUT carries
+                # the caller's value in
+                locals_[pname] = (
+                    uvars.get(arg_raw[1:]) if mode == "INOUT" else None
+                )
             else:
                 # IN: evaluate the expression (literals, @vars, exprs)
                 # through execute() so @variable references resolve
@@ -669,27 +723,72 @@ class Engine:
         results = []
 
         def _substitute(text: str) -> str:
-            """Mask-aware IN-param / OUT-local literal substitution."""
+            """Mask-aware IN-param / local-variable literal
+            substitution. Locals (OUT/INOUT params and DECLARE'd
+            variables) render their CURRENT value — MariaDB gives the
+            local precedence over a same-named column inside a
+            procedure, so textual substitution matches its scoping."""
             bmasked, bstore = _mask(text)
 
             def _sub_param(mo):
                 nm = mo.group(0).lower()
                 if nm in subs:
                     return subs[nm]
-                if nm in locals_ and nm in out_targets:
+                if nm in locals_:
                     return self._render_uservar_literal(locals_[nm])
                 return mo.group(0)
 
             return _unmask(re.sub(r"\b\w+\b", _sub_param, bmasked), bstore)
 
+        def _eval(expr_sql: str):
+            """Evaluate a scalar expression in procedure scope."""
+            r = self.execute(
+                f"SELECT ({_substitute(expr_sql)}) AS v", dialect=dialect
+            )
+            return r.collect()[0][0] if isinstance(r, DataFrame) else r
+
         def _run_leaf(body_stmt: str) -> None:
             bmasked, bstore = _mask(body_stmt)
-            # SELECT ... INTO <outparam> capture
+            # SET over locals: each assignment routes to the local
+            # scope when its target is a local/param name, else falls
+            # through to the session SET handler (@vars, sysvars).
+            # Mixed lists (SET v = 1, @x = 2) split per-assignment.
+            sm = re.match(r"\s*SET\s+(.+)$", bmasked, re.IGNORECASE | re.DOTALL)
+            if sm and not re.match(
+                r"\s*SET\s+(GLOBAL|SESSION)\b", bmasked, re.IGNORECASE
+            ):
+                parts = _split_top_level_commas(sm.group(1))
+                handled = []
+                for part in parts:
+                    am = re.match(
+                        r"\s*([\w`]+)\s*=\s*(.+?)\s*$",
+                        part,
+                        re.DOTALL,
+                    )
+                    nm = (
+                        am.group(1).strip("`").lower() if am else None
+                    )
+                    if am and nm in locals_:
+                        locals_[nm] = _eval(
+                            _unmask(am.group(2), bstore)
+                        )
+                    else:
+                        handled.append(part)
+                if len(handled) < len(parts):
+                    for part in handled:
+                        self.execute(
+                            _substitute(
+                                "SET " + _unmask(part, bstore)
+                            ),
+                            dialect=dialect,
+                        )
+                    return
+            # SELECT ... INTO <out param | local> capture
             im = re.search(
                 r"\sINTO\s+(\w+)\s", bmasked + " ", re.IGNORECASE
             )
             capture = None
-            if im and im.group(1).lower() in out_targets:
+            if im and im.group(1).lower() in locals_:
                 capture = im.group(1).lower()
                 bmasked = (
                     bmasked[: im.start()] + " "
@@ -741,6 +840,30 @@ class Engine:
                                 "(runaway-procedure guard)"
                             )
                         _run_nodes(body_nodes)
+                elif node[0] == "repeat":
+                    # body-first loop: runs once, repeats until the
+                    # UNTIL condition is true (MariaDB REPEAT)
+                    _, cond, body_nodes = node
+                    iters = 0
+                    while True:
+                        iters += 1
+                        if iters > self._PROC_WHILE_CAP:
+                            raise ValueError(
+                                f"REPEAT loop exceeded "
+                                f"{self._PROC_WHILE_CAP} iterations "
+                                "(runaway-procedure guard)"
+                            )
+                        _run_nodes(body_nodes)
+                        if _truthy(cond):
+                            break
+                elif node[0] == "declare":
+                    _, names, default = node
+                    for nm in names:
+                        locals_[nm] = (
+                            _eval(default)
+                            if default is not None
+                            else None
+                        )
                 else:  # pragma: no cover — parser emits only the above
                     raise ValueError(f"unknown proc node {node[0]!r}")
 
@@ -813,6 +936,7 @@ class Engine:
 
     def _render_uservar_literal(self, v) -> str:
         import datetime as _dt
+        import decimal as _dec
 
         from mariadb_columnstore_engine_spark.functions.sqltrans import (
             _string_literal,
@@ -824,6 +948,11 @@ class Engine:
             return "TRUE" if v else "FALSE"
         if isinstance(v, (int, float)):
             return repr(v)
+        if isinstance(v, _dec.Decimal):
+            # bare numeric literal (never scientific notation) so a
+            # DECIMAL-typed value — e.g. a local assigned from
+            # SELECT (60.0 + 8) — stays numeric, not a quoted string
+            return format(v, "f")
         if isinstance(v, _dt.datetime):
             return f"TIMESTAMP '{v}'"
         if isinstance(v, _dt.date):
@@ -918,23 +1047,7 @@ class Engine:
         # row-order-dependent `@x := expr` inline assignment has no
         # distributed meaning and is NOT supported (use window funcs).
         def _render_var(v) -> str:
-            import datetime as _dt
-
-            from mariadb_columnstore_engine_spark.functions.sqltrans import (
-                _string_literal,
-            )
-
-            if v is None:
-                return "NULL"
-            if isinstance(v, bool):
-                return "TRUE" if v else "FALSE"
-            if isinstance(v, (int, float)):
-                return repr(v)
-            if isinstance(v, _dt.datetime):
-                return f"TIMESTAMP '{v}'"
-            if isinstance(v, _dt.date):
-                return f"DATE '{v}'"
-            return _string_literal(str(v))
+            return self._render_uservar_literal(v)
 
         uvars = getattr(self, "_user_vars", None)
         if uvars is None:
@@ -1990,9 +2103,18 @@ class Engine:
                         self.spark, path, out, info["keys"]
                     )
                 else:
+                    # general-expression entries run through the
+                    # dialect translator (IF()/IFNULL/... inside
+                    # update expressions); take-new entries pass
+                    # through as plain column names
                     n = dml.upsert_into(
                         self.spark, path, out, info["keys"],
-                        update_cols=parsed.on_dup_update,
+                        update_cols=[
+                            (e[0], tsql(e[1]))
+                            if isinstance(e, tuple)
+                            else e
+                            for e in parsed.on_dup_update
+                        ],
                     )
             else:
                 from mariadb_columnstore_engine_spark.sources.ingest import (  # noqa: E501

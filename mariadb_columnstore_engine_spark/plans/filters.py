@@ -176,40 +176,70 @@ def compound_boolean_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and _metadata.file_path (≈ which extent/segment file a row lives "
     "in) and spark_partition_id() (≈ which PM/dbroot is scanning it).",
     oracle="""
-    -- The oracle pins the EXPECTED metadata values: every region row
-    -- must report its source file's basename through BOTH file-path
-    -- pseudo-columns, and the single-file fixture occupies exactly one
-    -- scan partition. (DuckDB's filename=true needs a raw read_parquet
-    -- call, unavailable through the driver's views.)
-    SELECT 'region.parquet' AS file_name,
-           'region.parquet' AS meta_file_name,
-           CAST(1 AS BIGINT) AS n_scan_partitions,
+    -- Layout-AGNOSTIC invariants (round-5 finding: the old oracle
+    -- hard-coded the basename 'region.parquet' and one scan partition,
+    -- so any multi-file fixture layout failed it). The Spark side
+    -- derives each boolean from the real pseudo-columns plus a disk
+    -- listing of sf_dir; the oracle pins what must ALWAYS hold:
+    -- every distinct source file on disk is reported, both file-path
+    -- pseudo-columns agree row-by-row, every path lives under sf_dir,
+    -- at least one scan partition ran, and the row count matches.
+    -- (The exact-basename assertion lives in a pytest that writes its
+    -- own single-file fixture — tests/test_plan_shapes.py.)
+    SELECT true AS files_match_disk,
+           true AS meta_matches_input,
+           true AS paths_under_sfdir,
+           true AS partitions_positive,
            count(*) AS n
     FROM region
     """,
 )
 def metadata_pseudocols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+
     t = Catalog(spark, sf_dir)
+    rpath = os.path.join(sf_dir, "region.parquet")
+    if os.path.isdir(rpath):
+        n_files = len(
+            [
+                f
+                for f in glob.glob(
+                    os.path.join(rpath, "**", "*.parquet"), recursive=True
+                )
+                if os.path.isfile(f)
+            ]
+        )
+    else:
+        n_files = 1
+    sf_prefix = os.path.abspath(sf_dir)
     base = F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
     # _metadata struct needs a fresh scan-relation select (it is a
     # hidden source column, resolvable only against the file source)
     meta_base = F.regexp_extract(
         F.col("_metadata.file_path"), "[^/]+$", 0
     )
-    return (
-        t.region.select(
-            base.alias("file_name"),
-            meta_base.alias("meta_file_name"),
-            F.spark_partition_id().alias("_pid"),
-        )
-        .groupBy("file_name", "meta_file_name")
-        .agg(
-            F.countDistinct("_pid").cast("long").alias(
-                "n_scan_partitions"
-            ),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("file_name")
+    meta_path = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/*", "/"
+    )
+    return t.region.select(
+        base.alias("_fname"),
+        meta_base.alias("_mname"),
+        meta_path.alias("_mpath"),
+        F.spark_partition_id().alias("_pid"),
+    ).agg(
+        (F.countDistinct("_fname") == F.lit(n_files)).alias(
+            "files_match_disk"
+        ),
+        F.min(F.col("_fname") == F.col("_mname")).alias(
+            "meta_matches_input"
+        ),
+        F.min(
+            F.col("_mpath").startswith(sf_prefix)
+            | F.col("_mpath").startswith(os.path.realpath(sf_dir))
+        ).alias("paths_under_sfdir"),
+        (F.countDistinct("_pid") >= 1).alias("partitions_positive"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

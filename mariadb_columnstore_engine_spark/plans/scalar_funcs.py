@@ -2249,3 +2249,98 @@ def op_salted_skew_agg_join(
         )
         .orderBy("label")
     )
+
+
+@query(
+    "sql_stored_procedure_control_flow",
+    section="front-end: stored procedures with interpreted control "
+    "flow (mcs17; r6 — the round-5 gap): IF <cond> THEN … ELSE … "
+    "END IF picks the executed branch from an IN param, and a WHILE "
+    "loop accumulates over @session variables; the CALL's final result "
+    "set is the gate relation and the oracle recomputes the taken "
+    "branch inline. (The untaken branch queries a different table — a "
+    "speculative-execution bug would change the result.)",
+    oracle="""
+    -- cap = 400 > 100 → the THEN branch (orders rollup) runs, and the
+    -- WHILE loop leaves @lvl = 3 (0→3 in steps of 1), offsetting n by
+    -- 3 * 1 = 3
+    SELECT o_orderstatus,
+           CAST(count(*) + 3 AS BIGINT) AS n_adj
+    FROM orders
+    WHERE o_orderkey < 400
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sql_stored_procedure_control_flow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.execute("DROP PROCEDURE IF EXISTS gate_cf")
+    eng.execute(
+        "CREATE PROCEDURE gate_cf (IN cap INT)"
+        " BEGIN"
+        " SET @lvl = 0;"
+        " WHILE @lvl < 3 DO"
+        "   SET @lvl = @lvl + 1;"
+        " END WHILE;"
+        " IF cap > 100 THEN"
+        "   SELECT o_orderstatus,"
+        "          CAST(count(*) AS SIGNED) + @lvl AS n_adj"
+        "   FROM orders WHERE o_orderkey < cap"
+        "   GROUP BY o_orderstatus ORDER BY o_orderstatus;"
+        " ELSE"
+        "   SELECT c_mktsegment AS o_orderstatus,"
+        "          CAST(count(*) AS SIGNED) + @lvl AS n_adj"
+        "   FROM customer WHERE c_custkey < cap"
+        "   GROUP BY c_mktsegment ORDER BY c_mktsegment;"
+        " END IF;"
+        " END"
+    )
+    return eng.execute("CALL gate_cf(400)")
+
+
+@query(
+    "sql_stored_procedure_declare_repeat",
+    section="front-end: stored procedures with DECLARE'd locals and "
+    "REPEAT..UNTIL loops (mcs17; r6 — completes the compound-statement "
+    "surface next to IF/WHILE): a REPEAT loop doubles a local until it "
+    "crosses a threshold, SELECT..INTO captures an aggregate into a "
+    "second local, and the final result set filters by both — the "
+    "oracle recomputes the loop's closed form (bound = 64) inline.",
+    oracle="""
+    -- bound doubles 1->2->4->8->16->32->64, stopping at >= 50 → 64;
+    -- seg_rows = count of BUILDING-segment customers with key <= 64
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(64 AS BIGINT) AS bound_used
+    FROM customer
+    WHERE c_custkey <= 64
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sql_stored_procedure_declare_repeat(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.execute("DROP PROCEDURE IF EXISTS gate_dr")
+    eng.execute(
+        "CREATE PROCEDURE gate_dr (IN threshold INT)"
+        " BEGIN"
+        " DECLARE bound BIGINT DEFAULT 1;"
+        " REPEAT"
+        "   SET bound = bound * 2;"
+        " UNTIL bound >= threshold END REPEAT;"
+        " SELECT c_mktsegment,"
+        "        CAST(count(*) AS SIGNED) AS n,"
+        "        CAST(bound AS SIGNED) AS bound_used"
+        " FROM customer WHERE c_custkey <= bound"
+        " GROUP BY c_mktsegment ORDER BY c_mktsegment;"
+        " END"
+    )
+    return eng.execute("CALL gate_dr(50)")

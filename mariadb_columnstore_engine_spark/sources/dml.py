@@ -243,26 +243,42 @@ def upsert_into(
     every non-key column) overwritten from the new row; new rows with
     unmatched keys are appended. Unlike REPLACE, untouched columns of a
     matched row SURVIVE — the semantic difference the two statements
-    exist to express."""
+    exist to express.
+
+    ``update_cols`` entries are plain column names (take the new value)
+    or ``(col, expr_sql)`` tuples for general update expressions
+    (dml.y update_expr): ``expr_sql`` may reference the existing row's
+    columns by name and the incoming row's values as ``_new_<col>``
+    (e.g. ``c = c + VALUES(c)`` arrives as ``("c", "c + _new_c")``).
+    Assignments apply left to right and later expressions see earlier
+    assignments' results — MariaDB's documented evaluation order."""
     import pyspark.sql.functions as F
 
     _require_unique_keys(new_rows, keys, "upsert_into")
 
     def transform(df: DataFrame) -> DataFrame:
-        cols = update_cols or [c for c in new_rows.columns if c not in keys]
+        entries = update_cols or [
+            c for c in new_rows.columns if c not in keys
+        ]
+        # every inserted non-key value rides the join as _new_<col>: a
+        # general expression may reference VALUES(x) of ANY column, not
+        # just its own assignment target
+        carry = [c for c in new_rows.columns if c not in keys]
         marked = new_rows.select(
             *keys,
             F.lit(True).alias("_upd"),
-            *[F.col(c).alias(f"_new_{c}") for c in cols],
+            *[F.col(c).alias(f"_new_{c}") for c in carry],
         )
-        merged = df.join(marked, keys, "left")
-        out = merged
-        for c in cols:
+        out = df.join(marked, keys, "left")
+        for entry in entries:
+            if isinstance(entry, tuple):
+                c, expr_sql = entry
+                newval = F.expr(expr_sql)
+            else:
+                c, newval = entry, F.col(f"_new_{entry}")
             out = out.withColumn(
                 c,
-                F.when(F.col("_upd"), F.col(f"_new_{c}")).otherwise(
-                    F.col(c)
-                ),
+                F.when(F.col("_upd"), newval).otherwise(F.col(c)),
             )
         out = out.select(*df.columns)
         appended = new_rows.join(df.select(*keys), keys, "left_anti")

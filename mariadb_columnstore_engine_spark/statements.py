@@ -35,9 +35,12 @@ class Insert:
     columns: list[str]  # empty = table order
     source_sql: str  # "VALUES ..." or "SELECT ..." (unmasked)
     replace: bool = False
-    #: ON DUPLICATE KEY UPDATE c = VALUES(c) targets (take-new-value
-    #: form only; general update expressions raise at parse time)
-    on_dup_update: list[str] = field(default_factory=list)
+    #: ON DUPLICATE KEY UPDATE assignments: a plain ``str`` entry is the
+    #: ``c = VALUES(c)`` take-new-value form; a ``(col, expr)`` tuple is
+    #: a general update expression (dml.y update_expr) whose ``expr``
+    #: references existing columns by name and inserted values as
+    #: ``_new_<col>`` (rewritten from VALUES(<col>))
+    on_dup_update: list = field(default_factory=list)
     #: RETURNING select-list expressions (MariaDB 10.5 INSERT..RETURNING)
     returning: list[str] = field(default_factory=list)
     #: INSERT IGNORE: constraint-violating rows are skipped, not fatal
@@ -581,24 +584,40 @@ def parse(sql: str):
                 for p in _split_top_level_commas(body[rm.end() :])
             ]
             body = body[: rm.start()].strip()
-        on_dup: list[str] = []
+        on_dup: list = []
         om = _top_level_search(r"\bON\s+DUPLICATE\s+KEY\s+UPDATE\b", body)
         if om:
             for part in _split_top_level_commas(body[om.end() :]):
-                am = re.fullmatch(
-                    r"\s*(\S+)\s*=\s*VALUES\s*\(\s*(\S+?)\s*\)\s*",
+                am = re.match(
+                    r"\s*([^\s=]+)\s*=\s*(.+?)\s*$",
                     part,
-                    re.IGNORECASE,
+                    re.IGNORECASE | re.DOTALL,
                 )
-                if not am or _ident(am.group(1), store) != _ident(
-                    am.group(2), store
-                ):
+                if not am:
                     raise ValueError(
-                        "ON DUPLICATE KEY UPDATE supports the "
-                        "c = VALUES(c) form only (take the new value); "
-                        "general expressions: use sources.dml.upsert_into"
+                        f"cannot parse ON DUPLICATE KEY UPDATE "
+                        f"assignment: {part!r}"
                     )
-                on_dup.append(_ident(am.group(1), store))
+                target = _ident(am.group(1), store)
+                rhs = am.group(2)
+                vm = re.fullmatch(
+                    r"VALUES\s*\(\s*(\S+?)\s*\)", rhs, re.IGNORECASE
+                )
+                if vm and _ident(vm.group(1), store) == target:
+                    # c = VALUES(c): plain take-the-new-value form
+                    on_dup.append(target)
+                    continue
+                # general expression over the existing row's columns
+                # and VALUES(x) references (dml.y update_expr): rewrite
+                # VALUES(x) to the upsert join's _new_x columns —
+                # mask-aware, so VALUES( inside a string never rewrites
+                expr = re.sub(
+                    r"\bVALUES\s*\(\s*[`]?(\w+)[`]?\s*\)",
+                    lambda m: f"_new_{m.group(1)}",
+                    rhs,
+                    flags=re.IGNORECASE,
+                )
+                on_dup.append((target, _unmask(expr, store)))
             body = body[: om.start()].strip()
         return Insert(
             table=_ident(m.group(3), store),

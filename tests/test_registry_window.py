@@ -41,14 +41,26 @@ def test_window_is_the_registry_prefix():
     assert tuple(names[: len(PRIORITY_WINDOW)]) == PRIORITY_WINDOW
 
 
-def test_first_50_covers_every_family():
-    first50 = list(load_all())[:50]
+def test_every_family_has_driver_evidence():
+    """Round-2 intent, round-6 form: the window used to guarantee every
+    family inside any 50-prefix; once most rows had recorded driver
+    CORRECTNESS entries, the window rotates to the never-checked tail
+    instead (r6 closes the ledger). The invariant that matters is that
+    every family is driver-evidenced by the CURRENT window or by a
+    recorded CORRECTNESS round — so no family ever ships on local
+    evidence alone."""
+    import glob
+    import json
+    import os
+
+    covered = set(list(load_all())[:50])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        covered |= set(json.load(open(f)))
     for prefix in FAMILY_PREFIXES:
         assert any(
-            n.startswith(prefix) or n == "multimodal_media_features"
-            and prefix == "udf_"
-            for n in first50
-        ), f"family {prefix!r} missing from the first 50 registry entries"
+            n.startswith(prefix) for n in covered
+        ), f"family {prefix!r} has no driver correctness evidence"
 
 
 def test_window_queries_all_have_oracles():

@@ -151,12 +151,54 @@ def test_on_duplicate_key_update(engine_with_table):
     assert rows[50] == (500.0, "new")
 
 
-def test_on_duplicate_general_expr_rejected():
-    with pytest.raises(ValueError, match="VALUES"):
-        st.parse(
-            "INSERT INTO t1 VALUES (1, 2)"
-            " ON DUPLICATE KEY UPDATE val = val + 1"
-        )
+def test_on_duplicate_general_expr_parses():
+    """General update expressions (dml.y update_expr): VALUES(x)
+    references rewrite to the upsert join's _new_x columns; plain
+    c = VALUES(c) stays the take-new-value fast path."""
+    p = st.parse(
+        "INSERT INTO t1 VALUES (1, 2)"
+        " ON DUPLICATE KEY UPDATE val = val + VALUES(val),"
+        " note = VALUES(note)"
+    )
+    assert p.on_dup_update == [("val", "val + _new_val"), "note"]
+    # VALUES( inside a string literal must NOT rewrite (mask-aware)
+    p2 = st.parse(
+        "INSERT INTO t1 VALUES (1, 2)"
+        " ON DUPLICATE KEY UPDATE note = CONCAT(note, 'VALUES(x)')"
+    )
+    assert p2.on_dup_update == [("note", "CONCAT(note, 'VALUES(x)')")]
+
+
+def test_on_duplicate_general_expr_executes(engine_with_table):
+    """c = c + VALUES(c) accumulates into the existing value; untouched
+    columns survive; unmatched keys append with their inserted values
+    (MariaDB ON DUPLICATE KEY UPDATE semantics, dml.y)."""
+    eng = engine_with_table
+    n = eng.execute(
+        "INSERT INTO t1 VALUES (4, 1000.0, 'acc'), (60, 600.0, 'new')"
+        " ON DUPLICATE KEY UPDATE val = val + VALUES(val),"
+        " note = IFNULL(note, VALUES(note))"
+    )
+    assert n == 11
+    rows = {
+        r.id: (r.val, r.note)
+        for r in eng.execute(
+            "SELECT * FROM t1 WHERE id IN (4, 60)"
+        ).collect()
+    }
+    # id=4 existed with val=40.0, note='n4': val accumulates, note kept
+    assert rows[4] == (1040.0, "n4")
+    assert rows[60] == (600.0, "new")
+    # id=3 existed with note NULL (id%3==0): IFNULL takes the new note
+    eng.execute(
+        "INSERT INTO t1 VALUES (3, 5.0, 'filled')"
+        " ON DUPLICATE KEY UPDATE val = val + VALUES(val),"
+        " note = IFNULL(note, VALUES(note))"
+    )
+    r3 = eng.execute(
+        "SELECT val, note FROM t1 WHERE id = 3"
+    ).collect()[0]
+    assert r3.val == 35.0 and r3.note == "filled"
 
 
 def test_alter_table_add_drop_column(engine_with_table):
@@ -1137,10 +1179,14 @@ def test_stored_procedures_define_call_drop(engine_with_table):
     with pytest.raises(ValueError, match="ER_SP_DOES_NOT_EXIST"):
         eng.execute("DROP PROCEDURE proc1")
     eng.execute("DROP PROCEDURE IF EXISTS proc1")  # no error
+    # row-at-a-time constructs (cursors/handlers) stay refused;
+    # DECLARE'd variables are interpreted since r6
     with pytest.raises(ValueError, match="control flow"):
         eng.execute(
             "CREATE PROCEDURE p3 () BEGIN "
-            "DECLARE x INT; SELECT 1; END"
+            "DECLARE done INT DEFAULT 0; "
+            "DECLARE cur CURSOR FOR SELECT id FROM t1; "
+            "OPEN cur; FETCH cur INTO done; CLOSE cur; END"
         )
 
 
@@ -1387,15 +1433,21 @@ def test_procedure_while_loop_and_cap(engine_with_table):
     )
     eng.execute("CALL podd(7, @o)")
     assert eng.execute("SELECT @o AS o").collect()[0].o == 3
-    # runaway guard: condition never goes false
+    # runaway guard: condition never goes false. Instance-level cap
+    # override keeps this fast — the guard logic is cap-value-agnostic,
+    # and the default 10k cap would mean 10k interpreter round-trips.
     eng.execute(
         "CREATE PROCEDURE pinf () BEGIN "
         "SET @x = 1; "
         "WHILE @x > 0 DO SET @x = @x + 1; END WHILE; "
         "END"
     )
-    with pytest.raises(ValueError, match="iterations"):
-        eng.execute("CALL pinf()")
+    eng._PROC_WHILE_CAP = 25
+    try:
+        with pytest.raises(ValueError, match="iterations"):
+            eng.execute("CALL pinf()")
+    finally:
+        del eng._PROC_WHILE_CAP
     for p in ("ploop", "podd", "pinf"):
         eng.execute(f"DROP PROCEDURE {p}")
 
@@ -1408,3 +1460,103 @@ def test_procedure_unclosed_block_refused(engine_with_table):
             "CREATE PROCEDURE pbad () BEGIN "
             "IF 1 = 1 THEN SELECT 1; END"
         )
+
+
+def test_procedure_declare_locals_and_set(engine_with_table):
+    """DECLARE'd local variables (mcs17 / MariaDB compound statements):
+    DEFAULT initialization, SET over locals, SELECT .. INTO <local>,
+    local-over-column precedence via literal substitution, and OUT
+    params reading as NULL before first assignment."""
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE pdecl (IN k INT, OUT res DOUBLE) BEGIN "
+        "DECLARE total DOUBLE DEFAULT 0; "
+        "DECLARE cnt, extra INT DEFAULT 0; "
+        "SELECT SUM(val) INTO total FROM t1 WHERE id <= k; "
+        "SELECT COUNT(*) INTO cnt FROM t1 WHERE id <= k; "
+        "SET extra = cnt * 2, @side = cnt; "
+        "SET res = total + extra; "
+        "END"
+    )
+    eng.execute("CALL pdecl(3, @r)")
+    # t1 fixture: ids 0..9, val = id*10.0 → sum(id<=3) = 60, cnt = 4,
+    # extra = 8, res = 68 (numeric — Decimal locals must render as
+    # bare numeric literals, not quoted strings)
+    got = eng.execute("SELECT @r AS r, @side AS s").collect()[0]
+    assert float(got.r) == 68.0 and got.s == 4
+    assert not isinstance(got.r, str)
+    # uninitialized DECLARE (no DEFAULT) and unassigned OUT read as NULL
+    eng.execute(
+        "CREATE PROCEDURE pnull (OUT a INT) BEGIN "
+        "DECLARE u INT; "
+        "SELECT u IS NULL AND a IS NULL AS both_null; "
+        "SET a = 7; "
+        "END"
+    )
+    r = eng.execute("CALL pnull(@a)")
+    assert r.collect()[0].both_null in (True, 1)
+    assert eng.execute("SELECT @a AS a").collect()[0].a == 7
+    # DECLARE .. CURSOR / HANDLER stay refused
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        eng.execute(
+            "CREATE PROCEDURE pcur () BEGIN "
+            "DECLARE c CURSOR FOR SELECT id FROM t1; "
+            "END"
+        )
+    for p in ("pdecl", "pnull"):
+        eng.execute(f"DROP PROCEDURE {p}")
+
+
+def test_procedure_repeat_until_loop(engine_with_table):
+    """REPEAT .. UNTIL .. END REPEAT: body-first execution (runs once
+    even when the condition starts true), loop accumulation over
+    locals, and the runaway cap."""
+    import pytest
+
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE prep (IN n INT, OUT total INT) BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "DECLARE acc INT DEFAULT 0; "
+        "REPEAT "
+        "  SET acc = acc + i; "
+        "  SET i = i + 1; "
+        "UNTIL i >= n END REPEAT; "
+        "SET total = acc; "
+        "END"
+    )
+    eng.execute("CALL prep(5, @t)")
+    assert eng.execute("SELECT @t AS t").collect()[0].t == 10
+    # body-first: n=0 still executes once → total = 0, i ends at 1
+    eng.execute(
+        "CREATE PROCEDURE ponce (OUT runs INT) BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "REPEAT SET i = i + 1; UNTIL 1 = 1 END REPEAT; "
+        "SET runs = i; "
+        "END"
+    )
+    eng.execute("CALL ponce(@n)")
+    assert eng.execute("SELECT @n AS n").collect()[0].n == 1
+    eng.execute(
+        "CREATE PROCEDURE pinf2 () BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "REPEAT SET i = i + 1; UNTIL 1 = 0 END REPEAT; "
+        "END"
+    )
+    # instance-level cap override keeps the guard test fast; the guard
+    # itself is cap-value-agnostic
+    eng._PROC_WHILE_CAP = 25
+    try:
+        with pytest.raises(ValueError, match="iterations"):
+            eng.execute("CALL pinf2()")
+    finally:
+        del eng._PROC_WHILE_CAP
+    with pytest.raises(ValueError, match="UNTIL"):
+        eng.execute(
+            "CREATE PROCEDURE pbad2 () BEGIN "
+            "REPEAT SELECT 1; END"
+        )
+    for p in ("prep", "ponce", "pinf2"):
+        eng.execute(f"DROP PROCEDURE {p}")
