@@ -101,7 +101,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # sf_unsigned_semantics_typed): structurally driver-unhashable by
     # the policy above; each now has a wire twin in this window carrying
     # driver evidence for the same values, and the local type-aware
-    # gate keeps pinning the decimal carriage itself.
+    # gate keeps pinning the decimal carriage itself. (Two gate rows
+    # added mid-r6 after the window froze —
+    # sql_stored_procedure_control_flow, sql_stored_procedure_declare_repeat
+    # — rotate into the r7 window; both are parity-green locally.)
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
