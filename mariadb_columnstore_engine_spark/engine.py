@@ -69,6 +69,15 @@ class Engine:
             )
 
             query = translate_statement(query)
+        import re as _re_is
+
+        if _re_is.search(
+            r"\binformation_schema_\w+\b", query, _re_is.IGNORECASE
+        ):
+            # i_s plugin-table reads (i_s.test) see CURRENT metadata:
+            # rebuild the views on demand, like the reference's i_s
+            # tables querying BRM live
+            self.refresh_information_schema()
         df = self.spark.sql(query)
         if getattr(self, "_trace", False):
             # calsettrace(1) → calgettrace() reads the compiled physical
@@ -113,6 +122,23 @@ class Engine:
     def _writable(self, table: str) -> dict:
         info = getattr(self, "_user_tables", {}).get(table)
         if info is None:
+            from mariadb_columnstore_engine_spark.catalog import TABLES
+
+            if table not in TABLES:
+                try:
+                    is_view = self.spark.catalog.tableExists(table)
+                except Exception:
+                    is_view = False
+                if is_view:
+                    # reference parity (mcs26_insert_into_view.test):
+                    # "MCS-1011: Insert on VIEW is currently not
+                    # supported." / ER 1393 for join views — the
+                    # engine refuses DML through views outright
+                    raise ValueError(
+                        f"{table!r} is a view: DML on views is not "
+                        "supported (MCS-1011, "
+                        "mcs26_insert_into_view.test parity)"
+                    )
             raise ValueError(
                 f"table {table!r} is not attached for DML — catalog "
                 "fixture tables are read-only; Engine.attach_table() a "
@@ -872,6 +898,197 @@ class Engine:
             uvars[varname] = locals_.get(pname)
         return (results[-1] if results else None,)
 
+    def _handle_trigger_stmt(self, stmt: str, dialect: str):
+        """CREATE/DROP TRIGGER + SHOW TRIGGERS (mcs60_trigger.test).
+        Returns None when the statement is not trigger-related, else a
+        1-tuple with the result.
+
+        Set-based trigger semantics (sources/triggers.py module doc):
+        BEFORE INSERT/UPDATE bodies compile to one per-column
+        projection; AFTER bodies run once per STATEMENT over the
+        affected-row relation. BEFORE DELETE is refused (no row image
+        to rewrite); WHILE/REPEAT loops in bodies are refused (no
+        set-based reading)."""
+        import re
+
+        from mariadb_columnstore_engine_spark.sources.triggers import (
+            compile_before_transform,
+            parse_create_trigger,
+        )
+
+        trgs = getattr(self, "_triggers", None)
+        if trgs is None:
+            trgs = self._triggers = {}
+
+        parsed = parse_create_trigger(stmt)
+        if parsed:
+            name = parsed["name"]
+            if name in trgs and not parsed["replace"]:
+                if parsed["if_not_exists"]:
+                    return (None,)
+                raise ValueError(
+                    f"trigger {name!r} already exists "
+                    "(use OR REPLACE)"
+                )
+            if parsed["timing"] == "BEFORE" and parsed["event"] == "DELETE":
+                raise ValueError(
+                    "BEFORE DELETE triggers have no set-based row "
+                    "transform (the rows are being removed); use "
+                    "AFTER DELETE"
+                )
+            # table must exist (MariaDB ER_NO_SUCH_TABLE)
+            cols = [c for c, _ in self.describe(parsed["table"])]
+            nodes = self._parse_proc_body(parsed["body"])
+
+            def _no_loops(ns):
+                for n in ns:
+                    if n[0] in ("while", "repeat"):
+                        raise ValueError(
+                            "loops in trigger bodies have no set-based "
+                            "reading and are not supported"
+                        )
+                    if n[0] == "if":
+                        for _, b in n[1]:
+                            _no_loops(b)
+                        _no_loops(n[2])
+
+            _no_loops(nodes)
+            if parsed["timing"] == "BEFORE":
+                # compile NOW so malformed bodies fail at CREATE, like
+                # mysqld's parse-time validation
+                compile_before_transform(
+                    nodes, cols, event=parsed["event"]
+                )
+            trgs[name] = {**parsed, "nodes": nodes, "columns": cols}
+            return (None,)
+
+        m = re.match(
+            r"\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?([\w`]+)\s*;?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group(2).strip("`").lower()
+            if name not in trgs:
+                if m.group(1):
+                    return (None,)
+                raise ValueError(f"unknown trigger {name!r}")
+            del trgs[name]
+            return (None,)
+
+        if re.match(r"\s*SHOW\s+TRIGGERS\s*;?\s*$", stmt, re.IGNORECASE):
+            return (
+                [
+                    (t["name"], t["event"], t["table"], t["timing"])
+                    for t in sorted(
+                        trgs.values(), key=lambda t: t["name"]
+                    )
+                ],
+            )
+        return None
+
+    def _table_triggers(self, table: str, timing: str, event: str):
+        """Triggers for (table, timing, event), creation-ordered.
+        Empty while a trigger body is already executing — triggers do
+        not cascade here (documented guard against self-recursion; the
+        reference likewise refuses a trigger mutating its own table)."""
+        if getattr(self, "_in_trigger", False):
+            return []
+        trgs = getattr(self, "_triggers", None) or {}
+        return [
+            t
+            for t in trgs.values()
+            if t["table"] == table.lower()
+            and t["timing"] == timing
+            and t["event"] == event
+        ]
+
+    def _fire_after_triggers(
+        self, table: str, event: str, affected, dialect: str
+    ) -> None:
+        """Run AFTER-trigger bodies once per statement over the
+        affected-row relation. ``affected`` carries the post-image
+        columns by name and (for UPDATE/DELETE) pre-image columns
+        under ``__old_<name>``; NEW.x / OLD.x rewrite to them. IF
+        blocks quantify existentially over the relation."""
+        from mariadb_columnstore_engine_spark.sources.triggers import (
+            rewrite_row_refs,
+        )
+
+        import re
+
+        triggers = self._table_triggers(table, "AFTER", event)
+        if not triggers or affected is None:
+            return
+        view = f"_trg_affected_{event.lower()}"
+        affected.createOrReplaceTempView(view)
+        has_old = event in ("UPDATE", "DELETE")
+
+        def _set_based(stmt: str) -> str:
+            """Row-spelled INSERT forms become set-based over the
+            affected relation: VALUES (NEW.a, 1) → SELECT NEW.a, 1
+            FROM <view> (one audit row per affected row), and a
+            FROM-less INSERT .. SELECT gains FROM <view>."""
+            s = rewrite_row_refs(
+                stmt,
+                view=view,
+                has_old=has_old,
+                has_new=event != "DELETE",
+            )
+            if view not in s:
+                return s
+            m = re.match(
+                r"(\s*INSERT\s+INTO\s+[\w`]+"
+                r"(?:\s*\([^)]*\))?)\s+VALUES\s*\((.*)\)\s*;?\s*$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                return f"{m.group(1)} SELECT {m.group(2)} FROM {view}"
+            if re.match(
+                r"\s*INSERT\s+INTO\s+.*\bSELECT\b",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            ) and not re.search(r"\bFROM\b", s, re.IGNORECASE):
+                return f"{s.rstrip().rstrip(';')} FROM {view}"
+            return s
+
+        self._in_trigger = True
+        try:
+            for trg in triggers:
+
+                def run_nodes(nodes):
+                    for node in nodes:
+                        if node[0] == "stmt":
+                            self.execute(
+                                _set_based(node[1]), dialect=dialect
+                            )
+                        elif node[0] == "if":
+                            _, branches, else_nodes = node
+                            for cond, bnodes in branches:
+                                fired = self.execute(
+                                    "SELECT max(CASE WHEN "
+                                    + rewrite_row_refs(
+                                        cond,
+                                        view=view,
+                                        has_old=has_old,
+                                        has_new=event != "DELETE",
+                                    )
+                                    + f" THEN 1 ELSE 0 END) AS f "
+                                    f"FROM {view}",
+                                    dialect=dialect,
+                                ).collect()[0][0]
+                                if fired:
+                                    run_nodes(bnodes)
+                                    break
+                            else:
+                                run_nodes(else_nodes)
+
+                run_nodes(trg["nodes"])
+        finally:
+            self._in_trigger = False
+            self.spark.catalog.dropTempView(view)
+
     def _set_sysvar(self, payload: str):
         """SET <system variable> (mcs229_data_compression_type and the
         MTR preamble idioms). Real behavior where the engine has one
@@ -1039,6 +1256,11 @@ class Engine:
         proc_result = self._handle_procedure_stmt(stmt, dialect)
         if proc_result is not None:
             return proc_result[0]
+
+        # --- triggers (mcs60_trigger.test; set-based semantics) ----------
+        trg_result = self._handle_trigger_stmt(stmt, dialect)
+        if trg_result is not None:
+            return trg_result[0]
 
         # --- session user variables (@var) -------------------------------
         # MariaDB SET @x = expr / SELECT ... INTO @x / @x references —
@@ -2027,6 +2249,35 @@ class Engine:
                     for f in target.schema.fields
                 ]
             )
+            # BEFORE INSERT triggers (mcs60): bodies compile to ONE
+            # per-column projection applied to the whole incoming
+            # relation — set-based, codegen'd, no per-row procedure.
+            # Fires before AUTO_INCREMENT assignment (the trigger sees
+            # NULL in the autoinc column, as mysqld's sees 0) and
+            # before CHECK validation (MariaDB applies constraints to
+            # the trigger-rewritten row).
+            for trg in self._table_triggers(
+                parsed.table, "BEFORE", "INSERT"
+            ):
+                from mariadb_columnstore_engine_spark.sources.triggers import (  # noqa: E501
+                    compile_before_transform,
+                )
+
+                tf = compile_before_transform(
+                    trg["nodes"], out.columns, event="INSERT"
+                )
+                out = out.select(
+                    *[
+                        (
+                            texpr(tf[f.name])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            if f.name in tf
+                            else F.col(f.name)
+                        )
+                        for f in target.schema.fields
+                    ]
+                )
             ai = _evolution(path).get("autoinc")
             if ai:
                 # AUTO_INCREMENT assignment (BRM autoincrement-manager
@@ -2092,6 +2343,12 @@ class Engine:
                 if parsed.returning
                 else None
             )
+            if self._table_triggers(parsed.table, "AFTER", "INSERT"):
+                # materialize the inserted relation BEFORE the append:
+                # an INSERT .. SELECT reading the target table itself
+                # would otherwise re-scan post-write files when the
+                # AFTER body re-executes the lineage
+                out = out.localCheckpoint(eager=True)
             if parsed.replace or parsed.on_dup_update:
                 if not info["keys"]:
                     raise ValueError(
@@ -2144,6 +2401,12 @@ class Engine:
                 }
                 _write_evolution(path, evo_ai)
             self._refresh(parsed.table)
+            # AFTER INSERT triggers run once per STATEMENT over the
+            # inserted-rows relation (audit-table pattern as a single
+            # INSERT..SELECT; IF blocks quantify existentially)
+            self._fire_after_triggers(
+                parsed.table, "INSERT", out, dialect
+            )
             return ret if ret is not None else n
         if isinstance(parsed, st.Update):
             from mariadb_columnstore_engine_spark.sources.ingest import (
@@ -2178,6 +2441,63 @@ class Engine:
                     "cannot UPDATE generated column(s) "
                     f"{sorted(set(parsed.assignments) & gen_cols)}"
                 )
+            # BEFORE UPDATE triggers compose into the assignment map:
+            # NEW.x starts as the user's assigned expression (or the
+            # old value), OLD.x is the bare column — everything
+            # evaluates against the PRE-update row in one projection
+            # (mcs60 trg2 shape, set-based)
+            btrgs = self._table_triggers(parsed.table, "BEFORE", "UPDATE")
+            atrgs = self._table_triggers(parsed.table, "AFTER", "UPDATE")
+            tbl_cols = [
+                f.name
+                for f in read_table_evolved(self.spark, path).schema.fields
+            ]
+            if btrgs:
+                from mariadb_columnstore_engine_spark.sources.triggers import (  # noqa: E501
+                    compile_before_transform,
+                )
+
+                env = {c.lower(): f"`{c}`" for c in tbl_cols}
+                for c, e in parsed.assignments.items():
+                    env[c.lower()] = f"({e})"
+                for trg in btrgs:
+                    tf = compile_before_transform(
+                        trg["nodes"],
+                        tbl_cols,
+                        event="UPDATE",
+                        base_env=env,
+                    )
+                    for c2, e2 in tf.items():
+                        env[c2.lower()] = f"({e2})"
+                case_map = {c.lower(): c for c in tbl_cols}
+                assign_sql = {
+                    case_map[cl]: e
+                    for cl, e in env.items()
+                    if e != f"`{case_map[cl]}`"
+                }
+            else:
+                assign_sql = dict(parsed.assignments)
+            affected = None
+            if atrgs:
+                # pre-image + post-image relation, materialized BEFORE
+                # the copy-on-write rewrite invalidates the file scan
+                base_rel = read_table_evolved(self.spark, path).alias(
+                    parsed.table
+                ).where(F.coalesce(pred, F.lit(False)))
+                affected = base_rel.select(
+                    *[
+                        (
+                            texpr(assign_sql[c])
+                            if c in assign_sql
+                            else F.col(c)
+                        ).alias(c)
+                        for c in tbl_cols
+                    ],
+                    *[
+                        F.col(c).alias(f"__old_{c}")
+                        for c in tbl_cols
+                    ],
+                ).localCheckpoint(eager=True)
             checks = table_checks(path)
             if checks:
                 # reject BEFORE rewriting (MariaDB refuses the statement;
@@ -2190,7 +2510,7 @@ class Engine:
                 preview = read_table_evolved(self.spark, path).alias(
                     parsed.table
                 )
-                for c, e in parsed.assignments.items():
+                for c, e in assign_sql.items():
                     preview = preview.withColumn(
                         c,
                         F.when(F.coalesce(pred, F.lit(False)), texpr(e))
@@ -2205,10 +2525,13 @@ class Engine:
                 self.spark,
                 path,
                 pred,
-                {c: texpr(e) for c, e in parsed.assignments.items()},
+                {c: texpr(e) for c, e in assign_sql.items()},
                 alias=parsed.table,
             )
             self._refresh(parsed.table)
+            self._fire_after_triggers(
+                parsed.table, "UPDATE", affected, dialect
+            )
             return n
         if isinstance(parsed, st.Delete):
             if parsed.join is not None:
@@ -2228,10 +2551,32 @@ class Engine:
                     .where(F.coalesce(pred, F.lit(False)))
                 )
                 ret = returning_result(doomed, parsed.returning)
+            affected_del = None
+            if self._table_triggers(parsed.table, "AFTER", "DELETE"):
+                from mariadb_columnstore_engine_spark.sources.ingest import (  # noqa: E501
+                    read_table_evolved as _rte,
+                )
+
+                # pre-image relation (OLD.x → __old_x), materialized
+                # BEFORE the rewrite removes the scanned files
+                doomed_rel = (
+                    _rte(self.spark, path)
+                    .alias(parsed.table)
+                    .where(F.coalesce(pred, F.lit(False)))
+                )
+                affected_del = doomed_rel.select(
+                    *[
+                        F.col(c).alias(f"__old_{c}")
+                        for c in doomed_rel.columns
+                    ]
+                ).localCheckpoint(eager=True)
             n = dml.delete_where(
                 self.spark, path, pred, alias=parsed.table
             )
             self._refresh(parsed.table)
+            self._fire_after_triggers(
+                parsed.table, "DELETE", affected_del, dialect
+            )
             return ret if ret is not None else n
         raise AssertionError(f"unroutable statement: {parsed!r}")
 

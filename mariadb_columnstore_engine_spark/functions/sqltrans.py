@@ -1049,6 +1049,17 @@ def translate_statement(sql: str) -> str:
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", masked,
         flags=re.IGNORECASE,
     )
+    # INFORMATION_SCHEMA plugin tables (i_s.test): the dotted MTR
+    # spellings map to the engine's registered i_s views
+    # (Engine.refresh_information_schema builds them; the engine
+    # auto-refreshes when a statement references INFORMATION_SCHEMA)
+    masked = re.sub(
+        r"\bINFORMATION_SCHEMA\s*\.\s*(?:COLUMNSTORE_)?"
+        r"(TABLES|COLUMNS|EXTENTS|FILES)\b",
+        lambda m: f"information_schema_{m.group(1).lower()}",
+        masked,
+        flags=re.IGNORECASE,
+    )
     # ODBC-style unit spellings: TIMESTAMPADD(SQL_TSI_MINUTE, ...) —
     # MariaDB accepts both; Spark's native timestampadd/timestampdiff
     # take the bare unit keyword (mcs277_timestampadd_function.test)

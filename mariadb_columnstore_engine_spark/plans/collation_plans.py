@@ -409,3 +409,103 @@ def collation_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   AS n_building_ci"
         " FROM coll_ddl_seg GROUP BY seg ORDER BY segment"
     )
+
+
+@query(
+    "collation_pad_space_semantics",
+    section="§2.8 PAD SPACE vs NOPAD collation semantics (r6 — the "
+    "ctype_cmp_*_nopad_* half of the MTR matrix: "
+    "mysql-test/columnstore/basic/t/ctype_cmp_varchar32_utf8_general_ci"
+    ".test vs ..._nopad_ci.test; utils/common/collation.h wraps the "
+    "server handlers whose PAD variants ignore trailing spaces in "
+    "comparison while LIKE stays trailing-space-significant). "
+    "Spark-first: Spark 4 ships trim-sensitive ICU collations — "
+    "UTF8_BINARY_RTRIM / UTF8_LCASE_RTRIM make =, GROUP BY and "
+    "DISTINCT honor PAD semantics JVM-side (codegen, no rtrim() "
+    "rewrite in user queries); the NOPAD variants are the plain "
+    "collations. The oracle expresses the same contract with explicit "
+    "rtrim()/lower() folds. Four variants per nation name (raw, "
+    "+1 space, +2 spaces, title-case +1 space) pin the group-count "
+    "matrix: PAD_CI=1, PAD_BIN=2, NOPAD_CI=3, NOPAD_BIN=4; equality "
+    "'a ' = 'a' holds under PAD, while LIKE (always NOPAD in MariaDB) "
+    "rejects the trailing space.",
+    oracle="""
+    WITH v AS (
+        SELECT n_name, n_name AS s FROM nation
+        UNION ALL SELECT n_name, n_name || ' ' FROM nation
+        UNION ALL SELECT n_name, n_name || '  ' FROM nation
+        UNION ALL SELECT n_name,
+               upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+                   || ' '
+        FROM nation
+    )
+    SELECT n_name,
+           CAST(count(DISTINCT lower(rtrim(s))) AS BIGINT)
+               AS pad_ci_groups,
+           CAST(count(DISTINCT rtrim(s)) AS BIGINT)
+               AS pad_bin_groups,
+           CAST(count(DISTINCT lower(s)) AS BIGINT)
+               AS nopad_ci_groups,
+           CAST(count(DISTINCT s) AS BIGINT)
+               AS nopad_bin_groups,
+           (min(CASE WHEN rtrim(n_name || ' ') = rtrim(n_name)
+                     THEN 1 ELSE 0 END) = 1) AS pad_eq_trailing,
+           (max(CASE WHEN (n_name || ' ') LIKE n_name
+                     THEN 1 ELSE 0 END) = 1) AS like_trailing
+    FROM v
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def collation_pad_space_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    title = F.concat(
+        F.upper(F.substring("n_name", 1, 1)),
+        F.lower(F.expr("substr(n_name, 2)")),
+    )
+    base = t.nation.select("n_name")
+    v = (
+        base.select("n_name", F.col("n_name").alias("s"))
+        .unionAll(
+            base.select(
+                "n_name", F.concat("n_name", F.lit(" ")).alias("s")
+            )
+        )
+        .unionAll(
+            base.select(
+                "n_name", F.concat("n_name", F.lit("  ")).alias("s")
+            )
+        )
+        .unionAll(
+            base.select(
+                "n_name", F.concat(title, F.lit(" ")).alias("s")
+            )
+        )
+    )
+    pad_eq = (
+        F.collate(F.concat("n_name", F.lit(" ")), "UTF8_BINARY_RTRIM")
+        == F.collate(F.col("n_name"), "UTF8_BINARY_RTRIM")
+    )
+    # LIKE is NOPAD even under PAD collations (MariaDB): the raw
+    # column is compared, trailing space significant
+    like_eq = F.expr("concat(n_name, ' ') LIKE n_name")
+    return (
+        v.groupBy("n_name")
+        .agg(
+            F.countDistinct(
+                F.collate("s", "UTF8_LCASE_RTRIM")
+            ).alias("pad_ci_groups"),
+            F.countDistinct(
+                F.collate("s", "UTF8_BINARY_RTRIM")
+            ).alias("pad_bin_groups"),
+            F.countDistinct(F.collate("s", "UTF8_LCASE")).alias(
+                "nopad_ci_groups"
+            ),
+            F.countDistinct("s").alias("nopad_bin_groups"),
+            F.min(pad_eq).alias("pad_eq_trailing"),
+            F.max(like_eq).alias("like_trailing"),
+        )
+        .orderBy("n_name")
+    )

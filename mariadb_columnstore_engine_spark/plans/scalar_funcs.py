@@ -2344,3 +2344,69 @@ def sql_stored_procedure_declare_repeat(
         " END"
     )
     return eng.execute("CALL gate_dr(50)")
+
+
+@query(
+    "sql_trigger_before_insert",
+    section="front-end: BEFORE INSERT triggers, set-based (mcs60_"
+    "trigger.test; r6): the trigger body (IF cap + unconditional "
+    "lower-casing, the MTR shape) compiles to ONE per-column "
+    "projection over the whole INSERT..SELECT batch — no per-row "
+    "procedure — and the gate relation aggregates the triggered "
+    "table; the oracle recomputes the trigger's effect inline with "
+    "LEAST/lower.",
+    oracle="""
+    WITH t AS (
+        SELECT lower(o_orderstatus) AS status,
+               least(CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                     1000000) AS cents
+        FROM orders WHERE o_orderkey < 800
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(sum(CASE WHEN cents = 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped
+    FROM t
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def sql_trigger_before_insert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(
+        spark, sf_dir,
+        warehouse=tempfile.mkdtemp(prefix="mcs_trg_gate_"),
+    )
+    eng.execute(
+        "CREATE TABLE trg_orders ("
+        " okey BIGINT, status VARCHAR(2), cents BIGINT)"
+    )
+    eng.execute(
+        "CREATE TRIGGER trg_cap BEFORE INSERT ON trg_orders"
+        " FOR EACH ROW BEGIN"
+        " IF NEW.cents > 1000000 THEN"
+        "   SET NEW.cents = 1000000;"
+        " END IF;"
+        " SET NEW.status = LOWER(NEW.status);"
+        " END"
+    )
+    eng.execute(
+        "INSERT INTO trg_orders"
+        " SELECT o_orderkey, o_orderstatus,"
+        " CAST(ROUND(o_totalprice * 100, 0) AS SIGNED)"
+        " FROM orders WHERE o_orderkey < 800"
+    )
+    return eng.sql(
+        "SELECT status,"
+        " COUNT(*) AS n,"
+        " SUM(cents) AS cents_sum,"
+        " SUM(CASE WHEN cents = 1000000 THEN 1 ELSE 0 END)"
+        "   AS n_capped"
+        " FROM trg_orders GROUP BY status ORDER BY status"
+    )
