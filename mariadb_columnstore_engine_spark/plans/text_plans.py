@@ -1269,3 +1269,65 @@ def bpe_pair_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merge_rank")
     )
+
+
+@query(
+    "text_unigram_freq_score",
+    section="LLM-pipeline: unigram language-model proxy scoring (r6) — "
+    "rank documents by mean corpus frequency of their tokens (the "
+    "integer-exact core of a unigram log-prob filter: docs whose "
+    "vocabulary is rarest corpus-wide surface first, the standard "
+    "quality/outlier screen before training). Two-pass plan: one "
+    "hash-agg builds the corpus vocabulary, one shuffle join scores "
+    "every token, one hash-agg folds per doc — all integer outputs, "
+    "so the cross-engine compare is exact (a float log-prob column "
+    "would hash-flip on libm ulp differences; the ordering ratio is "
+    "a division of identical integers, IEEE-identical in both "
+    "engines). 100 TB check: vocabulary is NOT broadcast (noisy "
+    "corpora have unbounded vocab) — the token->vocab equi-join "
+    "shuffles on the token, the only scalable choice.",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, count(*) AS freq FROM tok GROUP BY w
+    ), scored AS (
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               count(DISTINCT t.w) AS n_distinct,
+               sum(v.freq) AS sum_freq
+        FROM tok t JOIN vocab v USING (w)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(sum_freq AS BIGINT) AS sum_freq
+    FROM scored
+    ORDER BY sum_freq * 1.0 / n_tokens, doc_id
+    LIMIT 20
+    """,
+)
+def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    scored = (
+        tok.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_distinct"),
+            F.sum("freq").alias("sum_freq"),
+        )
+    )
+    return (
+        scored.orderBy(
+            (F.col("sum_freq") / F.col("n_tokens")).asc(), "doc_id"
+        )
+        .limit(20)
+        .select("doc_id", "n_tokens", "n_distinct", "sum_freq")
+    )
