@@ -78,7 +78,29 @@ class Engine:
             # rebuild the views on demand, like the reference's i_s
             # tables querying BRM live
             self.refresh_information_schema()
-        df = self.spark.sql(query)
+        if dialect == "mariadb":
+            # MariaDB's default sql_mode omits ONLY_FULL_GROUP_BY
+            # (MCOL-5772-hidden-order-by.test): on MISSING_AGGREGATION
+            # the analyzer names the offending expression; wrap it in
+            # any_value() (same some-value-per-group contract) and
+            # retry — bounded by the number of select-list items
+            from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
+                loose_group_by_rewrite,
+            )
+
+            for _ in range(32):
+                try:
+                    df = self.spark.sql(query)
+                    break
+                except Exception as e:  # noqa: BLE001 — repaired below
+                    fixed = loose_group_by_rewrite(query, str(e))
+                    if fixed is None or fixed == query:
+                        raise
+                    query = fixed
+            else:
+                df = self.spark.sql(query)
+        else:
+            df = self.spark.sql(query)
         if getattr(self, "_trace", False):
             # calsettrace(1) → calgettrace() reads the compiled physical
             # plan of the last statement (ha_mcs_client_udfs.cpp:910 —

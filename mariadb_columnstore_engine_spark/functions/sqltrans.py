@@ -1263,3 +1263,114 @@ def _rewrite_week_functions(masked: str, store: list[str]) -> str:
             i = end
         masked = "".join(out)
     return masked
+
+
+_AGG_FNS = (
+    "SUM|COUNT|AVG|MIN|MAX|GROUP_CONCAT|STDDEV|STDDEV_POP|STDDEV_SAMP"
+    "|VARIANCE|VAR_POP|VAR_SAMP|BIT_AND|BIT_OR|BIT_XOR|ANY_VALUE"
+    "|FIRST|LAST|COLLECT_LIST|COLLECT_SET|JSON_ARRAYAGG|JSON_OBJECTAGG"
+    "|PERCENTILE|PERCENTILE_APPROX|APPROX_COUNT_DISTINCT|CORR"
+    "|COVAR_POP|COVAR_SAMP|REGR_[A-Z0-9]+|MEDIAN"
+)
+
+
+def loose_group_by_rewrite(sql: str, error_msg: str) -> str | None:
+    """MariaDB's default sql_mode omits ONLY_FULL_GROUP_BY: a grouped
+    query may select / order by non-grouped columns and gets SOME value
+    from each group (MCOL-5772-hidden-order-by.test exercises exactly
+    this). Spark's analyzer refuses with MISSING_AGGREGATION — which
+    names the offending expression precisely, so instead of re-parsing
+    SQL we do an error-driven repair: wrap that expression in
+    ``any_value(...)`` (Spark's some-value-per-group aggregate — the
+    same contract) wherever it appears OUTSIDE aggregate calls in the
+    SELECT list and ORDER BY clause, and let the caller retry. GROUP
+    BY / WHERE / HAVING text is never touched (an occurrence inside a
+    grouping expression must keep its meaning). Returns the rewritten
+    statement, or None when this error is not repairable this way."""
+    order_by_only = False
+    m = re.search(r'non-aggregating expression "([^"]+)"', error_msg)
+    if not m:
+        # second loose-mode shape: a HIDDEN ORDER BY column
+        # (MCOL-5772's exact query) — after aggregation Spark can't
+        # resolve a non-grouped input column in the sort; MariaDB
+        # orders by some value from each group. Repair only the ORDER
+        # BY region (an unresolved name in the select list is a
+        # genuine error).
+        m = re.search(
+            r"with name `([^`]+)` cannot be resolved", error_msg
+        )
+        if not m or "UNRESOLVED_COLUMN" not in error_msg:
+            return None
+        order_by_only = True
+    target = m.group(1)
+    masked, store = _mask(sql)
+    if not _top_level_search(r"\bGROUP\s+BY\b", masked):
+        return None
+
+    # rewrite regions: SELECT-list (SELECT .. top-level FROM) and
+    # ORDER BY clause (ORDER BY .. top-level LIMIT/end)
+    regions = []
+    if not order_by_only:
+        sm = re.search(
+            r"\bSELECT\b(\s+DISTINCT\b)?", masked, re.IGNORECASE
+        )
+        fm = _top_level_search(r"\bFROM\b", masked)
+        if sm and fm and sm.end() < fm.start():
+            regions.append((sm.end(), fm.start()))
+    om = _top_level_search(r"\bORDER\s+BY\b", masked)
+    if om:
+        lm = _top_level_search(r"\bLIMIT\b", masked)
+        regions.append(
+            (om.end(), lm.start() if lm else len(masked))
+        )
+
+    # spans inside aggregate calls are off-limits (SUM(x) must not
+    # become SUM(any_value(x)))
+    agg_spans = []
+    for am in re.finditer(
+        rf"\b(?:{_AGG_FNS})\s*\(", masked, re.IGNORECASE
+    ):
+        open_at = masked.index("(", am.end() - 1)
+        try:
+            close = _find_balanced(masked, open_at)
+        except Exception:  # noqa: BLE001 — unbalanced → skip span
+            continue
+        agg_spans.append((open_at, close))
+
+    pat = re.compile(
+        r"(?<![\w`.])" + re.escape(target) + r"(?![\w`(])"
+    )
+    # keep MariaDB's display name: a bare identifier in the select
+    # list stays visible under its own name (alias = last segment)
+    simple = re.fullmatch(r"[\w.]+", target)
+    select_region = regions[0] if not order_by_only and regions else None
+    out, changed = [], False
+    last = 0
+    for mo in pat.finditer(masked):
+        s, e = mo.span()
+        in_region = any(a <= s and e <= b for a, b in regions)
+        in_agg = any(a < s and e <= b for a, b in agg_spans)
+        if in_region and not in_agg:
+            out.append(masked[last:s])
+            in_select = (
+                select_region is not None
+                and select_region[0] <= s
+                and e <= select_region[1]
+            )
+            # don't alias when the occurrence is part of a larger
+            # expression (next token isn't a list separator / FROM)
+            tail = masked[e:].lstrip()
+            standalone = tail[:1] in (",", "") or bool(
+                re.match(r"FROM\b", tail, re.IGNORECASE)
+            )
+            if in_select and simple and standalone:
+                name = target.rsplit(".", 1)[-1]
+                out.append(f"any_value({target}) AS `{name}`")
+            else:
+                out.append(f"any_value({target})")
+            last = e
+            changed = True
+    out.append(masked[last:])
+    if not changed:
+        return None
+    return _unmask("".join(out), store)

@@ -731,3 +731,34 @@ def test_convert_tz_named_zones_dst_vectors(spark):
     assert str(rows.fixed_off) == "2024-01-15 17:45:00"
     # June: Sydney is AEST (+10, southern winter), Paris CEST (+2)
     assert str(rows.syd_paris) == "2024-06-15 04:00:00"
+
+
+def test_loose_group_by_hidden_columns(engine_with_table):
+    """MariaDB's default sql_mode omits ONLY_FULL_GROUP_BY
+    (MCOL-5772-hidden-order-by.test): non-grouped select columns and
+    hidden ORDER BY columns get SOME value per group — repaired
+    error-driven via any_value() wrapping, keeping the display name."""
+    eng = engine_with_table
+    # non-grouped select column
+    rows = eng.execute(
+        "SELECT note, SUM(val) AS s FROM t1"
+        " GROUP BY id DIV 5 ORDER BY s"
+    ).collect()
+    assert len(rows) == 2 and rows[0].note is not None
+    assert {round(r.s, 1) for r in rows} == {100.0, 350.0}
+    # hidden ORDER BY column (not in select list, not grouped)
+    rows2 = eng.execute(
+        "SELECT SUM(val) AS s FROM t1 GROUP BY id DIV 5 ORDER BY id"
+    ).collect()
+    assert len(rows2) == 2
+    # grouping-expression text must never be rewritten
+    rows3 = eng.execute(
+        "SELECT CONCAT('g', id DIV 5) AS g, COUNT(*) AS n FROM t1"
+        " GROUP BY CONCAT('g', id DIV 5) ORDER BY g"
+    ).collect()
+    assert [(r.g, r.n) for r in rows3] == [("g0", 5), ("g1", 5)]
+    # a genuinely-wrong aggregate-free query still errors
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="MISSING_GROUP_BY|GROUP"):
+        eng.execute("SELECT note, SUM(val) FROM t1").collect()
