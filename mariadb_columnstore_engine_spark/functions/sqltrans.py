@@ -1307,8 +1307,13 @@ def loose_group_by_rewrite(sql: str, error_msg: str) -> str | None:
     if not _top_level_search(r"\bGROUP\s+BY\b", masked):
         return None
 
-    # rewrite regions: SELECT-list (SELECT .. top-level FROM) and
-    # ORDER BY clause (ORDER BY .. top-level LIMIT/end)
+    # rewrite region: SELECT-list (SELECT .. top-level FROM) for
+    # MISSING_AGGREGATION — the wrap is aliased back to the bare name,
+    # so a same-named ORDER BY item resolves against the alias and
+    # must NOT be wrapped too (a sort over a fresh any_value() of an
+    # aggregated-away column is circular). ORDER BY gets its own
+    # repair pass when a HIDDEN column (never selected) fails to
+    # resolve there.
     regions = []
     if not order_by_only:
         sm = re.search(
@@ -1317,12 +1322,13 @@ def loose_group_by_rewrite(sql: str, error_msg: str) -> str | None:
         fm = _top_level_search(r"\bFROM\b", masked)
         if sm and fm and sm.end() < fm.start():
             regions.append((sm.end(), fm.start()))
-    om = _top_level_search(r"\bORDER\s+BY\b", masked)
-    if om:
-        lm = _top_level_search(r"\bLIMIT\b", masked)
-        regions.append(
-            (om.end(), lm.start() if lm else len(masked))
-        )
+    else:
+        om = _top_level_search(r"\bORDER\s+BY\b", masked)
+        if om:
+            lm = _top_level_search(r"\bLIMIT\b", masked)
+            regions.append(
+                (om.end(), lm.start() if lm else len(masked))
+            )
 
     # spans inside aggregate calls are off-limits (SUM(x) must not
     # become SUM(any_value(x)))

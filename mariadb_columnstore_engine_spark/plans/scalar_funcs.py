@@ -2410,3 +2410,40 @@ def sql_trigger_before_insert(
         "   AS n_capped"
         " FROM trg_orders GROUP BY status ORDER BY status"
     )
+
+
+@query(
+    "sql_loose_group_by_hidden",
+    section="front-end: MariaDB loose GROUP BY (r6 — "
+    "MCOL-5772-hidden-order-by.test): the default sql_mode omits "
+    "ONLY_FULL_GROUP_BY, so the statement selects a non-grouped "
+    "column (n_name) and orders by a hidden non-grouped column "
+    "(n_regionkey); the engine repairs the plan error-driven with "
+    "any_value() wraps. Both hidden columns are functionally "
+    "dependent on the group key (n_nationkey), so 'some value per "
+    "group' is deterministic and the DuckDB oracle can spell the "
+    "dependence explicitly.",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name, n.n_regionkey
+    ORDER BY n.n_regionkey, n.n_name
+    """,
+)
+def sql_loose_group_by_hidden(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT n_name,"
+        " count(*) AS n_cust,"
+        " sum(CAST(ROUND(c_acctbal * 100, 0) AS SIGNED)) AS cents"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " GROUP BY n_nationkey"
+        " ORDER BY n_regionkey, n_name"
+    )
