@@ -1049,6 +1049,11 @@ def translate_statement(sql: str) -> str:
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", masked,
         flags=re.IGNORECASE,
     )
+    # FROM DUAL (MariaDB's no-table SELECT idiom; inherited from
+    # Oracle): Spark spells it as a FROM-less SELECT
+    masked = re.sub(
+        r"\bFROM\s+DUAL\b", "", masked, flags=re.IGNORECASE
+    )
     # INFORMATION_SCHEMA plugin tables (i_s.test): the dotted MTR
     # spellings map to the engine's registered i_s views
     # (Engine.refresh_information_schema builds them; the engine

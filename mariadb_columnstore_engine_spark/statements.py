@@ -727,6 +727,19 @@ def parse(sql: str):
     m = re.match(r"UPDATE\s+([^\s(]+)\s+SET\s+", masked, re.IGNORECASE)
     if m:
         body = rest_of(re.match(r"UPDATE\s+\S+\s+SET", masked, re.IGNORECASE))
+        # MariaDB UPDATE .. [ORDER BY ..] LIMIT n updates the first n
+        # rows in that order — inherently row-order-dependent, with no
+        # deterministic meaning on a distributed engine (the reference
+        # gets it from mysqld's row-at-a-time update path). Refuse
+        # with the reason rather than mistranslate.
+        om = _top_level_search(r"\b(ORDER\s+BY|LIMIT)\b", body)
+        if om:
+            raise ValueError(
+                "UPDATE with ORDER BY / LIMIT is row-order-dependent "
+                "and has no deterministic distributed meaning; "
+                "update by key predicate instead (WHERE key IN "
+                "(SELECT key ... ORDER BY ... LIMIT n))"
+            )
         where = None
         wm = _top_level_search(r"\bWHERE\b", body)
         if wm:
@@ -759,6 +772,12 @@ def parse(sql: str):
             ]
             body = body[: rm.start()].strip()
         if body:
+            if _top_level_search(r"\b(ORDER\s+BY|LIMIT)\b", body):
+                raise ValueError(
+                    "DELETE with ORDER BY / LIMIT is row-order-"
+                    "dependent and has no deterministic distributed "
+                    "meaning; delete by key predicate instead"
+                )
             wm = re.match(r"WHERE\b", body, re.IGNORECASE)
             if not wm:
                 raise ValueError(f"unexpected DELETE clause: {body[:40]!r}")

@@ -1560,3 +1560,21 @@ def test_procedure_repeat_until_loop(engine_with_table):
         )
     for p in ("prep", "ponce", "pinf2"):
         eng.execute(f"DROP PROCEDURE {p}")
+
+
+def test_from_dual_and_order_limit_dml_refusals(engine_with_table):
+    """FROM DUAL (MariaDB no-table SELECT) parses; UPDATE/DELETE with
+    ORDER BY/LIMIT are refused with the distributed-determinism reason
+    (subqueries with ORDER BY/LIMIT inside the WHERE stay legal)."""
+    eng = engine_with_table
+    assert eng.execute("SELECT 1 + 1 AS x FROM DUAL").collect()[0].x == 2
+    with pytest.raises(ValueError, match="row-order-dependent"):
+        eng.execute("UPDATE t1 SET val = 0 ORDER BY id LIMIT 1")
+    with pytest.raises(ValueError, match="row-order-dependent"):
+        eng.execute("DELETE FROM t1 ORDER BY id LIMIT 1")
+    # key-predicate spelling keeps working (deterministic)
+    n = eng.execute(
+        "DELETE FROM t1 WHERE id IN"
+        " (SELECT id FROM t1 ORDER BY id DESC LIMIT 1)"
+    )
+    assert n == 9
