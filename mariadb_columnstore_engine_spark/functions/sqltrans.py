@@ -323,6 +323,31 @@ def _rewrite_format_calls(masked: str, store: list[str]) -> str:
 #: SEC_TO_TIME covers the non-negative seconds range — negative input
 #: needs dialect.sec_to_time, which carries the sign MariaDB-style).
 _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
+    # JSON_VALUE (func_json_value.cpp; MCOL-5607): scalar at path,
+    # NULL when the path lands on an object/array. JSON_QUERY is the
+    # mirror (fragment at path, NULL for scalars). get_json_object
+    # extracts + unquotes; object/array discrimination re-parses the
+    # fragment (json_object_keys / json_array_length are NULL for
+    # anything that isn't a valid object/array), so a scalar that
+    # merely LOOKS brace-y ('{x}') classifies correctly — the only
+    # misclassification left is a scalar string whose unquoted text IS
+    # valid JSON ('"[1]"'), which MariaDB itself treats as scalar.
+    (
+        "JSON_VALUE",
+        2,
+        "(CASE WHEN json_object_keys(get_json_object({0}, {1}))"
+        " IS NOT NULL"
+        " OR json_array_length(get_json_object({0}, {1})) IS NOT NULL"
+        " THEN NULL ELSE get_json_object({0}, {1}) END)",
+    ),
+    (
+        "JSON_QUERY",
+        2,
+        "(CASE WHEN json_object_keys(get_json_object({0}, {1}))"
+        " IS NOT NULL"
+        " OR json_array_length(get_json_object({0}, {1})) IS NOT NULL"
+        " THEN get_json_object({0}, {1}) ELSE NULL END)",
+    ),
     ("TIME_TO_SEC", 1, "(hour({0}) * 3600 + minute({0}) * 60 + second({0}))"),
     (
         "SEC_TO_TIME",

@@ -762,3 +762,29 @@ def test_loose_group_by_hidden_columns(engine_with_table):
 
     with _pytest.raises(Exception, match="MISSING_GROUP_BY|GROUP"):
         eng.execute("SELECT note, SUM(val) FROM t1").collect()
+
+
+def test_json_value_and_json_query(engine_with_table):
+    """JSON_VALUE (func_json_value.cpp; MCOL-5607-json-value-fix):
+    scalar at path, NULL on object/array; JSON_QUERY mirrors. The
+    brace-looking scalar case must classify as scalar (re-parse
+    discrimination, not a leading-character heuristic)."""
+    eng = engine_with_table
+    q = lambda s: eng.execute(s).collect()[0][0]  # noqa: E731
+    assert q("SELECT JSON_VALUE('{\"a\": {\"b\": 3}}', '$.a.b') AS v") == "3"
+    assert q("SELECT JSON_VALUE('{\"a\": {\"b\": 3}}', '$.a') AS v") is None
+    assert (
+        q("SELECT JSON_QUERY('{\"a\": {\"b\": 3}}', '$.a') AS v")
+        == '{"b":3}'
+    )
+    assert q("SELECT JSON_QUERY('{\"a\": 1}', '$.a') AS v") is None
+    assert q("SELECT JSON_VALUE('{\"a\": \"{x}\"}', '$.a') AS v") == "{x}"
+    assert q("SELECT JSON_VALUE('{\"a\": 1}', '$.zz') AS v") is None
+    assert q("SELECT JSON_VALUE('{\"10001\": \"x\"}', '$.10001') AS v") == "x"
+    # over a column (MCOL-5607 shape)
+    r = eng.execute(
+        "SELECT JSON_VALUE(note2, '$.k') AS v FROM"
+        " (SELECT CONCAT('{\"k\": \"', note, '\"}') AS note2"
+        "  FROM t1 WHERE note IS NOT NULL) t ORDER BY v LIMIT 1"
+    ).collect()
+    assert r[0].v == "n0"
