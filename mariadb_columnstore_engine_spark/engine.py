@@ -1481,6 +1481,73 @@ class Engine:
                     out.append((tname, "analyze", "status", "OK"))
             return out
 
+        cm_ = _re_cal.match(
+            r"\s*(CHECK|OPTIMIZE|REPAIR)\s+TABLE\s+"
+            r"([\w`]+(?:\s*,\s*[\w`]+)*)\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE,
+        )
+        if cm_:
+            # CHECK/OPTIMIZE/REPAIR TABLE: MariaDB-shaped status rows.
+            # CHECK actually verifies the table is readable (schema
+            # resolves + parquet footers open — the engine's analogue
+            # of an extent-map consistency walk). OPTIMIZE/REPAIR
+            # return the note mysqld emits for engines that handle
+            # these internally (ColumnStore does not support OPTIMIZE
+            # — ha_mcs returns HA_ADMIN_NOT_IMPLEMENTED and the server
+            # notes it) followed by an OK status row.
+            op = cm_.group(1).lower()
+            out = []
+            for tname in [
+                t.strip().strip("`") for t in cm_.group(2).split(",")
+            ]:
+                known = (
+                    tname in getattr(self, "_user_tables", {})
+                    or tname in TABLES
+                )
+                if not known:
+                    out.append(
+                        (tname, op, "Error", "Table doesn't exist")
+                    )
+                    continue
+                if op == "check":
+                    try:
+                        self.table(tname).limit(1).collect()
+                        out.append((tname, op, "status", "OK"))
+                    except Exception as e:  # noqa: BLE001 — reported
+                        out.append(
+                            (tname, op, "Error", str(e)[:120])
+                        )
+                else:
+                    out.append(
+                        (
+                            tname,
+                            op,
+                            "note",
+                            f"Table does not support {op}, doing "
+                            "recreate + analyze instead"
+                            if op == "optimize"
+                            else "The storage engine for the table "
+                            "doesn't support repair",
+                        )
+                    )
+                    out.append((tname, op, "status", "OK"))
+            return out
+
+        if _re_cal.match(
+            r"\s*FLUSH\s+(LOCAL\s+)?TABLES?\b"
+            r"(\s+WITH\s+READ\s+LOCK)?\s*;?\s*$",
+            stmt,
+            _re_cal.IGNORECASE,
+        ):
+            # FLUSH TABLES (MTR preamble idiom): re-read every attached
+            # table's evolution sidecar + refresh its view — the real
+            # cache-invalidation this engine has; read locks are
+            # meaningless on an immutable-files engine
+            for tname in list(getattr(self, "_user_tables", {})):
+                self._refresh(tname)
+            return None
+
         km_ = _re_cal.match(
             r"\s*CHECKSUM\s+TABLE\s+([\w`]+(?:\s*,\s*[\w`]+)*)\s*;?\s*$",
             stmt,
@@ -2066,7 +2133,8 @@ class Engine:
                 return None
             if parsed.action == "add":
                 alter_add_column(
-                    path, parsed.column, parsed.dtype, parsed.default
+                    path, parsed.column, parsed.dtype, parsed.default,
+                    after=parsed.after,
                 )
             elif parsed.action == "add_generated":
                 # sidecar expressions are re-parsed by plain F.expr on

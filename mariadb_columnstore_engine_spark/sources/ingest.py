@@ -315,16 +315,22 @@ def _write_evolution(path: str, evo: dict) -> None:
 
 
 def alter_add_column(path: str, name: str, dtype: str,
-                     default=None) -> None:
+                     default=None, after: str | None = None) -> None:
     """Instant ADD COLUMN: records (name, type, default) in the table's
     evolution sidecar — no rewrite, O(1) like the reference. Rows in
     files predating the ALTER surface the default on read (documented
     contract: NULLs in pre-ALTER files read as the default; a
-    nullable add passes default=None)."""
+    nullable add passes default=None). ``after`` places the column in
+    the logical order (mcs87_alter_column: ADD COLUMN .. AFTER c11):
+    a column name, or ``"__first__"`` for FIRST — a read-side
+    projection-order fact, zero data movement."""
     evo = _evolution(path)
     if any(c["name"] == name for c in evo["added"]):
         raise ValueError(f"column {name!r} already added")
-    evo["added"].append({"name": name, "dtype": dtype, "default": default})
+    entry = {"name": name, "dtype": dtype, "default": default}
+    if after is not None:
+        entry["after"] = after
+    evo["added"].append(entry)
     evo["dropped"] = [c for c in evo["dropped"] if c != name]
     _write_evolution(path, evo)
 
@@ -522,6 +528,19 @@ def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
         if cname in df.columns:
             df = df.withColumn(cname, F.collate(F.col(cname), coll))
     keep = [c for c in df.columns if c not in evo["dropped"]]
+    # ADD COLUMN .. AFTER x / FIRST placements (in ALTER order, so a
+    # later ALTER may place relative to an earlier add)
+    for c in evo["added"]:
+        after = c.get("after")
+        if after is None or c["name"] not in keep:
+            continue
+        keep.remove(c["name"])
+        if after == "__first__":
+            keep.insert(0, c["name"])
+        elif after in keep:
+            keep.insert(keep.index(after) + 1, c["name"])
+        else:
+            keep.append(c["name"])
     return df.select(*keep)
 
 

@@ -87,6 +87,9 @@ class Alter:
     dtype: str | None = None
     default: object = None
     expr: str | None = None  # generated-column / CHECK expression
+    #: ADD COLUMN placement (mcs87): target column name for AFTER,
+    #: "__first__" for FIRST, None = append
+    after: str | None = None
 
 
 @dataclass
@@ -1077,7 +1080,8 @@ def parse(sql: str):
 
     m = re.match(
         r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(\S+)\s+(\S+)"
-        r"(?:\s+DEFAULT\s+(\S+))?\s*$",
+        r"(?:\s+DEFAULT\s+(\S+))?"
+        r"(?:\s+(FIRST|AFTER\s+\S+))?\s*$",
         masked,
         re.IGNORECASE,
     )
@@ -1095,12 +1099,23 @@ def parse(sql: str):
                 raise ValueError(
                     f"ADD COLUMN DEFAULT must be a literal, got {tok!r}"
                 )
+        after = None
+        if m.group(5) is not None:
+            place = m.group(5)
+            if place.upper() == "FIRST":
+                after = "__first__"
+            else:
+                after = _ident(
+                    re.sub(r"AFTER\s+", "", place, flags=re.IGNORECASE),
+                    store,
+                )
         return Alter(
             table=_ident(m.group(1), store),
             action="add",
             column=_ident(m.group(2), store),
             dtype=_unmask(m.group(3), store),
             default=default,
+            after=after,
         )
 
     m = re.match(

@@ -114,3 +114,32 @@ def test_show_warnings_after_insert_ignore(eng_ac):
     # a clean insert clears the diagnostics area
     eng_ac.execute("INSERT INTO ac (id, amount, tag) VALUES (6, 1, 'w')")
     assert eng_ac.execute("SHOW WARNINGS") == []
+
+
+def test_add_column_after_and_first(eng_ac):
+    """mcs87_alter_column: ADD COLUMN .. AFTER c / FIRST places the
+    column in the logical order — a read-side projection fact, zero
+    data movement; SELECT * and DESCRIBE observe the order."""
+    eng = eng_ac
+    eng.execute("ALTER TABLE ac ADD COLUMN mid INT DEFAULT 7 AFTER id")
+    assert [c for c, _ in eng.describe("ac")][:2] == ["id", "mid"]
+    eng.execute("ALTER TABLE ac ADD COLUMN zeroth INT FIRST")
+    cols = [c for c, _ in eng.describe("ac")]
+    assert cols[0] == "zeroth" and cols[1] == "id" and cols[2] == "mid"
+    row = eng.execute("SELECT * FROM ac WHERE id = 1").collect()[0]
+    assert row[0] is None and row[1] == 1 and row[2] == 7
+
+
+def test_check_optimize_repair_flush(eng_ac):
+    """CHECK/OPTIMIZE/REPAIR TABLE status rows (MariaDB admin-statement
+    shapes); FLUSH TABLES refreshes attached views."""
+    eng = eng_ac
+    rows = eng.execute("CHECK TABLE ac")
+    assert ("ac", "check", "status", "OK") in rows
+    rows = eng.execute("OPTIMIZE TABLE ac, nope")
+    assert ("ac", "optimize", "status", "OK") in rows
+    assert any(r[0] == "nope" and r[2] == "Error" for r in rows)
+    rows = eng.execute("REPAIR TABLE ac")
+    assert ("ac", "repair", "status", "OK") in rows
+    assert eng.execute("FLUSH TABLES") is None
+    assert eng.execute("FLUSH LOCAL TABLES WITH READ LOCK") is None
