@@ -79,13 +79,13 @@ class Engine:
             # tables querying BRM live
             self.refresh_information_schema()
         if dialect == "mariadb":
-            # MariaDB's default sql_mode omits ONLY_FULL_GROUP_BY
-            # (MCOL-5772-hidden-order-by.test): on MISSING_AGGREGATION
-            # the analyzer names the offending expression; wrap it in
-            # any_value() (same some-value-per-group contract) and
-            # retry — bounded by the number of select-list items
+            # error-driven MariaDB-semantics repairs: loose GROUP BY
+            # (MCOL-5772 → any_value) and numeric truthiness
+            # (mcs7031/7116/7173 → explicit <> 0). The analyzer names
+            # the offending expression precisely, so the rewrite is
+            # surgical; bounded retries, genuine errors re-raise.
             from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
-                loose_group_by_rewrite,
+                analysis_repair,
             )
 
             for _ in range(32):
@@ -93,7 +93,7 @@ class Engine:
                     df = self.spark.sql(query)
                     break
                 except Exception as e:  # noqa: BLE001 — repaired below
-                    fixed = loose_group_by_rewrite(query, str(e))
+                    fixed = analysis_repair(query, str(e))
                     if fixed is None or fixed == query:
                         raise
                     query = fixed

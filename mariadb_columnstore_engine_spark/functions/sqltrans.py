@@ -1099,6 +1099,14 @@ def translate_statement(sql: str) -> str:
         masked,
         flags=re.IGNORECASE,
     )
+    # MariaDB div/mod-by-zero → NULL: rewrite the user's / and %
+    # operators to try_divide/try_mod BEFORE any pass that injects
+    # engine-internal divisions (which keep plain operators)
+    masked = _rewrite_null_safe_division(masked, store)
+    # double-quoted aliases: MariaDB (default sql_mode) accepts a
+    # string literal in alias position (SELECT sum(x) "total");
+    # Spark needs an identifier
+    masked = _rewrite_string_aliases(masked, store)
     masked = _rewrite_with_rollup(masked, store)
     masked = _rewrite_cast_targets(masked, store)
     masked = _rewrite_group_concat(masked, store)
@@ -1410,3 +1418,323 @@ def loose_group_by_rewrite(sql: str, error_msg: str) -> str | None:
     if not changed:
         return None
     return _unmask("".join(out), store)
+
+
+def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
+    """MariaDB boolean context: any numeric is a valid condition
+    (true iff non-NULL and <> 0) — ``WHERE n_regionkey``,
+    ``NOT n_regionkey``, ``n AND m`` all legal
+    (devregression mcs7031/mcs7116/mcs7173 shapes). Spark's analyzer
+    requires BOOLEAN and names the offending expression; repair it to
+    the explicit ``<> 0`` spelling and let the caller retry."""
+    masked, store = _mask(sql)
+
+    # WHERE/HAVING <numeric>: wrap the whole clause predicate
+    m = re.search(
+        r'Filter expression "([^"]+)" of type', error_msg
+    )
+    if m and "FILTER_NOT_BOOLEAN" in error_msg:
+        for kw in (r"\bWHERE\b", r"\bHAVING\b"):
+            km = _top_level_search(kw, masked)
+            if not km:
+                continue
+            end_m = _top_level_search(
+                r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION"
+                r"|INTERSECT|EXCEPT)\b",
+                masked[km.end():],
+            )
+            end = km.end() + (end_m.start() if end_m else
+                              len(masked) - km.end())
+            pred = masked[km.end():end].strip()
+            if pred:
+                fixed = (
+                    masked[: km.end()]
+                    + f" (({pred}) <> 0) "
+                    + masked[end:]
+                )
+                return _unmask(fixed, store)
+        return None
+
+    # NOT <numeric>
+    m = re.search(
+        r'Cannot resolve "\(NOT (.+?)\)" due to data type mismatch',
+        error_msg,
+    )
+    if m and "UNEXPECTED_INPUT_TYPE" in error_msg:
+        x = m.group(1)
+        pat = re.compile(
+            r"\bNOT\s+\(?" + re.escape(x) + r"\)?(?![\w`(])",
+            re.IGNORECASE,
+        )
+        fixed, n = pat.subn(f"NOT (({x}) <> 0)", masked)
+        if n:
+            return _unmask(fixed, store)
+        return None
+
+    # <numeric> AND/OR <expr> — the message names the non-boolean
+    # operand; fix it wherever it sits adjacent to AND/OR
+    if "BINARY_OP_WRONG_TYPE" in error_msg:
+        m = re.search(
+            r'however "([^"]+)" has the type "(?:INT|BIGINT|SMALLINT'
+            r'|TINYINT|DOUBLE|FLOAT|DECIMAL[^"]*)"',
+            error_msg,
+        )
+        if not m:
+            return None
+        x = re.escape(m.group(1))
+        fixed = re.sub(
+            r"(?<![\w`.])(" + x + r")(\s+)(AND|OR)\b",
+            r"(\1 <> 0)\2\3",
+            masked,
+            flags=re.IGNORECASE,
+        )
+        fixed = re.sub(
+            r"\b(AND|OR)(\s+)(" + x + r")(?![\w`.(])",
+            r"\1\2(\3 <> 0)",
+            fixed,
+            flags=re.IGNORECASE,
+        )
+        if fixed != masked:
+            return _unmask(fixed, store)
+    return None
+
+
+def analysis_repair(sql: str, error_msg: str) -> str | None:
+    """Error-driven MariaDB-semantics repairs for statements Spark's
+    analyzer refuses: loose GROUP BY (any_value) and numeric
+    truthiness (<> 0). Returns a rewritten statement to retry, or
+    None when the error is not one of these shapes."""
+    fixed = loose_group_by_rewrite(sql, error_msg)
+    if fixed is not None:
+        return fixed
+    return _numeric_truthiness_repair(sql, error_msg)
+
+
+_DIV_TOKEN = re.compile(r"[\w`$\x00.]")
+
+#: words that may directly precede a parenthesized expression without
+#: being a callable name (operand extraction must not absorb them)
+_DIV_KEYWORDS = frozenset(
+    """SELECT WHERE THEN ELSE WHEN AND OR NOT FROM BY ON IN AS CASE
+    END HAVING RETURN SET VALUES LIKE BETWEEN IS DISTINCT ALL ANY
+    SOME UNION EXCEPT INTERSECT JOIN USING OVER PARTITION
+    ORDER GROUP LIMIT OFFSET ASC DESC INTERVAL ESCAPE""".split()
+)
+
+
+def _operand_left(masked: str, pos: int) -> int:
+    """Start index of the left operand of a binary / or % at ``pos``.
+    Absorbs the whole same-precedence (*,/,%,DIV) chain to the left so
+    MariaDB's left-to-right grouping is preserved:
+    ``a * b / c`` → try_divide(a * b, c)."""
+    i = pos
+
+    def skip_ws(j):
+        while j > 0 and masked[j - 1].isspace():
+            j -= 1
+        return j
+
+    def balanced_back(j):
+        depth = 0
+        k = j - 1
+        while k >= 0:
+            if masked[k] == ")":
+                depth += 1
+            elif masked[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    return k
+            k -= 1
+        return j  # unbalanced: give up conservatively
+
+    def word_before(j):
+        j2 = skip_ws(j)
+        k = j2
+        while k > 0 and _DIV_TOKEN.match(masked[k - 1]):
+            k -= 1
+        return k, masked[k:j2]
+
+    def one_primary(j):
+        j = skip_ws(j)
+        if j > 0 and masked[j - 1] == ")":
+            k = balanced_back(j)
+            # function call: absorb the name (but never a keyword — a
+            # parenthesized expression after SELECT/WHERE/THEN/... is
+            # not a call); a window spec absorbs OVER and then the
+            # aggregate call before it
+            k2, word = word_before(k)
+            if word.upper() in _DIV_KEYWORDS:
+                return k
+                k3 = skip_ws(k2)
+                if k3 > 0 and masked[k3 - 1] == ")":
+                    k4 = balanced_back(k3)
+                    k5, w2 = word_before(k4)
+                    return k5 if w2 else k4
+                return k2
+            return k2 if word else k
+        k = j
+        while k > 0 and _DIV_TOKEN.match(masked[k - 1]):
+            k -= 1
+        tok = masked[k:j]
+        # CASE … END is one primary: balance nested CASE/END pairs
+        if tok.upper() == "END":
+            depth, p = 1, k
+            pat = re.compile(r"\b(CASE|END)\b", re.IGNORECASE)
+            while depth and p > 0:
+                matches = [
+                    mm for mm in pat.finditer(masked, 0, p)
+                ]
+                if not matches:
+                    return k  # unbalanced: give up
+                mm = matches[-1]
+                depth += 1 if mm.group(1).upper() == "END" else -1
+                p = mm.start()
+            return p
+        # named-window spec: fn(...) OVER w is one primary
+        _, prevw = word_before(k)
+        if prevw.upper() == "OVER":
+            k2, _ = word_before(k)
+            k3 = skip_ws(k2)
+            if k3 > 0 and masked[k3 - 1] == ")":
+                k4 = balanced_back(k3)
+                k5, w2 = word_before(k4)
+                return k5 if w2 else k4
+        return k
+
+    i = one_primary(i)
+    while True:
+        j = skip_ws(i)
+        # unary minus bound to the operand (e.g. a / -b chains)
+        if j > 0 and masked[j - 1] in "+-":
+            k = skip_ws(j - 1)
+            if k > 0 and (
+                _DIV_TOKEN.match(masked[k - 1]) or masked[k - 1] == ")"
+            ):
+                pass  # binary +/-: stop the chain
+            else:
+                i = j - 1
+                j = skip_ws(i)
+        took = False
+        if j > 0 and masked[j - 1] in "*/%":
+            i = one_primary(j - 1)
+            took = True
+        elif j >= 3 and re.search(
+            r"\bDIV$", masked[:j], re.IGNORECASE
+        ):
+            i = one_primary(j - 3)
+            took = True
+        if not took:
+            return i
+
+
+def _operand_right(masked: str, pos: int) -> int:
+    """End index (exclusive) of the right operand of / or % at
+    ``pos`` — one primary only (division groups left). A trailing
+    OVER (...) window spec stays attached to its aggregate; CASE…END
+    is one primary."""
+    n = len(masked)
+
+    def skip_ws(j):
+        while j < n and masked[j].isspace():
+            j += 1
+        return j
+
+    def word_at(j):
+        k = j
+        while k < n and _DIV_TOKEN.match(masked[k]):
+            k += 1
+        return k, masked[j:k]
+
+    j = skip_ws(pos)
+    if j < n and masked[j] in "+-":  # unary sign
+        j = skip_ws(j + 1)
+    k, tok = word_at(j)
+    if tok.upper() == "CASE":
+        depth, p = 1, k
+        pat = re.compile(r"\b(CASE|END)\b", re.IGNORECASE)
+        while depth:
+            mm = pat.search(masked, p)
+            if not mm:
+                return k  # unbalanced: give up
+            depth += 1 if mm.group(1).upper() == "CASE" else -1
+            p = mm.end()
+        return p
+    m = skip_ws(k)
+    end = k
+    if m < n and masked[m] == "(" and (k > j or m == j):
+        end = _find_balanced(masked, m)
+        # fn( … ) OVER ( … | name ) — window spec binds to the call
+        m2 = skip_ws(end)
+        k2, w = word_at(m2)
+        if w.upper() == "OVER":
+            m3 = skip_ws(k2)
+            if m3 < n and masked[m3] == "(":
+                return _find_balanced(masked, m3)
+            k3, w3 = word_at(m3)
+            if w3:
+                return k3
+    return end
+
+
+def _rewrite_null_safe_division(masked: str, store: list[str]) -> str:
+    """MariaDB division/modulo semantics: ``x / 0`` and ``x % 0`` are
+    NULL (+ warning), not an error (devregression mcs7005/7080/7218
+    all divide by a sometimes-zero aggregate). Spark ANSI raises at
+    RUNTIME, which an analysis-time retry can never repair — so the
+    dialect pass rewrites the operators themselves to
+    try_divide/try_mod. Results are identical whenever the divisor is
+    non-zero, so this is behavior-neutral for every statement ANSI
+    already accepted. Runs BEFORE the function-template pass so
+    engine-generated internal divisions (SEC_TO_TIME etc.) keep plain
+    operators."""
+    changed = True
+    while changed:
+        changed = False
+        for m in re.finditer(r"[/%]", masked):
+            pos = m.start()
+            # skip %-sequences inside placeholders (there are none:
+            # placeholders are \x00<digits>\x00) and == boundaries
+            ls = _operand_left(masked, pos)
+            re_ = _operand_right(masked, pos + 1)
+            left = masked[ls:pos].strip()
+            right = masked[pos + 1 : re_].strip()
+            if not left or not right:
+                continue
+            fn = "try_divide" if masked[pos] == "/" else "try_mod"
+            masked = (
+                masked[:ls]
+                + f"{fn}({left}, {right})"
+                + masked[re_:]
+            )
+            changed = True
+            break
+    return masked
+
+
+def _rewrite_string_aliases(masked: str, store: list[str]) -> str:
+    """``expr "alias"`` → ``expr AS `alias``` (mcs7096 shape:
+    ``sum(if(F=1,1,0)) "1"``). MariaDB's default sql_mode (no
+    ANSI_QUOTES) accepts a double-quoted string in alias position;
+    Spark requires an identifier. Conservative trigger: the
+    placeholder must hold a double-quoted string, follow a value
+    token (word/``)``/placeholder), NOT follow a comma/open-paren/
+    operator, and be followed by a list separator (comma / FROM /
+    statement end) — so string literals in expression position
+    (function args, comparisons, IN lists) never match."""
+
+    def _sub(mo):
+        lead, ph = mo.group(1), mo.group(2)
+        idx = int(re.fullmatch("\x00(\\d+)\x00", ph).group(1))
+        raw = store[idx]
+        if raw[:1] != '"':
+            return mo.group(0)
+        name = raw[1:-1].replace('""', '"').replace("`", "``")
+        return f"{lead} AS `{name}`"
+
+    return re.sub(
+        r"([\w`)\x00])[ \t]+(\x00\d+\x00)"
+        r"(?=\s*(?:,|$|;|\bFROM\b|\bUNION\b))",
+        _sub,
+        masked,
+        flags=re.IGNORECASE,
+    )

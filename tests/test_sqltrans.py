@@ -788,3 +788,44 @@ def test_json_value_and_json_query(engine_with_table):
         "  FROM t1 WHERE note IS NOT NULL) t ORDER BY v LIMIT 1"
     ).collect()
     assert r[0].v == "n0"
+
+
+def test_division_modulo_by_zero_null(engine_with_table):
+    """MariaDB semantics: x / 0 and x % 0 are NULL, not an error
+    (devregression mcs7005/7080/7218 divide by sometimes-zero
+    aggregates) — the dialect rewrites / and % to try_divide/try_mod
+    with MariaDB's left-to-right grouping preserved."""
+    eng = engine_with_table
+    q = lambda s: eng.execute(s).collect()[0]  # noqa: E731
+    r = q("SELECT 7 / 0 AS a, 7 % 0 AS b, 7 / 2 AS c, 7 % 2 AS d")
+    assert r.a is None and r.b is None and r.c == 3.5 and r.d == 1
+    # sometimes-zero divisor over real rows: NULL rows, not an error
+    rows = eng.execute(
+        "SELECT id, val / (id % 3) AS ratio FROM t1 ORDER BY id"
+    ).collect()
+    by_id = {r.id: r.ratio for r in rows}
+    assert by_id[3] is None and by_id[6] is None  # id%3 = 0
+    assert by_id[4] == 40.0  # 40 / 1
+    # left-to-right grouping: a * b / c == (a*b)/c
+    assert q("SELECT 3 * 5 / 2 AS x").x == 7.5
+    # aggregate / aggregate with zero count (mcs7080 shape)
+    r2 = q(
+        "SELECT SUM(val) / COUNT(CASE WHEN id > 99 THEN id END) AS z"
+        " FROM t1"
+    )
+    assert r2.z is None
+
+
+def test_string_alias_double_quoted(engine_with_table):
+    """MariaDB default sql_mode accepts a double-quoted string in
+    alias position (mcs7096: sum(..) \"1\") — rewritten to AS
+    backticked; string literals in expression position untouched."""
+    eng = engine_with_table
+    r = eng.execute(
+        'SELECT SUM(1) "T", SUM(IF(id >= 5, 1, 0)) "5+" FROM t1'
+    ).collect()[0]
+    assert r["T"] == 10 and r["5+"] == 5
+    r2 = eng.execute(
+        "SELECT CONCAT(note, 'sfx') AS c FROM t1 WHERE id = 1"
+    ).collect()[0]
+    assert r2.c == "n1sfx"

@@ -1,0 +1,173 @@
+"""Mini-MTR cross-check: mine the reference's MTR suites for SELECT
+statements over tables our fixture catalog also has (the reference's
+dbt3/tpch schemas share names with /root/testdata), run each through
+the Engine's MariaDB front end AND through DuckDB, and compare
+unordered results.
+
+This is a mechanical semantic-gap finder, not a golden-output runner:
+statements that only one side can parse are counted but not failed
+(MariaDB-only spellings DuckDB lacks are exactly what the oracle'd
+registry rows cover); a FAIL means BOTH engines accepted the statement
+and returned different answers — a real divergence worth a look.
+
+Usage: python tools/mtr_probe.py [suite_dir ...] [--limit N]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KNOWN_TABLES = {
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem",
+}
+
+DEFAULT_SUITES = [
+    "/root/reference/mysql-test/columnstore/devregression/t",
+    "/root/reference/mysql-test/columnstore/basic/t",
+    "/root/reference/mysql-test/columnstore/extended/t",
+]
+
+
+def harvest(suite_dirs: list[str]) -> list[tuple[str, str]]:
+    """(source, statement) pairs: top-level SELECTs whose referenced
+    tables are all in the fixture catalog."""
+    out = []
+    for d in suite_dirs:
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".test"):
+                continue
+            text = open(os.path.join(d, fn), errors="replace").read()
+            # drop MTR directives and comments
+            lines = [
+                ln
+                for ln in text.splitlines()
+                if not ln.strip().startswith(("#", "--"))
+            ]
+            body = "\n".join(lines)
+            for stmt in body.split(";"):
+                s = stmt.strip()
+                if not re.match(r"select\b", s, re.IGNORECASE):
+                    continue
+                refs = {
+                    t.lower()
+                    for t in re.findall(
+                        r"\b(?:from|join)\s+`?(\w+)`?", s, re.IGNORECASE
+                    )
+                }
+                if not refs or not refs <= KNOWN_TABLES:
+                    continue
+                if re.search(
+                    r"@|\bdtypes\b|\bCALFLUSH|idb[A-Z]|\bRAND\s*\(",
+                    s,
+                    re.IGNORECASE,
+                ):
+                    continue
+                out.append((fn, re.sub(r"\s+", " ", s)))
+    # dedupe, keep first source
+    seen, uniq = set(), []
+    for src, s in out:
+        k = s.lower()
+        if k not in seen:
+            seen.add(k)
+            uniq.append((src, s))
+    return uniq
+
+
+def canon(rows) -> list[tuple]:
+    def c(v):
+        if v is None:
+            return ("\x00null",)
+        if isinstance(v, bool):
+            return ("b", int(v))
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("f", "nan")
+            return ("f", round(v, 4))
+        if isinstance(v, int):
+            return ("f", round(float(v), 4))
+        try:
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return ("f", round(float(v), 4))
+        except Exception:  # noqa: BLE001
+            pass
+        if hasattr(v, "isoformat"):
+            return ("s", v.isoformat()[:19].replace("T", " "))
+        if isinstance(v, bytes):
+            return ("s", v.decode(errors="replace"))
+        return ("s", str(v))
+
+    return sorted(tuple(c(v) for v in r) for r in rows)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    limit = None
+    for a in sys.argv[1:]:
+        if a.startswith("--limit"):
+            limit = int(a.split("=", 1)[1])
+    suites = args or DEFAULT_SUITES
+    stmts = harvest(suites)
+    if limit:
+        stmts = stmts[:limit]
+    print(f"harvested {len(stmts)} SELECTs over fixture tables")
+
+    import duckdb
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+    from mariadb_columnstore_engine_spark.oracle import duckdb_connect
+    from mariadb_columnstore_engine_spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_session("mtr-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark, sf_dir)
+    con = duckdb_connect(sf_dir)
+
+    n_both = n_match = n_spark_only = n_duck_only = n_neither = 0
+    fails = []
+    for src, s in stmts:
+        try:
+            drows = con.execute(s).fetchall()
+        except Exception:
+            drows = None
+        try:
+            sdf = eng.sql(s)
+            srows = [tuple(r) for r in sdf.limit(100000).collect()]
+        except Exception:
+            srows = None
+        if srows is None and drows is None:
+            n_neither += 1
+            continue
+        if srows is None:
+            n_duck_only += 1
+            continue
+        if drows is None:
+            n_spark_only += 1
+            continue
+        n_both += 1
+        if canon(srows) == canon(drows):
+            n_match += 1
+        else:
+            fails.append((src, s, len(srows), len(drows)))
+    print(
+        f"both-parsed {n_both}: {n_match} match, {len(fails)} DIFFER; "
+        f"spark-only {n_spark_only}, duck-only {n_duck_only}, "
+        f"neither {n_neither}"
+    )
+    for src, s, a, b in fails:
+        print(f"DIFF [{src}] spark_rows={a} duck_rows={b}: {s[:160]}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
