@@ -31,6 +31,8 @@ DEFAULT_SUITES = [
     "/root/reference/mysql-test/columnstore/devregression/t",
     "/root/reference/mysql-test/columnstore/basic/t",
     "/root/reference/mysql-test/columnstore/extended/t",
+    "/root/reference/mysql-test/columnstore/bugfixes",
+    "/root/reference/mysql-test/columnstore/autopilot/t",
 ]
 
 
