@@ -1941,6 +1941,18 @@ class Engine:
                     f"CREATE TABLE `{parsed.arg}` (\n{cols}\n) "
                     "USING parquet"
                 )
+            if parsed.kind == "show_index":
+                # MariaDB SHOW INDEX row shape (subset): (table,
+                # non_unique, key_name, seq, column). ColumnStore has
+                # no secondary indexes — the declared/attach keys are
+                # the only entries (extent min/max is the real index)
+                self.describe(parsed.arg)  # existence check
+                info = getattr(self, "_user_tables", {}).get(parsed.arg)
+                keys = (info or {}).get("keys") or []
+                return [
+                    (parsed.arg, 0, "PRIMARY", i + 1, c)
+                    for i, c in enumerate(keys)
+                ]
             if parsed.kind in ("drop_table", "drop_table_if_exists"):
                 import shutil
 

@@ -453,10 +453,23 @@ def parse(sql: str):
         return Other("show_tables", "")
 
     m = re.match(
-        r"SHOW\s+COLUMNS\s+FROM\s+(\S+)\s*$", masked, re.IGNORECASE
+        r"SHOW\s+(?:COLUMNS|FIELDS)\s+FROM\s+(\S+)\s*$",
+        masked,
+        re.IGNORECASE,
     )
     if m:
         return Other("describe", _ident(m.group(1), store))
+
+    m = re.match(
+        r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+(\S+)\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        # ColumnStore has no secondary indexes (the extent map IS the
+        # index); MariaDB SHOW INDEX returns the declared keys — here
+        # the attach/PRIMARY KEY columns, else an empty set
+        return Other("show_index", _ident(m.group(1), store))
 
     m = re.match(
         r"SHOW\s+CREATE\s+TABLE\s+(\S+)\s*$", masked, re.IGNORECASE

@@ -1578,3 +1578,18 @@ def test_from_dual_and_order_limit_dml_refusals(engine_with_table):
         " (SELECT id FROM t1 ORDER BY id DESC LIMIT 1)"
     )
     assert n == 9
+
+
+def test_show_fields_and_index(engine_with_table):
+    """SHOW FIELDS (alias of COLUMNS) and SHOW INDEX/KEYS (mcs11-ish
+    admin surface): ColumnStore has no secondary indexes — the
+    declared keys are the only entries."""
+    eng = engine_with_table
+    assert eng.execute("SHOW FIELDS FROM t1") == eng.execute(
+        "SHOW COLUMNS FROM t1"
+    )
+    rows = eng.execute("SHOW INDEX FROM t1")
+    assert rows == [("t1", 0, "PRIMARY", 1, "id")]
+    assert eng.execute("SHOW KEYS FROM t1") == rows
+    with pytest.raises(Exception, match="nope|NOT_FOUND"):
+        eng.execute("SHOW INDEX FROM nope")
