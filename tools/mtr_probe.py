@@ -111,6 +111,39 @@ def canon(rows) -> list[tuple]:
     return sorted(tuple(c(v) for v in r) for r in rows)
 
 
+def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
+    """Run one probe statement with a hard wall-clock cap: harvested
+    MTR text includes deliberate cartesian shapes (lineitem x
+    lineitem) that are fine at the reference's tiny MTR fixtures but
+    explode at ours — cancel the job group and treat as spark-skip."""
+    import threading
+
+    group = f"mtr-probe-{abs(hash(s)) % 10**9}"
+    result: list = [None]
+    err: list = [None]
+
+    def run():
+        try:
+            spark.sparkContext.setJobGroup(group, s[:80], True)
+            df = eng.sql(s)
+            result[0] = [tuple(r) for r in df.limit(100000).collect()]
+        except Exception as e:  # noqa: BLE001 — reported via err
+            err[0] = e
+        finally:
+            spark.sparkContext.clearJobGroup()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        t.join(10)
+        raise TimeoutError(f"probe statement exceeded {seconds}s")
+    if err[0] is not None:
+        raise err[0]
+    return result[0]
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     limit = None
@@ -143,8 +176,7 @@ def main() -> int:
         except Exception:
             drows = None
         try:
-            sdf = eng.sql(s)
-            srows = [tuple(r) for r in sdf.limit(100000).collect()]
+            srows = _collect_with_timeout(spark, eng, s)
         except Exception:
             srows = None
         if srows is None and drows is None:
