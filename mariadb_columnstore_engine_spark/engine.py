@@ -16,7 +16,11 @@ and ingest/DML helpers (sources/).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 from mariadb_columnstore_engine_spark.catalog import TABLES, Catalog
 from mariadb_columnstore_engine_spark.functions.udf import register_all
@@ -84,18 +88,28 @@ class Engine:
             # (mcs7031/7116/7173 → explicit <> 0). The analyzer names
             # the offending expression precisely, so the rewrite is
             # surgical; bounded retries, genuine errors re-raise.
+            from pyspark.errors import AnalysisException
+
             from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
                 analysis_repair,
             )
 
-            for _ in range(32):
+            # two repair shapes are supported (loose GROUP BY, numeric
+            # truthiness); a statement may need one of each plus one
+            # chained ORDER-BY repair — 4 rounds covers every legal
+            # composition without churning on unrepairable errors.
+            for _ in range(4):
                 try:
                     df = self.spark.sql(query)
                     break
-                except Exception as e:  # noqa: BLE001 — repaired below
+                except AnalysisException as e:
                     fixed = analysis_repair(query, str(e))
                     if fixed is None or fixed == query:
                         raise
+                    _LOG.debug(
+                        "analysis_repair rewrote statement: %r -> %r",
+                        query, fixed,
+                    )
                     query = fixed
             else:
                 df = self.spark.sql(query)

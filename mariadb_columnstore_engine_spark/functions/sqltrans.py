@@ -1363,9 +1363,17 @@ def loose_group_by_rewrite(sql: str, error_msg: str) -> str | None:
     else:
         om = _top_level_search(r"\bORDER\s+BY\b", masked)
         if om:
-            lm = _top_level_search(r"\bLIMIT\b", masked)
+            # LIMIT must follow the ORDER BY clause — search only the
+            # tail so a LIMIT spelled earlier never truncates the
+            # repair region. NOTE: the any_value() wrap matches
+            # MariaDB's loose-mode contract (some value per group) and
+            # is deterministic only when the hidden column is
+            # functionally dependent on the group key — the same
+            # assumption MariaDB's own result makes.
+            lm = _top_level_search(r"\bLIMIT\b", masked[om.end():])
             regions.append(
-                (om.end(), lm.start() if lm else len(masked))
+                (om.end(),
+                 om.end() + lm.start() if lm else len(masked))
             )
 
     # spans inside aggregate calls are off-limits (SUM(x) must not
@@ -1434,6 +1442,13 @@ def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
         r'Filter expression "([^"]+)" of type', error_msg
     )
     if m and "FILTER_NOT_BOOLEAN" in error_msg:
+        # the analyzer quotes the offending filter expression — wrap
+        # only the clause that actually contains it, not just the
+        # first WHERE found (a boolean WHERE + numeric HAVING would
+        # otherwise get the wrong clause wrapped and the retry loop
+        # would churn)
+        flagged = re.sub(r"[\s`'\"()]+", "", m.group(1)).upper()
+        candidates = []
         for kw in (r"\bWHERE\b", r"\bHAVING\b"):
             km = _top_level_search(kw, masked)
             if not km:
@@ -1447,13 +1462,33 @@ def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
                               len(masked) - km.end())
             pred = masked[km.end():end].strip()
             if pred:
-                fixed = (
-                    masked[: km.end()]
-                    + f" (({pred}) <> 0) "
-                    + masked[end:]
-                )
-                return _unmask(fixed, store)
-        return None
+                candidates.append((kw, km, end, pred))
+        if not candidates:
+            return None
+        pick = None
+        if len(candidates) > 1 and flagged:
+            for cand in candidates:
+                norm = re.sub(
+                    r"[\s`'\"()]+", "",
+                    _unmask(cand[3], store),
+                ).upper()
+                if flagged in norm or norm in flagged:
+                    pick = cand
+                    break
+            if pick is None and _top_level_search(
+                r"\bGROUP\s+BY\b", masked
+            ):
+                # aggregate truthiness lands in HAVING by default
+                pick = candidates[-1]
+        if pick is None:
+            pick = candidates[0]
+        _, km, end, pred = pick
+        fixed = (
+            masked[: km.end()]
+            + f" (({pred}) <> 0) "
+            + masked[end:]
+        )
+        return _unmask(fixed, store)
 
     # NOT <numeric>
     m = re.search(
@@ -1563,14 +1598,17 @@ def _operand_left(masked: str, pos: int) -> int:
             # not a call); a window spec absorbs OVER and then the
             # aggregate call before it
             k2, word = word_before(k)
-            if word.upper() in _DIV_KEYWORDS:
-                return k
+            if word.upper() == "OVER":
+                # window spec: fn(...) OVER (...) is one primary —
+                # absorb OVER and the aggregate call before it
                 k3 = skip_ws(k2)
                 if k3 > 0 and masked[k3 - 1] == ")":
                     k4 = balanced_back(k3)
                     k5, w2 = word_before(k4)
                     return k5 if w2 else k4
                 return k2
+            if word.upper() in _DIV_KEYWORDS:
+                return k
             return k2 if word else k
         k = j
         while k > 0 and _DIV_TOKEN.match(masked[k - 1]):
@@ -1711,6 +1749,16 @@ def _rewrite_null_safe_division(masked: str, store: list[str]) -> str:
     return masked
 
 
+#: keywords that may directly precede a string literal without it
+#: being in alias position (LIKE "x%", BETWEEN a AND "y", THEN "z", …)
+_ALIAS_LEAD_KEYWORDS = frozenset(
+    """LIKE RLIKE REGEXP AND OR XOR NOT IN IS BETWEEN THEN ELSE WHEN
+    ESCAPE RETURN RETURNS SELECT WHERE HAVING ON SET VALUES BY ALL
+    DISTINCT ANY SOME CASE COLLATE SEPARATOR INTERVAL DEFAULT
+    CONTAINS""".split()
+)
+
+
 def _rewrite_string_aliases(masked: str, store: list[str]) -> str:
     """``expr "alias"`` → ``expr AS `alias``` (mcs7096 shape:
     ``sum(if(F=1,1,0)) "1"``). MariaDB's default sql_mode (no
@@ -1724,6 +1772,11 @@ def _rewrite_string_aliases(masked: str, store: list[str]) -> str:
 
     def _sub(mo):
         lead, ph = mo.group(1), mo.group(2)
+        # the lead must be a value token, not a keyword: `a LIKE "x%"`
+        # / `BETWEEN x AND "y"` are expressions, not alias positions
+        lead_word = re.search(r"[\w$]+$", lead)
+        if lead_word and lead_word.group(0).upper() in _ALIAS_LEAD_KEYWORDS:
+            return mo.group(0)
         idx = int(re.fullmatch("\x00(\\d+)\x00", ph).group(1))
         raw = store[idx]
         if raw[:1] != '"':
@@ -1732,7 +1785,7 @@ def _rewrite_string_aliases(masked: str, store: list[str]) -> str:
         return f"{lead} AS `{name}`"
 
     return re.sub(
-        r"([\w`)\x00])[ \t]+(\x00\d+\x00)"
+        r"((?:[\w$]+|[`)\x00]))[ \t]+(\x00\d+\x00)"
         r"(?=\s*(?:,|$|;|\bFROM\b|\bUNION\b))",
         _sub,
         masked,

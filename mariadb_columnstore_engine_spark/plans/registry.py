@@ -88,89 +88,72 @@ def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None
 # Non-window queries MAY keep decimal/array outputs — the local
 # type-aware gate still pins those carriages (the *_typed variants).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # ---- r6 rotation: FINISH THE DRIVER LEDGER (VERDICT r5 #1).
-    # Contents: the 5 permanent TPC-H bench anchors + every registry row
-    # that has never had a driver CORRECTNESS entry (r1∪…∪r5 = 137 of
-    # 182) and is driver-hashable + the 2 new r6 gate rows (per-column
-    # collation DDL, CONVERT_TZ named zones) = exactly 50. The 4 LLM
-    # bench anchors (events/text/sim pillars) park outside the window
-    # this round — bench.py samples bench=True independently of window
-    # order, so they stay measured. The only rows left without a driver
-    # entry after r6 are the 4 decimal-typed-output variants
-    # (sf_decimal38_matrix_typed/_agg/_join_sort,
-    # sf_unsigned_semantics_typed): structurally driver-unhashable by
-    # the policy above; each now has a wire twin in this window carrying
-    # driver evidence for the same values, and the local type-aware
-    # gate keeps pinning the decimal carriage itself. (Two gate rows
-    # added mid-r6 after the window froze —
-    # sql_stored_procedure_control_flow, sql_stored_procedure_declare_repeat
-    # — rotate into the r7 window; both are parity-green locally.)
+    # ---- r7 rotation: CLOSE THE LEDGER + REFRESH THE STALE TAIL
+    # (VERDICT r6 #1). Contents: the 5 permanent TPC-H bench anchors +
+    # the 6 gate rows added after the r6 window froze (all green in the
+    # r6 judge's own DuckDB runs) + 39 re-confirmation slots for the
+    # stalest driver evidence — all 23 rows whose last driver check was
+    # r2 and the 16 highest-family-coverage rows from the r3 cohort
+    # (the 8 deferred r3 rows + the r4 cohort rotate into r8; each
+    # deferred row's family keeps a fresher member in this window) =
+    # exactly 50. The 4 decimal-typed-output variants remain
+    # structurally driver-unhashable (policy above) with r6-green wire
+    # twins; rows added mid-r7 (true-shape TPC-H, trigger/DML gates)
+    # carry local DuckDB-parity evidence and rotate into r8.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # §2.4 aggregation
-    "agg_count_distinct_multiparam",
-    # §2.5 windows
-    "win_bit_ops_over_partition",
-    # §2.7 set ops composed with CTE + window
-    "setop_cte_window_union",
-    # §2.8 scalar batteries — every variant never driver-checked
-    "sf_json_events",
-    "sf_network_misc",
-    "sf_json_construct",
-    "sf_string_matrix2",
-    "sf_datetime_matrix2",
-    "sf_string_matrix3",
-    "sf_datetime_matrix3",
-    "sf_json_matrix2",
-    "sf_json_ext_classify",
-    "sf_json_ext_flat_ops",
-    "sf_date_format_patterns",
-    "sf_trig_time_constructors",
-    "sf_json_contains_array_ops",
-    # §2.8 decimal38 wire twins (new r6 — driver-hashable renderings of
-    # the decimal-typed originals)
-    "sf_decimal38_agg_wire",
-    "sf_decimal38_join_sort_wire",
-    # §2.8 r6 features: per-column collation DDL + CONVERT_TZ IANA zones
-    "collation_column_ddl",
-    "sf_convert_tz_named",
-    # SQL front end
-    "sql_mariadb_front_end2",
-    "sql_stored_procedure_call",
-    # custom operators
-    "op_salted_skew_agg_join",
-    # §2.9 subqueries
-    "subq_not_in_anti",
-    "subq_in_semi",
-    "subq_scalar_filter_avg",
-    "subq_derived_table_items_per_order",
-    # LLM pillar: event-time analytics
-    "events_sliding_window",
-    "events_daily_activity",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "events_time_weighted_avg",
-    # LLM pillar: text analysis + dedup
-    "text_bpe_regex_tokens",
-    "text_rolling_hash_fingerprint",
-    "text_dedup_cluster_canonical",
-    "text_decontaminate_ngram_overlap",
-    "text_repetition_ratio",
-    "text_heavy_hitter_shingles",
-    # LLM pillar: embeddings / similarity search
-    "sim_embedding_stats",
-    "sim_embedding_quantize",
-    "sim_lsh_recall_eval",
-    # LLM pillar: training-corpus pipeline primitives
-    "pipeline_mixture_upsample",
-    "pipeline_stratified_sample",
-    "pipeline_deterministic_shuffle",
-    # UDF surface
-    "udf_pandas_scalar",
+    # r6 post-freeze gate rows (first driver check)
+    "sql_stored_procedure_control_flow",
+    "sql_stored_procedure_declare_repeat",
+    "collation_pad_space_semantics",
+    "sql_trigger_before_insert",
+    "text_unigram_freq_score",
+    "sql_loose_group_by_hidden",
+    # r2-cohort re-confirmation (last driver check: round 2)
+    "tpch_q16_supplier_counts",
+    "tpch_q18_large_orders",
+    "filter_col_vs_col",
+    "filter_compound_boolean_tree",
+    "filter_constant_select_literals",
+    "filter_constant_false",
+    "join_left_outer_order_counts",
+    "join_right_outer_supplier_nation",
+    "join_semi_customers_with_f_orders",
+    "join_cross_region_priorities",
+    "agg_min_max",
+    "agg_stddev_variance",
+    "agg_bit_ops",
+    "agg_json_arrayagg",
+    "agg_grouping_sets",
+    "agg_having_top_groups",
+    "agg_group_concat_distinct",
+    "win_ranking_family",
+    "win_ntile_first_last_nth",
+    "win_stats_over_partition",
+    "win_topn_per_group",
+    "win_distinct_agg_over_partition",
+    "win_regr_over_partition",
+    # r3-cohort re-confirmation (16 of 24; family-coverage picks)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q22_global_sales_opportunity",
+    "filter_like_patterns",
+    "filter_in_null_semantics",
+    "join_full_outer_nation_balances",
+    "agg_multi_distinct",
+    "agg_approx_count_distinct",
+    "win_range_frame_value_offset",
+    "setop_union_all_normalized",
+    "sf_oracle_mode_dialect",
+    "sql_mariadb_front_end",
+    "text_token_stats",
+    "text_simhash_neardup",
+    "sim_cosine_neardup_pairs",
+    "udf_pandas_median",
 )
 
 

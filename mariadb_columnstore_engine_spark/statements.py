@@ -111,6 +111,11 @@ class Update:
     assignments: dict[str, str] = field(default_factory=dict)
     where: str | None = None
     join: JoinSpec | None = None
+    #: MariaDB ORDER BY ... LIMIT n row-path form: deterministic (and
+    #: accepted) only when ORDER BY covers a declared unique key — the
+    #: engine rewrites it to a key-IN-subquery predicate at execution
+    order_by: str | None = None
+    limit: int | None = None
 
 
 @dataclass
@@ -121,6 +126,8 @@ class Delete:
     #: deleted rows' projections come back as a result set
     returning: list[str] = field(default_factory=list)
     join: JoinSpec | None = None
+    order_by: str | None = None
+    limit: int | None = None
 
 
 @dataclass
@@ -202,6 +209,33 @@ def _ident(tok: str, store: list[str]) -> str:
     if t.startswith("`") and t.endswith("`"):
         t = t[1:-1].replace("``", "`")
     return t
+
+
+def _strip_order_limit(
+    body: str, store: list[str]
+) -> tuple[str, str | None, int | None]:
+    """Split trailing ``[ORDER BY ...] [LIMIT n]`` off a single-table
+    UPDATE/DELETE body (MariaDB row-path form, dbcon/dmlpackage/dml.y).
+    Returns (remaining body, order_by SQL or None, limit or None).
+    ORDER BY without LIMIT is dropped: it cannot change WHICH rows a
+    set-based engine touches."""
+    order_by = limit = None
+    lm = _top_level_search(r"\bLIMIT\b", body)
+    if lm:
+        tail = body[lm.end():].strip()
+        tm = re.fullmatch(r"(\d+)", tail)
+        if not tm:
+            raise ValueError(
+                f"cannot parse DML LIMIT clause: {tail[:40]!r}"
+            )
+        limit = int(tm.group(1))
+        body = body[: lm.start()].rstrip()
+    om = _top_level_search(r"\bORDER\s+BY\b", body)
+    if om:
+        if limit is not None:
+            order_by = _unmask(body[om.end():].strip(), store)
+        body = body[: om.start()].rstrip()
+    return body, order_by, limit
 
 
 #: MariaDB column type → Spark type (datatypes/mcs_datatype_basic.h:53-86
@@ -743,18 +777,18 @@ def parse(sql: str):
     m = re.match(r"UPDATE\s+([^\s(]+)\s+SET\s+", masked, re.IGNORECASE)
     if m:
         body = rest_of(re.match(r"UPDATE\s+\S+\s+SET", masked, re.IGNORECASE))
-        # MariaDB UPDATE .. [ORDER BY ..] LIMIT n updates the first n
-        # rows in that order — inherently row-order-dependent, with no
-        # deterministic meaning on a distributed engine (the reference
-        # gets it from mysqld's row-at-a-time update path). Refuse
-        # with the reason rather than mistranslate.
-        om = _top_level_search(r"\b(ORDER\s+BY|LIMIT)\b", body)
-        if om:
+        # MariaDB UPDATE .. ORDER BY .. LIMIT n updates the first n
+        # rows in that order (mysqld's row-at-a-time update path,
+        # dbcon/dmlpackage/dml.y). Deterministic only when ORDER BY is
+        # a total order: the engine accepts it iff the ordering covers
+        # a declared unique key (rewritten to a key-IN-subquery
+        # predicate at execution) and refuses otherwise.
+        body, order_by, limit_n = _strip_order_limit(body, store)
+        if limit_n is not None and order_by is None:
             raise ValueError(
-                "UPDATE with ORDER BY / LIMIT is row-order-dependent "
-                "and has no deterministic distributed meaning; "
-                "update by key predicate instead (WHERE key IN "
-                "(SELECT key ... ORDER BY ... LIMIT n))"
+                "UPDATE with LIMIT but no ORDER BY updates arbitrary "
+                "rows — no deterministic distributed meaning; add "
+                "ORDER BY over a unique key"
             )
         where = None
         wm = _top_level_search(r"\bWHERE\b", body)
@@ -773,6 +807,8 @@ def parse(sql: str):
             table=_ident(m.group(1), store),
             assignments=assignments,
             where=where,
+            order_by=order_by,
+            limit=limit_n,
         )
 
     m = re.match(r"DELETE\s+FROM\s+([^\s(]+)\s*", masked, re.IGNORECASE)
@@ -788,20 +824,28 @@ def parse(sql: str):
             ]
             body = body[: rm.start()].strip()
         if body:
-            if _top_level_search(r"\b(ORDER\s+BY|LIMIT)\b", body):
+            body, order_by, limit_n = _strip_order_limit(body, store)
+            if limit_n is not None and order_by is None:
                 raise ValueError(
-                    "DELETE with ORDER BY / LIMIT is row-order-"
-                    "dependent and has no deterministic distributed "
-                    "meaning; delete by key predicate instead"
+                    "DELETE with LIMIT but no ORDER BY deletes "
+                    "arbitrary rows — no deterministic distributed "
+                    "meaning; add ORDER BY over a unique key"
                 )
-            wm = re.match(r"WHERE\b", body, re.IGNORECASE)
-            if not wm:
-                raise ValueError(f"unexpected DELETE clause: {body[:40]!r}")
-            where = _unmask(body[wm.end() :].strip(), store)
+            if body:
+                wm = re.match(r"WHERE\b", body, re.IGNORECASE)
+                if not wm:
+                    raise ValueError(
+                        f"unexpected DELETE clause: {body[:40]!r}"
+                    )
+                where = _unmask(body[wm.end() :].strip(), store)
+        else:
+            order_by = limit_n = None
         return Delete(
             table=_ident(m.group(1), store),
             where=where,
             returning=returning,
+            order_by=order_by,
+            limit=limit_n,
         )
 
     m = re.match(

@@ -829,3 +829,98 @@ def test_string_alias_double_quoted(engine_with_table):
         "SELECT CONCAT(note, 'sfx') AS c FROM t1 WHERE id = 1"
     ).collect()[0]
     assert r2.c == "n1sfx"
+
+
+# --- round-7 advice regressions ---------------------------------------------
+
+def test_window_operand_of_division():
+    """A window function as the LEFT operand of / or % is one primary:
+    the OVER spec plus its aggregate call must be absorbed together
+    (round-6 advice: the absorption block was dead code after an early
+    return, splitting the operand at the OVER clause)."""
+    assert translate_statement(
+        "SELECT sum(x) OVER (PARTITION BY d) / 2 FROM t"
+    ) == "SELECT try_divide(sum(x) OVER (PARTITION BY d), 2) FROM t"
+    assert translate_statement(
+        "SELECT avg(x) OVER (PARTITION BY d ORDER BY e) % 3 FROM t"
+    ) == "SELECT try_mod(avg(x) OVER (PARTITION BY d ORDER BY e), 3) FROM t"
+    # ratio of two window aggregates
+    assert translate_statement(
+        "SELECT sum(x) OVER (PARTITION BY d) /"
+        " count(*) OVER (PARTITION BY d) FROM t"
+    ) == (
+        "SELECT try_divide(sum(x) OVER (PARTITION BY d),"
+        " count(*) OVER (PARTITION BY d)) FROM t"
+    )
+
+
+def test_string_literal_after_keyword_not_aliased():
+    """A double-quoted string literal after LIKE/REGEXP/AND/... is an
+    expression, not an alias position — it must survive untouched even
+    when followed by a comma/FROM/UNION/end (round-6 advice: the
+    single-char lead class matched the last letter of keywords)."""
+    for q in (
+        'SELECT * FROM t WHERE a LIKE "foo%"',
+        'SELECT * FROM t WHERE a NOT LIKE "b_r"',
+        'SELECT a FROM t WHERE b REGEXP "^x" UNION SELECT a FROM u',
+        'SELECT x BETWEEN 1 AND "9" FROM t',
+        'SELECT CASE WHEN a THEN "y" ELSE "n" END AS f FROM t',
+    ):
+        out = translate_statement(q)
+        assert " AS `" not in out.replace("AS f", ""), (q, out)
+    # genuine alias positions still rewritten
+    assert translate_statement('SELECT a "al" FROM t') == (
+        "SELECT a AS `al` FROM t"
+    )
+    assert translate_statement('SELECT count(*) "cnt" FROM t') == (
+        "SELECT count(*) AS `cnt` FROM t"
+    )
+
+
+def test_truthiness_repair_targets_flagged_clause():
+    """FILTER_NOT_BOOLEAN repair must wrap the clause the analyzer
+    flagged — a boolean WHERE plus a numeric HAVING gets the HAVING
+    wrapped, not the WHERE (round-6 advice)."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        _numeric_truthiness_repair,
+    )
+
+    sql = (
+        "SELECT d, sum(v) AS s FROM t WHERE flag = 1"
+        " GROUP BY d HAVING sum(v)"
+    )
+    err = (
+        '[INVALID_WHERE_CONDITION] FILTER_NOT_BOOLEAN: Filter'
+        ' expression "sum(v)" of type "BIGINT" is not a boolean.'
+    )
+    fixed = _numeric_truthiness_repair(sql, err)
+    assert fixed is not None
+    assert "WHERE flag = 1" in fixed  # WHERE untouched
+    assert "HAVING ((sum(v)) <> 0)" in fixed
+    # and the flagged-WHERE case still wraps WHERE
+    sql2 = "SELECT d FROM t WHERE n GROUP BY d HAVING count(*) > 1"
+    err2 = (
+        'FILTER_NOT_BOOLEAN: Filter expression "n" of type "INT"'
+        " is not a boolean."
+    )
+    fixed2 = _numeric_truthiness_repair(sql2, err2)
+    assert fixed2 is not None
+    assert "WHERE ((n) <> 0)" in fixed2
+    assert "HAVING count(*) > 1" in fixed2
+
+
+def test_hidden_order_by_repair_region_ends_after_order_by(
+    engine_with_table,
+):
+    """The hidden-ORDER-BY any_value repair region must end at the
+    LIMIT that FOLLOWS the ORDER BY clause (round-6 advice: a LIMIT
+    spelled anywhere was taken as the region end)."""
+    eng = engine_with_table
+    # subquery carries its own LIMIT before the outer ORDER BY
+    rows = eng.execute(
+        "SELECT note, COUNT(*) AS c FROM"
+        " (SELECT * FROM t1 ORDER BY id LIMIT 8) x"
+        " GROUP BY note ORDER BY val LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    assert [r.note for r in rows] == ["n0", "n1", "n2", "n3", "n4"]

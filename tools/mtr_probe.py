@@ -130,7 +130,12 @@ def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
         except Exception as e:  # noqa: BLE001 — reported via err
             err[0] = e
         finally:
-            spark.sparkContext.clearJobGroup()
+            # Spark 4 removed SparkContext.clearJobGroup; resetting to
+            # an empty group detaches this thread from the probe group
+            try:
+                spark.sparkContext.setJobGroup("", "")
+            except Exception:  # noqa: BLE001 — best-effort detach
+                pass
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
@@ -145,11 +150,28 @@ def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    limit = None
-    for a in sys.argv[1:]:
-        if a.startswith("--limit"):
+    argv = sys.argv[1:]
+    args, limit, dump = [], None, None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--limit":  # space form: --limit N
+            limit = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--limit="):
             limit = int(a.split("=", 1)[1])
+            i += 1
+        elif a == "--dump":  # bucket details (JSON) for triage
+            dump = argv[i + 1]
+            i += 2
+        elif a.startswith("--dump="):
+            dump = a.split("=", 1)[1]
+            i += 1
+        elif a.startswith("--"):
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     suites = args or DEFAULT_SUITES
     stmts = harvest(suites)
     if limit:
@@ -170,20 +192,29 @@ def main() -> int:
 
     n_both = n_match = n_spark_only = n_duck_only = n_neither = 0
     fails = []
+    buckets = {"duck_only": [], "neither": [], "diff": []}
     for src, s in stmts:
+        derr = serr = None
         try:
             drows = con.execute(s).fetchall()
-        except Exception:
-            drows = None
+        except Exception as e:  # noqa: BLE001 — bucketed
+            drows, derr = None, f"{type(e).__name__}: {e}"
         try:
             srows = _collect_with_timeout(spark, eng, s)
-        except Exception:
-            srows = None
+        except Exception as e:  # noqa: BLE001 — bucketed
+            srows, serr = None, f"{type(e).__name__}: {e}"
         if srows is None and drows is None:
             n_neither += 1
+            buckets["neither"].append(
+                {"src": src, "sql": s, "spark_err": serr[:400],
+                 "duck_err": derr[:400]}
+            )
             continue
         if srows is None:
             n_duck_only += 1
+            buckets["duck_only"].append(
+                {"src": src, "sql": s, "spark_err": serr[:400]}
+            )
             continue
         if drows is None:
             n_spark_only += 1
@@ -193,6 +224,10 @@ def main() -> int:
             n_match += 1
         else:
             fails.append((src, s, len(srows), len(drows)))
+            buckets["diff"].append(
+                {"src": src, "sql": s, "spark_rows": len(srows),
+                 "duck_rows": len(drows)}
+            )
     print(
         f"both-parsed {n_both}: {n_match} match, {len(fails)} DIFFER; "
         f"spark-only {n_spark_only}, duck-only {n_duck_only}, "
@@ -200,6 +235,12 @@ def main() -> int:
     )
     for src, s, a, b in fails:
         print(f"DIFF [{src}] spark_rows={a} duck_rows={b}: {s[:160]}")
+    if dump:
+        import json
+
+        with open(dump, "w") as f:
+            json.dump(buckets, f, indent=1)
+        print(f"bucket detail written to {dump}")
     return 1 if fails else 0
 
 
