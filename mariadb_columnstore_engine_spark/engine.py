@@ -967,11 +967,21 @@ class Engine:
                     "(use OR REPLACE)"
                 )
             if parsed["timing"] == "BEFORE" and parsed["event"] == "DELETE":
-                raise ValueError(
-                    "BEFORE DELETE triggers have no set-based row "
-                    "transform (the rows are being removed); use "
-                    "AFTER DELETE"
+                # no row image to rewrite — the supported subset is
+                # audit-style bodies over the OLD relation (same
+                # statement-level reading as AFTER DELETE, fired
+                # before the copy-on-write removes the rows). SET
+                # NEW.x / NEW references are meaningless here.
+                from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
+                    _mask as _trg_mask,
                 )
+
+                masked_body, _ = _trg_mask(parsed["body"])
+                if re.search(r"\bNEW\s*\.", masked_body, re.IGNORECASE):
+                    raise ValueError(
+                        "BEFORE DELETE trigger bodies cannot reference "
+                        "NEW.x (no new row image); use OLD.x"
+                    )
             # table must exist (MariaDB ER_NO_SUCH_TABLE)
             cols = [c for c, _ in self.describe(parsed["table"])]
             nodes = self._parse_proc_body(parsed["body"])
@@ -989,9 +999,11 @@ class Engine:
                         _no_loops(n[2])
 
             _no_loops(nodes)
-            if parsed["timing"] == "BEFORE":
+            if parsed["timing"] == "BEFORE" and parsed["event"] != "DELETE":
                 # compile NOW so malformed bodies fail at CREATE, like
-                # mysqld's parse-time validation
+                # mysqld's parse-time validation (BEFORE DELETE has no
+                # row transform — its audit body runs statement-level,
+                # like AFTER bodies, just before the rewrite)
                 compile_before_transform(
                     nodes, cols, event=parsed["event"]
                 )
@@ -1040,20 +1052,24 @@ class Engine:
         ]
 
     def _fire_after_triggers(
-        self, table: str, event: str, affected, dialect: str
+        self, table: str, event: str, affected, dialect: str,
+        *, timing: str = "AFTER",
     ) -> None:
-        """Run AFTER-trigger bodies once per statement over the
-        affected-row relation. ``affected`` carries the post-image
-        columns by name and (for UPDATE/DELETE) pre-image columns
-        under ``__old_<name>``; NEW.x / OLD.x rewrite to them. IF
-        blocks quantify existentially over the relation."""
+        """Run AFTER-trigger bodies (and, for DELETE, BEFORE-trigger
+        bodies — same statement-level semantics, fired before the
+        copy-on-write removes the rows so the body sees pre-delete
+        table state) once per statement over the affected-row
+        relation. ``affected`` carries the post-image columns by name
+        and (for UPDATE/DELETE) pre-image columns under
+        ``__old_<name>``; NEW.x / OLD.x rewrite to them. IF blocks
+        quantify existentially over the relation."""
         from mariadb_columnstore_engine_spark.sources.triggers import (
             rewrite_row_refs,
         )
 
         import re
 
-        triggers = self._table_triggers(table, "AFTER", event)
+        triggers = self._table_triggers(table, timing, event)
         if not triggers or affected is None:
             return
         view = f"_trg_affected_{event.lower()}"
@@ -1085,8 +1101,18 @@ class Engine:
                 r"\s*INSERT\s+INTO\s+.*\bSELECT\b",
                 s,
                 re.IGNORECASE | re.DOTALL,
-            ) and not re.search(r"\bFROM\b", s, re.IGNORECASE):
-                return f"{s.rstrip().rstrip(';')} FROM {view}"
+            ):
+                # FROM must be TOP-LEVEL to count — a FROM inside a
+                # scalar subquery (SELECT OLD.i, (SELECT COUNT(*)
+                # FROM t)) doesn't bind the outer select list
+                from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
+                    _mask as _sb_mask,
+                    _top_level_search as _sb_tls,
+                )
+
+                masked_s, _ = _sb_mask(s)
+                if not _sb_tls(r"\bFROM\b", masked_s):
+                    return f"{s.rstrip().rstrip(';')} FROM {view}"
             return s
 
         self._in_trigger = True
@@ -2532,6 +2558,8 @@ class Engine:
                 validate_checks,
             )
 
+            if parsed.limit is not None:
+                parsed.where = self._ordered_limit_where(parsed, info)
             if parsed.join is not None:
                 import re as _re
 
@@ -2650,6 +2678,8 @@ class Engine:
             )
             return n
         if isinstance(parsed, st.Delete):
+            if parsed.limit is not None:
+                parsed.where = self._ordered_limit_where(parsed, info)
             if parsed.join is not None:
                 pred = texpr(join_pred_sql(parsed.join, parsed.where))
             else:
@@ -2668,7 +2698,9 @@ class Engine:
                 )
                 ret = returning_result(doomed, parsed.returning)
             affected_del = None
-            if self._table_triggers(parsed.table, "AFTER", "DELETE"):
+            if self._table_triggers(
+                parsed.table, "AFTER", "DELETE"
+            ) or self._table_triggers(parsed.table, "BEFORE", "DELETE"):
                 from mariadb_columnstore_engine_spark.sources.ingest import (  # noqa: E501
                     read_table_evolved as _rte,
                 )
@@ -2686,6 +2718,12 @@ class Engine:
                         for c in doomed_rel.columns
                     ]
                 ).localCheckpoint(eager=True)
+            # BEFORE DELETE bodies fire while the doomed rows are
+            # still in the table (audit reads see pre-delete state)
+            self._fire_after_triggers(
+                parsed.table, "DELETE", affected_del, dialect,
+                timing="BEFORE",
+            )
             n = dml.delete_where(
                 self.spark, path, pred, alias=parsed.table
             )
@@ -2695,6 +2733,49 @@ class Engine:
             )
             return ret if ret is not None else n
         raise AssertionError(f"unroutable statement: {parsed!r}")
+
+    def _ordered_limit_where(self, parsed, info: dict) -> str:
+        """Rewrite MariaDB's row-path ``UPDATE/DELETE … ORDER BY …
+        LIMIT n`` (dbcon/dmlpackage/dml.y) into the set-based
+        key-predicate form. Deterministic only when the ordering is a
+        total order, which we require structurally: every column of a
+        declared unique key must appear in the ORDER BY list. The
+        rewrite targets exactly the first n rows in that order:
+
+            WHERE (k1, …) IN (SELECT k1, … FROM t [WHERE w]
+                              ORDER BY … LIMIT n)
+
+        Scale note: the subquery is a top-n over the key columns only
+        (column-pruned scan + TakeOrderedAndProject), broadcast back
+        into the rewrite predicate by Spark's subquery machinery."""
+        import re as _re
+
+        keys = info.get("keys") or []
+        refusal = (
+            "UPDATE/DELETE with ORDER BY ... LIMIT is row-order-"
+            "dependent; it is accepted only when ORDER BY covers a "
+            "unique key declared via attach_table(keys=[...]) — "
+            "otherwise rewrite to a key predicate (WHERE key IN "
+            "(SELECT key ... ORDER BY ... LIMIT n))"
+        )
+        if not keys:
+            raise ValueError(refusal)
+        ob_cols = {
+            _re.sub(
+                r"\s+(ASC|DESC)\s*$", "", part.strip(),
+                flags=_re.IGNORECASE,
+            ).strip().strip("`").rsplit(".", 1)[-1].lower()
+            for part in parsed.order_by.split(",")
+        }
+        if not {k.lower() for k in keys} <= ob_cols:
+            raise ValueError(refusal)
+        key_list = ", ".join(keys)
+        sub = f"SELECT {key_list} FROM {parsed.table}"
+        if parsed.where:
+            sub += f" WHERE ({parsed.where})"
+        sub += f" ORDER BY {parsed.order_by} LIMIT {parsed.limit}"
+        lhs = keys[0] if len(keys) == 1 else f"({key_list})"
+        return f"{lhs} IN ({sub})"
 
     def tables(self) -> tuple[str, ...]:
         return TABLES

@@ -2413,6 +2413,133 @@ def sql_trigger_before_insert(
 
 
 @query(
+    "sql_trigger_before_delete",
+    section="front-end: BEFORE DELETE triggers, set-based (r7 — "
+    "VERDICT r6 #5): the audit body runs once per statement over the "
+    "OLD relation BEFORE the copy-on-write removes the rows, so a "
+    "scalar subquery counting the target table records the "
+    "PRE-delete cardinality (the observable BEFORE/AFTER "
+    "difference); the oracle recomputes the doomed set and the "
+    "pre-delete count inline.",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey < 800
+    ), doomed AS (
+        SELECT * FROM t WHERE cents > 15000000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(okey) AS BIGINT) AS okey_sum,
+           CAST(min(total) AS BIGINT) AS total_min,
+           CAST(max(total) AS BIGINT) AS total_max
+    FROM (SELECT okey, (SELECT count(*) FROM t) AS total FROM doomed)
+    """,
+)
+def sql_trigger_before_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(
+        spark, sf_dir,
+        warehouse=tempfile.mkdtemp(prefix="mcs_trg_del_gate_"),
+    )
+    eng.execute("CREATE TABLE trg_del (okey BIGINT, cents BIGINT)")
+    eng.execute(
+        "CREATE TABLE del_audit (okey BIGINT, total BIGINT)"
+    )
+    eng.execute(
+        "CREATE TRIGGER trg_predel BEFORE DELETE ON trg_del"
+        " FOR EACH ROW INSERT INTO del_audit"
+        " SELECT OLD.okey, (SELECT COUNT(*) FROM trg_del)"
+    )
+    eng.execute(
+        "INSERT INTO trg_del"
+        " SELECT o_orderkey,"
+        " CAST(ROUND(o_totalprice * 100, 0) AS SIGNED)"
+        " FROM orders WHERE o_orderkey < 800"
+    )
+    eng.execute("DELETE FROM trg_del WHERE cents > 15000000")
+    return eng.sql(
+        "SELECT COUNT(*) AS n,"
+        " SUM(okey) AS okey_sum,"
+        " MIN(total) AS total_min,"
+        " MAX(total) AS total_max"
+        " FROM del_audit"
+    )
+
+
+@query(
+    "sql_dml_ordered_limit",
+    section="front-end: UPDATE/DELETE … ORDER BY <unique key> LIMIT n "
+    "(r7 — VERDICT r6 #4; dbcon/dmlpackage/dml.y row-path form): "
+    "accepted iff the ordering covers a declared unique key, "
+    "auto-rewritten to the key-IN-subquery predicate (top-n over the "
+    "key columns only — column-pruned scan + TakeOrderedAndProject); "
+    "non-unique orderings stay refused. The oracle applies the same "
+    "key-predicate form directly.",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey < 1000
+    ), after_del AS (
+        SELECT * FROM base WHERE okey NOT IN (
+            SELECT okey FROM base ORDER BY okey DESC LIMIT 7)
+    ), after_upd AS (
+        SELECT okey,
+               CASE WHEN okey IN (
+                   SELECT okey FROM after_del
+                   WHERE cents > 10000000
+                   ORDER BY cents DESC, okey LIMIT 5)
+               THEN 0 ELSE cents END AS cents
+        FROM after_del
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(sum(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zeroed
+    FROM after_upd
+    """,
+)
+def sql_dml_ordered_limit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(
+        spark, sf_dir,
+        warehouse=tempfile.mkdtemp(prefix="mcs_dml_ol_gate_"),
+    )
+    eng.execute(
+        "CREATE TABLE ol_orders ("
+        " okey BIGINT, cents BIGINT, PRIMARY KEY (okey))"
+    )
+    eng.execute(
+        "INSERT INTO ol_orders"
+        " SELECT o_orderkey,"
+        " CAST(ROUND(o_totalprice * 100, 0) AS SIGNED)"
+        " FROM orders WHERE o_orderkey < 1000"
+    )
+    eng.execute("DELETE FROM ol_orders ORDER BY okey DESC LIMIT 7")
+    eng.execute(
+        "UPDATE ol_orders SET cents = 0 WHERE cents > 10000000"
+        " ORDER BY cents DESC, okey LIMIT 5"
+    )
+    return eng.sql(
+        "SELECT COUNT(*) AS n,"
+        " SUM(cents) AS cents_sum,"
+        " SUM(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS n_zeroed"
+        " FROM ol_orders"
+    )
+
+
+@query(
     "sql_loose_group_by_hidden",
     section="front-end: MariaDB loose GROUP BY (r6 — "
     "MCOL-5772-hidden-order-by.test): the default sql_mode omits "

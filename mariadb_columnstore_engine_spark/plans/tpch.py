@@ -1041,3 +1041,279 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+# --- true-shape Q2/Q9/Q20 over a derived partsupp (round-7) ------------------
+# The driver fixtures ship no partsupp table, so the reference's exact
+# Q2/Q9/Q20 shapes (devregression tpch corpus, mcs7536_q4_2.test family)
+# were previously adapted. Here partsupp is DERIVED deterministically:
+# its key set is the DISTINCT (l_partkey, l_suppkey) pairs of lineitem
+# — the same referential-integrity contract dbgen guarantees (every
+# lineitem pair exists in partsupp), which keeps the Q9 double-key join
+# total and the Q20 half-volume correlation meaningful — with integer
+# availqty / supplycost-cents computed from the keys by fixed mixes.
+# BOTH engines (this plan and the DuckDB oracle CTE below) materialize
+# the identical relation at any SF with zero extra fixture files. The
+# query shapes downstream of partsupp are the reference's own.
+
+#: DuckDB CTE body mirroring _partsupp() — keep the two in lockstep.
+PARTSUPP_CTE = """
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               CAST((ps_partkey * 13 + ps_suppkey * 7) % 199 + 1
+                    AS BIGINT) AS ps_availqty,
+               CAST((ps_partkey * 7919 + ps_suppkey * 104729)
+                    % 100000 + 100 AS BIGINT) AS ps_cost_cents
+        FROM (
+            SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey
+            FROM lineitem
+        )
+    )
+"""
+
+
+def _partsupp(t: Catalog) -> DataFrame:
+    """Derived partsupp relation (see PARTSUPP_CTE — keep in
+    lockstep). One shuffle: a distinct over lineitem's two key
+    columns (column-pruned scan, map-side partial dedup), then pure
+    projections — linear at any SF, no constant joins."""
+    return (
+        t.lineitem.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7)
+                % 199
+                + 1
+            ).cast("long").alias("ps_availqty"),
+            (
+                (
+                    F.col("ps_partkey") * 7919
+                    + F.col("ps_suppkey") * 104729
+                )
+                % 100000
+                + 100
+            ).cast("long").alias("ps_cost_cents"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_partsupp",
+    section="§2.9 TRUE-SHAPE TPC-H Q2 (r7 — VERDICT r6 #6): the "
+    "reference's correlated min-supplycost scalar subquery over "
+    "part x partsupp x supplier x nation x region, on the derived "
+    "partsupp (PARTSUPP_CTE). The correlated subquery decorrelates "
+    "into one per-part window min over the EU-filtered partsupp — "
+    "integer-cents cost, so the equality join is exact.",
+    oracle=f"""
+    WITH {PARTSUPP_CTE.strip()},
+    eu AS (
+        SELECT s_suppkey, s_acctbal, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ps_cost_cents
+    FROM part
+    JOIN partsupp ON p_partkey = ps_partkey
+    JOIN eu ON s_suppkey = ps_suppkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%ANDARD'
+      AND ps_cost_cents = (
+          SELECT min(ps2.ps_cost_cents)
+          FROM partsupp ps2
+          JOIN eu e2 ON e2.s_suppkey = ps2.ps_suppkey
+          WHERE ps2.ps_partkey = part.p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    eu = (
+        t.supplier.join(
+            F.broadcast(
+                t.nation.join(
+                    t.region.where(F.col("r_name") == "EUROPE"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu_ps = _partsupp(t).join(
+        eu, F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eu_ps.withColumn(
+        "min_cost", F.min("ps_cost_cents").over(w)
+    ).where(F.col("ps_cost_cents") == F.col("min_cost"))
+    return (
+        t.part.where(
+            F.col("p_size").between(10, 20)
+            & F.col("p_type").like("%ANDARD")
+        )
+        .join(best, F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_partsupp",
+    section="§2.4 TRUE-SHAPE TPC-H Q9 (r7): product profit with the "
+    "reference's double-key lineitem->partsupp join on (partkey, "
+    "suppkey) and real supply cost, on the derived partsupp. Profit "
+    "is summed as exact 1e-4-dollar BIGINTs (rev4 minus "
+    "cost-cents x qty x 100) and rendered as the scaled integer — "
+    "boundary-free across engines per the decimal output policy.",
+    oracle=f"""
+    WITH {PARTSUPP_CTE.strip()}
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+               - ps_cost_cents
+                 * CAST(round(l_quantity, 0) AS BIGINT) * 100
+           ) AS BIGINT) AS sum_profit_e4
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN partsupp ON ps_partkey = l_partkey
+                 AND ps_suppkey = l_suppkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    rev4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    cost4 = (
+        F.col("ps_cost_cents")
+        * F.round(F.col("l_quantity"), 0).cast("long")
+        * 100
+    )
+    return (
+        t.part.where(F.col("p_name").like("%widget%"))
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            _partsupp(t),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(rev4 - cost4).cast("long").alias("sum_profit_e4"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q20_partsupp",
+    section="§2.9 TRUE-SHAPE TPC-H Q20 (r7): the reference's nested "
+    "IN-subquery chain — suppliers (in one nation) whose partsupp "
+    "availqty exceeds half the 1996 shipped volume of a "
+    "name-filtered part — on the derived partsupp. The correlated "
+    "half-volume scalar decorrelates into one (partkey, suppkey) "
+    "aggregate joined back; inner join reproduces the NULL-sum "
+    "filter semantics.",
+    oracle=f"""
+    WITH {PARTSUPP_CTE.strip()}
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        AND ps_availqty > (
+            SELECT 0.5 * sum(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey
+              AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        )
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    small_parts = t.part.where(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    ps = _partsupp(t).join(
+        F.broadcast(small_parts),
+        F.col("ps_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    li_qty = (
+        t.lineitem.where(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1997-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty_1996"))
+    )
+    excess = (
+        ps.join(
+            li_qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty_1996"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(
+                t.nation.where(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            excess,
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

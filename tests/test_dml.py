@@ -140,3 +140,95 @@ def test_upsert_rejects_duplicate_key_input(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate key"):
         upsert_into(spark, path, dup, ["id"])
+
+
+# --- MariaDB row-path ORDER BY ... LIMIT DML (round-7) -----------------------
+# Reference: dbcon/dmlpackage/dml.y routes UPDATE/DELETE ORDER BY/LIMIT
+# through mysqld's row-at-a-time path. Deterministic only over a total
+# order: accepted iff ORDER BY covers a declared unique key, rewritten
+# to WHERE key IN (SELECT key ... ORDER BY ... LIMIT n); refused
+# otherwise.
+
+
+def _engine_with_keys(spark, tmp_path, sf_dir):
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    path = str(tmp_path / "ol_tbl")
+    spark.range(20).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 2.0).alias("val"),
+    ).write.parquet(path)
+    eng.attach_table("ol_tbl", path, keys=["id"])
+    return eng
+
+
+def test_delete_order_by_unique_key_limit(spark, tmp_path, sf_dir):
+    """DELETE ... ORDER BY <unique key> LIMIT n removes exactly the
+    first n rows in that order — DuckDB-checked survivors."""
+    import duckdb
+
+    eng = _engine_with_keys(spark, tmp_path, sf_dir)
+    eng.execute("DELETE FROM ol_tbl WHERE grp = 0 ORDER BY id DESC LIMIT 3")
+    got = sorted(r.id for r in spark.table("ol_tbl").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT i AS id, i % 3 AS grp, i * 2.0 AS val"
+        " FROM range(20) r(i)"
+    )
+    con.execute(
+        "DELETE FROM t WHERE id IN (SELECT id FROM t WHERE grp = 0"
+        " ORDER BY id DESC LIMIT 3)"
+    )
+    want = [r[0] for r in con.execute(
+        "SELECT id FROM t ORDER BY id").fetchall()]
+    assert got == want
+
+
+def test_update_order_by_unique_key_limit(spark, tmp_path, sf_dir):
+    import duckdb
+
+    eng = _engine_with_keys(spark, tmp_path, sf_dir)
+    eng.execute(
+        "UPDATE ol_tbl SET val = val + 100 WHERE grp <> 1"
+        " ORDER BY val DESC, id LIMIT 4"
+    )
+    got = {r.id: r.val for r in spark.table("ol_tbl").collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT i AS id, i % 3 AS grp, i * 2.0 AS val"
+        " FROM range(20) r(i)"
+    )
+    con.execute(
+        "UPDATE t SET val = val + 100 WHERE id IN (SELECT id FROM t"
+        " WHERE grp <> 1 ORDER BY val DESC, id LIMIT 4)"
+    )
+    want = {r[0]: r[1] for r in con.execute(
+        "SELECT id, val FROM t").fetchall()}
+    assert got == want
+
+
+def test_ordered_limit_dml_refusals(spark, tmp_path, sf_dir):
+    import pytest as _pytest
+
+    eng = _engine_with_keys(spark, tmp_path, sf_dir)
+    # ORDER BY over a non-unique column: refused with the reason
+    with _pytest.raises(ValueError, match="unique key"):
+        eng.execute("DELETE FROM ol_tbl ORDER BY grp LIMIT 2")
+    with _pytest.raises(ValueError, match="unique key"):
+        eng.execute("UPDATE ol_tbl SET val = 0 ORDER BY val LIMIT 2")
+    # LIMIT without ORDER BY: arbitrary rows, refused
+    with _pytest.raises(ValueError, match="no ORDER BY"):
+        eng.execute("DELETE FROM ol_tbl LIMIT 2")
+    # ORDER BY without LIMIT cannot change the affected set: accepted
+    eng.execute("UPDATE ol_tbl SET val = -5 WHERE id = 7 ORDER BY grp")
+    assert spark.table("ol_tbl").where("id = 7").first().val == -5.0
+    # table attached without declared keys: refused
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    path2 = str(tmp_path / "nokeys")
+    spark.range(5).write.parquet(path2)
+    eng.attach_table("nokeys", path2)
+    with _pytest.raises(ValueError, match="unique key"):
+        eng.execute("DELETE FROM nokeys ORDER BY id LIMIT 1")

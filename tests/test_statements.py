@@ -1564,20 +1564,29 @@ def test_procedure_repeat_until_loop(engine_with_table):
 
 def test_from_dual_and_order_limit_dml_refusals(engine_with_table):
     """FROM DUAL (MariaDB no-table SELECT) parses; UPDATE/DELETE with
-    ORDER BY/LIMIT are refused with the distributed-determinism reason
-    (subqueries with ORDER BY/LIMIT inside the WHERE stay legal)."""
+    ORDER BY over a declared unique key + LIMIT are auto-rewritten to
+    the key-predicate form (round-7); non-unique orderings stay refused
+    with the distributed-determinism reason."""
     eng = engine_with_table
     assert eng.execute("SELECT 1 + 1 AS x FROM DUAL").collect()[0].x == 2
+    # t1 declares keys=["id"]: ordered-LIMIT DML is deterministic
+    eng.execute("UPDATE t1 SET val = -1 ORDER BY id LIMIT 1")
+    assert eng.execute(
+        "SELECT val FROM t1 WHERE id = 0"
+    ).collect()[0].val == -1.0
+    eng.execute("DELETE FROM t1 ORDER BY id DESC LIMIT 1")
+    assert eng.execute(
+        "SELECT max(id) AS m FROM t1"
+    ).collect()[0].m == 8
+    # non-unique ordering: refused with the reason
     with pytest.raises(ValueError, match="row-order-dependent"):
-        eng.execute("UPDATE t1 SET val = 0 ORDER BY id LIMIT 1")
-    with pytest.raises(ValueError, match="row-order-dependent"):
-        eng.execute("DELETE FROM t1 ORDER BY id LIMIT 1")
+        eng.execute("UPDATE t1 SET val = 0 ORDER BY val LIMIT 1")
     # key-predicate spelling keeps working (deterministic)
     n = eng.execute(
         "DELETE FROM t1 WHERE id IN"
         " (SELECT id FROM t1 ORDER BY id DESC LIMIT 1)"
     )
-    assert n == 9
+    assert n == 8
 
 
 def test_show_fields_and_index(engine_with_table):

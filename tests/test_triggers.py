@@ -189,11 +189,12 @@ def test_trigger_ddl_and_refusals(eng):
     with pytest.raises(ValueError, match="unknown trigger"):
         eng.execute("DROP TRIGGER t_a")
     eng.execute("DROP TRIGGER IF EXISTS t_a")  # no error
-    # refusals: BEFORE DELETE, loops, unknown column, non-SET stmt
-    with pytest.raises(ValueError, match="BEFORE DELETE"):
+    # refusals: NEW in BEFORE DELETE, loops, unknown column,
+    # non-SET stmt in a BEFORE row-transform body
+    with pytest.raises(ValueError, match="BEFORE DELETE.*NEW"):
         eng.execute(
             "CREATE TRIGGER bad1 BEFORE DELETE ON t1 FOR EACH ROW "
-            "SET @x = 1"
+            "SET NEW.j = 1"
         )
     with pytest.raises(ValueError, match="loops"):
         eng.execute(
@@ -265,3 +266,46 @@ def test_before_insert_with_string_masking(eng):
     )
     assert rows == [(1, "NEW.j literal"), (2, "y")]
     eng.execute("DROP TRIGGER strg")
+
+
+def test_before_delete_audit_sees_predelete_state(eng):
+    """BEFORE DELETE (round-7): audit-style bodies fire over the OLD
+    relation BEFORE the copy-on-write removes the rows — a body
+    statement counting the target table sees pre-delete state (the
+    observable difference from AFTER DELETE)."""
+    eng.execute("CREATE TABLE pre_audit (i INT, j INT, total INT)")
+    eng.execute("INSERT INTO t1 VALUES (1, 2), (2, 3), (3, 4)")
+    eng.execute(
+        "CREATE TRIGGER predel BEFORE DELETE ON t1 FOR EACH ROW "
+        "INSERT INTO pre_audit "
+        "SELECT OLD.i, OLD.j, (SELECT COUNT(*) FROM t1)"
+    )
+    eng.execute("DELETE FROM t1 WHERE i >= 2")
+    rows = sorted(
+        (r.i, r.j, r.total)
+        for r in eng.execute(
+            "SELECT i, j, total FROM pre_audit"
+        ).collect()
+    )
+    # total = 3: the table still held all rows when the body ran
+    assert rows == [(2, 3, 3), (3, 4, 3)]
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM t1"
+    ).collect()[0].n == 1
+    eng.execute("DROP TRIGGER predel")
+
+
+def test_before_delete_existential_if(eng):
+    """IF <cond over OLD> quantifies existentially, as in AFTER
+    bodies; no doomed rows -> body never fires."""
+    eng.execute("INSERT INTO t1 VALUES (1, 2), (5, 30)")
+    eng.execute("SET @flag = 'No'")
+    eng.execute(
+        "CREATE TRIGGER predel2 BEFORE DELETE ON t1 FOR EACH ROW "
+        "BEGIN IF OLD.j = 30 THEN SET @flag = 'Yes'; END IF; END"
+    )
+    eng.execute("DELETE FROM t1 WHERE i = 1")  # j=2: cond false
+    assert eng.execute("SELECT @flag AS f").collect()[0].f == "No"
+    eng.execute("DELETE FROM t1 WHERE i = 5")  # j=30: fires
+    assert eng.execute("SELECT @flag AS f").collect()[0].f == "Yes"
+    eng.execute("DROP TRIGGER predel2")
