@@ -98,21 +98,28 @@ class Engine:
             # truthiness); a statement may need one of each plus one
             # chained ORDER-BY repair — 4 rounds covers every legal
             # composition without churning on unrepairable errors.
-            for _ in range(4):
-                try:
+            # The analyzer's SQLQueryContextLogger logs an ERROR line
+            # for every AnalysisException even when the repair then
+            # fixes the statement — silence it for the probe attempts
+            # and re-raise genuine failures (their exception reaches
+            # the caller with the full message regardless).
+            with self._quiet_analyzer_errors():
+                for _ in range(4):
+                    try:
+                        df = self.spark.sql(query)
+                        break
+                    except AnalysisException as e:
+                        fixed = analysis_repair(query, str(e))
+                        if fixed is None or fixed == query:
+                            raise
+                        _LOG.debug(
+                            "analysis_repair rewrote statement: "
+                            "%r -> %r",
+                            query, fixed,
+                        )
+                        query = fixed
+                else:
                     df = self.spark.sql(query)
-                    break
-                except AnalysisException as e:
-                    fixed = analysis_repair(query, str(e))
-                    if fixed is None or fixed == query:
-                        raise
-                    _LOG.debug(
-                        "analysis_repair rewrote statement: %r -> %r",
-                        query, fixed,
-                    )
-                    query = fixed
-            else:
-                df = self.spark.sql(query)
         else:
             df = self.spark.sql(query)
         if getattr(self, "_trace", False):
@@ -2733,6 +2740,44 @@ class Engine:
             )
             return ret if ret is not None else n
         raise AssertionError(f"unroutable statement: {parsed!r}")
+
+    def _quiet_analyzer_errors(self):
+        """Context manager: silence the JVM SQLQueryContextLogger for
+        the duration (the error-driven repair loop deliberately
+        triggers AnalysisExceptions it then fixes; their ERROR log
+        lines are pure noise — the exception object still propagates
+        for genuine failures). Best-effort: logging config varies, a
+        failure to adjust levels must never affect execution."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            prev = None
+            jvm = None
+            try:
+                jvm = self.spark._jvm
+                mgr = jvm.org.apache.logging.log4j.LogManager
+                prev = mgr.getLogger(
+                    "SQLQueryContextLogger"
+                ).getLevel()
+                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(  # noqa: E501
+                    "SQLQueryContextLogger",
+                    jvm.org.apache.logging.log4j.Level.OFF,
+                )
+            except Exception:  # noqa: BLE001 — logging is optional
+                jvm = None
+            try:
+                yield
+            finally:
+                if jvm is not None and prev is not None:
+                    try:
+                        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(  # noqa: E501
+                            "SQLQueryContextLogger", prev
+                        )
+                    except Exception:  # noqa: BLE001
+                        pass
+
+        return _cm()
 
     def _ordered_limit_where(self, parsed, info: dict) -> str:
         """Rewrite MariaDB's row-path ``UPDATE/DELETE … ORDER BY …
