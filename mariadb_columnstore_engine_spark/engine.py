@@ -397,18 +397,18 @@ class Engine:
             out.append(r)
         return out
 
-    # statements the interpreter cannot honor (cursors, handlers,
-    # unstructured LOOP/LEAVE/ITERATE): refused at CREATE, not
-    # mistranslated at CALL. IF/WHILE/REPEAT/DECLARE are NOT here —
-    # they are interpreted (mcs17); scalar IF(a,b,c) inside statements
-    # was never meant to be refused (round-5 finding: the old
-    # r"\bIF\s" alternation matched the function spelled with a space).
-    # DECLARE .. CURSOR / DECLARE .. HANDLER still hit the CURSOR /
-    # HANDLER alternations below, so only variable DECLAREs pass.
+    # statements the interpreter cannot honor (SIGNAL, unstructured
+    # LOOP/LEAVE/ITERATE): refused at CREATE, not mistranslated at
+    # CALL. IF/WHILE/REPEAT/DECLARE are NOT here — they are
+    # interpreted (mcs17); scalar IF(a,b,c) inside statements was
+    # never meant to be refused (round-5 finding: the old r"\bIF\s"
+    # alternation matched the function spelled with a space). Since
+    # r7, READ-ONLY CURSORS over bounded SELECTs are interpreted too
+    # (DECLARE .. CURSOR FOR / OPEN / FETCH INTO / CLOSE + the
+    # CONTINUE HANDLER FOR NOT FOUND idiom — mcs17's cursor shapes);
+    # other handler conditions/actions are refused in the body parser.
     _PROC_UNSUPPORTED = (
-        r"\bCURSOR\b|\bLOOP\b"
-        r"|\bLEAVE\b|\bITERATE\b|\bFETCH\b|\bOPEN\s|\bCLOSE\s"
-        r"|\bSIGNAL\b|\bHANDLER\b"
+        r"\bLOOP\b|\bLEAVE\b|\bITERATE\b|\bSIGNAL\b"
     )
 
     #: WHILE-loop hard iteration cap: an interpreted loop whose
@@ -416,6 +416,11 @@ class Engine:
     #: (the reference bounds runaway procedures with
     #: max_recursive_iterations-style server limits)
     _PROC_WHILE_CAP = 10_000
+
+    #: cursor materialization cap: cursors are a row-at-a-time CLIENT
+    #: protocol, so OPEN collects to the driver — bounded, or the
+    #: procedure errors instead of pulling an unbounded result local
+    _PROC_CURSOR_CAP = 100_000
 
     @staticmethod
     def _parse_proc_body(body_text: str):
@@ -557,6 +562,84 @@ class Engine:
                         ("repeat", _unmask(um.group(1), store), body)
                     )
                     continue
+                # read-only cursor surface (r7): DECLARE..CURSOR FOR,
+                # the NOT FOUND handler idiom, OPEN/FETCH/CLOSE.
+                # Matched BEFORE the variable DECLARE so a cursor
+                # declaration never parses as a variable named CURSOR.
+                m = re.match(
+                    r"DECLARE\s+([\w`]+)\s+CURSOR\s+FOR\s+(.+)$",
+                    tok,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if m:
+                    nodes.append(
+                        (
+                            "cursor",
+                            m.group(1).strip("`").lower(),
+                            _unmask(m.group(2), store),
+                        )
+                    )
+                    continue
+                m = re.match(
+                    r"DECLARE\s+(\w+)\s+HANDLER\s+FOR\s+NOT\s+FOUND\s+"
+                    r"(.+)$",
+                    tok,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if m:
+                    if m.group(1).upper() != "CONTINUE":
+                        raise ValueError(
+                            "only CONTINUE HANDLER FOR NOT FOUND is "
+                            "supported (the cursor-exhaustion idiom); "
+                            f"got {m.group(1).upper()} HANDLER"
+                        )
+                    nodes.append(
+                        ("not_found_handler", _unmask(m.group(2), store))
+                    )
+                    continue
+                if re.match(
+                    r"DECLARE\s+\w+\s+HANDLER\b", tok, re.IGNORECASE
+                ):
+                    raise ValueError(
+                        "only CONTINUE HANDLER FOR NOT FOUND is "
+                        "supported (the cursor-exhaustion idiom); "
+                        "SQLSTATE/SQLEXCEPTION handlers are not"
+                    )
+                m = re.match(
+                    r"OPEN\s+([\w`]+)\s*$", tok, re.IGNORECASE
+                )
+                if m:
+                    nodes.append(
+                        ("open", m.group(1).strip("`").lower())
+                    )
+                    continue
+                m = re.match(
+                    r"FETCH\s+(?:NEXT\s+FROM\s+|FROM\s+)?([\w`]+)\s+"
+                    r"INTO\s+(.+)$",
+                    tok,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if m:
+                    targets = [
+                        v.strip().strip("`").lower()
+                        for v in m.group(2).split(",")
+                    ]
+                    nodes.append(
+                        (
+                            "fetch",
+                            m.group(1).strip("`").lower(),
+                            targets,
+                        )
+                    )
+                    continue
+                m = re.match(
+                    r"CLOSE\s+([\w`]+)\s*$", tok, re.IGNORECASE
+                )
+                if m:
+                    nodes.append(
+                        ("close", m.group(1).strip("`").lower())
+                    )
+                    continue
                 m = re.match(
                     r"DECLARE\s+(.+?)\s+"
                     r"(\w+(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?)"
@@ -603,11 +686,17 @@ class Engine:
         IN params and locals substitute as typed literals (mask-aware,
         so a name inside a string literal never rewrites); OUT/INOUT
         call-site arguments must be @variables (MariaDB
-        ER_SP_NOT_VAR_ARG) and receive values at return. Cursors,
-        handlers, SIGNAL and unstructured LOOP/LEAVE/ITERATE are
-        refused at CREATE — honest refusal over mistranslating
-        row-at-a-time semantics a set-oriented engine cannot honor
-        (the reference gets these from mysqld:
+        ER_SP_NOT_VAR_ARG) and receive values at return. Since r7,
+        READ-ONLY CURSORS are interpreted: DECLARE..CURSOR FOR
+        <select>, OPEN (evaluates the SELECT, bounded collect —
+        FETCH is a row-at-a-time client protocol, so the driver-side
+        materialization IS the semantics, capped at
+        _PROC_CURSOR_CAP), FETCH [NEXT FROM] c INTO locals, CLOSE,
+        and the CONTINUE HANDLER FOR NOT FOUND exhaustion idiom.
+        SIGNAL, other handlers, and unstructured LOOP/LEAVE/ITERATE
+        are refused at CREATE — honest refusal over mistranslating
+        semantics a set-oriented engine cannot honor (the reference
+        gets all of procedural SQL from mysqld:
         mysql-test/columnstore/basic/t/mcs17_procedures_define_call_drop.test).
         """
         import re
@@ -681,9 +770,10 @@ class Engine:
             body_text = _unmask(tm.group(2), store).strip()
             if re.search(self._PROC_UNSUPPORTED, body_text, re.IGNORECASE):
                 raise ValueError(
-                    "unsupported procedural control flow (DECLARE/"
-                    "CURSOR/LOOP/HANDLER/...) in procedure body — "
-                    "statement lists with IF/WHILE blocks only"
+                    "unsupported procedural control flow (SIGNAL / "
+                    "unstructured LOOP/LEAVE/ITERATE) in procedure "
+                    "body — statement lists with IF/WHILE/REPEAT "
+                    "blocks, locals, and read-only cursors only"
                 )
             body = self._parse_proc_body(body_text)
             comment = None
@@ -800,14 +890,26 @@ class Engine:
             bmasked, bstore = _mask(text)
 
             def _sub_param(mo):
-                nm = mo.group(0).lower()
+                if mo.group(1):
+                    # alias / cast-target position (AS x): MariaDB
+                    # local scoping never rebinds an output alias
+                    return mo.group(0)
+                nm = mo.group(2).lower()
                 if nm in subs:
                     return subs[nm]
                 if nm in locals_:
                     return self._render_uservar_literal(locals_[nm])
                 return mo.group(0)
 
-            return _unmask(re.sub(r"\b\w+\b", _sub_param, bmasked), bstore)
+            return _unmask(
+                re.sub(
+                    r"\b(AS\s+)?(\w+)\b",
+                    _sub_param,
+                    bmasked,
+                    flags=re.IGNORECASE,
+                ),
+                bstore,
+            )
 
         def _eval(expr_sql: str):
             """Evaluate a scalar expression in procedure scope."""
@@ -885,10 +987,96 @@ class Engine:
             val = r.collect()[0][0] if isinstance(r, DataFrame) else r
             return val is not None and val != 0
 
+        # read-only cursor state (r7): name -> declared SELECT /
+        # materialized rows / scan position; one optional NOT FOUND
+        # continue-handler per procedure (the MariaDB idiom binds it
+        # to the enclosing BEGIN..END — one body here)
+        cursors: dict[str, dict] = {}
+        nf_handler: list[str] = []
+
         def _run_nodes(nodes) -> None:
             for node in nodes:
                 if node[0] == "stmt":
                     _run_leaf(node[1])
+                elif node[0] == "cursor":
+                    _, cname, csql = node
+                    cursors[cname] = {
+                        "sql": csql, "rows": None, "pos": 0,
+                    }
+                elif node[0] == "not_found_handler":
+                    nf_handler.append(node[1])
+                elif node[0] == "open":
+                    cname = node[1]
+                    if cname not in cursors:
+                        raise ValueError(
+                            f"OPEN of undeclared cursor {cname!r}"
+                        )
+                    # params/locals substitute NOW (MariaDB evaluates
+                    # the cursor SELECT at OPEN); bounded collect —
+                    # FETCH is a row-at-a-time client protocol, the
+                    # collect IS the semantics, capped for safety
+                    r = self.execute(
+                        _substitute(cursors[cname]["sql"]),
+                        dialect=dialect,
+                    )
+                    rows = (
+                        r.limit(self._PROC_CURSOR_CAP + 1).collect()
+                        if isinstance(r, DataFrame)
+                        else list(r)
+                    )
+                    if len(rows) > self._PROC_CURSOR_CAP:
+                        raise ValueError(
+                            f"cursor {cname!r} SELECT exceeds the "
+                            f"{self._PROC_CURSOR_CAP}-row cursor cap "
+                            "— cursors are driver-side row-at-a-time "
+                            "iteration; rewrite as a set-based "
+                            "statement for unbounded results"
+                        )
+                    cursors[cname]["rows"] = rows
+                    cursors[cname]["pos"] = 0
+                elif node[0] == "fetch":
+                    _, cname, targets = node
+                    cur = cursors.get(cname)
+                    if cur is None or cur["rows"] is None:
+                        raise ValueError(
+                            f"FETCH from cursor {cname!r} which is "
+                            "not open"
+                        )
+                    for tgt in targets:
+                        if tgt not in locals_:
+                            raise ValueError(
+                                f"FETCH INTO {tgt!r}: not a declared "
+                                "local variable or OUT param"
+                            )
+                    if cur["pos"] >= len(cur["rows"]):
+                        # exhausted: NOT FOUND condition — run the
+                        # CONTINUE handler (execution proceeds), or
+                        # error like MariaDB 1329 without one
+                        if nf_handler:
+                            _run_leaf(nf_handler[-1])
+                            continue
+                        raise ValueError(
+                            "FETCH past end of cursor and no CONTINUE "
+                            "HANDLER FOR NOT FOUND declared (ER 1329: "
+                            "No data)"
+                        )
+                    row = cur["rows"][cur["pos"]]
+                    cur["pos"] += 1
+                    if len(row) != len(targets):
+                        raise ValueError(
+                            f"FETCH INTO expects {len(row)} target(s) "
+                            f"for cursor {cname!r}, got {len(targets)}"
+                        )
+                    for tgt, val in zip(targets, row):
+                        locals_[tgt] = val
+                elif node[0] == "close":
+                    cname = node[1]
+                    if cname not in cursors:
+                        raise ValueError(
+                            f"CLOSE of undeclared cursor {cname!r}"
+                        )
+                    cursors[cname]["rows"] = None
+                    cursors[cname]["pos"] = 0
                 elif node[0] == "if":
                     _, branches, else_nodes = node
                     for cond, branch_nodes in branches:
@@ -999,6 +1187,14 @@ class Engine:
                         raise ValueError(
                             "loops in trigger bodies have no set-based "
                             "reading and are not supported"
+                        )
+                    if n[0] in (
+                        "cursor", "open", "fetch", "close",
+                        "not_found_handler",
+                    ):
+                        raise ValueError(
+                            "cursors in trigger bodies have no "
+                            "set-based reading and are not supported"
                         )
                     if n[0] == "if":
                         for _, b in n[1]:

@@ -1179,14 +1179,17 @@ def test_stored_procedures_define_call_drop(engine_with_table):
     with pytest.raises(ValueError, match="ER_SP_DOES_NOT_EXIST"):
         eng.execute("DROP PROCEDURE proc1")
     eng.execute("DROP PROCEDURE IF EXISTS proc1")  # no error
-    # row-at-a-time constructs (cursors/handlers) stay refused;
-    # DECLARE'd variables are interpreted since r6
+    # SIGNAL / unstructured loops stay refused; DECLARE'd variables
+    # are interpreted since r6, read-only cursors since r7
     with pytest.raises(ValueError, match="control flow"):
         eng.execute(
             "CREATE PROCEDURE p3 () BEGIN "
-            "DECLARE done INT DEFAULT 0; "
-            "DECLARE cur CURSOR FOR SELECT id FROM t1; "
-            "OPEN cur; FETCH cur INTO done; CLOSE cur; END"
+            "SIGNAL SQLSTATE '45000'; END"
+        )
+    with pytest.raises(ValueError, match="control flow"):
+        eng.execute(
+            "CREATE PROCEDURE p4 () BEGIN "
+            "walk: LOOP LEAVE walk; END LOOP; END"
         )
 
 
@@ -1496,13 +1499,14 @@ def test_procedure_declare_locals_and_set(engine_with_table):
     r = eng.execute("CALL pnull(@a)")
     assert r.collect()[0].both_null in (True, 1)
     assert eng.execute("SELECT @a AS a").collect()[0].a == 7
-    # DECLARE .. CURSOR / HANDLER stay refused
+    # non-NOT-FOUND handlers stay refused (cursors themselves are
+    # interpreted since r7 — test_procedure_read_only_cursor)
     import pytest
 
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="CONTINUE HANDLER"):
         eng.execute(
             "CREATE PROCEDURE pcur () BEGIN "
-            "DECLARE c CURSOR FOR SELECT id FROM t1; "
+            "DECLARE EXIT HANDLER FOR SQLEXCEPTION SET @e = 1; "
             "END"
         )
     for p in ("pdecl", "pnull"):
@@ -1602,3 +1606,87 @@ def test_show_fields_and_index(engine_with_table):
     assert eng.execute("SHOW KEYS FROM t1") == rows
     with pytest.raises(Exception, match="nope|NOT_FOUND"):
         eng.execute("SHOW INDEX FROM nope")
+
+
+def test_procedure_read_only_cursor(engine_with_table):
+    """Read-only cursors (r7 — mcs17's cursor shapes): DECLARE ..
+    CURSOR FOR, OPEN (bounded driver-side materialization, evaluated
+    at OPEN with params/locals substituted), FETCH [NEXT FROM] INTO
+    locals, CLOSE, and the CONTINUE HANDLER FOR NOT FOUND idiom."""
+    import pytest
+
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE csum (IN lim INT, OUT total BIGINT) BEGIN "
+        "DECLARE done INT DEFAULT 0; "
+        "DECLARE v BIGINT; "
+        "DECLARE acc BIGINT DEFAULT 0; "
+        "DECLARE cur CURSOR FOR "
+        "  SELECT id FROM t1 ORDER BY id LIMIT lim; "
+        "DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1; "
+        "OPEN cur; "
+        "REPEAT "
+        "  FETCH cur INTO v; "
+        "  IF done = 0 THEN SET acc = acc + v; END IF; "
+        "UNTIL done = 1 END REPEAT; "
+        "CLOSE cur; "
+        "SET total = acc; "
+        "END"
+    )
+    eng.execute("CALL csum(4, @s)")
+    assert eng.execute("SELECT @s AS s").collect()[0].s == 6  # 0+1+2+3
+    eng.execute("CALL csum(100, @s)")  # cursor smaller than limit
+    assert eng.execute("SELECT @s AS s").collect()[0].s == 45
+    # multi-column FETCH + WHILE-flag loop + FETCH NEXT FROM spelling
+    eng.execute(
+        "CREATE PROCEDURE cpair (OUT tot DOUBLE) BEGIN "
+        "DECLARE done INT DEFAULT 0; "
+        "DECLARE i BIGINT; DECLARE x DOUBLE; "
+        "DECLARE acc DOUBLE DEFAULT 0; "
+        "DECLARE cur CURSOR FOR "
+        "  SELECT id, val FROM t1 WHERE id < 3 ORDER BY id; "
+        "DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1; "
+        "OPEN cur; "
+        "WHILE done = 0 DO "
+        "  FETCH NEXT FROM cur INTO i, x; "
+        "  IF done = 0 THEN SET acc = acc + x * i; END IF; "
+        "END WHILE; "
+        "CLOSE cur; SET tot = acc; "
+        "END"
+    )
+    eng.execute("CALL cpair(@t)")
+    # 0*0 + 10*1 + 20*2 = 50
+    assert eng.execute("SELECT @t AS t").collect()[0].t == 50.0
+    # FETCH past end without a handler: MariaDB ER 1329
+    eng.execute(
+        "CREATE PROCEDURE cbad () BEGIN "
+        "DECLARE v BIGINT; "
+        "DECLARE cur CURSOR FOR SELECT id FROM t1 LIMIT 1; "
+        "OPEN cur; FETCH cur INTO v; FETCH cur INTO v; "
+        "END"
+    )
+    with pytest.raises(ValueError, match="1329|No data"):
+        eng.execute("CALL cbad()")
+    # FETCH from an unopened cursor / INTO an undeclared name
+    eng.execute(
+        "CREATE PROCEDURE cbad2 () BEGIN "
+        "DECLARE v BIGINT; "
+        "DECLARE cur CURSOR FOR SELECT id FROM t1; "
+        "FETCH cur INTO v; "
+        "END"
+    )
+    with pytest.raises(ValueError, match="not open"):
+        eng.execute("CALL cbad2()")
+    for p in ("csum", "cpair", "cbad", "cbad2"):
+        eng.execute(f"DROP PROCEDURE {p}")
+
+
+def test_cursor_refused_in_triggers(engine_with_table):
+    import pytest
+
+    eng = engine_with_table
+    with pytest.raises(ValueError, match="cursors in trigger"):
+        eng.execute(
+            "CREATE TRIGGER tcur BEFORE INSERT ON t1 FOR EACH ROW "
+            "BEGIN DECLARE c CURSOR FOR SELECT 1; OPEN c; END"
+        )
