@@ -1113,6 +1113,8 @@ def translate_statement(sql: str) -> str:
     masked = _rewrite_format_calls(masked, store)
     masked = _rewrite_interval_arith(masked, store)
     masked = _rewrite_fn_templates(masked, store)
+    masked = _rewrite_get_format(masked, store)
+    masked = _rewrite_corr(masked, store)
     # JSON_TABLE runs after the expression rewrites (so MariaDB-isms in
     # its source expr are already translated) and stores its generated
     # SQL as one mask token (no later pass can fire inside it)
@@ -1263,6 +1265,129 @@ def _rewrite_json_format_functions(masked: str, store: list[str]) -> str:
             i = end
         masked = "".join(out)
     return masked
+
+
+#: GET_FORMAT(type, region) literal tables (MariaDB docs; mcs7117's
+#: regression shape). TIMESTAMP aliases DATETIME.
+_GET_FORMATS: dict[str, dict[str, str]] = {
+    "DATE": {
+        "USA": "%m.%d.%Y", "JIS": "%Y-%m-%d", "ISO": "%Y-%m-%d",
+        "EUR": "%d.%m.%Y", "INTERNAL": "%Y%m%d",
+    },
+    "DATETIME": {
+        "USA": "%Y-%m-%d %H.%i.%s", "JIS": "%Y-%m-%d %H:%i:%s",
+        "ISO": "%Y-%m-%d %H:%i:%s", "EUR": "%Y-%m-%d %H.%i.%s",
+        "INTERNAL": "%Y%m%d%H%i%s",
+    },
+    "TIME": {
+        "USA": "%h:%i:%s %p", "JIS": "%H:%i:%s", "ISO": "%H:%i:%s",
+        "EUR": "%H.%i.%s", "INTERNAL": "%H%i%s",
+    },
+}
+
+
+def _rewrite_corr(masked: str, store: list[str]) -> str:
+    """CORR(x, y) — aggregate or window — rewritten to the moment
+    formula with ``try_divide`` (mcs6178_windowFunctions_CORR.test):
+    Spark's native ``corr`` divides by the frame stddevs and, under
+    ANSI mode, THROWS on a zero-variance frame (running frames with
+    tied x values), where MariaDB/the reference return NULL.
+
+        corr = try_divide(n*Sxy - Sx*Sy,
+                          sqrt(greatest((n*Sxx - Sx^2)
+                                        * (n*Syy - Sy^2), 0d)))
+
+    over pairwise-non-NULL doubles. All terms share one Window node
+    (same spec), so the cost is one pass like the native function."""
+    pat = re.compile(r"\bCORR\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+        if len(args) != 2:
+            raise ValueError("CORR expects 2 arguments")
+        a, b = args[0].strip(), args[1].strip()
+        # absorb a following OVER (...) / OVER name into the suffix
+        tail = masked[end:]
+        om = re.match(r"\s*OVER\s*", tail, re.IGNORECASE)
+        over = ""
+        if om:
+            rest = tail[om.end():]
+            if rest.startswith("("):
+                close = _find_balanced(tail, om.end())
+                over = " OVER " + tail[om.end():close]
+                end += close
+            else:
+                wm = re.match(r"[\w`]+", rest)
+                if wm:
+                    over = " OVER " + wm.group(0)
+                    end += om.end() + wm.end()
+        pair = f"(({a}) IS NOT NULL AND ({b}) IS NOT NULL)"
+        x = f"(CASE WHEN {pair} THEN CAST(({a}) AS DOUBLE) END)"
+        y = f"(CASE WHEN {pair} THEN CAST(({b}) AS DOUBLE) END)"
+        n = f"COUNT({x}){over}"
+        sx = f"SUM({x}){over}"
+        sy = f"SUM({y}){over}"
+        sxx = f"SUM({x} * {x}){over}"
+        syy = f"SUM({y} * {y}){over}"
+        sxy = f"SUM({x} * {y}){over}"
+        rendered = (
+            f"try_divide({n} * {sxy} - {sx} * {sy},"
+            f" sqrt(greatest(({n} * {sxx} - {sx} * {sx})"
+            f" * ({n} * {syy} - {sy} * {sy}), 0d)))"
+        )
+        out.append(masked[i : m.start()])
+        out.append(rendered)
+        i = end
+    return "".join(out)
+
+
+def _rewrite_get_format(masked: str, store: list[str]) -> str:
+    """GET_FORMAT(DATE|TIME|DATETIME|TIMESTAMP, <region>) → a CASE
+    over the region string with the documented literal formats
+    (NULL for unknown regions, matching MariaDB)."""
+    pat = re.compile(r"\bGET_FORMAT\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+        if len(args) != 2:
+            raise ValueError("GET_FORMAT expects 2 arguments")
+        kw = args[0].strip().upper()
+        if kw == "TIMESTAMP":
+            kw = "DATETIME"
+        table = _GET_FORMATS.get(kw)
+        if table is None:
+            raise ValueError(
+                f"GET_FORMAT first argument must be DATE/TIME/"
+                f"DATETIME/TIMESTAMP, got {args[0].strip()!r}"
+            )
+        whens = []
+        for region, fmt in table.items():
+            rp = _PH.format(len(store))
+            store.append(f"'{region}'")
+            fp = _PH.format(len(store))
+            store.append(f"'{fmt}'")
+            whens.append(f"WHEN {rp} THEN {fp}")
+        rendered = (
+            f"(CASE UPPER({args[1].strip()}) "
+            + " ".join(whens)
+            + " ELSE NULL END)"
+        )
+        out.append(masked[i : m.start()])
+        out.append(rendered)
+        i = end
+    return "".join(out)
 
 
 def _rewrite_week_functions(masked: str, store: list[str]) -> str:
@@ -1428,6 +1553,46 @@ def loose_group_by_rewrite(sql: str, error_msg: str) -> str | None:
     return _unmask("".join(out), store)
 
 
+def _top_binary_split(expr: str) -> tuple[str, str, str] | None:
+    """Split the analyzer's rendering of a binary node (``x OP y``,
+    single spaces, sub-expressions parenthesized) at its top-level
+    operator — a greedy regex would split inside a parenthesized
+    operand."""
+    ops = (
+        "<=>", "!=", "<>", "<=", ">=", "=", "<", ">",
+        "+", "-", "*", "/", "%", "DIV", "AND", "OR",
+    )
+    depth = 0
+    for i, c in enumerate(expr):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c == " ":
+            for op in ops:
+                j = i + 1 + len(op)
+                if (
+                    expr[i + 1 : j].upper() == op
+                    and expr[j : j + 1] == " "
+                ):
+                    return expr[:i], expr[i + 1 : j], expr[j + 1 :]
+    return None
+
+
+def _flex_expr_pattern(expr: str) -> str:
+    """Regex matching the analyzer's rendering of ``expr`` in the
+    original SQL text, tolerant of whitespace and backtick
+    differences (the analyzer normalizes both)."""
+    toks = re.findall(r"\w+|[^\w\s]", expr)
+    parts = []
+    for t in toks:
+        if re.fullmatch(r"\w+", t):
+            parts.append(r"`?" + re.escape(t) + r"`?")
+        else:
+            parts.append(re.escape(t))
+    return r"\s*".join(parts)
+
+
 def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
     """MariaDB boolean context: any numeric is a valid condition
     (true iff non-NULL and <> 0) — ``WHERE n_regionkey``,
@@ -1497,8 +1662,13 @@ def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
     )
     if m and "UNEXPECTED_INPUT_TYPE" in error_msg:
         x = m.group(1)
+        # the paren, when present, must CLOSE right after the operand —
+        # `NOT (x BETWEEN 1 AND 3)` must not match its opening paren
+        # (round-7 probe finding: the old optional-paren form consumed
+        # the outer expression's paren and corrupted the statement)
         pat = re.compile(
-            r"\bNOT\s+\(?" + re.escape(x) + r"\)?(?![\w`(])",
+            r"\bNOT\s+(?:\(\s*" + re.escape(x) + r"\s*\)"
+            r"|" + re.escape(x) + r"(?![\w`(]))",
             re.IGNORECASE,
         )
         fixed, n = pat.subn(f"NOT (({x}) <> 0)", masked)
@@ -1514,23 +1684,118 @@ def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
             r'|TINYINT|DOUBLE|FLOAT|DECIMAL[^"]*)"',
             error_msg,
         )
-        if not m:
+        if m:
+            x = re.escape(m.group(1))
+            fixed = re.sub(
+                r"(?<![\w`.])(" + x + r")(\s+)(AND|OR)\b",
+                r"(\1 <> 0)\2\3",
+                masked,
+                flags=re.IGNORECASE,
+            )
+            fixed = re.sub(
+                r"\b(AND|OR)(\s+)(" + x + r")(?![\w`.(])",
+                r"\1\2(\3 <> 0)",
+                fixed,
+                flags=re.IGNORECASE,
+            )
+            if fixed != masked:
+                return _unmask(fixed, store)
             return None
-        x = re.escape(m.group(1))
-        fixed = re.sub(
-            r"(?<![\w`.])(" + x + r")(\s+)(AND|OR)\b",
-            r"(\1 <> 0)\2\3",
-            masked,
-            flags=re.IGNORECASE,
+        # BOTH operands numeric (`n AND m` — mcs7173's exact shape):
+        # the analyzer quotes the whole conjunct; wrap each side
+        m = re.search(
+            r'Cannot resolve "\((.+)\)" due to data '
+            r'type mismatch: the binary operator requires the input '
+            r'type "BOOLEAN"',
+            error_msg,
         )
-        fixed = re.sub(
-            r"\b(AND|OR)(\s+)(" + x + r")(?![\w`.(])",
-            r"\1\2(\3 <> 0)",
-            fixed,
-            flags=re.IGNORECASE,
+        if m:
+            split = _top_binary_split(m.group(1))
+            if split and split[1].upper() in ("AND", "OR"):
+                x, op, y = split
+                pat = re.compile(
+                    _flex_expr_pattern(x)
+                    + r"(\s+)" + op + r"(\s+)"
+                    + _flex_expr_pattern(y),
+                    re.IGNORECASE,
+                )
+                fixed, n = pat.subn(
+                    f"(({x}) <> 0)\\g<1>{op}\\g<2>(({y}) <> 0)",
+                    masked,
+                )
+                if n:
+                    return _unmask(fixed, store)
+        return None
+
+    # CASE branches mixing numeric and boolean (mcs7108's
+    # `THEN r_regionkey ELSE r_regionkey > 2`): MariaDB's boolean IS
+    # 0/1 — cast each comparison-shaped branch to INT. Flat CASE
+    # renderings only (a nested CASE quotes its own error first).
+    if "DATA_DIFF_TYPES" in error_msg and '"CASE WHEN' in error_msg:
+        m = re.search(
+            r'Cannot resolve "CASE WHEN (.+) END" due to data type '
+            r'mismatch.*\["?[A-Z]',
+            error_msg,
         )
-        if fixed != masked:
-            return _unmask(fixed, store)
+        if m and "BOOLEAN" in error_msg:
+            rendering = m.group(1)
+            branches = re.findall(
+                r"(?:THEN|ELSE)\s+(.+?)(?=\s+WHEN\s|\s+ELSE\s|$)",
+                rendering,
+            )
+            fixed, total = masked, 0
+            for br in branches:
+                inner = br[1:-1] if (
+                    br.startswith("(") and br.endswith(")")
+                ) else br
+                split = _top_binary_split(inner)
+                if not split or split[1].upper() not in (
+                    "=", "<>", "!=", "<", ">", "<=", ">=", "<=>",
+                ):
+                    continue
+                pat = re.compile(
+                    _flex_expr_pattern(inner), re.IGNORECASE
+                )
+                fixed, n = pat.subn(
+                    f"CAST(({inner}) AS INT)", fixed, count=1
+                )
+                total += n
+            if total:
+                return _unmask(fixed, store)
+        return None
+
+    # numeric <op> boolean (`n * (flag > 0)`, `(a = 1) = 0` —
+    # mcs7010/mcs7126 shapes): MariaDB treats boolean as 0/1 — cast
+    # the boolean operand to INT and retry
+    if "BINARY_OP_DIFF_TYPES" in error_msg:
+        m = re.search(
+            r'Cannot resolve "\((.+)\)" due to data type mismatch: '
+            r'the left and right operands of the binary operator have'
+            r' incompatible types \("([A-Z()0-9,]+)" and '
+            r'"([A-Z()0-9,]+)"\)',
+            error_msg,
+        )
+        if m:
+            split = _top_binary_split(m.group(1))
+            tl, tr = m.group(2), m.group(3)
+            if not split:
+                return None
+            x, _op, y = split
+            if tl == "BOOLEAN" and tr != "BOOLEAN":
+                bool_side = x
+            elif tr == "BOOLEAN" and tl != "BOOLEAN":
+                bool_side = y
+            else:
+                return None
+            pat = re.compile(
+                _flex_expr_pattern(bool_side), re.IGNORECASE
+            )
+            fixed, n = pat.subn(
+                f"CAST(({bool_side}) AS INT)", masked, count=1
+            )
+            if n:
+                return _unmask(fixed, store)
+        return None
     return None
 
 

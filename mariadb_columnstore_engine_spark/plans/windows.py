@@ -575,3 +575,39 @@ def moda_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "cents", "type_moda")
         .orderBy("event_id")
     )
+
+
+@query(
+    "win_corr_running_null_semantics",
+    section="§2.5 CORR over running frames with MariaDB NULL "
+    "semantics (r7 — mcs6178_windowFunctions_CORR.test): Spark's "
+    "native corr THROWS under ANSI mode on zero-variance frames "
+    "(1-row leading frames, tied x runs); the dialect rewrites CORR "
+    "to a try_divide moment formula — NULL there, equal to native "
+    "corr elsewhere. Small-magnitude inputs (mod-reduced keys) keep "
+    "the moment sums exact in doubles so both engines round "
+    "identically; DuckDB's corr window natively yields the same "
+    "NULLs.",
+    oracle="""
+    SELECT o_orderkey,
+           round(corr(o_custkey % 7, o_orderkey % 89) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 4) AS c
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+)
+def win_corr_running_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT o_orderkey,"
+        " ROUND(CORR(o_custkey % 7, o_orderkey % 89) OVER ("
+        "   PARTITION BY o_orderpriority ORDER BY o_orderkey"
+        "   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 4) AS c"
+        " FROM orders"
+        " WHERE o_orderkey < 300"
+        " ORDER BY o_orderkey"
+    )

@@ -924,3 +924,78 @@ def test_hidden_order_by_repair_region_ends_after_order_by(
     ).collect()
     assert len(rows) == 5
     assert [r.note for r in rows] == ["n0", "n1", "n2", "n3", "n4"]
+
+
+def test_corr_window_zero_variance_null(engine_with_table):
+    """mcs6178_windowFunctions_CORR shape: Spark's native corr THROWS
+    under ANSI mode on a zero-variance frame (running frame with tied
+    x); the dialect rewrites CORR to the try_divide moment formula —
+    NULL there, numerically equal to native corr elsewhere."""
+    eng = engine_with_table
+    rows = eng.execute(
+        "SELECT x, y, CORR(x, y) OVER (ORDER BY y) AS c"
+        " FROM VALUES (1,1),(1,2),(2,3),(2,4) AS t(x,y) ORDER BY y"
+    ).collect()
+    assert rows[0].c is None and rows[1].c is None
+    assert abs(rows[3].c - 0.8944271909999159) < 1e-9
+    # plain aggregate CORR with zero variance: NULL, not a throw
+    r = eng.execute(
+        "SELECT CORR(x, y) AS c FROM VALUES (1,1),(1,2) AS t(x,y)"
+    ).collect()
+    assert r[0].c is None
+    # agrees with the exact closed form where defined
+    r2 = eng.execute(
+        "SELECT CORR(id, val) AS c FROM t1"
+    ).collect()[0].c
+    assert abs(r2 - 1.0) < 1e-12  # val = id * 10: perfectly linear
+
+
+def test_get_format_literals(engine_with_table):
+    """GET_FORMAT (mcs7117): the documented region format strings;
+    NULL for unknown regions; TIMESTAMP aliases DATETIME."""
+    eng = engine_with_table
+    q = lambda s: eng.execute(s).collect()[0][0]  # noqa: E731
+    assert q("SELECT GET_FORMAT(DATE, 'USA') AS f") == "%m.%d.%Y"
+    assert q("SELECT GET_FORMAT(DATE, 'EUR') AS f") == "%d.%m.%Y"
+    assert q("SELECT GET_FORMAT(TIME, 'JIS') AS f") == "%H:%i:%s"
+    assert q("SELECT GET_FORMAT(DATETIME, 'INTERNAL') AS f") == (
+        "%Y%m%d%H%i%s"
+    )
+    assert q("SELECT GET_FORMAT(TIMESTAMP, 'ISO') AS f") == (
+        "%Y-%m-%d %H:%i:%s"
+    )
+    assert q("SELECT GET_FORMAT(DATE, 'nope') AS f") is None
+
+
+def test_boolean_int_coercion_repairs(engine_with_table):
+    """MariaDB's boolean-is-int semantics, error-driven (mcs7010/
+    mcs7108/mcs7126/mcs7173 probe shapes): numeric AND/OR numeric,
+    numeric * boolean, CASE branches mixing int and boolean, and
+    NOT <numeric> beside a legal NOT (x BETWEEN ..) — all repair to
+    explicit <> 0 / CAST AS INT forms and run."""
+    eng = engine_with_table
+    # both-numeric conjunction inside IF()
+    rows = eng.execute(
+        "SELECT id, IF(id AND (id - 2), 1, 0) AS f FROM t1"
+        " WHERE id < 4 ORDER BY id"
+    ).collect()
+    assert [(r.id, r.f) for r in rows] == [
+        (0, 0), (1, 1), (2, 0), (3, 1)]
+    # numeric * boolean
+    n = eng.execute(
+        "SELECT COUNT(*) AS c FROM t1 WHERE id * (id > 4) = 0"
+    ).collect()[0].c
+    assert n == 5  # ids 0..4: zero factor
+    # CASE mixing int and boolean branches
+    n2 = eng.execute(
+        "SELECT COUNT(*) AS c FROM t1 WHERE"
+        " CASE WHEN NULL IS NULL THEN id ELSE id > 2 END = 0"
+    ).collect()[0].c
+    assert n2 == 1
+    # NOT over a numeric beside a parenthesized BETWEEN (the round-7
+    # probe found the old repair consumed the BETWEEN's paren)
+    rows3 = eng.execute(
+        "SELECT id FROM t1 WHERE"
+        " NOT (id BETWEEN 1 AND 8) OR NOT id ORDER BY id"
+    ).collect()
+    assert [r.id for r in rows3] == [0, 9]

@@ -125,8 +125,18 @@ def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
     def run():
         try:
             spark.sparkContext.setJobGroup(group, s[:80], True)
-            df = eng.sql(s)
-            result[0] = [tuple(r) for r in df.limit(100000).collect()]
+            # the full statement router (not just the query path) so
+            # router-handled SELECT forms (INTO OUTFILE, SHOW-likes)
+            # count as parsed
+            r = eng.execute(s)
+            if hasattr(r, "limit"):  # DataFrame
+                result[0] = [
+                    tuple(x) for x in r.limit(100000).collect()
+                ]
+            elif isinstance(r, list):
+                result[0] = [tuple(x) for x in r]
+            else:  # row counts / scalar protocol results
+                result[0] = [(r,)]
         except Exception as e:  # noqa: BLE001 — reported via err
             err[0] = e
         finally:
