@@ -58,16 +58,29 @@ def harvest(suite_dirs: list[str]) -> list[tuple[str, str]]:
                 s = stmt.strip()
                 if not re.match(r"select\b", s, re.IGNORECASE):
                     continue
-                refs = {
-                    t.lower()
-                    for t in re.findall(
-                        r"\b(?:from|join)\s+`?(\w+)`?", s, re.IGNORECASE
-                    )
-                }
+                refs = set()
+                for mm in re.finditer(
+                    r"\b(?:from|join)\s+([^()]+?)(?=\bwhere\b|\bjoin\b"
+                    r"|\bon\b|\bgroup\b|\border\b|\bhaving\b|\blimit\b"
+                    r"|\bunion\b|\bleft\b|\bright\b|\binner\b"
+                    r"|\bcross\b|$)",
+                    s,
+                    re.IGNORECASE,
+                ):
+                    # comma-joined FROM lists: every member counts —
+                    # a single-name regex let statements over absent
+                    # tables (lineorder, dateinfo) slip through as
+                    # guaranteed both-engine failures
+                    for part in mm.group(1).split(","):
+                        w = re.match(r"\s*`?(\w+)`?", part)
+                        if w:
+                            refs.add(w.group(1).lower())
+                refs -= {"dual"}
                 if not refs or not refs <= KNOWN_TABLES:
                     continue
                 if re.search(
-                    r"@|\bdtypes\b|\bCALFLUSH|idb[A-Z]|\bRAND\s*\(",
+                    r"@|\bdtypes\b|\bCALFLUSH|idb[A-Z]|\bRAND\s*\("
+                    r"|\bINTO\s+(OUT|DUMP)FILE\b",  # side-effectful
                     s,
                     re.IGNORECASE,
                 ):
