@@ -1267,25 +1267,6 @@ def _rewrite_json_format_functions(masked: str, store: list[str]) -> str:
     return masked
 
 
-#: GET_FORMAT(type, region) literal tables (MariaDB docs; mcs7117's
-#: regression shape). TIMESTAMP aliases DATETIME.
-_GET_FORMATS: dict[str, dict[str, str]] = {
-    "DATE": {
-        "USA": "%m.%d.%Y", "JIS": "%Y-%m-%d", "ISO": "%Y-%m-%d",
-        "EUR": "%d.%m.%Y", "INTERNAL": "%Y%m%d",
-    },
-    "DATETIME": {
-        "USA": "%Y-%m-%d %H.%i.%s", "JIS": "%Y-%m-%d %H:%i:%s",
-        "ISO": "%Y-%m-%d %H:%i:%s", "EUR": "%Y-%m-%d %H.%i.%s",
-        "INTERNAL": "%Y%m%d%H%i%s",
-    },
-    "TIME": {
-        "USA": "%h:%i:%s %p", "JIS": "%H:%i:%s", "ISO": "%H:%i:%s",
-        "EUR": "%H.%i.%s", "INTERNAL": "%H%i%s",
-    },
-}
-
-
 def _rewrite_corr(masked: str, store: list[str]) -> str:
     """CORR(x, y) — aggregate or window — rewritten to the moment
     formula with ``try_divide`` (mcs6178_windowFunctions_CORR.test):
@@ -1350,7 +1331,13 @@ def _rewrite_corr(masked: str, store: list[str]) -> str:
 def _rewrite_get_format(masked: str, store: list[str]) -> str:
     """GET_FORMAT(DATE|TIME|DATETIME|TIMESTAMP, <region>) → a CASE
     over the region string with the documented literal formats
-    (NULL for unknown regions, matching MariaDB)."""
+    (NULL for unknown regions, matching MariaDB). The format table
+    lives in ``dialect._GET_FORMATS`` (func_get_format.cpp) — one
+    source of truth with the Column-API builder."""
+    from mariadb_columnstore_engine_spark.functions.dialect import (
+        _GET_FORMATS,
+    )
+
     pat = re.compile(r"\bGET_FORMAT\s*\(", re.IGNORECASE)
     out, i = [], 0
     while True:
@@ -1366,8 +1353,10 @@ def _rewrite_get_format(masked: str, store: list[str]) -> str:
         kw = args[0].strip().upper()
         if kw == "TIMESTAMP":
             kw = "DATETIME"
-        table = _GET_FORMATS.get(kw)
-        if table is None:
+        table = {
+            r: f for (k2, r), f in _GET_FORMATS.items() if k2 == kw
+        }
+        if not table:
             raise ValueError(
                 f"GET_FORMAT first argument must be DATE/TIME/"
                 f"DATETIME/TIMESTAMP, got {args[0].strip()!r}"
