@@ -1999,7 +1999,10 @@ class Engine:
         parsed = st.parse(stmt)
         if isinstance(parsed, st.Other):
             if parsed.kind == "select":
-                return self.sql(parsed.arg, dialect=dialect)
+                q = parsed.arg
+                if dialect == "mariadb":
+                    q = self._handle_found_rows(q, dialect)
+                return self.sql(q, dialect=dialect)
             if parsed.kind == "drop_view":
                 return self.drop_view(parsed.arg)
             if parsed.kind in ("create_db", "create_db_if_not_exists"):
@@ -2936,6 +2939,55 @@ class Engine:
             )
             return ret if ret is not None else n
         raise AssertionError(f"unroutable statement: {parsed!r}")
+
+    def _handle_found_rows(self, q: str, dialect: str) -> str:
+        """MariaDB pagination idiom (sql_class FOUND_ROWS): a SELECT
+        with the SQL_CALC_FOUND_ROWS option records its PRE-LIMIT row
+        count; a later ``SELECT FOUND_ROWS()`` reads it. The count is
+        computed here as a separate count() job on the LIMIT-stripped
+        statement — the same extra work mysqld does by scanning past
+        the LIMIT, expressed set-based (a count aggregate prunes to a
+        metadata-only/scan-light plan, strictly cheaper than mysqld's
+        full row scan). FOUND_ROWS() references substitute the stored
+        value as a literal (mask-aware); without a prior
+        SQL_CALC_FOUND_ROWS the session value defaults to 0 —
+        documented restriction: plain SELECTs do not update it (their
+        results are lazy DataFrames, never counted engine-side)."""
+        import re
+
+        from mariadb_columnstore_engine_spark.functions.sqltrans import (
+            _mask,
+            _top_level_search,
+            _unmask,
+        )
+
+        masked, store = _mask(q)
+        # FOUND_ROWS() reads the PREVIOUS statement's recorded count
+        if re.search(r"\bFOUND_ROWS\s*\(\s*\)", masked, re.IGNORECASE):
+            val = int(getattr(self, "_found_rows", 0))
+            masked = re.sub(
+                r"\bFOUND_ROWS\s*\(\s*\)",
+                f"CAST({val} AS BIGINT)",
+                masked,
+                flags=re.IGNORECASE,
+            )
+        calc = _top_level_search(
+            r"\bSQL_CALC_FOUND_ROWS\b", masked
+        )
+        if calc:
+            masked = (
+                masked[: calc.start()] + masked[calc.end():]
+            )
+            unlimited = re.sub(
+                r"\bLIMIT\s+\d+(\s*,\s*\d+)?(\s+OFFSET\s+\d+)?\s*$",
+                "",
+                masked.strip(),
+                flags=re.IGNORECASE,
+            )
+            self._found_rows = self.sql(
+                _unmask(unlimited, store), dialect=dialect
+            ).count()
+        return _unmask(masked, store)
 
     def _quiet_analyzer_errors(self):
         """Context manager: silence the JVM SQLQueryContextLogger for

@@ -1690,3 +1690,30 @@ def test_cursor_refused_in_triggers(engine_with_table):
             "CREATE TRIGGER tcur BEFORE INSERT ON t1 FOR EACH ROW "
             "BEGIN DECLARE c CURSOR FOR SELECT 1; OPEN c; END"
         )
+
+
+def test_sql_calc_found_rows(engine_with_table):
+    """MariaDB pagination idiom: SQL_CALC_FOUND_ROWS records the
+    pre-LIMIT count; SELECT FOUND_ROWS() reads it (r7 — probe
+    candidate from VERDICT r6 #3)."""
+    eng = engine_with_table
+    rows = eng.execute(
+        "SELECT SQL_CALC_FOUND_ROWS id FROM t1 WHERE id >= 2"
+        " ORDER BY id LIMIT 3"
+    ).collect()
+    assert [r.id for r in rows] == [2, 3, 4]
+    assert eng.execute(
+        "SELECT FOUND_ROWS() AS n"
+    ).collect()[0].n == 8  # ids 2..9 pre-LIMIT
+    # LIMIT m, n form + OFFSET spelling both strip for the count
+    eng.execute(
+        "SELECT SQL_CALC_FOUND_ROWS id FROM t1 ORDER BY id LIMIT 2, 3"
+    )
+    assert eng.execute(
+        "SELECT FOUND_ROWS() AS n"
+    ).collect()[0].n == 10
+    # FOUND_ROWS() in an expression position
+    v = eng.execute(
+        "SELECT FOUND_ROWS() + 5 AS n"
+    ).collect()[0].n
+    assert v == 15
