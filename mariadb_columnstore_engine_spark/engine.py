@@ -2002,6 +2002,9 @@ class Engine:
                 q = parsed.arg
                 if dialect == "mariadb":
                     q = self._handle_found_rows(q, dialect)
+                    pa = self._handle_procedure_analyse(q, dialect)
+                    if pa is not None:
+                        return pa
                 return self.sql(q, dialect=dialect)
             if parsed.kind == "drop_view":
                 return self.drop_view(parsed.arg)
@@ -2988,6 +2991,94 @@ class Engine:
                 _unmask(unlimited, store), dialect=dialect
             ).count()
         return _unmask(masked, store)
+
+    def _handle_procedure_analyse(self, q: str, dialect: str):
+        """MariaDB ``SELECT … PROCEDURE ANALYSE([max_elems[, max_mem]])``
+        (sql/sql_analyse.cc): per-output-column profiling rows —
+        min/max value, min/max length, empties-or-zeros, NULLs, average
+        (numeric) or average length (string). Re-expressed set-based:
+        ONE aggregate pass over the inner SELECT computes every
+        column's stats in parallel (mysqld streams rows through a
+        per-column analyser — same numbers, one distributed pass).
+        Returns None when the statement carries no PROCEDURE clause.
+        The optional arguments (optimal-fieldtype report tuning) are
+        accepted and ignored — the stats columns are the useful,
+        deterministic part."""
+        import re
+
+        import pyspark.sql.functions as F
+
+        from mariadb_columnstore_engine_spark.functions.sqltrans import (
+            _find_balanced,
+            _mask,
+            _top_level_search,
+            _unmask,
+        )
+
+        masked, store = _mask(q)
+        pm = _top_level_search(
+            r"\bPROCEDURE\s+ANALYSE\s*\(", masked
+        )
+        if not pm:
+            return None
+        open_at = masked.index("(", pm.end() - 1)
+        end = _find_balanced(masked, open_at)
+        if masked[end:].strip(" ;"):
+            raise ValueError(
+                "PROCEDURE ANALYSE must be the final clause"
+            )
+        inner = _unmask(masked[: pm.start()].strip(), store)
+        df = self.sql(inner, dialect=dialect)
+        aggs = []
+        num_types = (
+            "tinyint", "smallint", "int", "bigint", "float",
+            "double", "decimal",
+        )
+        metas = []
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            s = c.cast("string")
+            is_num = f.dataType.simpleString().split("(")[0] in num_types
+            metas.append((f.name, is_num))
+            aggs += [
+                F.min(s).alias(f"{f.name}__min"),
+                F.max(s).alias(f"{f.name}__max"),
+                F.min(F.length(s)).alias(f"{f.name}__minlen"),
+                F.max(F.length(s)).alias(f"{f.name}__maxlen"),
+                F.sum(
+                    F.when(
+                        (s == "") | (s == "0")
+                        | (s.try_cast("double") == 0),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"{f.name}__zero"),
+                F.sum(c.isNull().cast("long")).alias(f"{f.name}__null"),
+                (
+                    F.round(F.avg(c.cast("double")), 4)
+                    if is_num
+                    else F.round(F.avg(F.length(s)), 4)
+                ).alias(f"{f.name}__avg"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        out = [
+            (
+                name,
+                row[f"{name}__min"],
+                row[f"{name}__max"],
+                row[f"{name}__minlen"],
+                row[f"{name}__maxlen"],
+                int(row[f"{name}__zero"] or 0),
+                int(row[f"{name}__null"] or 0),
+                row[f"{name}__avg"],
+            )
+            for name, _ in metas
+        ]
+        return self.spark.createDataFrame(
+            out,
+            "Field_name string, Min_value string, Max_value string,"
+            " Min_length int, Max_length int, Empties_or_zeros bigint,"
+            " Nulls bigint, Avg_value_or_avg_length double",
+        )
 
     def _quiet_analyzer_errors(self):
         """Context manager: silence the JVM SQLQueryContextLogger for

@@ -1717,3 +1717,31 @@ def test_sql_calc_found_rows(engine_with_table):
         "SELECT FOUND_ROWS() + 5 AS n"
     ).collect()[0].n
     assert v == 15
+
+
+def test_procedure_analyse(engine_with_table):
+    """SELECT .. PROCEDURE ANALYSE() (sql_analyse.cc): one aggregate
+    pass produces the per-column profile relation."""
+    eng = engine_with_table
+    df = eng.execute(
+        "SELECT id, note FROM t1 WHERE id < 5 PROCEDURE ANALYSE()"
+    )
+    rows = {r.Field_name: r for r in df.collect()}
+    assert set(rows) == {"id", "note"}
+    rid = rows["id"]
+    assert rid.Min_value == "0" and rid.Max_value == "4"
+    assert rid.Empties_or_zeros == 1 and rid.Nulls == 0
+    assert rid.Avg_value_or_avg_length == 2.0
+    rn = rows["note"]  # ids 0,3 are NULL in the fixture
+    assert rn.Min_value == "n1" and rn.Max_value == "n4"
+    assert rn.Min_length == 2 and rn.Max_length == 2
+    assert rn.Nulls == 2
+    assert rn.Avg_value_or_avg_length == 2.0
+    # args accepted-and-ignored; PROCEDURE must be the final clause
+    eng.execute("SELECT id FROM t1 PROCEDURE ANALYSE(10, 256)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="final clause"):
+        eng.execute(
+            "SELECT id FROM t1 PROCEDURE ANALYSE() ORDER BY id"
+        )
