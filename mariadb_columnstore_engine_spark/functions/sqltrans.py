@@ -1570,15 +1570,20 @@ def _top_binary_split(expr: str) -> tuple[str, str, str] | None:
 
 def _flex_expr_pattern(expr: str) -> str:
     """Regex matching the analyzer's rendering of ``expr`` in the
-    original SQL text, tolerant of whitespace and backtick
-    differences (the analyzer normalizes both)."""
+    original SQL text, tolerant of whitespace, backticks, and table
+    qualifiers (the analyzer strips ``alias.`` prefixes and
+    normalizes spacing). Callers that rewrite should wrap the
+    MATCHED span, not the rendering, so qualifiers survive."""
     toks = re.findall(r"\w+|[^\w\s]", expr)
     parts = []
+    prev = None
     for t in toks:
         if re.fullmatch(r"\w+", t):
-            parts.append(r"`?" + re.escape(t) + r"`?")
+            qual = "" if prev == "." else r"(?:[\w$]+\s*\.\s*)?"
+            parts.append(qual + r"`?" + re.escape(t) + r"`?")
         else:
             parts.append(re.escape(t))
+        prev = t
     return r"\s*".join(parts)
 
 
@@ -1703,13 +1708,14 @@ def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
             if split and split[1].upper() in ("AND", "OR"):
                 x, op, y = split
                 pat = re.compile(
-                    _flex_expr_pattern(x)
+                    "(" + _flex_expr_pattern(x) + ")"
                     + r"(\s+)" + op + r"(\s+)"
-                    + _flex_expr_pattern(y),
+                    + "(" + _flex_expr_pattern(y) + ")",
                     re.IGNORECASE,
                 )
+                # wrap the MATCHED spans (qualified spellings survive)
                 fixed, n = pat.subn(
-                    f"(({x}) <> 0)\\g<1>{op}\\g<2>(({y}) <> 0)",
+                    rf"((\1) <> 0)\g<2>{op}\g<3>((\4) <> 0)",
                     masked,
                 )
                 if n:
@@ -1746,7 +1752,9 @@ def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
                     _flex_expr_pattern(inner), re.IGNORECASE
                 )
                 fixed, n = pat.subn(
-                    f"CAST(({inner}) AS INT)", fixed, count=1
+                    lambda mo: f"CAST(({mo.group(0)}) AS INT)",
+                    fixed,
+                    count=1,
                 )
                 total += n
             if total:
@@ -1780,7 +1788,9 @@ def _numeric_truthiness_repair(sql: str, error_msg: str) -> str | None:
                 _flex_expr_pattern(bool_side), re.IGNORECASE
             )
             fixed, n = pat.subn(
-                f"CAST(({bool_side}) AS INT)", masked, count=1
+                lambda mo: f"CAST(({mo.group(0)}) AS INT)",
+                masked,
+                count=1,
             )
             if n:
                 return _unmask(fixed, store)
