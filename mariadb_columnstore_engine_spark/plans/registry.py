@@ -98,8 +98,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # deferred row's family keeps a fresher member in this window) =
     # exactly 50. The 4 decimal-typed-output variants remain
     # structurally driver-unhashable (policy above) with r6-green wire
-    # twins; rows added mid-r7 (true-shape TPC-H, trigger/DML gates)
-    # carry local DuckDB-parity evidence and rotate into r8.
+    # twins; the 7 rows added mid-r7 (tpch_q2/q9/q20_partsupp,
+    # sql_trigger_before_delete, sql_dml_ordered_limit,
+    # sql_stored_procedure_cursor, win_corr_running_null_semantics)
+    # carry local DuckDB-parity evidence at sf0.001/0.01/0.1 AND sf1
+    # (BENCH.md r7) and rotate into the r8 window.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
