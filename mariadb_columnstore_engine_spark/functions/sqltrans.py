@@ -1062,6 +1062,21 @@ def translate_statement(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     masked = re.sub(r"\bSTRAIGHT_JOIN\b", "JOIN", masked, flags=re.I)
+    # index hints — USE/FORCE/IGNORE INDEX|KEY [FOR JOIN|ORDER BY|
+    # GROUP BY] (name, ...): MariaDB parses these on every table and
+    # the ColumnStore handler ignores them (no secondary indexes —
+    # same reason SHOW INDEX reports declared keys only), so migrated
+    # InnoDB workloads carry them constantly. Accept-and-strip, like
+    # the reference (mysqld sql_yacc.yy parses; the plugin never sees
+    # them). Backticked index names are mask placeholders (\x00N\x00).
+    masked = re.sub(
+        r"\b(?:USE|FORCE|IGNORE)\s+(?:INDEX|KEY)\s*"
+        r"(?:FOR\s+(?:JOIN|ORDER\s+BY|GROUP\s+BY)\s*)?"
+        r"\(\s*[\w`,\s.\x00]*?\)",
+        "",
+        masked,
+        flags=re.IGNORECASE,
+    )
     # row-lock trailers: no row locks in a batch columnar engine (the
     # reference likewise treats them as no-ops on ColumnStore tables)
     masked = re.sub(
@@ -1109,6 +1124,11 @@ def translate_statement(sql: str) -> str:
     masked = _rewrite_string_aliases(masked, store)
     masked = _rewrite_with_rollup(masked, store)
     masked = _rewrite_cast_targets(masked, store)
+    # inline collation forms run AFTER cast targets so CAST(x AS
+    # BINARY) / CONVERT(x USING binary) are already consumed and the
+    # bare unary BINARY / expr COLLATE spellings are all that remain
+    masked = _rewrite_inline_collate(masked, store)
+    masked = _rewrite_binary_operator(masked, store)
     masked = _rewrite_group_concat(masked, store)
     masked = _rewrite_format_calls(masked, store)
     masked = _rewrite_interval_arith(masked, store)
@@ -1267,6 +1287,136 @@ def _rewrite_json_format_functions(masked: str, store: list[str]) -> str:
     return masked
 
 
+def _collate_operand_start(masked: str, end: int) -> int:
+    """Index where the primary expression ending just before ``end``
+    begins. COLLATE / unary BINARY bind to the preceding primary
+    (identifier, qualified name, mask placeholder, function call, or
+    parenthesized expression) — the same tight binding MariaDB's
+    grammar gives COLLATE (sql_yacc.yy: COLLATE_SYM attaches to
+    simple_expr)."""
+    j = end
+    while j > 0 and masked[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        raise ValueError("COLLATE/BINARY: missing operand")
+    if masked[j - 1] == ")":
+        depth, k = 0, j - 1
+        while k >= 0:
+            if masked[k] == ")":
+                depth += 1
+            elif masked[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            raise ValueError("COLLATE/BINARY: unbalanced operand")
+        # absorb an attached function name (fn( ... )) unless it is a
+        # keyword, in which case the parens alone are the operand
+        fm = re.search(r"([A-Za-z_][\w$]*)\s*$", masked[:k])
+        if fm and fm.group(1).upper() not in (
+            "AND", "OR", "NOT", "XOR", "WHEN", "THEN", "ELSE", "IN",
+            "ON", "WHERE", "SELECT", "BY", "CASE", "END", "LIKE",
+            "BETWEEN", "IS", "AS", "FROM", "HAVING", "JOIN", "DISTINCT",
+        ):
+            return fm.start()
+        return k
+    tm = re.search(r"((?:[\w$.]|\x00)+)$", masked[:j])
+    if not tm:
+        raise ValueError("COLLATE/BINARY: missing operand")
+    return tm.start()
+
+
+def _rewrite_inline_collate(masked: str, store: list[str]) -> str:
+    """``expr COLLATE collation_name`` → ``collate(expr, '<icu>')``.
+
+    MariaDB allows COLLATE on any string expression (WHERE, ORDER BY,
+    GROUP BY, select list — sql_yacc.yy simple_expr COLLATE_SYM);
+    collation-aware compare is core reference behavior (SURVEY §1.2,
+    utils/common/collation.h). The name maps through the same
+    dialect.spark_collation table the DDL path uses, so inline and
+    declared collations can never disagree. A binary collation maps to
+    'UTF8_BINARY' (forces binary compare even on a column read with a
+    declared CI collation); unknown names raise, matching the server's
+    'Unknown collation' error."""
+    pat = re.compile(
+        r"\s+COLLATE\s+([A-Za-z][\w]*|\x00\d+\x00)", re.IGNORECASE
+    )
+    while True:
+        m = pat.search(masked)
+        if not m:
+            return masked
+        from mariadb_columnstore_engine_spark.functions.dialect import (
+            spark_collation,
+        )
+
+        raw = m.group(1)
+        if raw.startswith("\x00"):
+            raw = _unmask(raw, store)
+        icu = spark_collation(raw) or "UTF8_BINARY"
+        start = _collate_operand_start(masked, m.start())
+        operand = masked[start : m.start()].strip()
+        masked = (
+            masked[:start]
+            + f"collate({operand}, '{icu}')"
+            + masked[m.end():]
+        )
+
+
+def _rewrite_binary_operator(masked: str, store: list[str]) -> str:
+    """Unary ``BINARY expr`` → ``collate(CAST(expr AS STRING),
+    'UTF8_BINARY')`` — MariaDB's cast-to-binary-collation operator
+    (sql_yacc.yy: BINARY simple_expr), forcing a case-sensitive
+    compare regardless of column collation. ``CAST(x AS BINARY)`` and
+    type positions (``AS BINARY``, ``USING binary``) are consumed by
+    _rewrite_cast_targets before this pass; the preceding-token guard
+    skips any that remain."""
+    pat = re.compile(r"\bBINARY\b", re.IGNORECASE)
+    out: list[str] = []
+    i = 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            return "".join(out)
+        before = masked[: m.start()]
+        pm = re.search(r"(\w+)\s*$", before)
+        if pm and pm.group(1).upper() in ("AS", "USING"):
+            out.append(masked[i : m.end()])
+            i = m.end()
+            continue
+        wm = re.match(r"\s+", masked[m.end():])
+        if not wm:
+            # BINARY( — type spelling BINARY(n); not the operator
+            out.append(masked[i : m.end()])
+            i = m.end()
+            continue
+        j = m.end() + wm.end()
+        if j >= len(masked):
+            out.append(masked[i:])
+            return "".join(out)
+        if masked[j] == "(":
+            end = _find_balanced(masked, j)
+        else:
+            tm = re.match(r"(?:[\w$.]|\x00)+", masked[j:])
+            if not tm:
+                out.append(masked[i : m.end()])
+                i = m.end()
+                continue
+            end = j + tm.end()
+            # attached function call: fn(...)
+            if (
+                end < len(masked)
+                and masked[end] == "("
+                and re.match(r"[A-Za-z_]", masked[j])
+            ):
+                end = _find_balanced(masked, end)
+        operand = masked[j:end]
+        out.append(masked[i : m.start()])
+        out.append(f"collate(CAST({operand} AS STRING), 'UTF8_BINARY')")
+        i = end
+
+
 def _rewrite_corr(masked: str, store: list[str]) -> str:
     """CORR(x, y) — aggregate or window — rewritten to the moment
     formula with ``try_divide`` (mcs6178_windowFunctions_CORR.test):
@@ -1279,7 +1429,16 @@ def _rewrite_corr(masked: str, store: list[str]) -> str:
                                         * (n*Syy - Sy^2), 0d)))
 
     over pairwise-non-NULL doubles. All terms share one Window node
-    (same spec), so the cost is one pass like the native function."""
+    (same spec), so the cost is one pass like the native function.
+
+    The moment rewrite applies ONLY to window CORR (where all terms
+    must share one Window node). Plain aggregate CORR — where Spark's
+    native ``corr`` ALSO throws under ANSI on zero variance — becomes
+    ``try_divide(covar_pop(x,y), stddev_pop(x)*stddev_pop(y))`` over
+    pairwise-non-NULL doubles: Spark's central-moment aggregates use
+    Welford-style updates, so this avoids the moment formula's
+    catastrophic cancellation on large-magnitude inputs while still
+    returning NULL (0/0) on a zero-variance group like MariaDB."""
     pat = re.compile(r"\bCORR\s*\(", re.IGNORECASE)
     out, i = [], 0
     while True:
@@ -1309,6 +1468,17 @@ def _rewrite_corr(masked: str, store: list[str]) -> str:
                     over = " OVER " + wm.group(0)
                     end += om.end() + wm.end()
         pair = f"(({a}) IS NOT NULL AND ({b}) IS NOT NULL)"
+        if not over:
+            xa = f"(CASE WHEN {pair} THEN CAST(({a}) AS DOUBLE) END)"
+            yb = f"(CASE WHEN {pair} THEN CAST(({b}) AS DOUBLE) END)"
+            rendered = (
+                f"try_divide(covar_pop({xa}, {yb}),"
+                f" stddev_pop({xa}) * stddev_pop({yb}))"
+            )
+            out.append(masked[i : m.start()])
+            out.append(rendered)
+            i = end
+            continue
         x = f"(CASE WHEN {pair} THEN CAST(({a}) AS DOUBLE) END)"
         y = f"(CASE WHEN {pair} THEN CAST(({b}) AS DOUBLE) END)"
         n = f"COUNT({x}){over}"

@@ -999,3 +999,80 @@ def test_boolean_int_coercion_repairs(engine_with_table):
         " NOT (id BETWEEN 1 AND 8) OR NOT id ORDER BY id"
     ).collect()
     assert [r.id for r in rows3] == [0, 9]
+
+
+# --- round 8: index hints, inline COLLATE, unary BINARY --------------------
+
+def test_index_hints_stripped():
+    # USE INDEX after a bare table name
+    assert translate_statement(
+        "SELECT a FROM t USE INDEX (PRIMARY) WHERE a = 1"
+    ) == "SELECT a FROM t  WHERE a = 1"
+    # FORCE INDEX FOR JOIN after an alias, backticked + dotted names
+    assert translate_statement(
+        "SELECT a FROM t x FORCE INDEX FOR JOIN (`i1`, db.i2) JOIN u "
+        "IGNORE KEY FOR ORDER BY (k) ON x.a = u.a"
+    ) == "SELECT a FROM t x  JOIN u  ON x.a = u.a"
+    # empty USE INDEX () is valid MariaDB ("use no indexes")
+    assert translate_statement(
+        "SELECT a FROM t USE INDEX () WHERE a = 1"
+    ) == "SELECT a FROM t  WHERE a = 1"
+    # IGNORE INDEX FOR GROUP BY
+    assert translate_statement(
+        "SELECT a FROM t IGNORE INDEX FOR GROUP BY (i) GROUP BY a"
+    ) == "SELECT a FROM t  GROUP BY a"
+
+
+def test_inline_collate_forms():
+    # ORDER BY column COLLATE name
+    assert translate_statement(
+        "SELECT a FROM t ORDER BY a COLLATE utf8mb4_general_ci"
+    ) == "SELECT a FROM t ORDER BY collate(a, 'UNICODE_CI_AI')"
+    # function-call operand + quoted collation name
+    assert translate_statement(
+        "SELECT lower(a) COLLATE 'utf8mb4_turkish_ci' AS x FROM t"
+    ) == "SELECT collate(lower(a), 'tr_CI_AI') AS x FROM t"
+    # binary collation forces UTF8_BINARY (overrides declared CI)
+    assert translate_statement(
+        "SELECT a COLLATE utf8mb4_bin = b FROM t"
+    ) == "SELECT collate(a, 'UTF8_BINARY') = b FROM t"
+    # string-literal operand
+    assert translate_statement(
+        "SELECT 'x' COLLATE latin1_swedish_ci = a FROM t"
+    ) == "SELECT collate('x', 'sv_CI_AI') = a FROM t"
+    # parenthesized operand
+    assert translate_statement(
+        "SELECT (a || b) COLLATE utf8mb4_unicode_ci FROM t"
+    ) == "SELECT collate((a || b), 'UNICODE_CI_AI') FROM t"
+    with pytest.raises(ValueError, match="unknown collation"):
+        translate_statement("SELECT a COLLATE made_up_ci FROM t")
+
+
+def test_unary_binary_operator():
+    assert translate_statement(
+        "SELECT * FROM t WHERE BINARY a = 'x'"
+    ) == ("SELECT * FROM t WHERE "
+          "collate(CAST(a AS STRING), 'UTF8_BINARY') = 'x'")
+    # function-call operand
+    assert translate_statement(
+        "SELECT BINARY lower(a) FROM t"
+    ) == "SELECT collate(CAST(lower(a) AS STRING), 'UTF8_BINARY') FROM t"
+    # literal operand; IN (...) not swallowed as a call
+    assert translate_statement(
+        "SELECT BINARY a IN ('x', 'y') FROM t"
+    ) == ("SELECT collate(CAST(a AS STRING), 'UTF8_BINARY') "
+          "IN ('x', 'y') FROM t")
+    # CAST targets untouched
+    assert translate_statement(
+        "SELECT CAST(a AS BINARY) FROM t"
+    ) == "SELECT CAST(a AS BINARY) FROM t"
+
+
+def test_corr_aggregate_uses_welford_moments():
+    out = translate_statement("SELECT corr(a, b) AS c FROM t GROUP BY g")
+    assert "covar_pop" in out and "stddev_pop" in out
+    assert "SUM(" not in out  # no raw-moment formula for aggregates
+    out2 = translate_statement(
+        "SELECT corr(a, b) OVER (PARTITION BY g ORDER BY i) FROM t"
+    )
+    assert "try_divide" in out2 and "covar_pop" not in out2
