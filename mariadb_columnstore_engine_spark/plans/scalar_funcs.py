@@ -2643,3 +2643,112 @@ def sql_loose_group_by_hidden(
         " GROUP BY n_nationkey"
         " ORDER BY n_regionkey, n_name"
     )
+
+
+@query(
+    "sql_index_hint_collate_binary",
+    section="front-end dialect: USE/FORCE/IGNORE INDEX hints "
+    "(accept-and-strip — the ColumnStore handler has no secondary "
+    "indexes, so mysqld parses and the plugin ignores them; "
+    "sql_yacc.yy index_hint_list), inline expr COLLATE name routed "
+    "through the same ICU map as DDL COLLATE (utils/common/"
+    "collation.h), and the unary BINARY operator (cast to binary "
+    "collation → case-sensitive compare). All three raised raw "
+    "PARSE_SYNTAX_ERROR before round 8 (VERDICT r7 'What's missing' "
+    "#1-3).",
+    oracle="""
+    SELECT v.nk, v.mixed,
+           CAST(CASE WHEN v.mixed = v.orig THEN 1 ELSE 0 END
+                AS BIGINT) AS bin_eq,
+           CAST(CASE WHEN lower(v.mixed) = lower(v.orig) THEN 1 ELSE 0
+                END AS BIGINT) AS ci_eq,
+           r.r_name
+    FROM (SELECT n_nationkey AS nk, n_name AS orig, n_regionkey,
+                 CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name)
+                      ELSE n_name END AS mixed
+          FROM nation) v
+    JOIN region r ON v.n_regionkey = r.r_regionkey
+    WHERE v.orig = upper(v.orig)
+    ORDER BY lower(v.mixed), v.nk
+    """,
+)
+def sql_index_hint_collate_binary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate row for the three round-8 dialect repairs, as one literal
+    MariaDB statement: index hints on an aliased join table, a
+    case-insensitive equality via inline COLLATE utf8mb4_general_ci,
+    a case-sensitive equality via unary BINARY, and a CI ORDER BY via
+    COLLATE. The oracle spells binary compare as DuckDB's default
+    (case-sensitive) compare and general_ci as lower()-folding — exact
+    for the pure-ASCII nation names."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT v.nk, v.mixed,
+           CAST(IF(BINARY v.mixed = v.orig, 1, 0) AS SIGNED) AS bin_eq,
+           CAST(IF(v.mixed COLLATE utf8mb4_general_ci = v.orig, 1, 0)
+                AS SIGNED) AS ci_eq,
+           r.r_name
+    FROM (SELECT n_nationkey AS nk, n_name AS orig, n_regionkey,
+                 CASE WHEN n_nationkey % 2 = 0 THEN LOWER(n_name)
+                      ELSE n_name END AS mixed
+          FROM nation) v USE INDEX (PRIMARY)
+    JOIN region r FORCE INDEX FOR JOIN (`r_pk`, r_extra)
+         ON v.n_regionkey = r.r_regionkey
+    WHERE BINARY v.orig = UPPER(v.orig)
+    ORDER BY v.mixed COLLATE utf8mb4_general_ci, v.nk;
+    """
+    return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sql_stored_procedure_signal",
+    section="front-end: SIGNAL/RESIGNAL + CONTINUE/EXIT handlers in "
+    "stored procedures (r8 — the last mcs17-family surface; "
+    "sql/sql_signal.cc condition classes): a named CONDITION is "
+    "SIGNALed and caught by its CONTINUE handler (which outranks the "
+    "SQLEXCEPTION class handler), adjusting a local; an EXIT handler "
+    "then catches a second SIGNAL so the trailing poison SELECT never "
+    "runs — the gate relation is the handled branch and the oracle "
+    "recomputes it inline.",
+    oracle="""
+    -- the CONTINUE handler for SQLSTATE '45001' sets adj = 100; the
+    -- EXIT handler for '45002' returns before the poison SELECT
+    SELECT n_regionkey,
+           CAST(count(*) + 100 AS BIGINT) AS n_adj
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def sql_stored_procedure_signal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.execute("DROP PROCEDURE IF EXISTS gate_sig")
+    eng.execute(
+        "CREATE PROCEDURE gate_sig (IN cap INT)"
+        " BEGIN"
+        " DECLARE adj INT DEFAULT 0;"
+        " DECLARE too_small CONDITION FOR SQLSTATE '45001';"
+        " DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET adj = -1;"
+        " DECLARE CONTINUE HANDLER FOR too_small SET adj = 100;"
+        " DECLARE EXIT HANDLER FOR SQLSTATE '45002' SET @post = 1;"
+        " IF cap < 1000 THEN"
+        "   SIGNAL too_small SET MESSAGE_TEXT = 'cap below floor';"
+        " END IF;"
+        " SELECT n_regionkey,"
+        "        CAST(count(*) AS SIGNED) + adj AS n_adj"
+        " FROM nation GROUP BY n_regionkey ORDER BY n_regionkey;"
+        " SIGNAL SQLSTATE '45002' SET MESSAGE_TEXT = 'stop';"
+        " SELECT CAST(0 AS SIGNED) AS n_regionkey,"
+        "        CAST(-1 AS SIGNED) AS n_adj;"
+        " END"
+    )
+    return eng.execute("CALL gate_sig(400)")

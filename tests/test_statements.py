@@ -1181,11 +1181,13 @@ def test_stored_procedures_define_call_drop(engine_with_table):
     eng.execute("DROP PROCEDURE IF EXISTS proc1")  # no error
     # SIGNAL / unstructured loops stay refused; DECLARE'd variables
     # are interpreted since r6, read-only cursors since r7
-    with pytest.raises(ValueError, match="control flow"):
-        eng.execute(
-            "CREATE PROCEDURE p3 () BEGIN "
-            "SIGNAL SQLSTATE '45000'; END"
-        )
+    # SIGNAL is interpreted since r8 (test_procedure_signal_and_
+    # handlers); unstructured LOOP/LEAVE stays refused
+    eng.execute(
+        "CREATE PROCEDURE p3 () BEGIN "
+        "SIGNAL SQLSTATE '45000'; END"
+    )
+    eng.execute("DROP PROCEDURE p3")
     with pytest.raises(ValueError, match="control flow"):
         eng.execute(
             "CREATE PROCEDURE p4 () BEGIN "
@@ -1499,18 +1501,40 @@ def test_procedure_declare_locals_and_set(engine_with_table):
     r = eng.execute("CALL pnull(@a)")
     assert r.collect()[0].both_null in (True, 1)
     assert eng.execute("SELECT @a AS a").collect()[0].a == 7
-    # non-NOT-FOUND handlers stay refused (cursors themselves are
-    # interpreted since r7 — test_procedure_read_only_cursor)
+    # UNDO handlers stay refused (no statement-level undo log);
+    # CONTINUE/EXIT handlers are interpreted since r8 —
+    # test_procedure_signal_and_handlers
     import pytest
 
-    with pytest.raises(ValueError, match="CONTINUE HANDLER"):
+    with pytest.raises(ValueError, match="UNDO handlers"):
         eng.execute(
             "CREATE PROCEDURE pcur () BEGIN "
-            "DECLARE EXIT HANDLER FOR SQLEXCEPTION SET @e = 1; "
+            "DECLARE UNDO HANDLER FOR SQLEXCEPTION SET @e = 1; "
             "END"
         )
     for p in ("pdecl", "pnull"):
         eng.execute(f"DROP PROCEDURE {p}")
+
+
+def test_procedure_local_never_rebinds_bare_alias(engine_with_table):
+    """A bare column alias (SELECT expr aliasname — no AS) or a
+    qualified name that collides with a local/param must NOT be
+    replaced by the local's literal value (r8 — ADVICE: the AS-only
+    guard missed the bare-alias spelling)."""
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE palias (IN v INT, OUT r BIGINT) BEGIN "
+        # 'v' as a BARE alias twice and as a qualified column t.v
+        # (fixture t1 has no column v — alias only), while 'v' in
+        # expression positions (id + v, WHERE id < v) substitutes
+        "SELECT SUM(x.v) INTO r FROM "
+        "(SELECT id + v v FROM t1 WHERE id < v) x; "
+        "END"
+    )
+    eng.execute("CALL palias(3, @r)")
+    # ids 0,1,2 each +3 → 3+4+5 = 12
+    assert eng.execute("SELECT @r AS r").collect()[0].r == 12
+    eng.execute("DROP PROCEDURE palias")
 
 
 def test_procedure_repeat_until_loop(engine_with_table):
@@ -1681,6 +1705,206 @@ def test_procedure_read_only_cursor(engine_with_table):
         eng.execute(f"DROP PROCEDURE {p}")
 
 
+def test_cursor_open_prunes_to_fetch_columns(
+    engine_with_table, monkeypatch
+):
+    """OPEN collects only the FETCH INTO column set (r8): the capped
+    driver transfer must not ship a wide SELECT's unused columns. The
+    DECLARED width is still what the ER-1328-style mismatch check
+    sees."""
+    import pytest
+
+    eng = engine_with_table
+    seen: list[list[str]] = []
+    # patch the CONCRETE DataFrame class (Spark 4: pyspark.sql
+    # .DataFrame is an abstract base whose collect is overridden)
+    cls = type(eng.execute("SELECT 1 AS one"))
+    orig = cls.collect
+
+    def spy(self):
+        seen.append(list(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    # all FETCHes take 1 target → only t1's first column ships even
+    # though the cursor SELECT is 3 columns wide; the width mismatch
+    # then errors with the DECLARED width (3), like MariaDB ER 1328
+    eng.execute(
+        "CREATE PROCEDURE cwide () BEGIN "
+        "DECLARE v BIGINT; "
+        "DECLARE cur CURSOR FOR "
+        "  SELECT id, note, val FROM t1 ORDER BY id; "
+        "OPEN cur; FETCH cur INTO v; "
+        "END"
+    )
+    with pytest.raises(ValueError, match="expects 3 target"):
+        eng.execute("CALL cwide()")
+    assert ["id"] in seen  # the OPEN collect was pruned to 1 column
+    assert ["id", "note", "val"] not in seen
+    eng.execute("DROP PROCEDURE cwide")
+
+
+def test_procedure_signal_and_handlers(engine_with_table):
+    """SIGNAL / RESIGNAL and CONTINUE/EXIT handlers (r8 — the last
+    mcs17-family surface; sql_signal.cc condition classes): SIGNAL
+    raises a typed engine error (SqlSignal, sqlstate + errno +
+    MESSAGE_TEXT), DECLARE EXIT HANDLER is a structured early-return
+    with OUT params intact, CONTINUE handlers resume at the next
+    statement, specific SQLSTATE handlers outrank class handlers,
+    named conditions resolve, and RESIGNAL passes outward."""
+    import pytest
+
+    from mariadb_columnstore_engine_spark.engine import SqlSignal
+
+    eng = engine_with_table
+    # unhandled SIGNAL propagates as a typed error
+    eng.execute(
+        "CREATE PROCEDURE praise (IN v INT) BEGIN "
+        "IF v < 0 THEN "
+        "  SIGNAL SQLSTATE '45000' "
+        "    SET MESSAGE_TEXT = 'negative input', MYSQL_ERRNO = 30001; "
+        "END IF; "
+        "SET @ok = v; "
+        "END"
+    )
+    eng.execute("CALL praise(7)")
+    assert eng.execute("SELECT @ok AS v").collect()[0].v == 7
+    with pytest.raises(SqlSignal, match="45000.*negative input") as ei:
+        eng.execute("CALL praise(-1)")
+    assert ei.value.sqlstate == "45000" and ei.value.errno == 30001
+    # EXIT handler: handled SIGNAL → early return, OUT param written
+    eng.execute(
+        "CREATE PROCEDURE phandled (IN v INT, OUT r INT) BEGIN "
+        "DECLARE EXIT HANDLER FOR SQLSTATE '45000' SET r = -99; "
+        "SET r = 1; "
+        "IF v < 0 THEN SIGNAL SQLSTATE '45000'; END IF; "
+        "SET r = 2; "
+        "END"
+    )
+    eng.execute("CALL phandled(5, @r)")
+    assert eng.execute("SELECT @r AS r").collect()[0].r == 2
+    eng.execute("CALL phandled(-5, @r)")
+    assert eng.execute("SELECT @r AS r").collect()[0].r == -99
+    # CONTINUE handler resumes with the NEXT statement; a real SQL
+    # error (bad table) classes as SQLEXCEPTION
+    eng.execute(
+        "CREATE PROCEDURE pcontinue (OUT r INT) BEGIN "
+        "DECLARE hits INT DEFAULT 0; "
+        "DECLARE CONTINUE HANDLER FOR SQLEXCEPTION "
+        "  SET hits = hits + 10; "
+        "SELECT no_such_col INTO r FROM t1; "
+        "SET r = hits + 1; "
+        "END"
+    )
+    eng.execute("CALL pcontinue(@r)")
+    assert eng.execute("SELECT @r AS r").collect()[0].r == 11
+    # specific SQLSTATE handler outranks the SQLEXCEPTION class
+    # handler; named condition + RESIGNAL with message override
+    eng.execute(
+        "CREATE PROCEDURE pspecific (OUT who VARCHAR(20)) BEGIN "
+        "DECLARE bad_input CONDITION FOR SQLSTATE '45001'; "
+        "DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET who = 'class'; "
+        "DECLARE CONTINUE HANDLER FOR bad_input SET who = 'specific'; "
+        "SIGNAL bad_input SET MESSAGE_TEXT = 'nope'; "
+        "END"
+    )
+    eng.execute("CALL pspecific(@w)")
+    assert eng.execute("SELECT @w AS w").collect()[0].w == "specific"
+    # RESIGNAL passes outward (procedure handlers do NOT re-catch),
+    # with the message overridden; handler body in BEGIN..END form
+    eng.execute(
+        "CREATE PROCEDURE presignal () BEGIN "
+        "DECLARE EXIT HANDLER FOR SQLSTATE '45000' BEGIN "
+        "  SET @seen = 1; "
+        "  RESIGNAL SET MESSAGE_TEXT = 'wrapped'; "
+        "END; "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'inner'; "
+        "END"
+    )
+    with pytest.raises(SqlSignal, match="wrapped"):
+        eng.execute("CALL presignal()")
+    assert eng.execute("SELECT @seen AS s").collect()[0].s == 1
+    # RESIGNAL outside a handler errors (ER 1645)
+    eng.execute("CREATE PROCEDURE pbadre () BEGIN RESIGNAL; END")
+    with pytest.raises(ValueError, match="1645|not active"):
+        eng.execute("CALL pbadre()")
+    # EXIT handler for NOT FOUND ends the cursor loop early
+    eng.execute(
+        "CREATE PROCEDURE pexitnf (OUT total BIGINT) BEGIN "
+        "DECLARE v BIGINT; "
+        "DECLARE acc BIGINT DEFAULT 0; "
+        "DECLARE cur CURSOR FOR SELECT id FROM t1 ORDER BY id; "
+        "DECLARE EXIT HANDLER FOR NOT FOUND SET total = acc; "
+        "WHILE 1 = 1 DO "
+        "  FETCH cur INTO v; "
+        "  SET acc = acc + v; "
+        "END WHILE; "
+        "END"
+    )
+    # cursor never opened → FETCH errors (SQLEXCEPTION class, not
+    # NOT FOUND) — unmatched, propagates
+    with pytest.raises(ValueError, match="not open"):
+        eng.execute("CALL pexitnf(@t)")
+    # warning-class SIGNAL without a handler proceeds (not fatal)
+    eng.execute(
+        "CREATE PROCEDURE pwarn (OUT r INT) BEGIN "
+        "SIGNAL SQLSTATE '01002' SET MESSAGE_TEXT = 'heads up'; "
+        "SET r = 42; "
+        "END"
+    )
+    eng.execute("CALL pwarn(@r)")
+    assert eng.execute("SELECT @r AS r").collect()[0].r == 42
+    for p in (
+        "praise", "phandled", "pcontinue", "pspecific",
+        "presignal", "pbadre", "pexitnf", "pwarn",
+    ):
+        eng.execute(f"DROP PROCEDURE {p}")
+
+
+def test_procedure_exit_handler_with_open_cursor(engine_with_table):
+    """The canonical MariaDB cursor loop with an EXIT handler — the
+    NOT FOUND exhaustion exits the WHILE directly."""
+    eng = engine_with_table
+    eng.execute(
+        "CREATE PROCEDURE psum2 (OUT total BIGINT) BEGIN "
+        "DECLARE v BIGINT; "
+        "DECLARE acc BIGINT DEFAULT 0; "
+        "DECLARE cur CURSOR FOR "
+        "  SELECT id FROM t1 WHERE id < 5 ORDER BY id; "
+        "DECLARE EXIT HANDLER FOR NOT FOUND SET total = acc; "
+        "OPEN cur; "
+        "WHILE 1 = 1 DO "
+        "  FETCH cur INTO v; "
+        "  SET acc = acc + v; "
+        "END WHILE; "
+        "END"
+    )
+    eng.execute("CALL psum2(@t)")
+    assert eng.execute("SELECT @t AS t").collect()[0].t == 10
+    eng.execute("DROP PROCEDURE psum2")
+
+
+def test_malformed_cursor_rejected_at_create(engine_with_table):
+    """Cursor spellings that miss the supported forms fail at CREATE
+    with a parse error — never at CALL time as a raw Spark error."""
+    import pytest
+
+    eng = engine_with_table
+    for body in (
+        "FETCH cur",  # no INTO
+        "OPEN cur extra",  # trailing token
+        "CLOSE",  # missing name
+        "DECLARE cur CURSOR",  # no FOR <select>
+    ):
+        with pytest.raises(ValueError, match="malformed cursor"):
+            eng.execute(
+                "CREATE PROCEDURE mc () BEGIN "
+                "DECLARE v BIGINT; "
+                f"{body}; "
+                "END"
+            )
+
+
 def test_cursor_refused_in_triggers(engine_with_table):
     import pytest
 
@@ -1712,11 +1936,24 @@ def test_sql_calc_found_rows(engine_with_table):
     assert eng.execute(
         "SELECT FOUND_ROWS() AS n"
     ).collect()[0].n == 10
-    # FOUND_ROWS() in an expression position
+    # FOUND_ROWS() in an expression position. The preceding
+    # SELECT FOUND_ROWS() was itself a 1-row plain SELECT, which (as
+    # in MariaDB) reset the session value to 1 — so this reads 1+5.
     v = eng.execute(
         "SELECT FOUND_ROWS() + 5 AS n"
     ).collect()[0].n
-    assert v == 15
+    assert v == 6
+    # plain SELECT (no SQL_CALC_FOUND_ROWS) also updates the session
+    # value — to the POST-LIMIT count of rows returned (MariaDB
+    # semantics); the count job runs lazily, only on this read
+    eng.execute("SELECT id FROM t1 WHERE id >= 4 ORDER BY id LIMIT 3")
+    assert eng.execute(
+        "SELECT FOUND_ROWS() AS n"
+    ).collect()[0].n == 3
+    # ...and SELECT FOUND_ROWS() is itself a 1-row plain SELECT
+    assert eng.execute(
+        "SELECT FOUND_ROWS() AS n"
+    ).collect()[0].n == 1
 
 
 def test_procedure_analyse(engine_with_table):
@@ -1737,6 +1974,16 @@ def test_procedure_analyse(engine_with_table):
     assert rn.Min_length == 2 and rn.Max_length == 2
     assert rn.Nulls == 2
     assert rn.Avg_value_or_avg_length == 2.0
+    # numeric min/max are tracked NUMERICALLY (sql_analyse.cc), not as
+    # lexicographic string extremes: over {-5,-2,1,...,22} a string
+    # min/max would report '-2'/'7'
+    rv = {
+        r.Field_name: r
+        for r in eng.execute(
+            "SELECT id * 3 - 5 AS v FROM t1 PROCEDURE ANALYSE()"
+        ).collect()
+    }["v"]
+    assert rv.Min_value == "-5" and rv.Max_value == "22"
     # args accepted-and-ignored; PROCEDURE must be the final clause
     eng.execute("SELECT id FROM t1 PROCEDURE ANALYSE(10, 256)")
     import pytest as _pytest
