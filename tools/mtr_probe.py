@@ -215,7 +215,9 @@ def main() -> int:
 
     n_both = n_match = n_spark_only = n_duck_only = n_neither = 0
     fails = []
-    buckets = {"duck_only": [], "neither": [], "diff": []}
+    buckets = {
+        "duck_only": [], "neither": [], "diff": [], "spark_only": [],
+    }
     for src, s in stmts:
         derr = serr = None
         try:
@@ -241,6 +243,13 @@ def main() -> int:
             continue
         if drows is None:
             n_spark_only += 1
+            # the bucket the oracle CANNOT check (DuckDB can't parse
+            # the spelling) — dumped so tools/mtr_triage.py can audit
+            # that every spelling family has an oracle'd registry row
+            buckets["spark_only"].append(
+                {"src": src, "sql": s, "duck_err": derr[:400],
+                 "spark_rows": len(srows)}
+            )
             continue
         n_both += 1
         if canon(srows) == canon(drows):
