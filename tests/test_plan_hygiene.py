@@ -50,7 +50,41 @@ PYTHON_OK = {
     "op_skyline_pareto",
 }
 
+#: queries allowed an UNPARTITIONED ordered window — each bounded to a
+#: constant-size input BEFORE the window (the SCALE.md invariant:
+#: global windows only over top-K prefilters or constant dims).
+#: Additions here need the same justification.
+GLOBAL_WINDOW_OK = {
+    "text_vocab_zipf": "top-50 TakeOrderedAndProject prefilter",
+    "text_bpe_pair_frequency": "top-10 TakeOrderedAndProject prefilter",
+    "collation_ci_battery": "25-row nation dim",
+    "collation_ci_ai_battery": "25-row nation dim",
+    "collation_locale_battery": "25-row nation dim",
+}
+
 _SPECS = load_all()
+
+
+def _global_windows(jnode, out):
+    """Collect window-exec nodes whose partitionSpec is EMPTY — the
+    single-reducer shape. Descends through AQE wrappers."""
+    cls = jnode.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _global_windows(jnode.inputPlan(), out)
+        return
+    if cls in (
+        "WindowExec",
+        "WindowGroupLimitExec",
+        "WindowInPandasExec",
+    ):
+        try:
+            if jnode.partitionSpec().isEmpty():
+                out.append(cls)
+        except Exception:  # noqa: BLE001 — node without partitionSpec
+            pass
+    it = jnode.children().iterator()
+    while it.hasNext():
+        _global_windows(it.next(), out)
 
 
 @pytest.fixture(scope="module")
@@ -58,15 +92,21 @@ def plans(spark, sf_dir):
     out = {}
     for name, spec in _SPECS.items():
         df = spec.fn(spark, sf_dir)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        jplan = df._jdf.queryExecution().executedPlan()
+        gw: list[str] = []
+        _global_windows(jplan, gw)
+        out[name] = {"plan": jplan.toString(), "global_windows": gw}
     return out
 
 
 def test_no_unexpected_cartesian(plans):
     offenders = [
         n
-        for n, p in plans.items()
-        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+        for n, e in plans.items()
+        if (
+            "CartesianProduct" in e["plan"]
+            or "BroadcastNestedLoopJoin" in e["plan"]
+        )
         and n not in CARTESIAN_OK
     ]
     assert not offenders, f"unexpected cartesian/BNLJ plans: {offenders}"
@@ -75,24 +115,53 @@ def test_no_unexpected_cartesian(plans):
 def test_no_row_at_a_time_python_anywhere(plans):
     # BatchEvalPython = pickled row-at-a-time UDF — never acceptable,
     # not even on the UDF surface (which must be Arrow-vectorized)
-    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    offenders = [
+        n for n, e in plans.items() if "BatchEvalPython" in e["plan"]
+    ]
     assert not offenders, f"row-at-a-time Python UDF plans: {offenders}"
 
 
 def test_python_only_on_declared_udf_surface(plans):
     offenders = [
         n
-        for n, p in plans.items()
+        for n, e in plans.items()
         if (
-            "ArrowEvalPython" in p
-            or "FlatMapGroupsInPandas" in p
-            or "MapInPandas" in p
-            or "PythonUDTF" in p
-            or "AggregateInPandas" in p
+            "ArrowEvalPython" in e["plan"]
+            or "FlatMapGroupsInPandas" in e["plan"]
+            or "MapInPandas" in e["plan"]
+            or "PythonUDTF" in e["plan"]
+            or "AggregateInPandas" in e["plan"]
         )
         and n not in PYTHON_OK
     ]
     assert not offenders, f"Python in non-UDF-surface plans: {offenders}"
+
+
+def test_global_windows_only_over_bounded_inputs(plans):
+    """SCALE.md invariant (r8 — VERDICT r7 'What's wrong' #3): an
+    UNPARTITIONED ordered window is a single-reducer; it is allowed
+    ONLY over a provably tiny input — a top-K TakeOrderedAndProject
+    prefilter or a constant-size dim — and every such query must be
+    allowlisted in GLOBAL_WINDOW_OK with its bound. Detection is
+    exact: WindowExec nodes with an empty partitionSpec, walked from
+    the executed plan (not a string heuristic)."""
+    offenders = [
+        f"{n}: {e['global_windows']}"
+        for n, e in plans.items()
+        if e["global_windows"] and n not in GLOBAL_WINDOW_OK
+    ]
+    assert not offenders, (
+        "unpartitioned ordered windows outside the bounded-input "
+        f"allowlist: {offenders}"
+    )
+    # the allowlisted top-K rows must actually carry their prefilter
+    # below the window (the bound is load-bearing, not a comment)
+    for n, why in GLOBAL_WINDOW_OK.items():
+        if "prefilter" in why and plans[n]["global_windows"]:
+            assert (
+                "TakeOrderedAndProject" in plans[n]["plan"]
+                or "GlobalLimit" in plans[n]["plan"]
+            ), f"{n} claims a top-K prefilter but the plan has none"
 
 
 def test_registry_covers_all_sections(plans):
