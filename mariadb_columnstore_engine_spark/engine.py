@@ -69,9 +69,23 @@ class SqlSignal(ValueError):
         return "sqlexception"
 
 
-class _ExitBlock(Exception):
-    """Control-flow sentinel: an EXIT handler ran — unwind out of the
-    procedure body (never user-visible)."""
+class _ControlFlow(Exception):
+    """Base for interpreter control-flow sentinels — never dispatched
+    to SQL condition handlers, never user-visible."""
+
+
+class _ExitBlock(_ControlFlow):
+    """An EXIT handler ran — unwind out of the procedure body."""
+
+
+class _LoopSignal(_ControlFlow):
+    """LEAVE/ITERATE targeting a labeled loop (r8 — the last mcs17
+    control-flow surface)."""
+
+    def __init__(self, kind: str, label: str):
+        self.kind = kind  # "leave" | "iterate"
+        self.label = label
+        super().__init__(f"{kind.upper()} {label}")
 
 
 class Engine:
@@ -430,21 +444,12 @@ class Engine:
             out.append(r)
         return out
 
-    # statements the interpreter cannot honor (unstructured
-    # LOOP/LEAVE/ITERATE): refused at CREATE, not mistranslated at
-    # CALL. IF/WHILE/REPEAT/DECLARE are NOT here — they are
-    # interpreted (mcs17); scalar IF(a,b,c) inside statements was
-    # never meant to be refused (round-5 finding: the old r"\bIF\s"
-    # alternation matched the function spelled with a space). Since
-    # r7, READ-ONLY CURSORS over bounded SELECTs are interpreted too
-    # (DECLARE .. CURSOR FOR / OPEN / FETCH INTO / CLOSE); since r8,
-    # SIGNAL/RESIGNAL, DECLARE .. CONDITION, and CONTINUE/EXIT
-    # handlers for NOT FOUND / SQLEXCEPTION / SQLWARNING / SQLSTATE /
-    # errno / named conditions are interpreted too (sql_signal.cc's
-    # condition classes); only UNDO handlers remain refused.
-    _PROC_UNSUPPORTED = (
-        r"\bLOOP\b|\bLEAVE\b|\bITERATE\b"
-    )
+    # The full mcs17 compound-statement surface is interpreted:
+    # IF/ELSEIF/ELSE, WHILE, REPEAT..UNTIL, procedural CASE (r8),
+    # labeled LOOP + LEAVE/ITERATE (r8), DECLARE'd locals, read-only
+    # cursors (r7), SIGNAL/RESIGNAL + CONTINUE/EXIT handlers + named
+    # CONDITIONs (r8). Only UNDO handlers remain refused (no
+    # statement-level undo log) — enforced in the body parser.
 
     #: WHILE-loop hard iteration cap: an interpreted loop whose
     #: condition never goes false must error, not hang the session
@@ -526,6 +531,48 @@ class Engine:
                 ):
                     return nodes, tok
                 pos += 1
+                # optional loop label: `name: LOOP|WHILE|REPEAT …`
+                # (LEAVE/ITERATE target it — sql_yacc.yy sp_labeled
+                # control; labels are block-scoped names)
+                label = None
+                lm = re.match(
+                    r"([A-Za-z_]\w*)\s*:\s*(.*)$", tok, re.DOTALL
+                )
+                if lm and re.match(
+                    r"(?:LOOP|WHILE|REPEAT)\b",
+                    lm.group(2),
+                    re.IGNORECASE,
+                ):
+                    label = lm.group(1).lower()
+                    tok = lm.group(2).strip()
+                m = re.match(
+                    r"LOOP\b\s*(.*)$", tok, re.IGNORECASE | re.DOTALL
+                )
+                if m:
+                    first = m.group(1).strip()
+                    if first:
+                        tokens.insert(pos, first)
+                    body, term = parse_block(("END\\s+LOOP",))
+                    if pos >= len(tokens):
+                        raise ValueError(
+                            "LOOP missing END LOOP in procedure body"
+                        )
+                    pos += 1  # consume END LOOP [label]
+                    nodes.append(("loop", label, body))
+                    continue
+                m = re.match(
+                    r"(LEAVE|ITERATE)\s+([\w`]+)\s*$",
+                    tok,
+                    re.IGNORECASE,
+                )
+                if m:
+                    nodes.append(
+                        (
+                            m.group(1).lower(),
+                            m.group(2).strip("`").lower(),
+                        )
+                    )
+                    continue
                 m = re.match(
                     r"IF\s+(.*?)\s+THEN\b\s*(.*)$",
                     tok,
@@ -602,7 +649,9 @@ class Engine:
                         tokens.insert(pos, first)
                     body, term = parse_block(("END\\s+WHILE",))
                     pos += 1  # consume END WHILE
-                    nodes.append(("while", _unmask(cond, store), body))
+                    nodes.append(
+                        ("while", _unmask(cond, store), body, label)
+                    )
                     continue
                 m = re.match(
                     r"REPEAT\b\s*(.*)$", tok, re.IGNORECASE | re.DOTALL
@@ -624,7 +673,88 @@ class Engine:
                         )
                     pos += 1  # consume UNTIL .. END REPEAT
                     nodes.append(
-                        ("repeat", _unmask(um.group(1), store), body)
+                        (
+                            "repeat",
+                            _unmask(um.group(1), store),
+                            body,
+                            label,
+                        )
+                    )
+                    continue
+                # procedural CASE (r8 — sql_yacc.yy sp_case):
+                # CASE [subject] WHEN v THEN stmts… [ELSE stmts]
+                # END CASE. Searched and simple forms; a simple CASE
+                # evaluates its subject ONCE. No matching branch and
+                # no ELSE raises ER 1339 (SQLSTATE 20000) at runtime.
+                m = re.match(
+                    r"CASE\b\s*(.*?)\s*WHEN\s+(.*?)\s+THEN\b\s*(.*)$",
+                    tok,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if m:
+                    subject = m.group(1).strip() or None
+                    branches = []
+                    first = m.group(3).strip()
+                    if first:
+                        tokens.insert(pos, first)
+                    body, term = parse_block(
+                        ("WHEN", "ELSE", "END\\s+CASE")
+                    )
+                    branches.append((_unmask(m.group(2), store), body))
+                    else_nodes, has_else = [], False
+                    while True:
+                        if pos >= len(tokens):
+                            raise ValueError(
+                                "CASE statement missing END CASE in "
+                                "procedure body"
+                            )
+                        tok2 = tokens[pos]
+                        pos += 1
+                        wm2 = re.match(
+                            r"WHEN\s+(.*?)\s+THEN\b\s*(.*)$",
+                            tok2,
+                            re.IGNORECASE | re.DOTALL,
+                        )
+                        if wm2:
+                            if wm2.group(2).strip():
+                                tokens.insert(pos, wm2.group(2).strip())
+                            b2, term = parse_block(
+                                ("WHEN", "ELSE", "END\\s+CASE")
+                            )
+                            branches.append(
+                                (_unmask(wm2.group(1), store), b2)
+                            )
+                            continue
+                        em2 = re.match(
+                            r"ELSE\b\s*(.*)$",
+                            tok2,
+                            re.IGNORECASE | re.DOTALL,
+                        )
+                        if em2:
+                            has_else = True
+                            if em2.group(1).strip():
+                                tokens.insert(pos, em2.group(1).strip())
+                            else_nodes, term = parse_block(
+                                ("END\\s+CASE",)
+                            )
+                            pos += 1  # consume END CASE
+                            break
+                        if re.match(
+                            r"END\s+CASE\b", tok2, re.IGNORECASE
+                        ):
+                            break
+                        raise ValueError(
+                            "unexpected token in CASE statement: "
+                            f"{tok2[:40]!r}"
+                        )
+                    nodes.append(
+                        (
+                            "case_stmt",
+                            _unmask(subject, store) if subject else None,
+                            branches,
+                            else_nodes,
+                            has_else,
+                        )
                     )
                     continue
                 # read-only cursor surface (r7): DECLARE..CURSOR FOR,
@@ -971,14 +1101,6 @@ class Engine:
                     "CREATE PROCEDURE expects a BEGIN .. END body"
                 )
             body_text = _unmask(tm.group(2), store).strip()
-            if re.search(self._PROC_UNSUPPORTED, body_text, re.IGNORECASE):
-                raise ValueError(
-                    "unsupported procedural control flow "
-                    "(unstructured LOOP/LEAVE/ITERATE) in procedure "
-                    "body — statement lists with IF/WHILE/REPEAT "
-                    "blocks, locals, read-only cursors, and "
-                    "SIGNAL/handlers only"
-                )
             body = self._parse_proc_body(body_text)
             comment = None
             if tm.group(1):
@@ -1351,7 +1473,7 @@ class Engine:
             for node in nodes:
                 try:
                     _exec_node(node)
-                except _ExitBlock:
+                except _ControlFlow:
                     raise
                 except SqlSignal as e:
                     _dispatch(e)
@@ -1490,7 +1612,7 @@ class Engine:
                     else:
                         _run_nodes(else_nodes)
                 elif node[0] == "while":
-                    _, cond, body_nodes = node
+                    _, cond, body_nodes, wlabel = node
                     iters = 0
                     while _truthy(cond):
                         iters += 1
@@ -1500,11 +1622,18 @@ class Engine:
                                 f"{self._PROC_WHILE_CAP} iterations "
                                 "(runaway-procedure guard)"
                             )
-                        _run_nodes(body_nodes)
+                        try:
+                            _run_nodes(body_nodes)
+                        except _LoopSignal as ls:
+                            if ls.label != wlabel:
+                                raise
+                            if ls.kind == "leave":
+                                break
+                            # iterate: next condition check
                 elif node[0] == "repeat":
                     # body-first loop: runs once, repeats until the
                     # UNTIL condition is true (MariaDB REPEAT)
-                    _, cond, body_nodes = node
+                    _, cond, body_nodes, rlabel = node
                     iters = 0
                     while True:
                         iters += 1
@@ -1514,9 +1643,74 @@ class Engine:
                                 f"{self._PROC_WHILE_CAP} iterations "
                                 "(runaway-procedure guard)"
                             )
-                        _run_nodes(body_nodes)
+                        try:
+                            _run_nodes(body_nodes)
+                        except _LoopSignal as ls:
+                            if ls.label != rlabel:
+                                raise
+                            if ls.kind == "leave":
+                                break
+                            continue  # iterate: straight to the body
                         if _truthy(cond):
                             break
+                elif node[0] == "loop":
+                    # unconditional loop: LEAVE is the only exit
+                    _, llabel, body_nodes = node
+                    iters = 0
+                    while True:
+                        iters += 1
+                        if iters > self._PROC_WHILE_CAP:
+                            raise ValueError(
+                                f"LOOP exceeded "
+                                f"{self._PROC_WHILE_CAP} iterations "
+                                "(runaway-procedure guard; LOOP "
+                                "needs a reachable LEAVE)"
+                            )
+                        try:
+                            _run_nodes(body_nodes)
+                        except _LoopSignal as ls:
+                            if ls.label != llabel:
+                                raise
+                            if ls.kind == "leave":
+                                break
+                elif node[0] == "leave":
+                    raise _LoopSignal("leave", node[1])
+                elif node[0] == "iterate":
+                    raise _LoopSignal("iterate", node[1])
+                elif node[0] == "case_stmt":
+                    _, subj, branches, else_nodes, has_else = node
+                    if subj is not None:
+                        # simple CASE: subject evaluated ONCE
+                        sval = self._render_uservar_literal(
+                            _eval(subj)
+                        )
+                        taken = next(
+                            (
+                                b
+                                for v, b in branches
+                                if _truthy(f"({sval}) = ({v})")
+                            ),
+                            None,
+                        )
+                    else:
+                        taken = next(
+                            (
+                                b
+                                for v, b in branches
+                                if _truthy(v)
+                            ),
+                            None,
+                        )
+                    if taken is not None:
+                        _run_nodes(taken)
+                    elif has_else:
+                        _run_nodes(else_nodes)
+                    else:
+                        raise SqlSignal(
+                            "20000",
+                            1339,
+                            "Case not found for CASE statement",
+                        )
                 elif node[0] == "declare":
                     _, names, default = node
                     for nm in names:
@@ -1534,6 +1728,11 @@ class Engine:
             # an EXIT handler ran: structured early-return — OUT
             # params still flow back (MariaDB: the CALL completes)
             pass
+        except _LoopSignal as ls:
+            raise ValueError(
+                f"{ls.kind.upper()} {ls.label!r} does not match any "
+                "enclosing labeled loop (ER_SP_LILABEL_MISMATCH)"
+            ) from None
         for pname, varname in out_targets.items():
             uvars[varname] = locals_.get(pname)
         return (results[-1] if results else None,)
@@ -1592,7 +1791,8 @@ class Engine:
 
             def _no_loops(ns):
                 for n in ns:
-                    if n[0] in ("while", "repeat"):
+                    if n[0] in ("while", "repeat", "loop", "leave",
+                                "iterate"):
                         raise ValueError(
                             "loops in trigger bodies have no set-based "
                             "reading and are not supported"

@@ -1179,20 +1179,21 @@ def test_stored_procedures_define_call_drop(engine_with_table):
     with pytest.raises(ValueError, match="ER_SP_DOES_NOT_EXIST"):
         eng.execute("DROP PROCEDURE proc1")
     eng.execute("DROP PROCEDURE IF EXISTS proc1")  # no error
-    # SIGNAL / unstructured loops stay refused; DECLARE'd variables
-    # are interpreted since r6, read-only cursors since r7
-    # SIGNAL is interpreted since r8 (test_procedure_signal_and_
-    # handlers); unstructured LOOP/LEAVE stays refused
+    # the full compound surface is interpreted since r8: SIGNAL
+    # (test_procedure_signal_and_handlers) and labeled LOOP/LEAVE
+    # (test_procedure_labeled_loops_and_case) both CREATE fine; only
+    # UNDO handlers remain refused
     eng.execute(
         "CREATE PROCEDURE p3 () BEGIN "
         "SIGNAL SQLSTATE '45000'; END"
     )
     eng.execute("DROP PROCEDURE p3")
-    with pytest.raises(ValueError, match="control flow"):
-        eng.execute(
-            "CREATE PROCEDURE p4 () BEGIN "
-            "walk: LOOP LEAVE walk; END LOOP; END"
-        )
+    eng.execute(
+        "CREATE PROCEDURE p4 () BEGIN "
+        "walk: LOOP LEAVE walk; END LOOP; END"
+    )
+    eng.execute("CALL p4()")  # leaves immediately — no-op
+    eng.execute("DROP PROCEDURE p4")
 
 
 def test_procedure_in_run_script_block_aware_split(engine_with_table):
@@ -1857,6 +1858,116 @@ def test_procedure_signal_and_handlers(engine_with_table):
     for p in (
         "praise", "phandled", "pcontinue", "pspecific",
         "presignal", "pbadre", "pexitnf", "pwarn",
+    ):
+        eng.execute(f"DROP PROCEDURE {p}")
+
+
+def test_procedure_labeled_loops_and_case(engine_with_table):
+    """Labeled LOOP / LEAVE / ITERATE and the procedural CASE
+    statement (r8 — completes the mcs17 compound surface; formerly
+    refused at CREATE)."""
+    import pytest
+
+    from mariadb_columnstore_engine_spark.engine import SqlSignal
+
+    eng = engine_with_table
+    # LOOP with LEAVE + ITERATE: sum odd numbers 1..9
+    eng.execute(
+        "CREATE PROCEDURE ploop (OUT total INT) BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "DECLARE acc INT DEFAULT 0; "
+        "walker: LOOP "
+        "  SET i = i + 1; "
+        "  IF i >= 10 THEN LEAVE walker; END IF; "
+        "  IF i % 2 = 0 THEN ITERATE walker; END IF; "
+        "  SET acc = acc + i; "
+        "END LOOP walker; "
+        "SET total = acc; "
+        "END"
+    )
+    eng.execute("CALL ploop(@t)")
+    assert eng.execute("SELECT @t AS t").collect()[0].t == 25
+    # LEAVE from a LABELED WHILE, targeting the OUTER loop from an
+    # inner one (multi-level unwind)
+    eng.execute(
+        "CREATE PROCEDURE pnest (OUT total INT) BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "DECLARE acc INT DEFAULT 0; "
+        "outerw: WHILE 1 = 1 DO "
+        "  SET i = i + 1; "
+        "  innerw: WHILE 1 = 1 DO "
+        "    SET acc = acc + i; "
+        "    IF acc >= 7 THEN LEAVE outerw; END IF; "
+        "    LEAVE innerw; "
+        "  END WHILE innerw; "
+        "END WHILE outerw; "
+        "SET total = acc; "
+        "END"
+    )
+    eng.execute("CALL pnest(@t)")
+    assert eng.execute("SELECT @t AS t").collect()[0].t == 10
+    # a LOOP with no reachable LEAVE trips the runaway cap
+    eng.execute(
+        "CREATE PROCEDURE pinf () BEGIN "
+        "DECLARE i INT DEFAULT 0; "
+        "spin: LOOP SET i = i + 1; END LOOP spin; "
+        "END"
+    )
+    eng._PROC_WHILE_CAP = 25  # keep the cap trip fast in-test
+    try:
+        with pytest.raises(ValueError, match="runaway"):
+            eng.execute("CALL pinf()")
+    finally:
+        del eng._PROC_WHILE_CAP
+    # LEAVE naming a label that doesn't enclose it
+    eng.execute(
+        "CREATE PROCEDURE pbadlabel () BEGIN "
+        "walk: LOOP LEAVE elsewhere; END LOOP walk; "
+        "END"
+    )
+    with pytest.raises(ValueError, match="LILABEL|does not match"):
+        eng.execute("CALL pbadlabel()")
+    # simple CASE (subject evaluated once) + searched CASE + ER 1339
+    eng.execute(
+        "CREATE PROCEDURE pcase (IN v INT, OUT tag VARCHAR(10)) BEGIN "
+        "CASE v "
+        "  WHEN 1 THEN SET tag = 'one'; "
+        "  WHEN 2 THEN SET tag = 'two'; SET @extra = 99; "
+        "  ELSE SET tag = 'many'; "
+        "END CASE; "
+        "END"
+    )
+    eng.execute("CALL pcase(2, @g)")
+    got = eng.execute("SELECT @g AS g, @extra AS e").collect()[0]
+    assert got.g == "two" and got.e == 99
+    eng.execute("CALL pcase(7, @g)")
+    assert eng.execute("SELECT @g AS g").collect()[0].g == "many"
+    eng.execute(
+        "CREATE PROCEDURE pcase2 (IN v INT, OUT tag VARCHAR(10)) BEGIN "
+        "CASE "
+        "  WHEN v < 0 THEN SET tag = 'neg'; "
+        "  WHEN v = 0 THEN SET tag = 'zero'; "
+        "END CASE; "
+        "END"
+    )
+    eng.execute("CALL pcase2(-3, @g)")
+    assert eng.execute("SELECT @g AS g").collect()[0].g == "neg"
+    # no matching WHEN and no ELSE: MariaDB ER 1339 — and it is a
+    # handleable condition (SQLSTATE 20000)
+    with pytest.raises(SqlSignal, match="1339|Case not found"):
+        eng.execute("CALL pcase2(5, @g)")
+    eng.execute(
+        "CREATE PROCEDURE pcase3 (OUT r VARCHAR(10)) BEGIN "
+        "DECLARE CONTINUE HANDLER FOR SQLSTATE '20000' "
+        "  SET r = 'handled'; "
+        "CASE WHEN 1 = 2 THEN SET r = 'no'; END CASE; "
+        "END"
+    )
+    eng.execute("CALL pcase3(@r)")
+    assert eng.execute("SELECT @r AS r").collect()[0].r == "handled"
+    for p in (
+        "ploop", "pnest", "pinf", "pbadlabel", "pcase", "pcase2",
+        "pcase3",
     ):
         eng.execute(f"DROP PROCEDURE {p}")
 

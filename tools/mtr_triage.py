@@ -38,9 +38,141 @@ def classify(err: str | None) -> str:
     return "other"
 
 
+#: spark-only bucket: MariaDB SPELLING families DuckDB cannot parse,
+#: each mapped to the oracle-checked registry row(s) (or pytest
+#: surface) that carries that spelling through a DuckDB-checkable
+#: equivalent — the audit VERDICT r7 #4 asked for. First match wins;
+#: (family, sql-regex, coverage evidence). A family whose evidence is
+#: "NONE" must either gain a gate row or a documented refusal.
+SPELLING_FAMILIES: list[tuple[str, str, str]] = [
+    ("index hints USE/FORCE/IGNORE INDEX|KEY",
+     r"\b(?:USE|FORCE|IGNORE)\s+(?:INDEX|KEY)\b",
+     "sql_index_hint_collate_binary (r8 gate row)"),
+    ("inline COLLATE / charset introducers",
+     r"\bCOLLATE\b|_utf8|_latin1",
+     "sql_index_hint_collate_binary + collation_* battery rows"),
+    ("unary BINARY operator",
+     r"\bBINARY\s+[\w`(']",
+     "sql_index_hint_collate_binary (r8 gate row)"),
+    ("SELECT options (SQL_NO_CACHE/SQL_CALC_FOUND_ROWS/...)",
+     r"\bSQL_(?:NO_CACHE|CACHE|CALC_FOUND_ROWS|SMALL_RESULT"
+     r"|BIG_RESULT|BUFFER_RESULT)\b|\bHIGH_PRIORITY\b",
+     "sqltrans option strip + test_sql_calc_found_rows"),
+    ("STRAIGHT_JOIN",
+     r"\bSTRAIGHT_JOIN\b",
+     "sqltrans strip; join rows tpch_q3/q5/q10 carry the join shapes"),
+    ("PROCEDURE ANALYSE trailer",
+     r"\bPROCEDURE\s+ANALYSE\b",
+     "test_procedure_analyse (router relation)"),
+    ("MariaDB cast targets (SIGNED/UNSIGNED/CHAR/BINARY/DATETIME)",
+     r"\bCAST\s*\([^)]*\bAS\s+(?:SIGNED|UNSIGNED|CHAR\b|BINARY"
+     r"|DATETIME|DATE\b|TIME\b)|\bCONVERT\s*\(",
+     "sql_mariadb_front_end3 (CONVERT + cast-target matrix), "
+     "sf_conditional_cast_matrix"),
+    ("IF()/IFNULL()/ISNULL() conditionals",
+     r"\bIF\s*\(|\bIFNULL\s*\(|\bISNULL\s*\(",
+     "sf_conditional_cast_matrix, sql_mariadb_front_end4"),
+    ("GROUP_CONCAT (SEPARATOR/ORDER BY/DISTINCT forms)",
+     r"\bGROUP_CONCAT\s*\(",
+     "agg_group_concat_distinct, agg_group_concat_ordered"),
+    ("MariaDB date/time functions",
+     r"\b(?:DATE_FORMAT|STR_TO_DATE|TIME_FORMAT|ADDDATE|SUBDATE"
+     r"|ADDTIME|SUBTIME|PERIOD_ADD|PERIOD_DIFF|TO_DAYS|FROM_DAYS"
+     r"|TO_SECONDS|SEC_TO_TIME|TIME_TO_SEC|MAKEDATE|MAKETIME"
+     r"|YEARWEEK|WEEKOFYEAR|DAYOFYEAR|DAYOFMONTH|DAYOFWEEK|WEEKDAY"
+     r"|TIMESTAMPADD|TIMESTAMPDIFF|GET_FORMAT|CONVERT_TZ|CURDATE"
+     r"|CURTIME|SYSDATE|UTC_DATE|UTC_TIME|UTC_TIMESTAMP"
+     r"|UNIX_TIMESTAMP|FROM_UNIXTIME|LAST_DAY|MICROSECOND"
+     r"|STR_TO_DATE|EXTRACT\s*\(\s*\w+_\w+)\s*\(",
+     "sf_datetime_matrix, sf_datetime_matrix2/3, sf_week_modes, "
+     "sql_mariadb_front_end2 (WEEK/YEARWEEK bridge)"),
+    ("MariaDB string functions",
+     r"\b(?:SUBSTRING_INDEX|LCASE|UCASE|MID|LOCATE|ELT|FIELD"
+     r"|FIND_IN_SET|EXPORT_SET|MAKE_SET|INSERT\s*\(|CHAR\s*\(|ORD"
+     r"|CONV|OCT|QUOTE|SPACE|HEX|UNHEX|BIT_COUNT|STRCMP|SOUNDEX"
+     r"|COMPRESS|UNCOMPRESS)\s*\(?",
+     "sf_string_matrix / sf_string_matrix2/3, sql_mariadb_front_end4"),
+    ("JSON_* functions",
+     r"\bJSON_\w+\s*\(",
+     "sf_json_* rows (6 driver-green) + sql_json_table"),
+    ("math/crypto long tail (TRUNCATE/RAND seeds/CRC32/...)",
+     r"\b(?:TRUNCATE|CRC32|MD5|SHA1?|SHA2|LOG2|LOG10|COT|RADIANS"
+     r"|DEGREES|PI)\s*\(",
+     "sf_math_matrix, sf_oracle_mode_dialect"),
+    ("aggregate long tail (BIT_AND/OR/XOR, STD, VARIANCE, MODA)",
+     r"\b(?:BIT_AND|BIT_OR|BIT_XOR|STD|STDDEV_POP|STDDEV_SAMP"
+     r"|VARIANCE|VAR_POP|VAR_SAMP|MODA)\s*\(",
+     "agg_bit_ops, agg_stddev_variance, agg_moda"),
+    ("C-style boolean ops (&&, ||-as-or via sql_mode, <=>)",
+     r"&&|<=>|\bXOR\b|!\s*[\w(]",
+     "filter_compound_boolean_tree (boolean trees), sqltrans "
+     "truthiness repairs (mcs7116/7173 exact in both-parsed)"),
+    ("REGEXP / RLIKE / SOUNDS LIKE",
+     r"\bREGEXP\b|\bRLIKE\b|\bSOUNDS\s+LIKE\b",
+     "filter_like_patterns (pattern family), sf_string_matrix3"),
+    ("hex/bit literals (0x.., X'..', b'..')",
+     r"\b0x[0-9a-fA-F]+|\bX'[0-9a-fA-F]*'|\bb'[01]+'",
+     "sf_string_matrix2 (hex rendering)"),
+    ("backtick-quoted identifiers",
+     r"`",
+     "every gate row runs through the mask-aware translation "
+     "(sqltrans strips backticks; tests/test_sqltrans.py)"),
+    ("double-quoted string literals",
+     r'"',
+     "sql_mariadb_front_end (double-quoted alias/literal positions, "
+     "mcs7096)"),
+    ("DIV integer division / MOD spelling",
+     r"\bDIV\b|\bMOD\b",
+     "sf_oracle_mode_dialect (DIV), sf_math_matrix (MOD)"),
+    ("LIMIT offset,count form",
+     r"\bLIMIT\s+\d+\s*,\s*\d+",
+     "setop_distinct_limit_offset + sqltrans offset-comma rewrite"),
+]
+
+
+def classify_spelling(sql: str) -> tuple[str, str]:
+    for fam, pat, cov in SPELLING_FAMILIES:
+        if re.search(pat, sql, re.IGNORECASE):
+            return fam, cov
+    return "OTHER (unclassified)", "NONE"
+
+
+def spark_only_audit(rows: list[dict]) -> None:
+    """COVERAGE.md-ready audit table: spelling family -> count ->
+    covering registry evidence. Families classifying to NONE demand a
+    new gate row or documented refusal (VERDICT r7 #4)."""
+    groups: dict[str, list] = defaultdict(list)
+    cover: dict[str, str] = {}
+    for r in rows:
+        fam, cov = classify_spelling(r["sql"])
+        groups[fam].append(r)
+        cover[fam] = cov
+    print("\n| spelling family | count | oracle'd coverage |")
+    print("|---|---|---|")
+    for fam, rs in sorted(groups.items(), key=lambda kv: -len(kv[1])):
+        print(f"| {fam} | {len(rs)} | {cover[fam]} |")
+    uncl = groups.get("OTHER (unclassified)", [])
+    if uncl:
+        print(f"\n-- unclassified examples ({len(uncl)}):")
+        for r in uncl[:25]:
+            print(f"   [{r['src']}] {r['sql'][:160]}")
+        tails = Counter(
+            (r.get("duck_err") or "?").split("\n")[0][:120]
+            for r in uncl
+        )
+        for t, n in tails.most_common(10):
+            print(f"   {n:4d}x {t}")
+
+
 def main() -> int:
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mtr_buckets.json"
     buckets = json.load(open(path))
+    if buckets.get("spark_only"):
+        print(
+            f"=== spark_only: {len(buckets['spark_only'])} statements "
+            "(DuckDB cannot parse — family audit) ==="
+        )
+        spark_only_audit(buckets["spark_only"])
     for bucket in ("duck_only", "neither", "diff"):
         rows = buckets.get(bucket, [])
         print(f"\n=== {bucket}: {len(rows)} statements ===")
