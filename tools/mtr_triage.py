@@ -83,26 +83,49 @@ SPELLING_FAMILIES: list[tuple[str, str, str]] = [
      r"|TIMESTAMPADD|TIMESTAMPDIFF|GET_FORMAT|CONVERT_TZ|CURDATE"
      r"|CURTIME|SYSDATE|UTC_DATE|UTC_TIME|UTC_TIMESTAMP"
      r"|UNIX_TIMESTAMP|FROM_UNIXTIME|LAST_DAY|MICROSECOND"
-     r"|STR_TO_DATE|EXTRACT\s*\(\s*\w+_\w+)\s*\(",
+     r"|WEEK|MONTHNAME|DAYNAME|QUARTER)\s*\(",
      "sf_datetime_matrix, sf_datetime_matrix2/3, sf_week_modes, "
      "sql_mariadb_front_end2 (WEEK/YEARWEEK bridge)"),
     ("MariaDB string functions",
      r"\b(?:SUBSTRING_INDEX|LCASE|UCASE|MID|LOCATE|ELT|FIELD"
-     r"|FIND_IN_SET|EXPORT_SET|MAKE_SET|INSERT\s*\(|CHAR\s*\(|ORD"
+     r"|FIND_IN_SET|EXPORT_SET|MAKE_SET|INSERT|CHAR|ORD"
      r"|CONV|OCT|QUOTE|SPACE|HEX|UNHEX|BIT_COUNT|STRCMP|SOUNDEX"
-     r"|COMPRESS|UNCOMPRESS)\s*\(?",
+     r"|COMPRESS|UNCOMPRESS)\s*\(",
      "sf_string_matrix / sf_string_matrix2/3, sql_mariadb_front_end4"),
     ("JSON_* functions",
      r"\bJSON_\w+\s*\(",
      "sf_json_* rows (6 driver-green) + sql_json_table"),
-    ("math/crypto long tail (TRUNCATE/RAND seeds/CRC32/...)",
+    ("TRUNCATE(x,d)-wrapped window-function batteries "
+     "(mcs6178-6205: CORR/REGR_*/STDDEV/VAR over frames)",
+     r"\bTRUNCATE\s*\(.*\bOVER\s*\(",
+     "win_corr_running_null_semantics, win_regr_over_partition, "
+     "win_stats_over_partition, win_range_frame_value_offset "
+     "(+ TRUNCATE vectors tests/test_sqltrans.py; 162 mcs6178 "
+     "statements ALSO exact-match in both-parsed via the DuckDB-"
+     "parsable spellings)"),
+    ("STD()/VARIANCE() spellings (mcs6210 window battery)",
+     r"\b(?:STD|VARIANCE)\s*\(",
+     "agg_stddev_variance (STD = STDDEV_POP alias), "
+     "win_stats_over_partition"),
+    ("PERCENTILE_CONT/DISC WITHIN GROUP .. OVER",
+     r"\bPERCENTILE_(?:CONT|DISC)\s*\(",
+     "win_percentiles_within_group"),
+    ("math/crypto long tail (TRUNCATE scalar/CRC32/...)",
      r"\b(?:TRUNCATE|CRC32|MD5|SHA1?|SHA2|LOG2|LOG10|COT|RADIANS"
      r"|DEGREES|PI)\s*\(",
      "sf_math_matrix, sf_oracle_mode_dialect"),
-    ("aggregate long tail (BIT_AND/OR/XOR, STD, VARIANCE, MODA)",
-     r"\b(?:BIT_AND|BIT_OR|BIT_XOR|STD|STDDEV_POP|STDDEV_SAMP"
-     r"|VARIANCE|VAR_POP|VAR_SAMP|MODA)\s*\(",
+    ("aggregate long tail (BIT_AND/OR/XOR, MODA)",
+     r"\b(?:BIT_AND|BIT_OR|BIT_XOR|STDDEV_POP|STDDEV_SAMP"
+     r"|VAR_POP|VAR_SAMP|MODA)\s*\(",
      "agg_bit_ops, agg_stddev_variance, agg_moda"),
+    ("loose numeric<->string coercion (substr/arith on numbers, "
+     "int x bool)",
+     r"\bSUBSTR\s*\(\s*\w+key|\bSUBSTR\s*\(\s*[a-z]_\w*price"
+     r"|\bSUBSTR\s*\(\s*[a-z]_(?:nationkey|name)\s*,\s*ROUND"
+     r"|\*\s*\(\s*\w+\s*[<>=]|SUBSTR\s*\(\s*\w+\s*,\s*\d+\s*,"
+     r"\s*\d+\s*\)\s*\+\s*0",
+     "sqltrans bool/int + loose-cast repairs (mcs7010/7566/7567 "
+     "families; the both-parsed twins are exact-match)"),
     ("C-style boolean ops (&&, ||-as-or via sql_mode, <=>)",
      r"&&|<=>|\bXOR\b|!\s*[\w(]",
      "filter_compound_boolean_tree (boolean trees), sqltrans "
