@@ -713,17 +713,245 @@ def _rewrite_with_rollup(masked: str, store: list[str]) -> str:
 
 
 #: MariaDB CAST/CONVERT target types → Spark types (func_cast.cpp's
-#: cast_as_signed/unsigned/char/... targets; UNSIGNED must widen to
-#: DECIMAL(20,0) to carry full u64 range — SURVEY §1.2).
+#: cast_as_signed/unsigned/char/... targets). Numeric targets (SIGNED/
+#: UNSIGNED/DOUBLE/FLOAT/DECIMAL) are NOT in this table — they carry
+#: MariaDB's loose string→number semantics and are lowered by the
+#: dedicated `_loose_cast_pass` below (UNSIGNED still widens to
+#: DECIMAL(20,0) there to carry full u64 range — SURVEY §1.2).
 _CAST_TARGETS: tuple[tuple[str, str], ...] = (
-    ("SIGNED INTEGER", "BIGINT"),
-    ("SIGNED", "BIGINT"),
-    ("UNSIGNED INTEGER", "DECIMAL(20,0)"),
-    ("UNSIGNED", "DECIMAL(20,0)"),
     ("DATETIME", "TIMESTAMP"),
     # bare CHAR (no length) is not a Spark type; CHAR(n) passes through
     ("CHAR", "STRING"),
 )
+
+#: MariaDB numeric cast targets (sql_yacc.yy cast_type) → loose-cast
+#: kind. Matched at the END of a CAST's argument list, top-level only.
+_LOOSE_TARGET_RE = re.compile(
+    r"\bAS\s+(?:"
+    r"(?P<signed>SIGNED(?:\s+INT(?:EGER)?)?)|"
+    r"(?P<unsigned>UNSIGNED(?:\s+INT(?:EGER)?)?)|"
+    r"(?P<double>DOUBLE(?:\s+PRECISION)?|REAL)|"
+    r"(?P<float>FLOAT)|"
+    r"(?P<decimal>DEC(?:IMAL)?(?:\s*\(\s*(?P<p>\d+)\s*"
+    r"(?:,\s*(?P<s>\d+)\s*)?\))?)"
+    r")\s*$",
+    re.IGNORECASE,
+)
+
+#: leading-numeric-prefix regexes (my_strtoll10 / my_strtod stop at the
+#: first non-numeric char). Spelled without backslashes so the literal
+#: survives Spark's escaped-string parsing verbatim.
+_INT_PREFIX_RX = "'^ *[+-]?[0-9]+'"
+_NUM_PREFIX_RX = (
+    "'^ *[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?'"
+)
+
+_I64_MIN = "-9223372036854775808"
+_I64_MAX = "9223372036854775807"
+_U64_MAX = "18446744073709551615"
+_U64_MOD = "18446744073709551616"
+
+
+def _loose_numeric_cast_emit(
+    expr: str, kind: str, p: int, s: int, store: list[str]
+) -> str:
+    """Render MariaDB's loose number-cast semantics (func_cast.cpp;
+    server my_strtoll10/my_strtod + Item_func_signed/unsigned::val_int):
+
+    - string operands parse their leading numeric prefix — ``'123abc'``
+      → 123, ``'12.9' AS SIGNED`` → 12 (the integer parse stops at
+      '.'), non-numeric → 0 with a warning;
+    - numeric operands ROUND half-away-from-zero to integer targets
+      (``CAST(12.9 AS SIGNED)`` → 13) — Spark's decimal(38,0) cast
+      uses the same HALF_UP rule;
+    - out-of-range values CLAMP to the target bounds instead of
+      raising ANSI overflow;
+    - UNSIGNED wraps negatives mod 2^64;
+    - DATE/DATETIME operands become their MariaDB datetime NUMBER
+      (Item_temporal_func::val_int): yyyyMMdd / yyyyMMddHHmmss;
+    - NULL stays NULL.
+
+    The fast path is a bare ``try_cast`` (JVM-codegen, no regex); the
+    prefix regexp / clamp arms only evaluate where it fails. Every
+    parse routes through CAST(op AS STRING) so each CASE arm stays
+    analysis-valid for ANY operand type (numeric string renders
+    round-trip, including E-notation into decimal casts).
+
+    The emission is MASKED text: its quoted literals are stashed as
+    placeholders so later pipeline passes (fn templates, CORR, week
+    functions) still rewrite any MariaDB spellings INSIDE the operand
+    copies, while no masked-text scan can misread the literals.
+    """
+
+    def lit(text: str) -> str:
+        ph = _PH.format(len(store))
+        store.append(text)
+        return ph
+
+    e = f"({expr})"
+    if kind == "signed":
+        spark_t = "BIGINT"
+    elif kind == "unsigned":
+        spark_t = "DECIMAL(20,0)"
+    elif kind in ("double", "float"):
+        spark_t = "DOUBLE" if kind == "double" else "FLOAT"
+    else:
+        spark_t = f"DECIMAL({p},{s})"
+
+    def sb(x: str) -> str:
+        """String-operand branch over operand text ``x``: leading
+        numeric prefix, 0 on no-parse, clamp/wrap on range. Every
+        direct parse goes through CAST(x AS STRING) so the arm is
+        analysis-valid for ANY operand type (try_cast(date AS BIGINT)
+        is a static error even in a never-taken CASE arm); for actual
+        strings the render is a no-op."""
+        xs = f"CAST({x} AS STRING)"
+        if kind == "signed":
+            return (
+                f"try_cast(least(greatest(coalesce("
+                f"try_cast({xs} AS BIGINT), "
+                f"try_cast(regexp_extract({xs}, "
+                f"{lit(_INT_PREFIX_RX)}, 0) AS DECIMAL(38,0)), 0), "
+                f"{_I64_MIN}), {_I64_MAX}) AS BIGINT)"
+            )
+        if kind == "unsigned":
+            u0 = (
+                f"coalesce(try_cast({xs} AS BIGINT), "
+                f"try_cast(regexp_extract({xs}, "
+                f"{lit(_INT_PREFIX_RX)}, 0) AS DECIMAL(38,0)), 0)"
+            )
+            return (
+                f"try_cast(least(greatest("
+                f"CASE WHEN {u0} < 0 THEN {_U64_MOD} + {u0} "
+                f"ELSE {u0} END, 0), {_U64_MAX}) AS DECIMAL(20,0))"
+            )
+        if kind in ("double", "float"):
+            return (
+                f"coalesce(try_cast({xs} AS {spark_t}), "
+                f"try_cast(regexp_extract({xs}, "
+                f"{lit(_NUM_PREFIX_RX)}, 0) AS {spark_t}), "
+                f"CAST(0 AS {spark_t}))"
+            )
+        max_lit = ("9" * (p - s) or "0") + (("." + "9" * s) if s else "")
+        pfx = f"regexp_extract({xs}, {lit(_NUM_PREFIX_RX)}, 0)"
+        return (
+            f"coalesce(try_cast({xs} AS {spark_t}), "
+            f"try_cast({pfx} AS {spark_t}), "
+            f"CASE WHEN try_cast({pfx} AS DOUBLE) IS NULL "
+            f"THEN CAST(0 AS {spark_t}) "
+            f"WHEN try_cast({pfx} AS DOUBLE) < 0 "
+            f"THEN CAST(-{max_lit} AS {spark_t}) "
+            f"ELSE CAST({max_lit} AS {spark_t}) END)"
+        )
+
+    # numeric-operand branch: round half-away (decimal(38,0) HALF_UP),
+    # clamp out-of-range (sign-aware when even DECIMAL(38,0) can't
+    # hold |x| >= 1e38 doubles: MariaDB clamps, ANSI would throw)
+    es = f"CAST({e} AS STRING)"
+    sign_clamp_i64 = (
+        f"CASE WHEN try_cast({es} AS DOUBLE) IS NULL "
+        f"THEN CAST(0 AS DECIMAL(38,0)) "
+        f"WHEN try_cast({es} AS DOUBLE) < 0 "
+        f"THEN CAST({_I64_MIN} AS DECIMAL(38,0)) "
+        f"ELSE CAST({_I64_MAX} AS DECIMAL(38,0)) END"
+    )
+    if kind == "signed":
+        nbranch = (
+            f"try_cast(least(greatest(coalesce("
+            f"try_cast({es} AS DECIMAL(38,0)), {sign_clamp_i64}), "
+            f"{_I64_MIN}), {_I64_MAX}) AS BIGINT)"
+        )
+    elif kind == "unsigned":
+        n0 = f"coalesce(try_cast({es} AS DECIMAL(38,0)), {sign_clamp_i64})"
+        nbranch = (
+            f"try_cast(least(greatest("
+            f"CASE WHEN {n0} < 0 THEN {_U64_MOD} + {n0} "
+            f"ELSE {n0} END, 0), {_U64_MAX}) AS DECIMAL(20,0))"
+        )
+    elif kind in ("double", "float"):
+        nbranch = f"try_cast({es} AS {spark_t})"
+    else:
+        max_lit = ("9" * (p - s) or "0") + (("." + "9" * s) if s else "")
+        clamp = (
+            f"CASE WHEN try_cast({es} AS DOUBLE) IS NULL "
+            f"THEN CAST(0 AS {spark_t}) "
+            f"WHEN try_cast({es} AS DOUBLE) < 0 "
+            f"THEN CAST(-{max_lit} AS {spark_t}) "
+            f"ELSE CAST({max_lit} AS {spark_t}) END"
+        )
+        nbranch = f"coalesce(try_cast({es} AS {spark_t}), {clamp})"
+    # temporal operands: MariaDB numbers datetimes as yyyyMMdd[HHmmss]
+    # (Item_temporal_func::val_int), re-read through the string branch
+    # digits-only renderings built from string ops so the arm stays
+    # analysis-valid for EVERY operand type (date_format / try_cast-to-
+    # timestamp are static type errors even in a never-taken CASE arm);
+    # the arm only RUNS on temporals: '2000-01-01 00:00:01[.ffffff]' →
+    # '20000101000001' (seconds precision, like the server's 14-digit
+    # datetime number)
+    digits = (
+        f"translate(CAST({e} AS STRING), "
+        f"{lit(chr(39) + '- :.' + chr(39))}, {lit(chr(39) * 2)})"
+    )
+    d_num = f"(substring({digits}, 1, 8))"
+    ts_num = f"(substring({digits}, 1, 14))"
+    return (
+        f"(CASE WHEN {e} IS NULL THEN try_cast(NULL AS {spark_t}) "
+        f"WHEN typeof({e}) LIKE {lit(chr(39) + 'string%' + chr(39))} "
+        f"THEN {sb(e)} "
+        f"WHEN typeof({e}) = {lit(chr(39) + 'date' + chr(39))} "
+        f"THEN {sb(d_num)} "
+        f"WHEN typeof({e}) LIKE "
+        f"{lit(chr(39) + 'timestamp%' + chr(39))} THEN {sb(ts_num)} "
+        f"WHEN typeof({e}) = {lit(chr(39) + 'boolean' + chr(39))} THEN "
+        f"CASE WHEN CAST({e} AS STRING) = "
+        f"{lit(chr(39) + 'true' + chr(39))} "
+        f"THEN CAST(1 AS {spark_t}) ELSE CAST(0 AS {spark_t}) END "
+        f"ELSE {nbranch} END)"
+    )
+
+
+def _loose_cast_pass(masked: str, store: list[str]) -> str:
+    """Lower ``CAST(x AS SIGNED/UNSIGNED/DOUBLE/FLOAT/DECIMAL)`` to the
+    loose-semantics form. Innermost-first via recursion on the operand;
+    emissions stay MASKED text (quoted literals stashed as
+    placeholders) so later pipeline passes still translate MariaDB
+    spellings inside the operand copies; this pass itself never
+    rescans its own emission (single left-to-right sweep)."""
+    cast_pat = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+    out: list[str] = []
+    i = 0
+    while True:
+        m = cast_pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        inner = masked[open_at + 1 : end - 1]
+        tm = _top_level_search(_LOOSE_TARGET_RE.pattern, inner)
+        out.append(masked[i : m.start()])
+        if tm:
+            expr = _loose_cast_pass(inner[: tm.start()].strip(), store)
+            if tm.group("signed"):
+                kind, p, s = "signed", 0, 0
+            elif tm.group("unsigned"):
+                kind, p, s = "unsigned", 0, 0
+            elif tm.group("double"):
+                kind, p, s = "double", 0, 0
+            elif tm.group("float"):
+                kind, p, s = "float", 0, 0
+            else:
+                # MariaDB DECIMAL defaults: (10,0); (p) means (p,0)
+                kind = "decimal"
+                p = int(tm.group("p") or 10)
+                s = int(tm.group("s") or 0)
+            out.append(_loose_numeric_cast_emit(expr, kind, p, s, store))
+            i = end
+        else:
+            # not a loose-numeric cast — keep the head, scan inside
+            out.append(masked[m.start() : open_at + 1])
+            i = open_at + 1
+    return "".join(out)
 
 
 def _rewrite_cast_targets(masked: str, store: list[str]) -> str:
@@ -832,18 +1060,25 @@ def _rewrite_cast_targets(masked: str, store: list[str]) -> str:
                     break
             else:
                 if not re.fullmatch(
-                    r"(DECIMAL(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?|DOUBLE|"
+                    r"(DEC(IMAL)?(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?|"
+                    r"DOUBLE(\s+PRECISION)?|REAL|"
+                    r"SIGNED(\s+INT(EGER)?)?|UNSIGNED(\s+INT(EGER)?)?|"
                     r"FLOAT|DATE|TIMESTAMP|BIGINT|INT|BINARY)",
                     t,
                 ):
                     raise ValueError(
                         f"CONVERT: unsupported target type {t!r}"
                     )
+            # numeric MariaDB targets stay in their MariaDB spelling
+            # here — the loose pass below owns their lowering
             out.append(f"CAST({expr} AS {t})")
             changed = True
             i = end
         masked = "".join(out)
-    return masked
+    # LAST: MariaDB loose string→number cast semantics for the numeric
+    # targets (runs after CHAR(n)/CONVERT so every nested cast spelling
+    # inside an operand is already normalized)
+    return _loose_cast_pass(masked, store)
 
 
 _JT_TYPES: tuple[tuple[str, str], ...] = (

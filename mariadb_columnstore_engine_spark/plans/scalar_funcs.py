@@ -2752,3 +2752,63 @@ def sql_stored_procedure_signal(
         " END"
     )
     return eng.execute("CALL gate_sig(400)")
+
+
+@query(
+    "sf_loose_numeric_casts",
+    section="§2.8 cast matrix: MariaDB loose string→number cast "
+    "semantics (r8; func_cast.cpp + server my_strtoll10/my_strtod): "
+    "a string operand parses its leading numeric prefix — integer "
+    "targets stop at '.', non-numeric → 0, out-of-range clamps to "
+    "the type bounds, UNSIGNED wraps negatives mod 2^64. Before r8 "
+    "these raised Spark ANSI CAST_INVALID_INPUT (COVERAGE.md "
+    "neither-bucket 'loose string→number casts' — now implemented). "
+    "u64/decimal results render as CHAR per the driver-hashable "
+    "output policy.",
+    oracle="""
+    SELECT n_nationkey AS nk,
+           CAST(0.0 AS DOUBLE) AS d_name,
+           CAST(n_nationkey AS BIGINT) AS i_prefix,
+           CAST((n_nationkey + 0.5) * 10 AS DOUBLE) AS d_prefix,
+           CAST(9223372036854775807 AS BIGINT) AS i_clamp,
+           CAST(18446744073709551616 - (n_nationkey + 1) AS VARCHAR)
+               AS u_wrap,
+           '999.9' AS dec_clamp,
+           '0.00' AS dec_zero,
+           CAST(n_nationkey AS BIGINT) AS conv_i
+    FROM nation
+    ORDER BY nk
+    """,
+)
+def sf_loose_numeric_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for the loose-cast lowering, as one literal MariaDB
+    statement over nation: non-numeric → 0 (d_name), integer prefix
+    stops at '.' (i_prefix), float prefix with exponent (d_prefix),
+    i64 clamp (i_clamp), u64 wrap of a negative string (u_wrap),
+    DECIMAL(4,1) overflow clamp (dec_clamp), non-numeric DECIMAL → 0
+    (dec_zero), and the two-argument CONVERT spelling (conv_i). The
+    oracle recomputes each value arithmetically (DuckDB HUGEINT for
+    the 2^64 wrap)."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT n_nationkey AS nk,
+           CAST(n_name AS DOUBLE) AS d_name,
+           CAST(CONCAT(n_nationkey, '.9xyz') AS SIGNED) AS i_prefix,
+           CAST(CONCAT(' ', n_nationkey, '.5e1kg') AS DOUBLE)
+               AS d_prefix,
+           CAST(CONCAT(n_nationkey, '99999999999999999999') AS SIGNED)
+               AS i_clamp,
+           CAST(CAST(CONCAT('-', n_nationkey + 1) AS UNSIGNED) AS CHAR)
+               AS u_wrap,
+           CAST(CAST(CONCAT(n_nationkey + 1, '23456') AS DECIMAL(4,1))
+               AS CHAR) AS dec_clamp,
+           CAST(CAST(n_name AS DECIMAL(5,2)) AS CHAR) AS dec_zero,
+           CONVERT(CONCAT(n_nationkey, 'km'), SIGNED) AS conv_i
+    FROM nation
+    ORDER BY nk;
+    """
+    return spark.sql(translate_statement(stmt))

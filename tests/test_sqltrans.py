@@ -272,14 +272,16 @@ def test_with_rollup_subquery_scoped():
 
 
 def test_cast_signed_unsigned_targets():
-    assert (
-        translate_statement("SELECT CAST(x AS SIGNED) FROM t")
-        == "SELECT CAST(x AS BIGINT) FROM t"
-    )
-    assert (
-        translate_statement("SELECT CAST(x AS UNSIGNED INTEGER) FROM t")
-        == "SELECT CAST(x AS DECIMAL(20,0)) FROM t"
-    )
+    # numeric targets lower to the loose-semantics form (r8): a string
+    # operand parses its leading numeric prefix like MariaDB
+    # my_strtoll10; non-strings keep the plain Spark cast (ELSE branch)
+    got = translate_statement("SELECT CAST(x AS SIGNED) FROM t")
+    assert "typeof((x)) LIKE 'string%'" in got
+    assert "AS BIGINT)" in got
+    assert "'^ *[+-]?[0-9]+'" in got  # integer prefix, stops at '.'
+    got = translate_statement("SELECT CAST(x AS UNSIGNED INTEGER) FROM t")
+    assert "AS DECIMAL(20,0))" in got
+    assert "18446744073709551616 +" in got  # u64 wrap of negatives
     assert (
         translate_statement("SELECT CAST(x AS CHAR) FROM t")
         == "SELECT CAST(x AS STRING) FROM t"
@@ -287,10 +289,9 @@ def test_cast_signed_unsigned_targets():
 
 
 def test_convert_two_arg_form():
-    assert (
-        translate_statement("SELECT CONVERT(x, SIGNED) FROM t")
-        == "SELECT CAST(x AS BIGINT) FROM t"
-    )
+    got = translate_statement("SELECT CONVERT(x, SIGNED) FROM t")
+    assert "typeof((x)) LIKE 'string%'" in got and "AS BIGINT)" in got
+    assert "CONVERT" not in got
     # MariaDB CHAR(n) conversion truncates (Spark CHAR(n) pads) — the
     # rewrite spells out the truncation
     assert (
@@ -298,8 +299,8 @@ def test_convert_two_arg_form():
         == "SELECT substring(CAST(x AS STRING), 1, 8) FROM t"
     )
     assert (
-        translate_statement("SELECT CONVERT(x, DECIMAL(10,2)) FROM t")
-        == "SELECT CAST(x AS DECIMAL(10,2)) FROM t"
+        "AS DECIMAL(10,2))"
+        in translate_statement("SELECT CONVERT(x, DECIMAL(10,2)) FROM t")
     )
     with pytest.raises(ValueError, match="CONVERT"):
         translate_statement("SELECT CONVERT(x, BLOB) FROM t")
@@ -441,10 +442,11 @@ def test_cast_char_n_truncates_and_nested_convert():
         "SELECT substring(CAST(concat(a, substring(CAST(b AS STRING),"
         " 1, 3)) AS STRING), 1, 8) FROM t"
     )
-    # nested CONVERT fully translates (no CONVERT may reach Spark)
+    # nested CONVERT fully translates (no CONVERT may reach Spark);
+    # the numeric outer target carries the loose-cast lowering
     got = translate_statement("SELECT CONVERT(CONVERT(x, CHAR), SIGNED) FROM t")
     assert "CONVERT" not in got
-    assert got == "SELECT CAST(CAST(x AS STRING) AS BIGINT) FROM t"
+    assert "typeof((CAST(x AS STRING))) LIKE 'string%'" in got
 
 
 def test_fn_templates_round4_vectors(spark):
@@ -1076,3 +1078,72 @@ def test_corr_aggregate_uses_welford_moments():
         "SELECT corr(a, b) OVER (PARTITION BY g ORDER BY i) FROM t"
     )
     assert "try_divide" in out2 and "covar_pop" not in out2
+
+
+def test_loose_numeric_cast_semantics(spark):
+    """MariaDB loose string→number cast semantics (r8; func_cast.cpp
+    + server my_strtoll10/my_strtod): leading numeric prefix parses,
+    non-numeric → 0, integer targets stop at '.', out-of-range clamps,
+    UNSIGNED wraps negatives mod 2^64, NULL stays NULL. Numeric
+    operands keep the plain Spark cast (fast ELSE branch)."""
+    got = spark.sql(
+        translate_statement(
+            "SELECT CAST('123abc' AS SIGNED) AS a,"
+            " CAST('12.9' AS SIGNED) AS b,"           # int prefix: 12
+            " CAST('abc' AS SIGNED) AS c,"
+            " CAST('  42  ' AS SIGNED) AS d,"
+            " CAST('1e3' AS SIGNED) AS e,"            # stops at 'e'
+            " CAST('99999999999999999999' AS SIGNED) AS f,"  # clamp
+            " CAST(NULL AS SIGNED) AS g,"
+            " CAST('-5' AS UNSIGNED) AS h,"           # u64 wrap
+            " CAST('18446744073709551615' AS UNSIGNED) AS i,"
+            " CAST('AFRICA' AS DOUBLE) AS j,"
+            " CAST('1.5e2kg' AS DOUBLE) AS k,"
+            " CAST(' -12.5 stuff' AS DOUBLE) AS l,"
+            " CAST('123456' AS DECIMAL(4,1)) AS m,"   # clamp 999.9
+            " CAST('abc' AS DECIMAL(5,2)) AS n,"
+            " CAST(7.2 AS SIGNED) AS o,"              # numeric: plain
+            " CONVERT('77cm', SIGNED) AS p"
+        )
+    ).collect()[0]
+    assert (got.a, got.b, got.c, got.d, got.e) == (123, 12, 0, 42, 1)
+    assert got.f == 9223372036854775807
+    assert got.g is None
+    assert str(got.h) == "18446744073709551611"
+    assert str(got.i) == "18446744073709551615"
+    assert (got.j, got.k, got.l) == (0.0, 150.0, -12.5)
+    assert str(got.m) == "999.9"
+    assert str(got.n) == "0.00"
+    assert got.o == 7
+    assert got.p == 77
+
+
+def test_loose_numeric_cast_numeric_and_temporal(spark):
+    """Numeric operands round half-away-from-zero and clamp (MariaDB
+    Item_func_signed::val_int); UNSIGNED wraps numeric negatives;
+    DATE/DATETIME operands become the MariaDB datetime NUMBER
+    (yyyyMMdd / yyyyMMddHHmmss), all previously ANSI errors or
+    truncation divergences."""
+    got = spark.sql(
+        translate_statement(
+            "SELECT CAST(12.9 AS SIGNED) AS a,"      # rounds: 13
+            " CAST(-12.5 AS SIGNED) AS b,"           # half away: -13
+            " CAST(1e40 AS SIGNED) AS c,"            # clamp, no error
+            " CAST(-1 AS UNSIGNED) AS d,"            # wrap
+            " CAST(-1.5 AS UNSIGNED) AS e,"          # round then wrap
+            " CAST(12345.6 AS DECIMAL(4,1)) AS f,"   # clamp 999.9
+            " CAST(TRUE AS SIGNED) AS g,"
+            " CAST(DATE '2024-01-05' AS SIGNED) AS h,"
+            " CAST(TIMESTAMP '2000-01-01 00:00:01' AS SIGNED) AS i,"
+            " CAST(DATE '2024-01-05' AS DECIMAL(10,1)) AS j"
+        )
+    ).collect()[0]
+    assert (got.a, got.b) == (13, -13)
+    assert got.c == 9223372036854775807
+    assert str(got.d) == "18446744073709551615"
+    assert str(got.e) == "18446744073709551614"
+    assert str(got.f) == "999.9"
+    assert got.g == 1
+    assert got.h == 20240105
+    assert got.i == 20000101000001
+    assert str(got.j) == "20240105.0"
