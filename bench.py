@@ -29,6 +29,28 @@ from mariadb_columnstore_engine_spark.session import get_session
 
 BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
+# BENCH_SINK=collect (default) times collect() — right for the headline
+# set, whose results are small aggregates. BENCH_SINK=noop times full
+# distributed execution via Spark's noop writer WITHOUT the py4j
+# driver transfer — right for scale probes whose results are large
+# relations (sessionization emits one row per session, dedup one row
+# per document): at cluster scale those are written to storage, never
+# pulled to a driver, so collect() timing measures the wrong thing.
+BENCH_SINK = os.environ.get("BENCH_SINK", "collect")
+
+# BENCH_WARMUP=0 skips the untimed warmup run. The warmup matters for
+# sub-second headline queries (JVM/codegen/page-cache); for multi-minute
+# scale probes it doubles wall-clock while the JVM is already warm after
+# the first stages.
+BENCH_WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
+
+
+def _run(df) -> None:
+    if BENCH_SINK == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.collect()
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,11 +84,12 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for spec in sorted(specs, key=lambda s: s.name):
-        spec.fn(spark, sf_dir).collect()  # JIT/codegen warmup, untimed
+        if BENCH_WARMUP:
+            _run(spec.fn(spark, sf_dir))  # JIT/codegen warmup, untimed
         runs = []
         for _ in range(BENCH_REPEATS):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
+            _run(spec.fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[spec.name] = round(statistics.median(runs), 4)
         print(f"# {spec.name}: {timings[spec.name]:.3f}s "
