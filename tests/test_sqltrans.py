@@ -1147,3 +1147,90 @@ def test_loose_numeric_cast_numeric_and_temporal(spark):
     assert got.h == 20240105
     assert got.i == 20000101000001
     assert str(got.j) == "20240105.0"
+
+
+def test_suffix_frame_rewrites_fire_and_skip():
+    # suffix ROWS frames lower to the 3-term O(n) form
+    got = translate_statement(
+        "SELECT SUM(x) OVER (PARTITION BY g ORDER BY o "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
+    )
+    assert "UNBOUNDED FOLLOWING" not in got
+    assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in got
+    assert "ROWS BETWEEN CURRENT ROW AND CURRENT ROW" in got
+    got = translate_statement(
+        "SELECT COUNT(*) OVER (ORDER BY o "
+        "ROWS BETWEEN 15 PRECEDING AND UNBOUNDED FOLLOWING) FROM t"
+    )
+    assert "UNBOUNDED FOLLOWING" not in got
+    assert "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW" in got
+    # non-suffix frames untouched
+    q = ("SELECT SUM(x) OVER (PARTITION BY g ORDER BY o "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assert translate_statement(q) == q
+    # momentization only for suffix frames: running REGR stays native
+    q2 = ("SELECT REGR_SLOPE(y, x) OVER (ORDER BY o "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assert translate_statement(q2) == q2
+    got = translate_statement(
+        "SELECT REGR_SLOPE(y, x) OVER (ORDER BY o "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
+    )
+    assert "REGR_SLOPE" not in got and "try_divide" in got
+
+
+def test_suffix_frame_values_match_native(spark):
+    """The 3-term suffix rewrite equals Spark's native (O(n^2))
+    UnboundedFollowing evaluation: exactly for integer SUM/COUNT,
+    and to 1e-7 relative for the momentized two-arg family (the
+    moment formula's conditioning on tiny near-collinear frames is
+    the documented tradeoff that buys O(n))."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i % 3, i, (i * 7) % 23, float((i * 13) % 101)) for i in range(200)]
+        + [(9, 999, None, None)],  # NULL pair row
+        "g int, o int, x int, y double",
+    )
+    df.createOrReplaceTempView("sfx")
+    cases = [
+        ("SUM(x)", True),
+        ("COUNT(x)", True),
+        ("COUNT(*)", True),
+        ("COVAR_POP(y, x)", False),
+        ("COVAR_SAMP(y, x)", False),
+        ("REGR_SLOPE(y, x)", False),
+        ("REGR_INTERCEPT(y, x)", False),
+        ("REGR_R2(y, x)", False),
+        ("REGR_SXX(y, x)", False),
+        ("REGR_SYY(y, x)", False),
+        ("REGR_SXY(y, x)", False),
+        ("REGR_COUNT(y, x)", True),
+        ("REGR_AVGX(y, x)", False),
+        ("REGR_AVGY(y, x)", False),
+    ]
+    for frame in (
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN 15 PRECEDING AND UNBOUNDED FOLLOWING",
+    ):
+        for fn, exact in cases:
+            sql = (
+                f"SELECT o, {fn} OVER (PARTITION BY g ORDER BY o "
+                f"{frame}) AS v FROM sfx ORDER BY o"
+            )
+            native = {r.o: r.v for r in spark.sql(sql).collect()}
+            fast = {
+                r.o: r.v
+                for r in spark.sql(translate_statement(sql)).collect()
+            }
+            for k, a in native.items():
+                b = fast[k]
+                if a is None and b is None:
+                    continue
+                assert a is not None and b is not None, (fn, frame, k)
+                if exact:
+                    assert a == b, (fn, frame, k, a, b)
+                else:
+                    assert abs(a - b) <= max(1e-6, abs(a) * 1e-7), (
+                        fn, frame, k, a, b,
+                    )
