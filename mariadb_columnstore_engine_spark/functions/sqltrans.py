@@ -753,7 +753,8 @@ _U64_MOD = "18446744073709551616"
 
 
 def _loose_numeric_cast_emit(
-    expr: str, kind: str, p: int, s: int, store: list[str]
+    expr: str, kind: str, p: int, s: int, store: list[str],
+    numeric_operand: bool = False,
 ) -> str:
     """Render MariaDB's loose number-cast semantics (func_cast.cpp;
     server my_strtoll10/my_strtod + Item_func_signed/unsigned::val_int):
@@ -806,24 +807,38 @@ def _loose_numeric_cast_emit(
         is a static error even in a never-taken CASE arm); for actual
         strings the render is a no-op."""
         xs = f"CAST({x} AS STRING)"
-        if kind == "signed":
-            return (
-                f"try_cast(least(greatest(coalesce("
-                f"try_cast({xs} AS BIGINT), "
-                f"try_cast(regexp_extract({xs}, "
-                f"{lit(_INT_PREFIX_RX)}, 0) AS DECIMAL(38,0)), 0), "
-                f"{_I64_MIN}), {_I64_MAX}) AS BIGINT)"
+        if kind in ("signed", "unsigned"):
+            # a numeric prefix LONGER than 38 digits overflows even the
+            # DECIMAL(38,0) reparse — clamp sign-aware (my_strtoll10
+            # saturates at the i64/u64 bound) instead of coalescing to
+            # 0; the DOUBLE reparse of the prefix is always finite-or-
+            # Infinity, so the sign test is safe at any length
+            pfx = (
+                f"regexp_extract({xs}, {lit(_INT_PREFIX_RX)}, 0)"
             )
-        if kind == "unsigned":
-            u0 = (
+            hi = _I64_MAX if kind == "signed" else _U64_MAX
+            over = (
+                f"CASE WHEN try_cast({pfx} AS DOUBLE) IS NULL "
+                f"THEN CAST(0 AS DECIMAL(38,0)) "
+                f"WHEN try_cast({pfx} AS DOUBLE) < 0 "
+                f"THEN CAST({_I64_MIN} AS DECIMAL(38,0)) "
+                f"ELSE CAST({hi} AS DECIMAL(38,0)) END"
+            )
+            base = (
                 f"coalesce(try_cast({xs} AS BIGINT), "
-                f"try_cast(regexp_extract({xs}, "
-                f"{lit(_INT_PREFIX_RX)}, 0) AS DECIMAL(38,0)), 0)"
+                f"try_cast({pfx} AS DECIMAL(38,0)), {over})"
             )
+            if kind == "signed":
+                return (
+                    f"try_cast(least(greatest({base}, "
+                    f"{_I64_MIN}), {_I64_MAX}) AS BIGINT)"
+                )
+            # clamp to the parseable [i64-min, u64-max] span first
+            # (my_strtoll10 saturates there), then pmod wraps the
+            # negatives mod 2^64 in ONE operand reference
             return (
-                f"try_cast(least(greatest("
-                f"CASE WHEN {u0} < 0 THEN {_U64_MOD} + {u0} "
-                f"ELSE {u0} END, 0), {_U64_MAX}) AS DECIMAL(20,0))"
+                f"try_cast(pmod(least(greatest({base}, {_I64_MIN}), "
+                f"{_U64_MAX}), {_U64_MOD}) AS DECIMAL(20,0))"
             )
         if kind in ("double", "float"):
             return (
@@ -863,10 +878,13 @@ def _loose_numeric_cast_emit(
         )
     elif kind == "unsigned":
         n0 = f"coalesce(try_cast({es} AS DECIMAL(38,0)), {sign_clamp_i64})"
+        # clamp to [i64-min, u64-max] then wrap negatives mod 2^64
+        # (Item_func_unsigned::val_int casts through longlong, so a
+        # double below i64-min lands on i64-min and wraps to 2^63 —
+        # the old CASE-then-greatest form read 0 there)
         nbranch = (
-            f"try_cast(least(greatest("
-            f"CASE WHEN {n0} < 0 THEN {_U64_MOD} + {n0} "
-            f"ELSE {n0} END, 0), {_U64_MAX}) AS DECIMAL(20,0))"
+            f"try_cast(pmod(least(greatest({n0}, {_I64_MIN}), "
+            f"{_U64_MAX}), {_U64_MOD}) AS DECIMAL(20,0))"
         )
     elif kind in ("double", "float"):
         nbranch = f"try_cast({es} AS {spark_t})"
@@ -894,6 +912,24 @@ def _loose_numeric_cast_emit(
     )
     d_num = f"(substring({digits}, 1, 8))"
     ts_num = f"(substring({digits}, 1, 14))"
+    # static-type short-circuits: a literal operand's typeof() is known
+    # at rewrite time, so emit ONLY its branch — the full typeof CASE
+    # re-states the operand ~10x per emission, which both re-evaluates
+    # non-deterministic operands per arm and blows up exponentially on
+    # nested loose casts (deep MTR nestings hit the codegen limit)
+    stripped = expr.strip()
+    phm = _PH_RE.fullmatch(stripped)
+    if phm and store[int(phm.group(1))].startswith("'"):
+        return sb(e)
+    if numeric_operand or re.fullmatch(
+        r"[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?",
+        stripped,
+    ):
+        # a numeric literal, or an operand the caller knows is numeric
+        # (e.g. a nested loose cast): NULL passes through try_cast
+        return nbranch
+    if stripped.upper() == "NULL":
+        return f"try_cast(NULL AS {spark_t})"
     return (
         f"(CASE WHEN {e} IS NULL THEN try_cast(NULL AS {spark_t}) "
         f"WHEN typeof({e}) LIKE {lit(chr(39) + 'string%' + chr(39))} "
@@ -908,6 +944,23 @@ def _loose_numeric_cast_emit(
         f"THEN CAST(1 AS {spark_t}) ELSE CAST(0 AS {spark_t}) END "
         f"ELSE {nbranch} END)"
     )
+
+
+def _operand_is_loose_cast(text: str) -> bool:
+    """True when ``text`` is exactly one CAST(... AS <loose numeric
+    target>) — its emission's result type is statically numeric, so
+    an ENCLOSING loose cast can skip the typeof dispatch (nested MTR
+    loose casts otherwise blow up ~10x in text per nesting level)."""
+    t = text.strip()
+    m = re.match(r"CAST\s*\(", t, re.IGNORECASE)
+    if not m:
+        return False
+    open_at = t.index("(", 0)
+    end = _find_balanced(t, open_at)
+    if t[end:].strip():
+        return False
+    inner = t[open_at + 1 : end - 1]
+    return _top_level_search(_LOOSE_TARGET_RE.pattern, inner) is not None
 
 
 def _loose_cast_pass(masked: str, store: list[str]) -> str:
@@ -931,7 +984,8 @@ def _loose_cast_pass(masked: str, store: list[str]) -> str:
         tm = _top_level_search(_LOOSE_TARGET_RE.pattern, inner)
         out.append(masked[i : m.start()])
         if tm:
-            expr = _loose_cast_pass(inner[: tm.start()].strip(), store)
+            raw_op = inner[: tm.start()].strip()
+            expr = _loose_cast_pass(raw_op, store)
             if tm.group("signed"):
                 kind, p, s = "signed", 0, 0
             elif tm.group("unsigned"):
@@ -945,7 +999,12 @@ def _loose_cast_pass(masked: str, store: list[str]) -> str:
                 kind = "decimal"
                 p = int(tm.group("p") or 10)
                 s = int(tm.group("s") or 0)
-            out.append(_loose_numeric_cast_emit(expr, kind, p, s, store))
+            out.append(
+                _loose_numeric_cast_emit(
+                    expr, kind, p, s, store,
+                    numeric_operand=_operand_is_loose_cast(raw_op),
+                )
+            )
             i = end
         else:
             # not a loose-numeric cast — keep the head, scan inside
@@ -1369,6 +1428,18 @@ def translate_statement(sql: str) -> str:
     masked = _rewrite_interval_arith(masked, store)
     masked = _rewrite_fn_templates(masked, store)
     masked = _rewrite_get_format(masked, store)
+    # MariaDB's bare STDDEV()/STD()/VARIANCE() are the POPULATION
+    # variants (MySQL heritage; utils/windowfunction/wf_stats.cpp
+    # divides by n for W__STDDEV/W__VARIANCE) while Spark's STDDEV/
+    # VARIANCE alias the SAMPLE forms — rewrite to explicit *_POP
+    # BEFORE the suffix-frame passes so they get the O(n) lowering
+    masked = re.sub(
+        r"\b(?:STDDEV|STD)\s*\(", "STDDEV_POP(", masked,
+        flags=re.IGNORECASE,
+    )
+    masked = re.sub(
+        r"\bVARIANCE\s*\(", "VAR_POP(", masked, flags=re.IGNORECASE
+    )
     masked = _rewrite_corr(masked, store)
     # suffix ROWS frames ([k PRECEDING|CURRENT ROW] .. UNBOUNDED
     # FOLLOWING) are O(n^2) in Spark's UnboundedFollowing frame
@@ -1660,27 +1731,24 @@ def _rewrite_binary_operator(masked: str, store: list[str]) -> str:
 
 
 def _rewrite_corr(masked: str, store: list[str]) -> str:
-    """CORR(x, y) — aggregate or window — rewritten to the moment
-    formula with ``try_divide`` (mcs6178_windowFunctions_CORR.test):
-    Spark's native ``corr`` divides by the frame stddevs and, under
-    ANSI mode, THROWS on a zero-variance frame (running frames with
-    tied x values), where MariaDB/the reference return NULL.
+    """CORR(x, y) — aggregate or window — rewritten with
+    ``try_divide`` (mcs6178_windowFunctions_CORR.test): Spark's native
+    ``corr`` divides by the frame stddevs and, under ANSI mode, THROWS
+    on a zero-variance frame (running frames with tied x values),
+    where MariaDB/the reference return NULL.
 
-        corr = try_divide(n*Sxy - Sx*Sy,
-                          sqrt(greatest((n*Sxx - Sx^2)
-                                        * (n*Syy - Sy^2), 0d)))
+    Both the aggregate form and every non-suffix window frame become
 
-    over pairwise-non-NULL doubles. All terms share one Window node
-    (same spec), so the cost is one pass like the native function.
+        try_divide(covar_pop(x,y), stddev_pop(x)*stddev_pop(y))
 
-    The moment rewrite applies ONLY to window CORR (where all terms
-    must share one Window node). Plain aggregate CORR — where Spark's
-    native ``corr`` ALSO throws under ANSI on zero variance — becomes
-    ``try_divide(covar_pop(x,y), stddev_pop(x)*stddev_pop(y))`` over
-    pairwise-non-NULL doubles: Spark's central-moment aggregates use
-    Welford-style updates, so this avoids the moment formula's
-    catastrophic cancellation on large-magnitude inputs while still
-    returning NULL (0/0) on a zero-variance group like MariaDB."""
+    over pairwise-non-NULL doubles — Spark's central-moment aggregates
+    use Welford-style updates, so there is no raw-moment cancellation
+    on large-magnitude inputs, all three terms share one Window node
+    (same spec), and a zero-variance frame yields NULL (0-divide) like
+    MariaDB. A suffix ROWS frame ([k PRECEDING|CURRENT ROW] ..
+    UNBOUNDED FOLLOWING) — O(n^2) in Spark's UnboundedFollowing frame
+    processor — instead goes through the Chan central-moment
+    combination over three O(n) frames (see _SuffixChan)."""
     pat = re.compile(r"\bCORR\s*\(", re.IGNORECASE)
     out, i = [], 0
     while True:
@@ -1694,7 +1762,27 @@ def _rewrite_corr(masked: str, store: list[str]) -> str:
         if len(args) != 2:
             raise ValueError("CORR expects 2 arguments")
         a, b = args[0].strip(), args[1].strip()
-        # absorb a following OVER (...) / OVER name into the suffix
+        pair = f"(({a}) IS NOT NULL AND ({b}) IS NOT NULL)"
+        xa = f"(CASE WHEN {pair} THEN CAST(({a}) AS DOUBLE) END)"
+        yb = f"(CASE WHEN {pair} THEN CAST(({b}) AS DOUBLE) END)"
+        # windowed CORR over a suffix ROWS frame: Chan-combined central
+        # moments (see _SuffixChan) — native evaluation there is O(n^2)
+        # and the old raw-moment form cancelled catastrophically
+        parsed = _parse_suffix_over(masked, end)
+        if parsed:
+            new_end, part, order, k = parsed
+            ch = _SuffixChan([xa, yb], part, order, k)
+            cxy = ch.comoment(0, 1)
+            cxx = ch.comoment(0, 0)
+            cyy = ch.comoment(1, 1)
+            rendered = ch.guard(
+                f"try_divide({cxy}, sqrt({cxx} * {cyy}))"
+            )
+            out.append(masked[i : m.start()])
+            out.append(rendered)
+            i = new_end
+            continue
+        # absorb a following OVER (...) / OVER name
         tail = masked[end:]
         om = re.match(r"\s*OVER\s*", tail, re.IGNORECASE)
         over = ""
@@ -1709,30 +1797,14 @@ def _rewrite_corr(masked: str, store: list[str]) -> str:
                 if wm:
                     over = " OVER " + wm.group(0)
                     end += om.end() + wm.end()
-        pair = f"(({a}) IS NOT NULL AND ({b}) IS NOT NULL)"
-        if not over:
-            xa = f"(CASE WHEN {pair} THEN CAST(({a}) AS DOUBLE) END)"
-            yb = f"(CASE WHEN {pair} THEN CAST(({b}) AS DOUBLE) END)"
-            rendered = (
-                f"try_divide(covar_pop({xa}, {yb}),"
-                f" stddev_pop({xa}) * stddev_pop({yb}))"
-            )
-            out.append(masked[i : m.start()])
-            out.append(rendered)
-            i = end
-            continue
-        x = f"(CASE WHEN {pair} THEN CAST(({a}) AS DOUBLE) END)"
-        y = f"(CASE WHEN {pair} THEN CAST(({b}) AS DOUBLE) END)"
-        n = f"COUNT({x}){over}"
-        sx = f"SUM({x}){over}"
-        sy = f"SUM({y}){over}"
-        sxx = f"SUM({x} * {x}){over}"
-        syy = f"SUM({y} * {y}){over}"
-        sxy = f"SUM({x} * {y}){over}"
+        # aggregate AND non-suffix window forms share the native
+        # Welford shape: covar_pop / (stddev_pop * stddev_pop) over
+        # pairwise-non-NULL doubles — one Window node when windowed
+        # (same spec), no raw-moment cancellation, NULL (0-divide) on
+        # a zero-variance frame like MariaDB
         rendered = (
-            f"try_divide({n} * {sxy} - {sx} * {sy},"
-            f" sqrt(greatest(({n} * {sxx} - {sx} * {sx})"
-            f" * ({n} * {syy} - {sy} * {sy}), 0d)))"
+            f"try_divide(covar_pop({xa}, {yb}){over},"
+            f" stddev_pop({xa}){over} * stddev_pop({yb}){over})"
         )
         out.append(masked[i : m.start()])
         out.append(rendered)
@@ -1817,27 +1889,161 @@ def _suffix_sum(arg: str, total: str, run: str, slide: str) -> str:
     )
 
 
-#: two-argument moment window functions momentized over suffix frames
-#: (arg order per the SQL standard: fn(dependent_y, independent_x))
+#: window functions lowered over suffix frames. Two-argument moment
+#: family (arg order per the SQL standard: fn(dependent_y,
+#: independent_x)) plus the single-argument stats family and AVG.
 _SUFFIX_MOMENT_FNS = (
     "COVAR_POP", "COVAR_SAMP", "REGR_SLOPE", "REGR_INTERCEPT",
     "REGR_R2", "REGR_SXX", "REGR_SYY", "REGR_SXY", "REGR_COUNT",
     "REGR_AVGX", "REGR_AVGY",
 )
+_SUFFIX_STAT1_FNS = ("STDDEV_POP", "STDDEV_SAMP", "VAR_POP", "VAR_SAMP")
+
+
+class _SuffixChan:
+    """Suffix-frame counts, means and central (co)moments assembled
+    from Spark's native Welford aggregates over the three O(n)-friendly
+    frames — T (whole partition), P (running prefix), L (short slide)
+    — combined with the disjoint-set merge/split algebra of Chan,
+    Golub & LeVeque ("Updating formulae and a pairwise algorithm for
+    computing sample variances", 1979): for disjoint A, B
+
+        C(A∪B) = C(A) + C(B) + Δx·Δy·n_A·n_B/n_{A∪B},  Δ = m_A − m_B
+
+    applied once in reverse (D = T − P is the strict after-current-row
+    suffix) and once forward (S = D ∪ L, the suffix frame). The naive
+    raw-moment form (n·Σxy − Σx·Σy) cancels catastrophically when
+    |mean| ≫ stddev — REGR_SLOPE over epoch-second operands lost every
+    significant digit and flipped NULL↔value — while the per-frame
+    native moments are Welford-accurate and the combine steps subtract
+    only same-scale central moments. Remaining documented inexactness:
+    a multi-row suffix whose operand is CONSTANT but whose partition is
+    not yields roundoff noise (~eps·C_T) instead of an exact zero
+    variance, so REGR_SLOPE there returns a garbage ratio where MariaDB
+    returns NULL; the single-slide case (nD = 0) IS exact via the
+    guards below.
+
+    ``vals`` are one or two NULL-consistent DOUBLE expression strings
+    (for the two-arg family both must be NULL-cased on the pair, so
+    every COUNT/AVG/VAR/COVAR sees the same row set)."""
+
+    def __init__(self, vals: list[str], part: str, order: str, k: int):
+        total, run, slide = _suffix_specs(part, order, k)
+        self._frames = (total, run, slide)
+        self.vals = vals
+        x = vals[0]
+        self.nT = f"CAST(COUNT({x}) OVER ({total}) AS DOUBLE)"
+        self.nP = f"CAST(COUNT({x}) OVER ({run}) AS DOUBLE)"
+        self.nL = f"CAST(COUNT({x}) OVER ({slide}) AS DOUBLE)"
+        self.nD = f"({self.nT} - {self.nP})"
+        self.n = f"({self.nD} + {self.nL})"
+        self.n_int = _suffix_count(x, total, run, slide)
+        # per-val means: mD (strict suffix, NULL when empty), mL, and
+        # the exact 3-term SUM/COUNT suffix mean (integer-exact, used
+        # for user-visible AVG outputs)
+        self.mD, self.mP, self.mL, self.mean = [], [], [], []
+        for v in vals:
+            mT = f"AVG({v}) OVER ({total})"
+            mP = f"AVG({v}) OVER ({run})"
+            mL = f"AVG({v}) OVER ({slide})"
+            self.mP.append(mP)
+            self.mL.append(mL)
+            self.mD.append(
+                f"try_divide({self.nT} * {mT} - {self.nP} * {mP}, {self.nD})"
+            )
+            self.mean.append(
+                f"try_divide({_suffix_sum(v, total, run, slide)},"
+                f" {self.n_int})"
+            )
+
+    def comoment(self, i: int, j: int) -> str:
+        """n_S × central (co)moment of vals[i], vals[j] over the suffix
+        frame (= REGR_SXX/SYY/SXY). The coalesces zero the Δ terms when
+        a side is empty (their means are NULL there, true term is 0);
+        the nD = 0 CASE makes the pure-slide rows EXACT (native Welford
+        only), not total-minus-prefix roundoff."""
+        a, b = self.vals[i], self.vals[j]
+        total, run, slide = self._frames
+        if i == j:
+            ct = f"(VAR_POP({a}) OVER ({total}) * {self.nT})"
+            cp = f"(VAR_POP({a}) OVER ({run}) * {self.nP})"
+            cl = f"(VAR_POP({a}) OVER ({slide}) * {self.nL})"
+        else:
+            ct = f"(COVAR_POP({a}, {b}) OVER ({total}) * {self.nT})"
+            cp = f"(COVAR_POP({a}, {b}) OVER ({run}) * {self.nP})"
+            cl = f"(COVAR_POP({a}, {b}) OVER ({slide}) * {self.nL})"
+        d_term = (
+            f"(({self.mP[i]} - {self.mD[i]}) * ({self.mP[j]} - {self.mD[j]})"
+            f" * try_divide({self.nP} * {self.nD}, {self.nT}))"
+        )
+        cd = (
+            f"(CASE WHEN {self.nD} = 0d THEN 0d ELSE"
+            f" {ct} - coalesce({cp}, 0d) - coalesce({d_term}, 0d) END)"
+        )
+        s_term = (
+            f"(({self.mD[i]} - {self.mL[i]}) * ({self.mD[j]} - {self.mL[j]})"
+            f" * try_divide({self.nD} * {self.nL}, {self.n}))"
+        )
+        cs = f"({cd} + coalesce({cl}, 0d) + coalesce({s_term}, 0d))"
+        return f"greatest({cs}, 0d)" if i == j else cs
+
+    def guard(self, expr: str) -> str:
+        """NULL on an empty suffix frame (counts are exact in DOUBLE)."""
+        return f"(CASE WHEN {self.n} = 0d THEN NULL ELSE {expr} END)"
+
+
+def _render_suffix_moment(fn: str, ch: _SuffixChan) -> str:
+    """Render one two-arg moment family member from suffix Chan terms
+    (windowfunctiontype.h:92-100; the reference evaluates these per
+    frame too). vals[0] = dependent y, vals[1] = independent x."""
+    n = ch.n
+    if fn == "REGR_COUNT":
+        return f"CAST({ch.n_int} AS BIGINT)"
+    if fn == "REGR_AVGX":
+        return ch.mean[1]
+    if fn == "REGR_AVGY":
+        return ch.mean[0]
+    cxy = ch.comoment(0, 1)
+    if fn == "COVAR_POP":
+        return ch.guard(f"try_divide({cxy}, {n})")
+    if fn == "COVAR_SAMP":
+        return ch.guard(f"try_divide({cxy}, {n} - 1)")
+    if fn == "REGR_SXY":
+        return ch.guard(cxy)
+    cxx = ch.comoment(1, 1)
+    if fn == "REGR_SLOPE":
+        return ch.guard(f"try_divide({cxy}, {cxx})")
+    if fn == "REGR_INTERCEPT":
+        return ch.guard(
+            f"({ch.mean[0]} - try_divide({cxy}, {cxx}) * {ch.mean[1]})"
+        )
+    if fn == "REGR_SXX":
+        return ch.guard(cxx)
+    cyy = ch.comoment(0, 0)
+    if fn == "REGR_SYY":
+        return ch.guard(cyy)
+    # REGR_R2
+    return ch.guard(
+        f"(CASE WHEN {cxx} = 0d THEN NULL"
+        f" WHEN {cyy} = 0d THEN 1.0d"
+        f" ELSE try_divide({cxy} * {cxy}, {cxx} * {cyy}) END)"
+    )
 
 
 def _rewrite_suffix_moment_windows(masked: str, store: list[str]) -> str:
-    """COVAR_POP/COVAR_SAMP/REGR_* over a suffix ROWS frame → moment
-    formulas over pairwise-non-NULL SUM/COUNT terms carrying the same
-    window spec (windowfunctiontype.h:92-100; the reference evaluates
-    these per frame too). Spark's native Welford aggregates stay in
-    place for every other frame shape — this pass exists because the
-    UnboundedFollowing frame processor re-aggregates the whole frame
-    per row (O(n^2)); the emitted sums are then lowered to O(n) by
-    `_rewrite_suffix_sum_frames`. mcs6179-6205 suffix-frame batteries
+    """COVAR_POP/COVAR_SAMP/REGR_* (two-arg), STDDEV/VAR (one-arg) and
+    AVG over a suffix ROWS frame → Chan-combined central moments /
+    3-term means over the three O(n) frames (see _SuffixChan). Spark's
+    native Welford aggregates stay in place for every other frame shape
+    — this pass exists because the UnboundedFollowing frame processor
+    re-aggregates the whole frame per row (O(n^2)); the emitted 3-term
+    means keep their suffix shape and are lowered to O(n) by
+    `_rewrite_suffix_sum_frames`. mcs6177-6214 suffix-frame batteries
     ran past any probe budget before this."""
     pat = re.compile(
-        r"\b(" + "|".join(_SUFFIX_MOMENT_FNS) + r")\s*\(",
+        r"\b("
+        + "|".join(_SUFFIX_MOMENT_FNS + _SUFFIX_STAT1_FNS + ("AVG",))
+        + r")\s*\(",
         re.IGNORECASE,
     )
     out, i = [], 0
@@ -1857,51 +2063,40 @@ def _rewrite_suffix_moment_windows(masked: str, store: list[str]) -> str:
             continue
         new_end, part, order, k = parsed
         args = _split_top_level_commas(masked[open_at + 1 : end - 1])
-        if len(args) != 2:
-            raise ValueError(f"{fn} expects 2 arguments")
-        ey, ex = args[0].strip(), args[1].strip()  # (dependent, independent)
-        over = " OVER (" + masked[end:new_end].split("(", 1)[1]
-        pair = f"(({ey}) IS NOT NULL AND ({ex}) IS NOT NULL)"
-        y = f"(CASE WHEN {pair} THEN CAST(({ey}) AS DOUBLE) END)"
-        x = f"(CASE WHEN {pair} THEN CAST(({ex}) AS DOUBLE) END)"
-        n = f"CAST(COUNT({x}){over} AS DOUBLE)"
-        s1 = f"SUM({y}){over}"
-        s2 = f"SUM({x}){over}"
-        s11 = f"SUM({y} * {y}){over}"
-        s22 = f"SUM({x} * {x}){over}"
-        s12 = f"SUM({y} * {x}){over}"
-        dxx = f"({n} * {s22} - {s2} * {s2})"
-        dyy = f"({n} * {s11} - {s1} * {s1})"
-        dxy = f"({n} * {s12} - {s1} * {s2})"
-        if fn == "COVAR_POP":
-            rendered = f"try_divide({dxy}, {n} * {n})"
-        elif fn == "COVAR_SAMP":
-            rendered = f"try_divide({dxy}, {n} * ({n} - 1))"
-        elif fn == "REGR_SLOPE":
-            rendered = f"try_divide({dxy}, {dxx})"
-        elif fn == "REGR_INTERCEPT":
-            # avgY - slope*avgX = (S1*S22 - S2*S12) / (n*S22 - S2^2)
-            rendered = (
-                f"try_divide({s1} * {s22} - {s2} * {s12}, {dxx})"
-            )
-        elif fn == "REGR_R2":
-            rendered = (
-                f"(CASE WHEN coalesce({dxx}, 0d) = 0d THEN NULL"
-                f" WHEN {dyy} = 0d THEN 1.0d"
-                f" ELSE try_divide({dxy} * {dxy}, {dxx} * {dyy}) END)"
-            )
-        elif fn == "REGR_SXX":
-            rendered = f"try_divide({dxx}, {n})"
-        elif fn == "REGR_SYY":
-            rendered = f"try_divide({dyy}, {n})"
-        elif fn == "REGR_SXY":
-            rendered = f"try_divide({dxy}, {n})"
-        elif fn == "REGR_COUNT":
-            rendered = f"CAST(COUNT({x}){over} AS BIGINT)"
-        elif fn == "REGR_AVGX":
-            rendered = f"try_divide({s2}, {n})"
-        else:  # REGR_AVGY
-            rendered = f"try_divide({s1}, {n})"
+        if args and re.match(r"\s*DISTINCT\b", args[0], re.IGNORECASE):
+            # DISTINCT doesn't decompose over the 3 frames; leave
+            # native (Spark rejects it inside windows anyway)
+            out.append(masked[m.start() : open_at + 1])
+            i = open_at + 1
+            continue
+        if fn in _SUFFIX_MOMENT_FNS:
+            if len(args) != 2:
+                raise ValueError(f"{fn} expects 2 arguments")
+            # (dependent y, independent x)
+            ey, ex = args[0].strip(), args[1].strip()
+            pair = f"(({ey}) IS NOT NULL AND ({ex}) IS NOT NULL)"
+            y = f"(CASE WHEN {pair} THEN CAST(({ey}) AS DOUBLE) END)"
+            x = f"(CASE WHEN {pair} THEN CAST(({ex}) AS DOUBLE) END)"
+            ch = _SuffixChan([y, x], part, order, k)
+            rendered = _render_suffix_moment(fn, ch)
+        else:
+            if len(args) != 1:
+                raise ValueError(f"{fn} expects 1 argument")
+            v = f"CAST(({args[0].strip()}) AS DOUBLE)"
+            if fn == "AVG":
+                total, run, slide = _suffix_specs(part, order, k)
+                rendered = (
+                    f"try_divide({_suffix_sum(v, total, run, slide)},"
+                    f" {_suffix_count(v, total, run, slide)})"
+                )
+            else:
+                ch = _SuffixChan([v], part, order, k)
+                c2, n = ch.comoment(0, 0), ch.n
+                denom = n if fn.endswith("_POP") else f"({n} - 1)"
+                var = f"try_divide({c2}, {denom})"
+                if fn.startswith("STDDEV"):
+                    var = f"sqrt({var})"
+                rendered = ch.guard(var)
         out.append(rendered)
         i = new_end
     return "".join(out)

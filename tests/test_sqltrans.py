@@ -281,7 +281,8 @@ def test_cast_signed_unsigned_targets():
     assert "'^ *[+-]?[0-9]+'" in got  # integer prefix, stops at '.'
     got = translate_statement("SELECT CAST(x AS UNSIGNED INTEGER) FROM t")
     assert "AS DECIMAL(20,0))" in got
-    assert "18446744073709551616 +" in got  # u64 wrap of negatives
+    # u64 wrap of negatives: single-reference pmod form
+    assert "pmod(" in got and "18446744073709551616)" in got
     assert (
         translate_statement("SELECT CAST(x AS CHAR) FROM t")
         == "SELECT CAST(x AS STRING) FROM t"
@@ -1070,14 +1071,24 @@ def test_unary_binary_operator():
     ) == "SELECT CAST(a AS BINARY) FROM t"
 
 
-def test_corr_aggregate_uses_welford_moments():
+def test_corr_uses_welford_moments():
     out = translate_statement("SELECT corr(a, b) AS c FROM t GROUP BY g")
     assert "covar_pop" in out and "stddev_pop" in out
     assert "SUM(" not in out  # no raw-moment formula for aggregates
+    # non-suffix window frames: native Welford terms sharing the spec
+    # (raw moments cancel catastrophically on large-magnitude operands)
     out2 = translate_statement(
         "SELECT corr(a, b) OVER (PARTITION BY g ORDER BY i) FROM t"
     )
-    assert "try_divide" in out2 and "covar_pop" not in out2
+    assert "try_divide" in out2 and "covar_pop" in out2
+    assert "SUM(" not in out2
+    # suffix frames: Chan-combined central moments over O(n) frames
+    out3 = translate_statement(
+        "SELECT corr(a, b) OVER (PARTITION BY g ORDER BY i "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
+    )
+    assert "UNBOUNDED FOLLOWING" not in out3
+    assert "VAR_POP" in out3 and "COVAR_POP" in out3
 
 
 def test_loose_numeric_cast_semantics(spark):
@@ -1116,6 +1127,40 @@ def test_loose_numeric_cast_semantics(spark):
     assert str(got.n) == "0.00"
     assert got.o == 7
     assert got.p == 77
+
+
+def test_loose_cast_overflow_clamp_and_short_circuit(spark):
+    """r9 ADVICE: a numeric prefix longer than 38 digits overflows the
+    DECIMAL(38,0) reparse — must clamp sign-aware like my_strtoll10,
+    not coalesce to 0. Literal operands short-circuit to their single
+    typed branch (no typeof CASE), bounding nested-emission size."""
+    nines = "9" * 39
+    got = spark.sql(
+        translate_statement(
+            f"SELECT CAST('{nines}' AS SIGNED) AS a,"
+            f" CAST('-{nines}' AS SIGNED) AS b,"
+            f" CAST('{nines}' AS UNSIGNED) AS c,"
+            f" CAST('-{nines}' AS UNSIGNED) AS d,"
+            f" CAST('{nines}xyz' AS SIGNED) AS e"
+        )
+    ).collect()[0]
+    assert got.a == 9223372036854775807
+    assert got.b == -9223372036854775808
+    assert str(got.c) == "18446744073709551615"
+    assert str(got.d) == "9223372036854775808"  # i64-min parse, wrapped
+    assert got.e == 9223372036854775807
+    # literal short-circuit: no typeof() dispatch, and nesting three
+    # loose casts stays well under codegen-hostile sizes
+    one = translate_statement("SELECT CAST('12abc' AS SIGNED) FROM t")
+    assert "typeof" not in one
+    assert "typeof" not in translate_statement(
+        "SELECT CAST(4.7 AS SIGNED) FROM t"
+    )
+    nested = translate_statement(
+        "SELECT CAST(CAST(CAST('9.5' AS DECIMAL(4,1)) AS SIGNED)"
+        " AS UNSIGNED) FROM t"
+    )
+    assert len(nested) < 60_000
 
 
 def test_loose_numeric_cast_numeric_and_temporal(spark):
@@ -1180,11 +1225,11 @@ def test_suffix_frame_rewrites_fire_and_skip():
 
 
 def test_suffix_frame_values_match_native(spark):
-    """The 3-term suffix rewrite equals Spark's native (O(n^2))
-    UnboundedFollowing evaluation: exactly for integer SUM/COUNT,
-    and to 1e-7 relative for the momentized two-arg family (the
-    moment formula's conditioning on tiny near-collinear frames is
-    the documented tradeoff that buys O(n))."""
+    """The suffix-frame lowering equals Spark's native (O(n^2))
+    UnboundedFollowing evaluation: exactly for integer SUM/COUNT, and
+    to 1e-7 relative for the Chan-combined stats/moment family (see
+    test_suffix_moments_large_magnitude for the conditioning bound
+    that motivated the central-moment form)."""
     import pyspark.sql.functions as F
 
     df = spark.createDataFrame(
@@ -1197,6 +1242,11 @@ def test_suffix_frame_values_match_native(spark):
         ("SUM(x)", True),
         ("COUNT(x)", True),
         ("COUNT(*)", True),
+        ("AVG(x)", False),
+        ("STDDEV_POP(y)", False),
+        ("STDDEV_SAMP(y)", False),
+        ("VAR_POP(y)", False),
+        ("VAR_SAMP(y)", False),
         ("COVAR_POP(y, x)", False),
         ("COVAR_SAMP(y, x)", False),
         ("REGR_SLOPE(y, x)", False),
@@ -1234,3 +1284,54 @@ def test_suffix_frame_values_match_native(spark):
                     assert abs(a - b) <= max(1e-6, abs(a) * 1e-7), (
                         fn, frame, k, a, b,
                     )
+
+
+def test_suffix_moments_large_magnitude(spark):
+    """Conditioning regression (round-9 ADVICE): REGR_*/COVAR/STDDEV
+    over suffix frames with |mean| >> stddev operands — epoch-second
+    timestamps — must track the native Welford answer. The retired
+    raw-moment form (n*Sxy - Sx^2) lost EVERY significant digit here
+    (measured: slope 2.1e-7 vs native 0.0177, relative error ~1.0,
+    19/100 rows flipping NULL<->value); the Chan central-moment
+    combination stays within a few-1e-6 relative (the residual is the
+    unavoidable eps*n*|mean| noise in the subtracted strict-suffix
+    mean, visible only on tiny frames) and never disagrees on
+    NULLness."""
+    rows = [
+        (i, 1_700_000_000 + i * 37 + (i * i) % 11,
+         float(50 + (i * 13) % 101) + 0.017 * i)
+        for i in range(100)
+    ]
+    spark.createDataFrame(rows, "o int, ts long, y double") \
+        .createOrReplaceTempView("sfx_epoch")
+    for fn in ("REGR_SLOPE(y, ts)", "REGR_INTERCEPT(y, ts)",
+               "REGR_R2(y, ts)", "COVAR_POP(y, ts)",
+               "COVAR_SAMP(y, ts)", "STDDEV_POP(ts)", "VAR_SAMP(ts)"):
+        sql = (
+            f"SELECT o, {fn} OVER (ORDER BY o ROWS BETWEEN CURRENT ROW"
+            f" AND UNBOUNDED FOLLOWING) AS v FROM sfx_epoch ORDER BY o"
+        )
+        native = {r.o: r.v for r in spark.sql(sql).collect()}
+        fast = {
+            r.o: r.v for r in spark.sql(translate_statement(sql)).collect()
+        }
+        for k, a in native.items():
+            b = fast[k]
+            assert (a is None) == (b is None), (fn, k, a, b)
+            if a is not None:
+                assert abs(a - b) <= max(1e-9, abs(a) * 5e-6), (fn, k, a, b)
+
+
+def test_population_stat_aliases():
+    """MariaDB's bare STDDEV()/STD()/VARIANCE() are POPULATION
+    variants (wf_stats.cpp divides by n); Spark's STDDEV/VARIANCE
+    alias the sample forms, so the front end rewrites to *_POP.
+    Explicit *_SAMP/*_POP spellings pass through untouched."""
+    out = translate_statement(
+        "SELECT STDDEV(a), STD(a), VARIANCE(a), STDDEV_SAMP(a),"
+        " VAR_SAMP(a), STDDEV_POP(a) FROM t"
+    )
+    assert out == (
+        "SELECT STDDEV_POP(a), STDDEV_POP(a), VAR_POP(a),"
+        " STDDEV_SAMP(a), VAR_SAMP(a), STDDEV_POP(a) FROM t"
+    )
