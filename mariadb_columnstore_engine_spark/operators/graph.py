@@ -124,14 +124,17 @@ def connected_components(
     Per iteration: one join (labels × edges) + one min-aggregate, both
     executor-side; the loop stops when an iteration changes no label
     (fixpoint) or at ``max_iter``. Convergence takes O(component
-    diameter) rounds — near-dup clusters are near-cliques (banded LSH
-    emits most intra-cluster pairs directly), so 2-3 rounds in
-    practice. For adversarial long-chain graphs at 100 TB scale the
-    round count is the bottleneck and the large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") halves it; min-propagation is the right default for dedup
-    workloads. Plans are truncated per round with ``localCheckpoint``
-    (see bfs_reachability's discipline note).
+    diameter) rounds.
+
+    DEFAULT STEER (r8 sf10 measurement, SCALE.md §Round-8 addendum):
+    at real dedup densities the per-round join work dominates, and
+    ``connected_components_star`` measured **4.5x faster** on the same
+    sf10 pair graph (143.5 s vs 647.7 s) — use the star kernel as the
+    cluster step at scale and keep THIS kernel as the simple
+    correctness cross-check (its min label doubles as the canonical
+    representative, which the oracle'd registry rows exploit). Plans
+    are truncated per round with ``localCheckpoint`` (see
+    bfs_reachability's discipline note).
 
     Returns (node, component) — component = min node id reachable.
     """
@@ -217,7 +220,10 @@ def connected_components_star(
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    the scale path for graphs whose component DIAMETER defeats
+    the DOCUMENTED DEFAULT cluster step for dedup pipelines at scale
+    (r8 sf10 measurement: 4.5x faster than min-label on the same pair
+    graph at 100x duplicate density — SCALE.md §Round-8 addendum),
+    and the robust path for graphs whose component DIAMETER defeats
     min-label propagation: rounds grow O(log^2 n) in the worst case
     instead of O(diameter), so a million-node chain converges in tens
     of rounds, not a million.
