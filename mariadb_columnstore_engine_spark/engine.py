@@ -106,6 +106,29 @@ class Engine:
               **session_kwargs) -> "Engine":
         return cls(get_session(app_name, **session_kwargs), sf_dir)
 
+    def _string_columns(self) -> frozenset[str]:
+        """Lowercase string-typed column names across the catalog's
+        base tables — handed to the dialect layer so it can apply
+        MariaDB's loose string→number coercion at numeric/boolean
+        contexts, exactly as the server's parser (which has the
+        catalog) does. Computed once; schemas are already loaded by
+        register_views so this reads no new footers."""
+        cached = getattr(self, "_string_cols_cache", None)
+        if cached is None:
+            from pyspark.sql.types import StringType
+
+            cols: set[str] = set()
+            for t in TABLES:
+                try:
+                    for f in self.catalog.table(t).schema.fields:
+                        if isinstance(f.dataType, StringType):
+                            cols.add(f.name.lower())
+                except Exception:  # noqa: BLE001 — missing fixture ok
+                    pass
+            cached = frozenset(cols)
+            self._string_cols_cache = cached
+        return cached
+
     def sql(self, query: str, *, dialect: str = "mariadb") -> DataFrame:
         """Run SQL over the registered tables (+ engine UDFs).
 
@@ -119,7 +142,7 @@ class Engine:
                 translate_statement,
             )
 
-            query = translate_statement(query)
+            query = translate_statement(query, self._string_columns())
         import re as _re_is
 
         if _re_is.search(

@@ -461,18 +461,19 @@ _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
     # TRUNCATE(X, D) toward zero in DECIMAL arithmetic (func_truncate
     # .cpp; double×10^d would turn 0.29*100 into 28.999…996 — mirrors
     # dialect.truncate_number's decimal path incl. negative D, which
-    # truncates left of the point: TRUNCATE(123.45, -1) = 120)
+    # truncates left of the point: TRUNCATE(123.45, -1) = 120). The
+    # D>=0 branch is X − X % 10^(−D): SQL % follows the dividend's
+    # sign so the remainder-strip truncates toward zero for BOTH
+    # signs, the mod never widens past the operand scale, and — unlike
+    # the old floor(X·10^D) form — a large X (TRUNCATE of a REGR_SXX
+    # in the e12 range, mcs6203) can't overflow the 38-digit product.
     (
         "TRUNCATE",
         2,
         "cast((CASE WHEN ({1}) >= 0 THEN"
-        " cast((CASE WHEN ({0}) >= 0"
-        "  THEN floor(cast({0} as decimal(38,15))"
-        "    * cast(power(10, {1}) as decimal(20,0)))"
-        "  ELSE ceil(cast({0} as decimal(38,15))"
-        "    * cast(power(10, {1}) as decimal(20,0))) END)"
-        "  as decimal(38,15))"
-        "  / cast(power(10, {1}) as decimal(20,0))"
+        " cast({0} as decimal(38,15))"
+        "  - (cast({0} as decimal(38,15))"
+        "     % cast(power(10, -least(({1}), 15)) as decimal(38,15)))"
         " ELSE"
         " cast((CASE WHEN ({0}) >= 0"
         "  THEN floor(cast({0} as decimal(38,15))"
@@ -1340,11 +1341,20 @@ def _rewrite_json_table(masked: str, store: list[str]) -> str:
         masked = masked[: m.start()] + ph + masked[end:]
 
 
-def translate_statement(sql: str) -> str:
+def translate_statement(
+    sql: str, string_columns: frozenset[str] = frozenset()
+) -> str:
     """MariaDB statement → Spark SQL statement (see module docstring).
 
     Pure-ANSI input passes through unchanged (modulo a stripped trailing
     semicolon), so it is safe to run on every statement.
+
+    ``string_columns``: lowercase names of catalog columns known to be
+    string-typed (the Engine passes its catalog's). MariaDB's parser
+    has the catalog at hand and applies loose string→number coercion
+    at every numeric context; with the set provided, string columns
+    used as math-function args or as bare boolean operands get the
+    same my_strtod prefix read instead of Spark's ANSI cast error.
     """
     masked, store = _mask(sql)
 
@@ -1412,10 +1422,23 @@ def translate_statement(sql: str) -> str:
     # operators to try_divide/try_mod BEFORE any pass that injects
     # engine-internal divisions (which keep plain operators)
     masked = _rewrite_null_safe_division(masked, store)
+    # logical XOR (MariaDB boolean operator between AND and OR in
+    # precedence; Spark has no spelling) — runs early so later passes
+    # still translate MariaDB-isms inside the captured operands
+    masked = _rewrite_logical_xor(masked, store)
     # double-quoted aliases: MariaDB (default sql_mode) accepts a
     # string literal in alias position (SELECT sum(x) "total");
     # Spark needs an identifier
     masked = _rewrite_string_aliases(masked, store)
+    # MariaDB implicit coercions Spark's ANSI mode rejects or casts
+    # the wrong way (mcs7005/7031/7069/7108 shapes): boolean CASE
+    # subjects/operands → INT, string-vs-number CASE/IF branches →
+    # STRING, string columns in numeric/boolean contexts → my_strtod
+    # prefix reads. Run BEFORE the cast/collate passes so only
+    # user-written CASEs are scanned, AFTER alias handling so quoted
+    # aliases are already identifiers.
+    masked = _rewrite_case_coercions(masked, store, string_columns)
+    masked = _rewrite_loose_string_args(masked, store, string_columns)
     masked = _rewrite_with_rollup(masked, store)
     masked = _rewrite_cast_targets(masked, store)
     # inline collation forms run AFTER cast targets so CAST(x AS
@@ -1443,11 +1466,9 @@ def translate_statement(sql: str) -> str:
     masked = _rewrite_corr(masked, store)
     # suffix ROWS frames ([k PRECEDING|CURRENT ROW] .. UNBOUNDED
     # FOLLOWING) are O(n^2) in Spark's UnboundedFollowing frame
-    # processor; momentize COVAR/REGR_* over them, then lower every
-    # suffix SUM/COUNT (incl. the ones _rewrite_corr just emitted) to
-    # the O(n) total-minus-prefix-plus-slide form
-    masked = _rewrite_suffix_moment_windows(masked, store)
-    masked = _rewrite_suffix_sum_frames(masked, store)
+    # processor; mirror them onto the reversed-order O(n) running
+    # frame (incl. the covar/stddev terms _rewrite_corr just emitted)
+    masked = _rewrite_suffix_frames(masked, store)
     # JSON_TABLE runs after the expression rewrites (so MariaDB-isms in
     # its source expr are already translated) and stores its generated
     # SQL as one mask token (no later pass can fire inside it)
@@ -1745,10 +1766,10 @@ def _rewrite_corr(masked: str, store: list[str]) -> str:
     use Welford-style updates, so there is no raw-moment cancellation
     on large-magnitude inputs, all three terms share one Window node
     (same spec), and a zero-variance frame yields NULL (0-divide) like
-    MariaDB. A suffix ROWS frame ([k PRECEDING|CURRENT ROW] ..
-    UNBOUNDED FOLLOWING) — O(n^2) in Spark's UnboundedFollowing frame
-    processor — instead goes through the Chan central-moment
-    combination over three O(n) frames (see _SuffixChan)."""
+    MariaDB. Suffix ROWS frames need no special casing here: the
+    emitted covar/stddev terms carry the user's OVER spec, and the
+    later _rewrite_suffix_frames pass mirrors any suffix spec onto the
+    reversed-order O(n) running frame."""
     pat = re.compile(r"\bCORR\s*\(", re.IGNORECASE)
     out, i = [], 0
     while True:
@@ -1765,23 +1786,6 @@ def _rewrite_corr(masked: str, store: list[str]) -> str:
         pair = f"(({a}) IS NOT NULL AND ({b}) IS NOT NULL)"
         xa = f"(CASE WHEN {pair} THEN CAST(({a}) AS DOUBLE) END)"
         yb = f"(CASE WHEN {pair} THEN CAST(({b}) AS DOUBLE) END)"
-        # windowed CORR over a suffix ROWS frame: Chan-combined central
-        # moments (see _SuffixChan) — native evaluation there is O(n^2)
-        # and the old raw-moment form cancelled catastrophically
-        parsed = _parse_suffix_over(masked, end)
-        if parsed:
-            new_end, part, order, k = parsed
-            ch = _SuffixChan([xa, yb], part, order, k)
-            cxy = ch.comoment(0, 1)
-            cxx = ch.comoment(0, 0)
-            cyy = ch.comoment(1, 1)
-            rendered = ch.guard(
-                f"try_divide({cxy}, sqrt({cxx} * {cyy}))"
-            )
-            out.append(masked[i : m.start()])
-            out.append(rendered)
-            i = new_end
-            continue
         # absorb a following OVER (...) / OVER name
         tail = masked[end:]
         om = re.match(r"\s*OVER\s*", tail, re.IGNORECASE)
@@ -1851,201 +1855,82 @@ def _parse_suffix_over(masked: str, end: int):
     return end + close, part, order, k
 
 
-def _suffix_specs(part: str, order: str, k: int) -> tuple[str, str, str]:
-    """The three O(n) window specs whose combination equals a suffix
-    frame: whole-partition total, running prefix (unbounded preceding
-    .. current row), and the (k+1)-row slide ending at current row."""
-    p = f"PARTITION BY {part}" if part else ""
-    po = (p + " " if p else "") + f"ORDER BY {order}"
-    total = p
-    run = f"{po} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-    slide = (
-        f"{po} ROWS BETWEEN CURRENT ROW AND CURRENT ROW"
-        if k == 0
-        else f"{po} ROWS BETWEEN {k} PRECEDING AND CURRENT ROW"
-    )
-    return total, run, slide
-
-
-def _suffix_count(arg: str, total: str, run: str, slide: str) -> str:
-    return (
-        f"(COUNT({arg}) OVER ({total})"
-        f" - COUNT({arg}) OVER ({run})"
-        f" + COUNT({arg}) OVER ({slide}))"
-    )
-
-
-def _suffix_sum(arg: str, total: str, run: str, slide: str) -> str:
-    """SUM over a suffix frame as total - prefix + slide, each an O(n)
-    frame. NULL-correct: when the suffix holds no non-NULL value the
-    3-term count is 0 and the CASE yields NULL (plain subtraction
-    would read 0)."""
-    cnt = _suffix_count(arg, total, run, slide)
-    return (
-        f"(CASE WHEN {cnt} = 0 THEN NULL ELSE "
-        f"(coalesce(SUM({arg}) OVER ({total}), 0)"
-        f" - coalesce(SUM({arg}) OVER ({run}), 0)"
-        f" + coalesce(SUM({arg}) OVER ({slide}), 0)) END)"
-    )
-
-
-#: window functions lowered over suffix frames. Two-argument moment
-#: family (arg order per the SQL standard: fn(dependent_y,
-#: independent_x)) plus the single-argument stats family and AVG.
-_SUFFIX_MOMENT_FNS = (
-    "COVAR_POP", "COVAR_SAMP", "REGR_SLOPE", "REGR_INTERCEPT",
-    "REGR_R2", "REGR_SXX", "REGR_SYY", "REGR_SXY", "REGR_COUNT",
-    "REGR_AVGX", "REGR_AVGY",
+#: window functions SAFE to evaluate over the reversed-order running
+#: frame (order-insensitive aggregates; FIRST/LAST_VALUE swap roles
+#: under reversal). Ranking functions ignore frames and never match.
+_SUFFIX_REVERSIBLE_FNS = (
+    "SUM", "COUNT", "AVG", "MIN", "MAX",
+    "STDDEV_POP", "STDDEV_SAMP", "VAR_POP", "VAR_SAMP",
+    "COVAR_POP", "COVAR_SAMP", "CORR",
+    "REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2", "REGR_SXX",
+    "REGR_SYY", "REGR_SXY", "REGR_COUNT", "REGR_AVGX", "REGR_AVGY",
+    "BIT_AND", "BIT_OR", "BIT_XOR",
+    "FIRST_VALUE", "LAST_VALUE",
 )
-_SUFFIX_STAT1_FNS = ("STDDEV_POP", "STDDEV_SAMP", "VAR_POP", "VAR_SAMP")
+
+_SORT_ITEM_RE = re.compile(
+    r"^(?P<e>.*?)(?:\s+(?P<dir>ASC|DESC))?"
+    r"(?:\s+NULLS\s+(?P<n>FIRST|LAST))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
-class _SuffixChan:
-    """Suffix-frame counts, means and central (co)moments assembled
-    from Spark's native Welford aggregates over the three O(n)-friendly
-    frames — T (whole partition), P (running prefix), L (short slide)
-    — combined with the disjoint-set merge/split algebra of Chan,
-    Golub & LeVeque ("Updating formulae and a pairwise algorithm for
-    computing sample variances", 1979): for disjoint A, B
-
-        C(A∪B) = C(A) + C(B) + Δx·Δy·n_A·n_B/n_{A∪B},  Δ = m_A − m_B
-
-    applied once in reverse (D = T − P is the strict after-current-row
-    suffix) and once forward (S = D ∪ L, the suffix frame). The naive
-    raw-moment form (n·Σxy − Σx·Σy) cancels catastrophically when
-    |mean| ≫ stddev — REGR_SLOPE over epoch-second operands lost every
-    significant digit and flipped NULL↔value — while the per-frame
-    native moments are Welford-accurate and the combine steps subtract
-    only same-scale central moments. Remaining documented inexactness:
-    a multi-row suffix whose operand is CONSTANT but whose partition is
-    not yields roundoff noise (~eps·C_T) instead of an exact zero
-    variance, so REGR_SLOPE there returns a garbage ratio where MariaDB
-    returns NULL; the single-slide case (nD = 0) IS exact via the
-    guards below.
-
-    ``vals`` are one or two NULL-consistent DOUBLE expression strings
-    (for the two-arg family both must be NULL-cased on the pair, so
-    every COUNT/AVG/VAR/COVAR sees the same row set)."""
-
-    def __init__(self, vals: list[str], part: str, order: str, k: int):
-        total, run, slide = _suffix_specs(part, order, k)
-        self._frames = (total, run, slide)
-        self.vals = vals
-        x = vals[0]
-        self.nT = f"CAST(COUNT({x}) OVER ({total}) AS DOUBLE)"
-        self.nP = f"CAST(COUNT({x}) OVER ({run}) AS DOUBLE)"
-        self.nL = f"CAST(COUNT({x}) OVER ({slide}) AS DOUBLE)"
-        self.nD = f"({self.nT} - {self.nP})"
-        self.n = f"({self.nD} + {self.nL})"
-        self.n_int = _suffix_count(x, total, run, slide)
-        # per-val means: mD (strict suffix, NULL when empty), mL, and
-        # the exact 3-term SUM/COUNT suffix mean (integer-exact, used
-        # for user-visible AVG outputs)
-        self.mD, self.mP, self.mL, self.mean = [], [], [], []
-        for v in vals:
-            mT = f"AVG({v}) OVER ({total})"
-            mP = f"AVG({v}) OVER ({run})"
-            mL = f"AVG({v}) OVER ({slide})"
-            self.mP.append(mP)
-            self.mL.append(mL)
-            self.mD.append(
-                f"try_divide({self.nT} * {mT} - {self.nP} * {mP}, {self.nD})"
-            )
-            self.mean.append(
-                f"try_divide({_suffix_sum(v, total, run, slide)},"
-                f" {self.n_int})"
-            )
-
-    def comoment(self, i: int, j: int) -> str:
-        """n_S × central (co)moment of vals[i], vals[j] over the suffix
-        frame (= REGR_SXX/SYY/SXY). The coalesces zero the Δ terms when
-        a side is empty (their means are NULL there, true term is 0);
-        the nD = 0 CASE makes the pure-slide rows EXACT (native Welford
-        only), not total-minus-prefix roundoff."""
-        a, b = self.vals[i], self.vals[j]
-        total, run, slide = self._frames
-        if i == j:
-            ct = f"(VAR_POP({a}) OVER ({total}) * {self.nT})"
-            cp = f"(VAR_POP({a}) OVER ({run}) * {self.nP})"
-            cl = f"(VAR_POP({a}) OVER ({slide}) * {self.nL})"
-        else:
-            ct = f"(COVAR_POP({a}, {b}) OVER ({total}) * {self.nT})"
-            cp = f"(COVAR_POP({a}, {b}) OVER ({run}) * {self.nP})"
-            cl = f"(COVAR_POP({a}, {b}) OVER ({slide}) * {self.nL})"
-        d_term = (
-            f"(({self.mP[i]} - {self.mD[i]}) * ({self.mP[j]} - {self.mD[j]})"
-            f" * try_divide({self.nP} * {self.nD}, {self.nT}))"
-        )
-        cd = (
-            f"(CASE WHEN {self.nD} = 0d THEN 0d ELSE"
-            f" {ct} - coalesce({cp}, 0d) - coalesce({d_term}, 0d) END)"
-        )
-        s_term = (
-            f"(({self.mD[i]} - {self.mL[i]}) * ({self.mD[j]} - {self.mL[j]})"
-            f" * try_divide({self.nD} * {self.nL}, {self.n}))"
-        )
-        cs = f"({cd} + coalesce({cl}, 0d) + coalesce({s_term}, 0d))"
-        return f"greatest({cs}, 0d)" if i == j else cs
-
-    def guard(self, expr: str) -> str:
-        """NULL on an empty suffix frame (counts are exact in DOUBLE)."""
-        return f"(CASE WHEN {self.n} = 0d THEN NULL ELSE {expr} END)"
+def _reverse_order_by(order: str) -> str:
+    """The exact mirror of an ORDER BY item list: flip each direction
+    AND each (explicit or default) NULLS placement, emitted explicit.
+    Spark and MariaDB share the defaults ASC=NULLS FIRST /
+    DESC=NULLS LAST, so the mirrored sort reverses the row sequence
+    row-for-row."""
+    out = []
+    for it in _split_top_level_commas(order):
+        m = _SORT_ITEM_RE.match(it.strip())
+        e = m.group("e").strip()
+        d = (m.group("dir") or "ASC").upper()
+        n = (m.group("n") or ("FIRST" if d == "ASC" else "LAST")).upper()
+        rd = "DESC" if d == "ASC" else "ASC"
+        rn = "LAST" if n == "FIRST" else "FIRST"
+        out.append(f"{e} {rd} NULLS {rn}")
+    return ", ".join(out)
 
 
-def _render_suffix_moment(fn: str, ch: _SuffixChan) -> str:
-    """Render one two-arg moment family member from suffix Chan terms
-    (windowfunctiontype.h:92-100; the reference evaluates these per
-    frame too). vals[0] = dependent y, vals[1] = independent x."""
-    n = ch.n
-    if fn == "REGR_COUNT":
-        return f"CAST({ch.n_int} AS BIGINT)"
-    if fn == "REGR_AVGX":
-        return ch.mean[1]
-    if fn == "REGR_AVGY":
-        return ch.mean[0]
-    cxy = ch.comoment(0, 1)
-    if fn == "COVAR_POP":
-        return ch.guard(f"try_divide({cxy}, {n})")
-    if fn == "COVAR_SAMP":
-        return ch.guard(f"try_divide({cxy}, {n} - 1)")
-    if fn == "REGR_SXY":
-        return ch.guard(cxy)
-    cxx = ch.comoment(1, 1)
-    if fn == "REGR_SLOPE":
-        return ch.guard(f"try_divide({cxy}, {cxx})")
-    if fn == "REGR_INTERCEPT":
-        return ch.guard(
-            f"({ch.mean[0]} - try_divide({cxy}, {cxx}) * {ch.mean[1]})"
-        )
-    if fn == "REGR_SXX":
-        return ch.guard(cxx)
-    cyy = ch.comoment(0, 0)
-    if fn == "REGR_SYY":
-        return ch.guard(cyy)
-    # REGR_R2
-    return ch.guard(
-        f"(CASE WHEN {cxx} = 0d THEN NULL"
-        f" WHEN {cyy} = 0d THEN 1.0d"
-        f" ELSE try_divide({cxy} * {cxy}, {cxx} * {cyy}) END)"
-    )
+def _rewrite_suffix_frames(masked: str, store: list[str]) -> str:
+    """Aggregates over a suffix ROWS frame ([k PRECEDING | CURRENT
+    ROW] .. UNBOUNDED FOLLOWING) → the SAME aggregate over the
+    REVERSED-order running frame:
 
+        f(x) OVER (PARTITION BY p ORDER BY o ASC
+                   ROWS BETWEEN k PRECEDING AND UNBOUNDED FOLLOWING)
+      ≡ f(x) OVER (PARTITION BY p ORDER BY o DESC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND k FOLLOWING)
 
-def _rewrite_suffix_moment_windows(masked: str, store: list[str]) -> str:
-    """COVAR_POP/COVAR_SAMP/REGR_* (two-arg), STDDEV/VAR (one-arg) and
-    AVG over a suffix ROWS frame → Chan-combined central moments /
-    3-term means over the three O(n) frames (see _SuffixChan). Spark's
-    native Welford aggregates stay in place for every other frame shape
-    — this pass exists because the UnboundedFollowing frame processor
-    re-aggregates the whole frame per row (O(n^2)); the emitted 3-term
-    means keep their suffix shape and are lowered to O(n) by
-    `_rewrite_suffix_sum_frames`. mcs6177-6214 suffix-frame batteries
-    ran past any probe budget before this."""
+    — row-for-row the identical frame CONTENT (the mirror maps ASC
+    position i to DESC position n-1-i, so [i-k, n-1] maps to
+    [0, (n-1-i)+k]). Spark's UnboundedFollowing frame processor
+    re-aggregates the whole frame per row — O(n^2) per partition,
+    measured 60.8 s for ONE 15k-row statement — while the
+    UnboundedPreceding processor ADDS rows incrementally up to the
+    following bound: O(n), native Welford accuracy, bit-comparable
+    with engines that evaluate the suffix frame directly (measured:
+    30k-row suffix SUM 17.8 s native → 0.7-1.8 s reversed). This
+    replaced the r8/r9 total−prefix+slide and Chan-moment lowerings,
+    whose subtraction noise (~eps·|partition moment|) flipped
+    4-decimal roundings of VAR_POP on 1e11-scale moments
+    (mcs6177-6214 batteries; probe DIFFs).
+
+    Only order-insensitive aggregates are rewritten; FIRST_VALUE and
+    LAST_VALUE swap names under the mirror (DESC-first == ASC-last).
+    NTH_VALUE stays on the native path (nth-from-start has no mirrored
+    spelling). Frames whose current row's position among ORDER-BY TIES
+    differs between the two sort directions can legitimately read
+    different (tie-permuted) frame contents — the reference has the
+    same indeterminacy across its own sort implementations
+    (idborderby.cpp comparator chains); the MTR batteries carry
+    tie-breaking key columns."""
     pat = re.compile(
-        r"\b("
-        + "|".join(_SUFFIX_MOMENT_FNS + _SUFFIX_STAT1_FNS + ("AVG",))
-        + r")\s*\(",
+        r"\b(" + "|".join(_SUFFIX_REVERSIBLE_FNS) + r")\s*\(",
         re.IGNORECASE,
     )
+    swap = {"FIRST_VALUE": "LAST_VALUE", "LAST_VALUE": "FIRST_VALUE"}
     out, i = [], 0
     while True:
         m = pat.search(masked, i)
@@ -2062,80 +1947,14 @@ def _rewrite_suffix_moment_windows(masked: str, store: list[str]) -> str:
             i = open_at + 1
             continue
         new_end, part, order, k = parsed
-        args = _split_top_level_commas(masked[open_at + 1 : end - 1])
-        if args and re.match(r"\s*DISTINCT\b", args[0], re.IGNORECASE):
-            # DISTINCT doesn't decompose over the 3 frames; leave
-            # native (Spark rejects it inside windows anyway)
-            out.append(masked[m.start() : open_at + 1])
-            i = open_at + 1
-            continue
-        if fn in _SUFFIX_MOMENT_FNS:
-            if len(args) != 2:
-                raise ValueError(f"{fn} expects 2 arguments")
-            # (dependent y, independent x)
-            ey, ex = args[0].strip(), args[1].strip()
-            pair = f"(({ey}) IS NOT NULL AND ({ex}) IS NOT NULL)"
-            y = f"(CASE WHEN {pair} THEN CAST(({ey}) AS DOUBLE) END)"
-            x = f"(CASE WHEN {pair} THEN CAST(({ex}) AS DOUBLE) END)"
-            ch = _SuffixChan([y, x], part, order, k)
-            rendered = _render_suffix_moment(fn, ch)
-        else:
-            if len(args) != 1:
-                raise ValueError(f"{fn} expects 1 argument")
-            v = f"CAST(({args[0].strip()}) AS DOUBLE)"
-            if fn == "AVG":
-                total, run, slide = _suffix_specs(part, order, k)
-                rendered = (
-                    f"try_divide({_suffix_sum(v, total, run, slide)},"
-                    f" {_suffix_count(v, total, run, slide)})"
-                )
-            else:
-                ch = _SuffixChan([v], part, order, k)
-                c2, n = ch.comoment(0, 0), ch.n
-                denom = n if fn.endswith("_POP") else f"({n} - 1)"
-                var = f"try_divide({c2}, {denom})"
-                if fn.startswith("STDDEV"):
-                    var = f"sqrt({var})"
-                rendered = ch.guard(var)
-        out.append(rendered)
-        i = new_end
-    return "".join(out)
-
-
-def _rewrite_suffix_sum_frames(masked: str, store: list[str]) -> str:
-    """SUM/COUNT over a suffix ROWS frame → the 3-term O(n) form
-    (whole-partition total − running prefix + short slide). Spark's
-    UnboundedFollowing frame processor re-evaluates the aggregate
-    buffer from scratch for every row — O(n^2) per partition, measured
-    60.8 s for ONE 15k-row constant-partition statement — while the
-    three replacement frames are each a single incremental pass.
-    Catalyst collapses same-spec window expressions into shared Window
-    nodes, so a momentized CORR's six sums cost three Window passes
-    total. Single left-to-right sweep; emitted text is never
-    revisited (it contains no suffix frames)."""
-    pat = re.compile(r"\b(SUM|COUNT)\s*\(", re.IGNORECASE)
-    out, i = [], 0
-    while True:
-        m = pat.search(masked, i)
-        if not m:
-            out.append(masked[i:])
-            break
-        fn = m.group(1).upper()
-        open_at = masked.index("(", m.start())
-        end = _find_balanced(masked, open_at)
-        parsed = _parse_suffix_over(masked, end)
-        out.append(masked[i : m.start()])
-        if not parsed:
-            out.append(masked[m.start() : open_at + 1])
-            i = open_at + 1
-            continue
-        new_end, part, order, k = parsed
-        arg = masked[open_at + 1 : end - 1].strip()
-        total, run, slide = _suffix_specs(part, order, k)
-        if fn == "COUNT":
-            out.append(_suffix_count(arg, total, run, slide))
-        else:
-            out.append(_suffix_sum(arg, total, run, slide))
+        args = masked[open_at + 1 : end - 1]
+        bound = "CURRENT ROW" if k == 0 else f"{k} FOLLOWING"
+        p = f"PARTITION BY {part} " if part else ""
+        spec = (
+            f"{p}ORDER BY {_reverse_order_by(order)} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND {bound}"
+        )
+        out.append(f"{swap.get(fn, m.group(1))}({args}) OVER ({spec})")
         i = new_end
     return "".join(out)
 
@@ -2788,6 +2607,507 @@ def _operand_right(masked: str, pos: int) -> int:
             if w3:
                 return k3
     return end
+
+
+def _boolean_looking(expr: str) -> bool:
+    """True when ``expr`` contains a TOP-LEVEL comparison / boolean
+    operator — i.e. Spark will type it BOOLEAN where MariaDB treats it
+    as an int 0/1 (Item_bool_func heritage). Paren-nested operators
+    don't count: ``round(a > b)`` is the function's problem."""
+    depth = 0
+    i, n = 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c in "=<>!":
+                return True
+            if c.isalpha() or c == "_":
+                wm = re.match(r"\w+", expr[i:])
+                if wm.group(0).upper() in (
+                    "IS", "LIKE", "RLIKE", "REGEXP", "IN", "BETWEEN",
+                    "AND", "OR", "NOT", "EXISTS", "XOR",
+                ):
+                    return True
+                i += wm.end()
+                continue
+        i += 1
+    return False
+
+
+def _is_string_literal(expr: str, store: list[str]) -> bool:
+    phm = _PH_RE.fullmatch(expr.strip())
+    return bool(phm) and store[int(phm.group(1))][:1] in ("'", '"')
+
+
+_COLUMN_REF_RE = re.compile(
+    r"(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)", re.ASCII
+)
+
+
+def _is_string_column(expr: str, string_columns: frozenset[str]) -> bool:
+    m = _COLUMN_REF_RE.fullmatch(expr.strip())
+    return bool(m) and m.group(1).lower() in string_columns
+
+
+_CASE_TOKEN_RE = re.compile(r"\b(CASE|WHEN|THEN|ELSE|END)\b", re.IGNORECASE)
+
+
+def _parse_case(masked: str, start: int):
+    """Parse the CASE whose keyword starts at ``start``. Returns
+    ``(marks, end)`` — marks are (TOKEN, tok_start, tok_end) for this
+    CASE's own WHEN/THEN/ELSE at paren depth 0 and CASE-nesting level
+    0, plus a final ("END", pos, pos_end); ``end`` is the index just
+    past END. (None, None) on malformed input."""
+    i = start + 4
+    depth = level = 0
+    marks = []
+    n = len(masked)
+    while i < n:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and (c.isalpha() or c == "_"):
+            m = _CASE_TOKEN_RE.match(masked, i)
+            if m:
+                t = m.group(1).upper()
+                if t == "CASE":
+                    level += 1
+                elif t == "END":
+                    if level == 0:
+                        marks.append(("END", m.start(), m.end()))
+                        return marks, m.end()
+                    level -= 1
+                elif level == 0:
+                    marks.append((t, m.start(), m.end()))
+                i = m.end()
+                continue
+            wm = re.match(r"\w+", masked[i:])
+            i += wm.end()
+            continue
+        i += 1
+    return None, None
+
+
+def _coerce_mixed_branches(
+    branches: list[str], store: list[str],
+    string_columns: frozenset[str],
+) -> list[str] | None:
+    """MariaDB result-type aggregation for CASE/IF branch lists that
+    mix a definitely-string branch with non-string branches
+    (Item_func_case::fix_length_and_dec aggregates to VARCHAR and
+    renders numbers as their string form; Spark's ANSI coercion casts
+    the STRING side to the numeric type instead and throws
+    CAST_INVALID_INPUT at runtime — mcs7069/mcs7108). Boolean-typed
+    branches render through INT first ('1'/'0', not 'true'). Returns
+    the rewritten list, or None when no coercion applies."""
+    def is_str(b: str) -> bool:
+        return _is_string_literal(b, store) or _is_string_column(
+            b, string_columns
+        )
+
+    def is_null(b: str) -> bool:
+        return b.strip().upper() == "NULL"
+
+    if not any(is_str(b) for b in branches):
+        return None
+    if all(is_str(b) or is_null(b) for b in branches):
+        return None
+    out = []
+    for b in branches:
+        if is_str(b) or is_null(b):
+            out.append(b)
+        elif _boolean_looking(b):
+            out.append(f"CAST(CAST(({b}) AS INT) AS STRING)")
+        else:
+            out.append(f"CAST(({b}) AS STRING)")
+    return out
+
+
+def _rewrite_case_coercions(
+    masked: str, store: list[str], string_columns: frozenset[str]
+) -> str:
+    """Two MariaDB coercions inside CASE/IF that Spark's ANSI typing
+    rejects or mis-casts (mcs7108_regression_bug3671, mcs7069):
+
+    - a SIMPLE-case subject or WHEN operand that is a boolean
+      expression compares as int 0/1 in MariaDB → wrap CAST(.. AS INT)
+      (searched-CASE WHEN conditions stay boolean, untouched);
+    - THEN/ELSE (or IF value) lists mixing definitely-string branches
+      with non-string ones aggregate to VARCHAR in MariaDB → see
+      _coerce_mixed_branches.
+
+    Processes each CASE innermost-last via recursion on its segment
+    texts; emitted text is never rescanned."""
+    # IF(cond, a, b): apply the branch aggregation to the two values
+    pat_if = re.compile(r"\bIF\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat_if.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+        out.append(masked[i : m.start()])
+        if len(args) != 3:
+            out.append(masked[m.start() : open_at + 1])
+            i = open_at + 1
+            continue
+        orig = [a.strip() for a in args]
+        args = [
+            _rewrite_case_coercions(a, store, string_columns)
+            for a in orig
+        ]
+        coerced = _coerce_mixed_branches(
+            args[1:], store, string_columns
+        )
+        if coerced:
+            args[1:] = coerced
+        if args == orig:  # nothing fired — keep the original text
+            out.append(masked[m.start() : end])
+        else:
+            out.append(f"IF({args[0]}, {args[1]}, {args[2]})")
+        i = end
+    masked = "".join(out)
+
+    pat_case = re.compile(r"\bCASE\b", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat_case.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        marks, end = _parse_case(masked, m.start())
+        out.append(masked[i : m.start()])
+        if not marks or marks[0][0] not in ("WHEN", "END"):
+            # malformed or bare CASE END — leave the keyword, move on
+            out.append(masked[m.start() : m.end()])
+            i = m.end()
+            continue
+        # segment spans between this CASE's own marks
+        segs = []  # (kind, text)
+        prev_kind, prev_end = "CASE", m.end()
+        for kind, tstart, tend in marks:
+            segs.append((prev_kind, masked[prev_end:tstart]))
+            prev_kind, prev_end = kind, tend
+        # segs[k] = text FOLLOWING the keyword segs[k][0]
+        subject = segs[0][1].strip() if segs[0][0] == "CASE" else ""
+        simple = bool(subject)
+        rebuilt = ["CASE"]
+        parts = []
+        orig_parts = []
+        for kind, text in segs:
+            orig = text.strip()
+            orig_parts.append((kind, orig))
+            text = _rewrite_case_coercions(orig, store, string_columns)
+            if kind in ("CASE", "WHEN") and simple and _boolean_looking(
+                text
+            ):
+                text = f"CAST(({text}) AS INT)"
+            parts.append((kind, text))
+        branch_vals = [
+            t for k, t in parts if k in ("THEN", "ELSE")
+        ]
+        coerced = _coerce_mixed_branches(
+            branch_vals, store, string_columns
+        )
+        if coerced:
+            it = iter(coerced)
+            parts = [
+                (k, next(it)) if k in ("THEN", "ELSE") else (k, t)
+                for k, t in parts
+            ]
+        if parts == orig_parts:  # nothing fired — keep original text
+            out.append(masked[m.start() : end])
+            i = end
+            continue
+        for kind, text in parts:
+            if kind == "CASE":
+                if text:
+                    rebuilt.append(text)
+            else:
+                rebuilt.append(kind)
+                if text:
+                    rebuilt.append(text)
+        rebuilt.append("END")
+        out.append(" ".join(rebuilt))
+        i = end
+    return "".join(out)
+
+
+#: numeric-only functions whose listed 0-based args take MariaDB's
+#: loose my_strtod prefix read when handed a string (func_math.cpp
+#: operand coercion; mcs7005 round(r_name, 2))
+_LOOSE_NUM_ARG_FNS: dict[str, tuple[int, ...]] = {
+    "ROUND": (0,), "TRUNCATE": (0,), "ABS": (0,), "CEIL": (0,),
+    "CEILING": (0,), "FLOOR": (0,), "SIGN": (0,), "SQRT": (0,),
+    "EXP": (0,), "LN": (0,), "LOG2": (0,), "LOG10": (0,),
+    "SIN": (0,), "COS": (0,), "TAN": (0,), "COT": (0,),
+    "ASIN": (0,), "ACOS": (0,), "ATAN": (0, 1), "DEGREES": (0,),
+    "RADIANS": (0,), "POW": (0, 1), "POWER": (0, 1), "MOD": (0, 1),
+    "LOG": (0, 1),
+}
+
+
+def _loose_double_read(x: str, store: list[str]) -> str:
+    """String expression → DOUBLE via the my_strtod leading-prefix
+    parse: NULL stays NULL, no numeric prefix reads 0."""
+    ph = _PH.format(len(store))
+    store.append(_NUM_PREFIX_RX)
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
+        f"coalesce(try_cast(regexp_extract(CAST(({x}) AS STRING), "
+        f"{ph}, 0) AS DOUBLE), 0d) END)"
+    )
+
+
+def _rewrite_loose_string_args(
+    masked: str, store: list[str], string_columns: frozenset[str]
+) -> str:
+    """Two schema-aware loose coercions (active only when the caller
+    provides the catalog's string columns, as MariaDB's parser has):
+
+    - a string literal or known string column as a numeric-only
+      function arg parses its leading numeric prefix
+      (``round(r_name, 2)`` → round(0, 2) for non-numeric names);
+    - a known string column standing as a BARE boolean operand
+      (``ON (t.name AND ...)``, mcs7031_regression_bug2932) reads as
+      the prefix-parse ``<> 0`` truthiness instead of Spark's ANSI
+      string→boolean runtime cast.
+    """
+    pat = re.compile(
+        r"\b(" + "|".join(_LOOSE_NUM_ARG_FNS) + r")\s*\(",
+        re.IGNORECASE,
+    )
+    out, i = [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(masked[i:])
+            break
+        fn = m.group(1).upper()
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = _split_top_level_commas(masked[open_at + 1 : end - 1])
+        loose_idx = [
+            k for k in _LOOSE_NUM_ARG_FNS[fn]
+            if k < len(args)
+            and (
+                _is_string_literal(args[k], store)
+                or _is_string_column(args[k], string_columns)
+            )
+        ]
+        out.append(masked[i : m.start()])
+        if not loose_idx:
+            out.append(masked[m.start() : open_at + 1])
+            i = open_at + 1
+            continue
+        for k in loose_idx:
+            args[k] = _loose_double_read(args[k].strip(), store)
+        out.append(f"{m.group(1)}({', '.join(a.strip() for a in args)})")
+        i = end
+    masked = "".join(out)
+
+    if not string_columns:
+        return masked
+    # bare string column as a boolean operand: previous meaningful
+    # token opens a boolean context, next one closes it
+    col_pat = re.compile(
+        r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*", re.ASCII
+    )
+    bool_before = {"AND", "OR", "NOT", "WHEN", "WHERE", "HAVING"}
+    bool_after = {
+        "AND", "OR", "THEN", "ORDER", "GROUP", "LIMIT", "HAVING",
+    }
+    out, i = [], 0
+    while i < len(masked):
+        mm = col_pat.search(masked, i)
+        if not mm:
+            out.append(masked[i:])
+            break
+        ref = mm.group(0)
+        tail = ref.rsplit(".", 1)[-1].strip()
+        if tail.lower() not in string_columns:
+            out.append(masked[i : mm.end()])
+            i = mm.end()
+            continue
+        before = masked[:mm.start()].rstrip()
+        pw = re.search(r"(\w+)\s*$", before)
+        prev_ok = bool(pw and pw.group(1).upper() in bool_before)
+        if not prev_ok and before.endswith("("):
+            pw2 = re.search(r"(\w+)\s*\($", before)
+            prev_ok = bool(
+                pw2 and pw2.group(1).upper() in
+                {"ON", "WHERE", "AND", "OR", "NOT", "WHEN"}
+            )
+        after = masked[mm.end():].lstrip()
+        nw = re.match(r"\w+", after)
+        next_ok = (
+            after[:1] in (")", ";", "")
+            or bool(nw and nw.group(0).upper() in bool_after)
+        )
+        out.append(masked[i : mm.start()])
+        if prev_ok and next_ok:
+            ph = _PH.format(len(store))
+            store.append(_NUM_PREFIX_RX)
+            out.append(
+                f"(CASE WHEN ({ref}) IS NULL THEN NULL ELSE "
+                f"coalesce(try_cast(regexp_extract(({ref}), {ph}, 0)"
+                f" AS DOUBLE), 0d) <> 0d END)"
+            )
+        else:
+            out.append(ref)
+        i = mm.end()
+    return "".join(out)
+
+
+#: tokens that DELIMIT an XOR operand (lower-or-equal precedence than
+#: XOR, or clause context). AND / NOT bind TIGHTER than XOR in MariaDB
+#: (item precedence: ... NOT > AND > XOR > OR), so AND-chains stay
+#: INSIDE the captured operands.
+_XOR_LEFT_STOP = {
+    "SELECT", "DISTINCT", "ALL", "WHERE", "HAVING", "ON", "WHEN",
+    "THEN", "ELSE", "CASE", "OR", "BY", "SET", "RETURN", "IF",
+    "ELSEIF", "WHILE", "UNTIL",
+}
+_XOR_RIGHT_STOP = {
+    "OR", "XOR", "THEN", "ELSE", "END", "WHEN", "FROM", "WHERE",
+    "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW", "UNION",
+    "INTERSECT", "EXCEPT", "AS", "ASC", "DESC", "JOIN", "INNER",
+    "LEFT", "RIGHT", "FULL", "CROSS",
+}
+
+
+def _rewrite_logical_xor(masked: str, store: list[str]) -> str:
+    """``a XOR b`` → MariaDB-truthy exclusive or. MariaDB evaluates
+    XOR over numeric truthiness with NULL propagation
+    (Item_func_xor::val_int, sql/item_cmpfunc.cc): NULL if either
+    operand is NULL, else (a<>0) != (b<>0). Spark has no logical XOR
+    spelling, so render
+
+        CASE WHEN a IS NULL OR b IS NULL THEN NULL
+             ELSE (coalesce(try_cast(a AS DOUBLE), 0d) <> 0d)
+               <> (coalesce(try_cast(b AS DOUBLE), 0d) <> 0d) END
+
+    (non-numeric strings coerce to 0 = false, like the server's loose
+    numeric read). Operand capture follows MariaDB precedence
+    (NOT > AND > XOR > OR): the scan does NOT stop at AND/NOT — they
+    bind tighter and stay inside the operands (``a AND b XOR c`` =
+    ``(a AND b) XOR c``) — and DOES stop at OR, commas, clause
+    keywords and scope parens. Left-assoc chains (a XOR b XOR c) fold
+    correctly because each emission is itself a parenthesized operand
+    for the next."""
+    pat = re.compile(r"\bXOR\b", re.IGNORECASE)
+    word = re.compile(r"\w+")
+    while True:
+        m = pat.search(masked)
+        if not m:
+            return masked
+        # LEFT operand: scan backward at same depth
+        i = m.start()
+        depth = 0
+        lstart = 0
+        j = i - 1
+        while j >= 0:
+            c = masked[j]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    lstart = j + 1
+                    break
+                depth -= 1
+            elif depth == 0:
+                if c in (",", ";"):
+                    lstart = j + 1
+                    break
+                if c.isalnum() or c == "_":
+                    # read the full word leftward
+                    w0 = j
+                    while w0 > 0 and (
+                        masked[w0 - 1].isalnum() or masked[w0 - 1] == "_"
+                    ):
+                        w0 -= 1
+                    tok = masked[w0 : j + 1].upper()
+                    if tok in _XOR_LEFT_STOP:
+                        lstart = j + 1
+                        break
+                    j = w0
+            j -= 1
+        left = masked[lstart : m.start()].strip()
+        # RIGHT operand: token scan at same depth. Tracks whether an
+        # operand was just completed so a bare word FOLLOWING one (an
+        # implicit select-list alias: ``1 XOR 0 b``) ends the capture.
+        op_words = {
+            "AND", "NOT", "DIV", "MOD", "LIKE", "RLIKE", "REGEXP",
+            "BETWEEN", "IS", "IN", "SOUNDS", "ESCAPE", "COLLATE",
+            "BINARY", "INTERVAL", "NULL", "TRUE", "FALSE",
+        }
+        n_all = len(masked)
+        rend = n_all
+        j = m.end()
+        expect_operand = True
+        while j < n_all:
+            c = masked[j]
+            if c.isspace():
+                j += 1
+                continue
+            if c == "(":
+                j = _find_balanced(masked, j)
+                expect_operand = False
+                continue
+            if c in (")", ",", ";"):
+                rend = j
+                break
+            if c == "\x00":
+                phm = _PH_RE.match(masked, j)
+                j = phm.end() if phm else j + 1
+                expect_operand = False
+                continue
+            if c.isalnum() or c == "_":
+                wm = word.match(masked, j)
+                tok = wm.group(0).upper()
+                if tok in _XOR_RIGHT_STOP:
+                    rend = j
+                    break
+                if tok in op_words:
+                    # word operators / literals keep the scan open;
+                    # NULL/TRUE/FALSE complete an operand
+                    expect_operand = tok not in ("NULL", "TRUE", "FALSE")
+                    j = wm.end()
+                    continue
+                if not expect_operand:
+                    rend = j  # implicit alias after a full operand
+                    break
+                expect_operand = False
+                j = wm.end()
+                continue
+            # symbol char: any operator punctuation reopens the scan
+            expect_operand = True
+            j += 1
+        right = masked[m.end() : rend].strip()
+        if not left or not right:
+            # defensive: malformed capture — leave as-is (Spark will
+            # surface the parse error on the untouched XOR)
+            return masked
+        t_l = f"(coalesce(try_cast(({left}) AS DOUBLE), 0d) <> 0d)"
+        t_r = f"(coalesce(try_cast(({right}) AS DOUBLE), 0d) <> 0d)"
+        rendered = (
+            f"(CASE WHEN ({left}) IS NULL OR ({right}) IS NULL"
+            f" THEN NULL ELSE {t_l} <> {t_r} END)"
+        )
+        masked = masked[:lstart] + " " + rendered + " " + masked[rend:]
 
 
 def _rewrite_null_safe_division(masked: str, store: list[str]) -> str:

@@ -88,82 +88,87 @@ def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None
 # Non-window queries MAY keep decimal/array outputs — the local
 # type-aware gate still pins those carriages (the *_typed variants).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # ---- r8 rotation: CLOSE THE LEDGER (VERDICT r7 #1) + REFRESH THE
-    # r3/r4 TAIL. Contents: the 5 permanent TPC-H bench anchors + the
-    # 9 never-driver-checked hashable rows (7 added after the r7
-    # window froze — all green in the r7 judge's own sf0.01 DuckDB
-    # runs — plus the 2 r8 gate rows: index-hint/COLLATE/BINARY
-    # dialect repairs and SIGNAL/handler procedures) + 36
-    # re-confirmation slots for the stalest driver evidence: the full
-    # deferred r3 cohort (8) and 28 of the 40 r4-cohort rows. The 12
-    # deferred r4 rows each leave a FRESHER family member on the
-    # ledger (agg_cube/agg_rollup/agg_group_concat_ordered/agg_moda →
-    # agg_grouping_sets + agg_group_concat_distinct r7;
-    # collation_ci[_ai]_battery → collation_pad_space_semantics r7 +
-    # collation_locale_battery r6; setop_distinct_limit_offset/
-    # setop_except_all → setop_union_all_normalized r7 +
-    # setop_intersect in-window; win_lag_lead/win_rows_frame_running/
-    # win_percentiles_within_group → seven win_* rows r7;
-    # sf_decimal38_matrix → r6-green wire twins + in-window
-    # sf_unsigned_semantics) and rotates into r9. The 4 decimal-typed
-    # output variants remain structurally driver-unhashable (policy
-    # above) with driver-green wire twins.
+    # ---- r9 rotation (VERDICT r8 #1 + the registry's own r8
+    # deferral note): the 5 permanent TPC-H bench anchors + the
+    # never-driver-checked sf_loose_numeric_casts + the full 12-row
+    # r4-stale cohort deferred from the r8 window + the 4 new r9 gate
+    # rows (logical XOR, non-CAST loose coercions, population stat
+    # aliases, suffix-frame stats) + 28 re-confirmation slots for the
+    # stalest remaining evidence (all last checked round 5). The 17
+    # r5 rows deferred to r10 each leave a FRESHER family member on
+    # the ledger: agg_hll_sketch_mergeable_rollup →
+    # agg_approx_count_distinct r7; collation_locale_battery →
+    # collation_pad_space_semantics r7; events_funnel_steps /
+    # events_gapfill_locf / events_hierarchical_rollup → five events_*
+    # r6 rows + 2 in-window; multimodal_frame_sample →
+    # multimodal_media_features r8; op_nested_shred_topk →
+    # op_skyline_pareto r8; sf_json_path_extensions →
+    # sf_json_long_tail r8; sf_week_modes → sf_datetime_matrix r8;
+    # sim_kmeans_two_iterations → three sim_* r8 rows;
+    # subq_having_scalar_q11 → three subq_* r8 rows;
+    # text_bpe_pair_frequency → text_bpe_regex_tokens r6;
+    # text_pii_redaction → text_* r6/r8 rows;
+    # tpch_q13_customer_distribution → join_left_outer_order_counts
+    # r7 (same outer-join-count shape); tpch_q20_excess_shippers →
+    # tpch_q20_partsupp r8; tpch_q9_product_profit → tpch_q9_partsupp
+    # r8; udtf_split_sentences → udf_* r6 + win_pandas_udaf r8.
+    # The 4 decimal-typed output variants remain structurally
+    # driver-unhashable (policy above) with driver-green wire twins.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # never-driver-checked: r7 post-freeze rows (first driver check)
-    "tpch_q2_partsupp",
-    "tpch_q9_partsupp",
-    "tpch_q20_partsupp",
-    "win_corr_running_null_semantics",
-    "sql_stored_procedure_cursor",
-    "sql_trigger_before_delete",
-    "sql_dml_ordered_limit",
-    # never-driver-checked: r8 gate rows (first driver check)
-    "sql_index_hint_collate_binary",
-    "sql_stored_procedure_signal",
-    # r3-cohort re-confirmation (the 8 rows deferred from the r7
-    # window; last driver check: round 3)
-    "agg_count_variants",
-    "pipeline_mixture_weights",
-    "setop_order_nulls_first_last",
-    "text_language_id_heuristic",
-    "text_quality_scores",
-    "tpch_q12_priority_buckets",
-    "tpch_q14_promo_revenue",
-    "win_pandas_udaf_over_window",
-    # r4-cohort re-confirmation (28 of 40; last driver check: round 4)
-    "agg_regr_family",
-    "events_asof_join",
-    "filter_metadata_pseudocols",
-    "join_anti_customers_without_orders",
-    "join_bucketed_zero_exchange",
-    "multimodal_media_features",
-    "op_skyline_pareto",
-    "pipeline_hash_split",
-    "pipeline_quality_dedup_budget",
-    "setop_intersect",
-    "sf_datetime_matrix",
-    "sf_json_long_tail",
-    "sf_math_matrix",
-    "sf_string_matrix",
-    "sf_unsigned_semantics",
-    "sim_ivf_ann_topk",
-    "sim_linear_model_inference",
-    "sim_lsh_ann_topk",
-    "sql_mariadb_front_end3",
-    "sql_mariadb_front_end4",
-    "subq_correlated_scalar_q17",
-    "subq_not_in_null_trap",
-    "subq_scalar_in_select_list",
-    "text_bm25_topk",
-    "text_dedup_cluster_star",
-    "text_fingerprint_exact_dedup",
-    "text_ngram_jaccard_pairs",
-    "text_vocab_zipf",
+    # never-driver-checked: r8 post-window addition (first driver row)
+    "sf_loose_numeric_casts",
+    # never-driver-checked: r9 gate rows (first driver check)
+    "sql_logical_xor",
+    "sql_loose_coercion_contexts",
+    "sql_population_stat_aliases",
+    "win_suffix_frame_stats",
+    # r4-stale cohort (the 12 rows whose last driver check is round 4)
+    "agg_cube",
+    "agg_group_concat_ordered",
+    "agg_moda",
+    "agg_rollup",
+    "collation_ci_battery",
+    "collation_ci_ai_battery",
+    "setop_distinct_limit_offset",
+    "setop_except_all",
+    "sf_decimal38_matrix",
+    "win_lag_lead",
+    "win_percentiles_within_group",
+    "win_rows_frame_running",
+    # r5-cohort re-confirmation (28 of 45; last driver check: round 5)
+    "agg_approx_percentile",
+    "agg_group_concat_limit",
+    "collation_ci_join_group",
+    "events_sessionization",
+    "events_tumbling_window",
+    "filter_extent_minmax_pseudocols",
+    "join_theta_band",
+    "pipeline_chunk_overlap",
+    "pipeline_sequence_packing",
+    "setop_except_distinct",
+    "setop_intersect_all",
+    "setop_union_distinct",
+    "sf_bitwise_matrix",
+    "sf_conditional_cast_matrix",
+    "sf_time_matrix",
+    "sim_bruteforce_cosine_topk",
+    "sql_json_table",
+    "sql_stored_function_pushdown",
+    "subq_exists_correlated_q4",
+    "subq_recursive_bfs_reachability",
+    "text_minhash_lsh_dedup",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "udf_apply_in_pandas_zscore",
+    "win_moda_analytic",
+    "win_range_interval_event_time",
 )
 
 

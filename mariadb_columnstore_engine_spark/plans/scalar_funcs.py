@@ -2812,3 +2812,142 @@ def sf_loose_numeric_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nk;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sql_logical_xor",
+    section="front-end dialect: logical XOR (r9 — Item_func_xor, "
+    "sql/item_cmpfunc.cc; precedence NOT > AND > XOR > OR): numeric "
+    "truthiness with NULL propagation, no Spark spelling. The two "
+    "mcs7173_regression_bug5267 shapes (CASE-WHEN subject and IF() "
+    "argument) sat unparsed in the probe's neither bucket before.",
+    oracle="""
+    SELECT n_nationkey AS nk,
+           CAST(CASE WHEN (n_nationkey <> 0) <> (n_regionkey <> 0)
+                THEN 1 ELSE 0 END AS INT) AS case_xor,
+           CAST(CASE WHEN (n_nationkey <> 0) <> (n_regionkey <> 0)
+                THEN 1 ELSE 0 END AS INT) AS if_xor,
+           CAST(CASE WHEN ((n_nationkey > 3) AND (n_nationkey < 20))
+                          <> (n_regionkey = 0)
+                THEN 1 ELSE 0 END AS INT) AS expr_xor
+    FROM nation
+    ORDER BY nk
+    """,
+)
+def sql_logical_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for the r9 XOR translation, as literal MariaDB text:
+    XOR between bare numeric columns (truthiness), inside CASE WHEN
+    and IF() argument positions, and between comparison/AND operands
+    (AND binds tighter: ``a > 3 AND a < 20 XOR b = 0`` groups the AND
+    chain into the left operand). The oracle spells MariaDB's
+    semantics explicitly — nationkey/regionkey are non-NULL here so
+    the NULL-propagation arm (unit-tested separately) stays out of
+    the hash."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT n_nationkey AS nk,
+           CAST(CASE WHEN n_nationkey XOR n_regionkey THEN 1 ELSE 0 END
+                AS INT) AS case_xor,
+           CAST(IF(n_nationkey XOR n_regionkey, 1, 0) AS INT) AS if_xor,
+           CAST(IF(n_nationkey > 3 AND n_nationkey < 20 XOR
+                   n_regionkey = 0, 1, 0) AS INT) AS expr_xor
+    FROM nation
+    ORDER BY nk;
+    """
+    return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sql_loose_coercion_contexts",
+    section="front-end dialect: MariaDB loose coercion OUTSIDE casts "
+    "(r9 — func_math.cpp operand coercion + Item_func_case/"
+    "Item_func_if fix_length_and_dec): my_strtod prefix read for "
+    "string args of numeric functions (mcs7005), string columns as "
+    "boolean operands (mcs7031), boolean CASE subjects/operands as "
+    "int 0/1, and string-vs-number CASE/IF branch lists aggregating "
+    "to VARCHAR (mcs7069/mcs7108) — all raw ANSI cast errors before.",
+    oracle="""
+    SELECT n_nationkey AS nk,
+           CAST(0.0 AS DOUBLE) AS rname,
+           CASE WHEN n_nationkey = 1 THEN 'eq1' ELSE 'ne1' END AS subj,
+           CASE WHEN n_nationkey > 10 THEN n_name
+                ELSE CAST(n_nationkey AS VARCHAR) END AS mixed
+    FROM nation
+    WHERE n_nationkey < 5
+    ORDER BY nk
+    """,
+)
+def sql_loose_coercion_contexts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate row for the r9 non-CAST coercions, one literal MariaDB
+    statement: round() over a string column (names parse to 0), a
+    boolean CASE subject compared against int WHEN operands, an IF
+    with string/number branches (MariaDB renders the number as its
+    string form), and a bare string column as an OR operand (falsy —
+    non-numeric prefix — so the filter reduces to nationkey < 5). The
+    oracle spells each coercion's result explicitly."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    # the Engine passes its catalog's string columns; mirror that here
+    stmt = """
+    SELECT n_nationkey AS nk,
+           ROUND(n_name, 2) AS rname,
+           CASE n_nationkey = 1 WHEN 1 THEN 'eq1' ELSE 'ne1' END AS subj,
+           IF(n_nationkey > 10, n_name, n_nationkey) AS mixed
+    FROM nation
+    WHERE n_name OR n_nationkey < 5
+    ORDER BY nk;
+    """
+    return spark.sql(translate_statement(stmt, frozenset({"n_name"})))
+
+
+@query(
+    "sql_population_stat_aliases",
+    section="§2.4/§2.5 population stat aliases (r9 — MariaDB's bare "
+    "STDDEV()/STD()/VARIANCE() are the POPULATION variants, "
+    "utils/windowfunction/wf_stats.cpp divides by n, while Spark's "
+    "STDDEV/VARIANCE alias the sample forms; silent wrong-variant "
+    "results before, invisible to the probe because DuckDB's bare "
+    "spellings are sample-typed too — its oracle side now carries "
+    "the same *_POP mapping).",
+    oracle="""
+    SELECT o_orderstatus AS st,
+           ROUND(STDDEV_POP(o_totalprice), 2) AS std_bare,
+           ROUND(STDDEV_POP(o_totalprice), 2) AS std_short,
+           ROUND(VAR_POP(o_totalprice), 2) AS var_bare,
+           ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_samp
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY st
+    """,
+)
+def sql_population_stat_aliases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bare STDDEV/STD/VARIANCE through the MariaDB front end against
+    DuckDB's explicit *_POP; STDDEV_SAMP passes through untouched as
+    the sample-form control column."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT o_orderstatus AS st,
+           ROUND(STDDEV(o_totalprice), 2) AS std_bare,
+           ROUND(STD(o_totalprice), 2) AS std_short,
+           ROUND(VARIANCE(o_totalprice), 2) AS var_bare,
+           ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_samp
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY st;
+    """
+    return spark.sql(translate_statement(stmt))

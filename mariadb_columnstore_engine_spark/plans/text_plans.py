@@ -713,11 +713,14 @@ def _cluster_sql() -> str:
 @query(
     "text_dedup_cluster_canonical",
     section="LLM-pipeline: near-duplicate PAIRS → duplicate GROUPS via "
-    "connected components (operators/graph.py min-label propagation; "
-    "scale path: large-star/small-star), with the min doc_id as each "
-    "cluster's canonical representative — the step that turns LSH "
-    "output into actual corpus dedup decisions. Oracle: DuckDB WITH "
-    "RECURSIVE min-reachability closure over the identical pair set.",
+    "connected components (operators/graph.py min-label propagation — "
+    "the CORRECTNESS CROSS-CHECK kernel; the documented scale default "
+    "is text_dedup_cluster_star's large-star/small-star, measured "
+    "4.5x faster at sf10 duplicate density, SCALE.md §Round-8), with "
+    "the min doc_id as each cluster's canonical representative — the "
+    "step that turns LSH output into actual corpus dedup decisions. "
+    "Oracle: DuckDB WITH RECURSIVE min-reachability closure over the "
+    "identical pair set.",
     oracle=_cluster_sql(),
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,9 +746,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dedup_cluster_star",
     section="LLM-pipeline: the same pairs->groups clustering via "
     "large-star/small-star contraction (operators/graph.py "
-    "connected_components_star) - the O(log^2 n)-round variant whose "
-    "round count is independent of component diameter, i.e. the one "
-    "that still terminates when an adversarial chain of near-dups "
+    "connected_components_star) - the DOCUMENTED DEFAULT cluster step "
+    "at scale (4.5x faster than min-label on the r8 sf10 pair graph, "
+    "SCALE.md §Round-8 addendum) and the O(log^2 n)-round variant "
+    "whose round count is independent of component diameter, i.e. the "
+    "one that still terminates when an adversarial chain of near-dups "
     "links 10^6 docs at 100 TB. Same oracle as the min-propagation "
     "query: DuckDB WITH RECURSIVE closure; both engines must produce "
     "identical clusters.",

@@ -611,3 +611,63 @@ def win_corr_running_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHERE o_orderkey < 300"
         " ORDER BY o_orderkey"
     )
+
+
+@query(
+    "win_suffix_frame_stats",
+    section="§2.5 suffix ROWS frames ([k PRECEDING|CURRENT ROW] .. "
+    "UNBOUNDED FOLLOWING; frameboundrow.cpp) — driver evidence for "
+    "the r9 O(n) lowering: the suffix frame mirrors onto the "
+    "reversed-order running frame (Spark's add-only "
+    "UnboundedPreceding processor), evaluating the NATIVE aggregate "
+    "over exactly the original frame rows — r9 replaced the r8 "
+    "raw-moment/3-term forms whose subtraction noise lost digits on "
+    "large-magnitude operands. The independent variable is shifted "
+    "to epoch-second magnitude to pin exactly that regime; DuckDB "
+    "evaluates the same frames natively.",
+    oracle="""
+    SELECT o_orderkey AS ok,
+           ROUND(SUM(o_totalprice) OVER sfx, 2) AS sfx_sum,
+           COUNT(o_totalprice) OVER sfx AS sfx_cnt,
+           ROUND(REGR_SLOPE(o_totalprice,
+                            CAST(o_orderkey + 1700000000 AS DOUBLE))
+                 OVER sfx, 4) AS sfx_slope,
+           ROUND(REGR_R2(o_totalprice,
+                         CAST(o_orderkey + 1700000000 AS DOUBLE))
+                 OVER sfx, 4) AS sfx_r2,
+           ROUND(STDDEV_POP(o_totalprice) OVER sfx, 2) AS sfx_std
+    FROM orders
+    WHERE o_custkey <= 300
+    WINDOW sfx AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY ok
+    """,
+)
+def win_suffix_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MariaDB text with inline suffix-frame OVERs (the lowering
+    parses inline specs; named WINDOWs stay on the native O(n^2)
+    path). STDDEV here is MariaDB's bare spelling — population — so
+    this row also carries the r9 *_POP alias mapping."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    sfx = (
+        "PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING"
+    )
+    stmt = f"""
+    SELECT o_orderkey AS ok,
+           ROUND(SUM(o_totalprice) OVER ({sfx}), 2) AS sfx_sum,
+           COUNT(o_totalprice) OVER ({sfx}) AS sfx_cnt,
+           ROUND(REGR_SLOPE(o_totalprice, o_orderkey + 1700000000)
+                 OVER ({sfx}), 4) AS sfx_slope,
+           ROUND(REGR_R2(o_totalprice, o_orderkey + 1700000000)
+                 OVER ({sfx}), 4) AS sfx_r2,
+           ROUND(STDDEV(o_totalprice) OVER ({sfx}), 2) AS sfx_std
+    FROM orders
+    WHERE o_custkey <= 300
+    ORDER BY ok;
+    """
+    return spark.sql(translate_statement(stmt))

@@ -1082,13 +1082,15 @@ def test_corr_uses_welford_moments():
     )
     assert "try_divide" in out2 and "covar_pop" in out2
     assert "SUM(" not in out2
-    # suffix frames: Chan-combined central moments over O(n) frames
+    # suffix frames: same Welford terms, mirrored onto the
+    # reversed-order O(n) running frame
     out3 = translate_statement(
         "SELECT corr(a, b) OVER (PARTITION BY g ORDER BY i "
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
     )
     assert "UNBOUNDED FOLLOWING" not in out3
-    assert "VAR_POP" in out3 and "COVAR_POP" in out3
+    assert "covar_pop" in out3 and "stddev_pop" in out3
+    assert "ORDER BY i DESC NULLS LAST" in out3
 
 
 def test_loose_numeric_cast_semantics(spark):
@@ -1195,25 +1197,37 @@ def test_loose_numeric_cast_numeric_and_temporal(spark):
 
 
 def test_suffix_frame_rewrites_fire_and_skip():
-    # suffix ROWS frames lower to the 3-term O(n) form
+    # suffix ROWS frames mirror onto the reversed-order running frame
     got = translate_statement(
         "SELECT SUM(x) OVER (PARTITION BY g ORDER BY o "
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
     )
-    assert "UNBOUNDED FOLLOWING" not in got
-    assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in got
-    assert "ROWS BETWEEN CURRENT ROW AND CURRENT ROW" in got
+    assert got == (
+        "SELECT SUM(x) OVER (PARTITION BY g ORDER BY o DESC NULLS LAST "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t"
+    )
     got = translate_statement(
         "SELECT COUNT(*) OVER (ORDER BY o "
         "ROWS BETWEEN 15 PRECEDING AND UNBOUNDED FOLLOWING) FROM t"
     )
-    assert "UNBOUNDED FOLLOWING" not in got
-    assert "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW" in got
+    assert got == (
+        "SELECT COUNT(*) OVER (ORDER BY o DESC NULLS LAST "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 15 FOLLOWING) FROM t"
+    )
+    # explicit direction/NULLS flip exactly; FIRST/LAST swap names
+    got = translate_statement(
+        "SELECT FIRST_VALUE(x) OVER (ORDER BY o DESC NULLS FIRST "
+        "ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING) FROM t"
+    )
+    assert got == (
+        "SELECT LAST_VALUE(x) OVER (ORDER BY o ASC NULLS LAST "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) FROM t"
+    )
     # non-suffix frames untouched
     q = ("SELECT SUM(x) OVER (PARTITION BY g ORDER BY o "
          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
     assert translate_statement(q) == q
-    # momentization only for suffix frames: running REGR stays native
+    # the reversal applies only to suffix frames: running REGR native
     q2 = ("SELECT REGR_SLOPE(y, x) OVER (ORDER BY o "
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
     assert translate_statement(q2) == q2
@@ -1221,15 +1235,18 @@ def test_suffix_frame_rewrites_fire_and_skip():
         "SELECT REGR_SLOPE(y, x) OVER (ORDER BY o "
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
     )
-    assert "REGR_SLOPE" not in got and "try_divide" in got
+    assert "UNBOUNDED FOLLOWING" not in got and "REGR_SLOPE" in got
+    # NTH_VALUE has no mirrored spelling — stays native
+    q3 = ("SELECT NTH_VALUE(x, 2) OVER (ORDER BY o "
+          "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t")
+    assert translate_statement(q3) == q3
 
 
 def test_suffix_frame_values_match_native(spark):
-    """The suffix-frame lowering equals Spark's native (O(n^2))
-    UnboundedFollowing evaluation: exactly for integer SUM/COUNT, and
-    to 1e-7 relative for the Chan-combined stats/moment family (see
-    test_suffix_moments_large_magnitude for the conditioning bound
-    that motivated the central-moment form)."""
+    """The reversed-order running-frame mirror equals Spark's native
+    (O(n^2)) UnboundedFollowing evaluation: exactly for integer
+    SUM/COUNT/MIN/MAX/FIRST/LAST, and to Welford accumulation-order
+    noise (<<1e-7 relative) for the stats/moment family."""
     import pyspark.sql.functions as F
 
     df = spark.createDataFrame(
@@ -1242,6 +1259,10 @@ def test_suffix_frame_values_match_native(spark):
         ("SUM(x)", True),
         ("COUNT(x)", True),
         ("COUNT(*)", True),
+        ("MIN(x)", True),
+        ("MAX(x)", True),
+        ("FIRST_VALUE(x)", True),
+        ("LAST_VALUE(x)", True),
         ("AVG(x)", False),
         ("STDDEV_POP(y)", False),
         ("STDDEV_SAMP(y)", False),
@@ -1292,11 +1313,10 @@ def test_suffix_moments_large_magnitude(spark):
     timestamps — must track the native Welford answer. The retired
     raw-moment form (n*Sxy - Sx^2) lost EVERY significant digit here
     (measured: slope 2.1e-7 vs native 0.0177, relative error ~1.0,
-    19/100 rows flipping NULL<->value); the Chan central-moment
-    combination stays within a few-1e-6 relative (the residual is the
-    unavoidable eps*n*|mean| noise in the subtracted strict-suffix
-    mean, visible only on tiny frames) and never disagrees on
-    NULLness."""
+    19/100 rows flipping NULL<->value); the reversed-order running
+    frame evaluates the SAME native Welford aggregate over the same
+    rows, so the residual is accumulation-order noise only and
+    NULLness never disagrees."""
     rows = [
         (i, 1_700_000_000 + i * 37 + (i * i) % 11,
          float(50 + (i * 13) % 101) + 0.017 * i)
@@ -1320,6 +1340,101 @@ def test_suffix_moments_large_magnitude(spark):
             assert (a is None) == (b is None), (fn, k, a, b)
             if a is not None:
                 assert abs(a - b) <= max(1e-9, abs(a) * 5e-6), (fn, k, a, b)
+
+
+def test_logical_xor(spark):
+    """MariaDB logical XOR (Item_func_xor): numeric truthiness with
+    NULL propagation; binds between AND and OR. No Spark spelling —
+    mcs7173_regression_bug5267 shapes sat unparsed before r9."""
+    got = spark.sql(
+        translate_statement(
+            "select 1 xor 1 a, 1 xor 0 b, 0 xor 0 c, null xor 1 d,"
+            " 1 xor null e, 2 xor 3 f, 'x' xor 1 g, 1 xor 0 xor 1 h"
+        )
+    ).collect()[0]
+    assert (got.a, got.b, got.c, got.f, got.g, got.h) == (
+        False, True, False, False, True, False,
+    )
+    assert got.d is None and got.e is None
+    # precedence: AND binds tighter ((a AND b) XOR c); OR looser
+    t = translate_statement("SELECT a AND b XOR c OR d FROM t")
+    assert "XOR" not in t.upper().replace("XOR", "XOR")  # rewritten
+    assert t.index("a AND b") < t.index("OR d")
+    # inside CASE WHEN / IF argument positions (the two MTR shapes)
+    for s in (
+        "select n_nationkey, case when n_nationkey xor n_regionkey"
+        " then 1 else 0 end cx from nation",
+        "select n_nationkey, if(n_nationkey xor n_regionkey, 1, 0)"
+        " fx from nation",
+    ):
+        out = translate_statement(s)
+        assert "xor" not in out.lower()
+
+
+def test_case_boolean_subject_and_mixed_branches(spark):
+    """mcs7108_regression_bug3671 family: boolean CASE subjects and
+    WHEN operands compare as int 0/1; CASE/IF branch lists mixing
+    strings with numbers aggregate to VARCHAR (MariaDB renders the
+    numeric side as strings) instead of Spark's ANSI string→number
+    runtime cast."""
+    r = spark.sql(
+        translate_statement(
+            "select case 1=1 when 0 then 'eq0' else 'ne0' end a,"
+            " case 5 when 5 = 5 then 'boolmatch' else 'other' end b,"
+            " case when 1=1 then 'txt' else 7 end c,"
+            " if(1 > 2, 'yes', 42) d,"
+            " case 2 when 2=2 then 'm' when 2 then 'n' end e"
+        )
+    ).collect()[0]
+    assert r.a == "ne0"          # subject (1=1)→1, WHEN 0 no match
+    assert r.b == "other"        # WHEN (5=5)→1 vs subject 5
+    assert r.c == "txt" and r.d == "42"
+    assert r.e == "n"            # WHEN (2=2)→1 ≠ 2; WHEN 2 matches
+    # searched-CASE conditions stay boolean — passthrough untouched
+    q = "SELECT CASE WHEN a > 1 THEN 'x' ELSE 'y' END FROM t"
+    assert translate_statement(q) == q
+
+
+def test_loose_string_args_schema_aware(spark):
+    """round(r_name, 2) (mcs7005) and a bare string column as a
+    boolean operand (mcs7031): with the catalog's string columns
+    provided, both take MariaDB's my_strtod prefix read. Without the
+    schema hint the text passes through untouched."""
+    spark.createDataFrame(
+        [("AFRICA", 1), ("12abc", 2), (None, 3)], "sname string, k int"
+    ).createOrReplaceTempView("loose_t")
+    cols = frozenset({"sname"})
+    got = spark.sql(
+        translate_statement(
+            "select k, round(sname, 2) r from loose_t order by k", cols
+        )
+    ).collect()
+    assert [(g.k, g.r) for g in got] == [(1, 0.0), (2, 12.0), (3, None)]
+    got2 = spark.sql(
+        translate_statement(
+            "select k from loose_t where (sname and k > 0)"
+            " order by k", cols
+        )
+    ).collect()
+    assert [g.k for g in got2] == [2]  # '12abc'→12 truthy; AFRICA→0
+    # schema-less call: untouched (ANSI behavior preserved)
+    q = "select round(sname, 2) from loose_t"
+    assert translate_statement(q) == q
+
+
+def test_truncate_large_magnitude_no_overflow(spark):
+    """TRUNCATE(x, 12) of an e12-scale value (mcs6203 REGR_SXX
+    outputs) overflowed the old floor(x*10^12) decimal product; the
+    remainder-strip form cannot."""
+    r = spark.sql(
+        translate_statement(
+            "SELECT TRUNCATE(2812499987500.015625, 12) a,"
+            " TRUNCATE(0.29, 2) b, TRUNCATE(-123.456, 2) c,"
+            " TRUNCATE(123.45, -1) d, TRUNCATE(1e15, 3) e"
+        )
+    ).collect()[0]
+    assert abs(r.a - 2812499987500.0156) < 1e-3
+    assert (r.b, r.c, r.d, r.e) == (0.29, -123.45, 120.0, 1e15)
 
 
 def test_population_stat_aliases():

@@ -218,10 +218,25 @@ def main() -> int:
     buckets = {
         "duck_only": [], "neither": [], "diff": [], "spark_only": [],
     }
+    def duck_dialect(stmt: str) -> str:
+        """MariaDB semantics the ORACLE side must mirror: bare
+        STDDEV()/STD()/VARIANCE() are the POPULATION variants in
+        MariaDB (wf_stats.cpp divides by n) while DuckDB's, like
+        Spark's, are the sample forms — spell them *_POP so both
+        engines compute what the reference computes. (*_SAMP/*_POP
+        spellings pass through untouched.)"""
+        stmt = re.sub(
+            r"\b(?:STDDEV|STD)\s*\(", "STDDEV_POP(", stmt,
+            flags=re.IGNORECASE,
+        )
+        return re.sub(
+            r"\bVARIANCE\s*\(", "VAR_POP(", stmt, flags=re.IGNORECASE
+        )
+
     for src, s in stmts:
         derr = serr = None
         try:
-            drows = con.execute(s).fetchall()
+            drows = con.execute(duck_dialect(s)).fetchall()
         except Exception as e:  # noqa: BLE001 — bucketed
             drows, derr = None, f"{type(e).__name__}: {e}"
         try:

@@ -302,11 +302,13 @@ def neither_fixture_audit(
             ssb.append(r)
             continue
         if scols and not (scols & all_ref) and not (scols & SSB_COLUMNS):
-            # OUR analyzer reports a column that exists in NO known
-            # schema — the MTR test expects an error from MariaDB too
-            # (--error directives are stripped at harvest). DuckDB-only
-            # binder noise (double-quoted strings read as identifiers)
-            # deliberately doesn't land here.
+            # OUR analyzer reports a column outside the TPC-H and SSB
+            # schemas: either another reference fixture family (the
+            # unsigned_* suites redeclare customer with u_custkey /
+            # u_bigcustkey columns) or a deliberate MTR error-case
+            # statement (--error directives are stripped at harvest).
+            # DuckDB-only binder noise (double-quoted strings read as
+            # identifiers) deliberately doesn't land here.
             no_schema.append(r)
             continue
         if re.search(
@@ -335,8 +337,9 @@ def neither_fixture_audit(
     for r in ssb[:3]:
         print(f"   e.g. [{r['src']}] {r['sql'][:120]}")
     print(
-        f"-- column in NO known schema (MTR error-case statements; "
-        f"MariaDB errors too): {len(no_schema)} statements"
+        f"-- column outside TPC-H/SSB schemas (other reference "
+        f"fixture families, e.g. unsigned_* u_custkey, or MTR "
+        f"error-case statements): {len(no_schema)} statements"
     )
     for r in no_schema[:3]:
         print(f"   e.g. [{r['src']}] {r['sql'][:120]}")
