@@ -33,6 +33,12 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
+#: Tables some fixture dirs carry beyond the driver set: the augmented
+#: probe fixture (tools/gen_probe_fixture.py) adds the standard TPC-H
+#: partsupp table so reference MTR statements over it become checkable.
+#: Registered only when the parquet file exists in the fixture dir.
+OPTIONAL_TABLES: tuple[str, ...] = ("partsupp",)
+
 # TIMESTAMP_NTZ '1970-01-01' + exact integer day/microsecond arithmetic.
 # (ts div 1000) truncates nanos -> micros exactly like DuckDB's
 # TIMESTAMP_NS -> TIMESTAMP coercion, keeping the oracle bit-identical.
@@ -74,19 +80,31 @@ class Catalog:
         self._cache: dict[str, DataFrame] = {}
 
     def table(self, name: str) -> DataFrame:
-        if name not in TABLES:
+        if name not in TABLES and name not in OPTIONAL_TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
         if name not in self._cache:
             self._cache[name] = load_table(self._spark, self._sf_dir, name)
         return self._cache[name]
+
+    def optional_tables_present(self) -> tuple[str, ...]:
+        """OPTIONAL_TABLES whose parquet exists in this fixture dir."""
+        import os
+
+        return tuple(
+            t for t in OPTIONAL_TABLES
+            if os.path.exists(f"{self._sf_dir}/{t}.parquet")
+        )
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)
         return self.table(name)
 
-    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+    def register_views(self, names: tuple[str, ...] | None = None) -> None:
         """Register temp views so ``spark.sql`` sees the catalog (the
-        reference's pushed-down-SQL entry point, SURVEY §3)."""
+        reference's pushed-down-SQL entry point, SURVEY §3). Default set
+        is the driver tables plus any optional tables present."""
+        if names is None:
+            names = TABLES + self.optional_tables_present()
         for name in names:
             self.table(name).createOrReplaceTempView(name)

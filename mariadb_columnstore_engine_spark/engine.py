@@ -118,7 +118,7 @@ class Engine:
             from pyspark.sql.types import StringType
 
             cols: set[str] = set()
-            for t in TABLES:
+            for t in TABLES + self.catalog.optional_tables_present():
                 try:
                     for f in self.catalog.table(t).schema.fields:
                         if isinstance(f.dataType, StringType):

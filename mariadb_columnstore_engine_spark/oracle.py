@@ -170,7 +170,15 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Connection with every fixture table registered as a view (the
     driver pre-registers the same views for oracle SQL)."""
     con = duckdb.connect()
-    for t in TABLES:
+    import os
+
+    from mariadb_columnstore_engine_spark.catalog import OPTIONAL_TABLES
+
+    extra = tuple(
+        t for t in OPTIONAL_TABLES
+        if os.path.exists(f"{sf_dir}/{t}.parquet")
+    )
+    for t in TABLES + extra:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'"
         )

@@ -27,6 +27,10 @@ KNOWN_TABLES = {
     "lineitem",
 }
 
+#: with the augmented fixture (tools/gen_probe_fixture.py) the
+#: partsupp table exists too, so statements over it become harvestable
+AUGMENTED_TABLES = KNOWN_TABLES | {"partsupp"}
+
 DEFAULT_SUITES = [
     "/root/reference/mysql-test/columnstore/devregression/t",
     "/root/reference/mysql-test/columnstore/basic/t",
@@ -36,7 +40,9 @@ DEFAULT_SUITES = [
 ]
 
 
-def harvest(suite_dirs: list[str]) -> list[tuple[str, str]]:
+def harvest(
+    suite_dirs: list[str], tables: set[str] = KNOWN_TABLES
+) -> list[tuple[str, str]]:
     """(source, statement) pairs: top-level SELECTs whose referenced
     tables are all in the fixture catalog."""
     out = []
@@ -76,7 +82,7 @@ def harvest(suite_dirs: list[str]) -> list[tuple[str, str]]:
                         if w:
                             refs.add(w.group(1).lower())
                 refs -= {"dual"}
-                if not refs or not refs <= KNOWN_TABLES:
+                if not refs or not refs <= tables:
                     continue
                 if re.search(
                     r"@|\bdtypes\b|\bCALFLUSH|idb[A-Z]|\bRAND\s*\("
@@ -174,7 +180,7 @@ def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
 
 def main() -> int:
     argv = sys.argv[1:]
-    args, limit, dump = [], None, None
+    args, limit, dump, raw = [], None, None, False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -190,13 +196,31 @@ def main() -> int:
         elif a.startswith("--dump="):
             dump = a.split("=", 1)[1]
             i += 1
+        elif a == "--raw":  # force the un-augmented driver fixture
+            raw = True
+            i += 1
         elif a.startswith("--"):
             i += 1
         else:
             args.append(a)
             i += 1
     suites = args or DEFAULT_SUITES
-    stmts = harvest(suites)
+
+    # Fixture selection: prefer the augmented probe fixture (same
+    # driver data + the standard TPC-H columns/partsupp the driver
+    # subset omits — tools/gen_probe_fixture.py) so fixture-gap
+    # statements become value-checked; --raw forces the driver dir.
+    augmented = ".fixtures/probe_sf0.01"
+    if not raw and os.path.isdir(augmented):
+        sf_dir = augmented
+        tables = AUGMENTED_TABLES
+    else:
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        tables = KNOWN_TABLES
+    print(f"fixture: {sf_dir}")
+
+    stmts = harvest(suites, tables)
     if limit:
         stmts = stmts[:limit]
     print(f"harvested {len(stmts)} SELECTs over fixture tables")
@@ -207,7 +231,6 @@ def main() -> int:
     from mariadb_columnstore_engine_spark.oracle import duckdb_connect
     from mariadb_columnstore_engine_spark.session import get_session
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_session("mtr-probe")
     spark.sparkContext.setLogLevel("ERROR")
     eng = Engine(spark, sf_dir)
