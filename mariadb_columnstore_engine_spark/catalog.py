@@ -35,9 +35,11 @@ TABLES: tuple[str, ...] = (
 
 #: Tables some fixture dirs carry beyond the driver set: the augmented
 #: probe fixture (tools/gen_probe_fixture.py) adds the standard TPC-H
-#: partsupp table so reference MTR statements over it become checkable.
-#: Registered only when the parquet file exists in the fixture dir.
-OPTIONAL_TABLES: tuple[str, ...] = ("partsupp",)
+#: partsupp table and the reference's SSB star schema (lineorder +
+#: dateinfo, include/ssb/createTables.inc) so reference MTR statements
+#: over them become checkable. Registered only when the parquet file
+#: exists in the fixture dir.
+OPTIONAL_TABLES: tuple[str, ...] = ("partsupp", "lineorder", "dateinfo")
 
 # TIMESTAMP_NTZ '1970-01-01' + exact integer day/microsecond arithmetic.
 # (ts div 1000) truncates nanos -> micros exactly like DuckDB's

@@ -68,6 +68,21 @@ def test_standard_columns_present(probe_dir):
             "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost",
             "ps_comment",
         },
+        # SSB star schema (reference include/ssb/createTables.inc)
+        "lineorder": {
+            "lo_orderkey", "lo_linenumber", "lo_custkey", "lo_partkey",
+            "lo_suppkey", "lo_orderdate", "lo_orderpriority",
+            "lo_shippriority", "lo_quantity", "lo_extendedprice",
+            "lo_ordtotalprice", "lo_discount", "lo_revenue",
+            "lo_supplycost", "lo_tax", "lo_commitdate", "lo_shipmode",
+        },
+        "dateinfo": {
+            "d_datekey", "d_date", "d_dayofweek", "d_month", "d_year",
+            "d_yearmonthnum", "d_yearmonth", "d_daynuminweek",
+            "d_daynuminmonth", "d_daynuminyear", "d_monthnuminyear",
+            "d_weeknuminyear", "d_sellingseason", "d_lastdayinweekfl",
+            "d_lastdayinmonthfl", "d_holidayfl", "d_weekdayfl",
+        },
     }
     for t, cols in want.items():
         names = set(pq.read_schema(f"{probe_dir}/{t}.parquet").names)
@@ -100,6 +115,35 @@ def test_lineitem_spec_date_windows(probe_dir):
     assert receipt_lag.between(1, 30).all()
 
 
+def test_ssb_star_schema(probe_dir):
+    import pyarrow.parquet as pq
+
+    lo = pq.read_table(f"{probe_dir}/lineorder.parquet").to_pandas()
+    li = pq.read_table(f"{probe_dir}/lineitem.parquet").to_pandas()
+    assert len(lo) == len(li)  # one lineorder row per lineitem row
+    di = pq.read_table(f"{probe_dir}/dateinfo.parquet").to_pandas()
+    assert di.d_datekey.is_unique
+    dk = set(di.d_datekey)
+    # every lineorder date key resolves through the date dimension
+    assert set(lo.lo_orderdate) <= dk
+    assert set(lo.lo_commitdate) <= dk
+    # discounts are SSB whole percents
+    assert lo.lo_discount.between(0, 10).all()
+    # geo columns derive from the real nation/region joins
+    c = pq.read_table(f"{probe_dir}/customer.parquet").to_pandas()
+    n = pq.read_table(f"{probe_dir}/nation.parquet").to_pandas()
+    r = pq.read_table(f"{probe_dir}/region.parquet").to_pandas()
+    m = c.merge(n, left_on="c_nationkey", right_on="n_nationkey").merge(
+        r, left_on="n_regionkey", right_on="r_regionkey")
+    assert (m.c_nation == m.n_name).all()
+    assert (m.c_region == m.r_name).all()
+    # brand1 nests in category (dbgen hierarchy)
+    p = pq.read_table(f"{probe_dir}/part.parquet").to_pandas()
+    assert p.apply(
+        lambda row: row.p_brand1.startswith(row.p_category), axis=1
+    ).all()
+
+
 def test_phone_format(probe_dir):
     import pyarrow.parquet as pq
 
@@ -118,8 +162,17 @@ def test_engine_and_oracle_see_partsupp(spark, probe_dir):
     srows = [tuple(r) for r in eng.sql(q).collect()]
     con = duckdb_connect(probe_dir)
     orows = [tuple(r) for r in con.execute(q).fetchall()]
-    con.close()
     assert srows == [(k, n, pytest.approx(float(c))) for k, n, c in orows]
+    # SSB Q1.1 shape through both engines (reference mcs7707 family)
+    q2 = ("SELECT ROUND(SUM(lo_extendedprice * lo_discount), 2) AS rev "
+          "FROM lineorder, dateinfo WHERE lo_orderdate = d_datekey "
+          "AND d_year = 1997 AND lo_discount BETWEEN 1 AND 3 "
+          "AND lo_quantity < 25")
+    s2 = eng.sql(q2).collect()[0][0]
+    o2 = con.execute(q2).fetchall()[0][0]
+    con.close()
+    assert s2 == pytest.approx(float(o2))
+    assert s2 and s2 > 0  # the predicate selects real rows
 
 
 def test_driver_fixture_unaffected(spark):
@@ -130,4 +183,4 @@ def test_driver_fixture_unaffected(spark):
     cat = Catalog(spark, SF_DIR)
     assert cat.optional_tables_present() == ()
     with pytest.raises(KeyError):
-        cat.table("lineorder")
+        cat.table("lineorder_staging")

@@ -26,6 +26,22 @@ Complaints — so LIKE-shaped MTR statements select non-trivial rows):
                   (ps_partkey, ps_suppkey, ps_availqty, ps_supplycost,
                   ps_comment)
 
+It also materializes the reference's SSB star schema (exact DDL:
+mysql-test/columnstore/include/ssb/createTables.inc — the ssb1
+regression database behind ~874 more MTR statements):
+  customer += c_city, c_nation, c_region (nation/region names via the
+              real c_nationkey -> nation -> region joins; SSB city =
+              nation prefix + digit)
+  supplier += s_city, s_nation, s_region (same derivation)
+  part     += p_category (MFGR#xy), p_brand1 (MFGR#xyzz nested in the
+              category, dbgen-style), p_color
+  lineorder:  denormalized lineitem x orders with int yyyymmdd date
+              keys, percent-valued lo_discount/lo_tax, lo_revenue =
+              extendedprice * (100 - discount) / 100
+  dateinfo:   one row per calendar day spanning every date key in
+              lineorder (d_datekey int yyyymmdd + the 16 derived
+              calendar columns of the SSB date dimension)
+
 Reference schema parity: the reference's MTR fixtures load the full
 TPC-H DDL (mysql-test/columnstore/devregression includes the dbt3
 schemas); this augmentation reproduces that surface over the driver's
@@ -153,12 +169,33 @@ def generate(src: str, dest: str) -> None:
     nation["n_comment"] = sentence(k, 2)
     _write(nation, dest, "nation")
 
+    # nationkey -> SSB nation/region/city derivations (real joins over
+    # the fixture's nation/region tables, so c_region='ASIA' predicates
+    # select the same rows a real SSB load would)
+    nat = nation.set_index("n_nationkey")
+    reg = region.set_index("r_regionkey")["r_name"]
+
+    def ssb_geo(nationkey: np.ndarray, key: np.ndarray):
+        names = nat.loc[nationkey, "n_name"].to_numpy()
+        regions = reg.loc[
+            nat.loc[nationkey, "n_regionkey"].to_numpy()
+        ].to_numpy()
+        digit = (mix(key, 31) % U64(10)).astype(np.int64).astype(str)
+        # SSB city: first 9 chars of the nation name + one digit
+        city = pd.Series(names).str[:9].str.ljust(9) + pd.Series(digit)
+        return pd.Series(names), pd.Series(regions), city
+
     customer = _read(src, "customer")
     k = customer["c_custkey"].to_numpy()
     customer["c_address"] = address(mix(k, 3))
     customer["c_phone"] = phone(
         customer["c_nationkey"].to_numpy(), mix(k, 4))
     customer["c_comment"] = sentence(k, 5)
+    c_nation, c_region, c_city = ssb_geo(
+        customer["c_nationkey"].to_numpy(), k)
+    customer["c_city"] = c_city
+    customer["c_nation"] = c_nation
+    customer["c_region"] = c_region
     _write(customer, dest, "customer")
 
     supplier = _read(src, "supplier")
@@ -167,6 +204,11 @@ def generate(src: str, dest: str) -> None:
     supplier["s_phone"] = phone(
         supplier["s_nationkey"].to_numpy(), mix(k, 7))
     supplier["s_comment"] = sentence(k, 8)
+    s_nation, s_region, s_city = ssb_geo(
+        supplier["s_nationkey"].to_numpy(), k)
+    supplier["s_city"] = s_city
+    supplier["s_nation"] = s_nation
+    supplier["s_region"] = s_region
     _write(supplier, dest, "supplier")
 
     part = _read(src, "part")
@@ -176,6 +218,19 @@ def generate(src: str, dest: str) -> None:
     ).map(lambda i: f"Manufacturer#{i}")
     part["p_container"] = pick(k, 10, CONTAINERS)
     part["p_comment"] = sentence(k, 11, nwords=3)
+    # SSB part hierarchy nests brand1 in category in mfgr (dbgen:
+    # MFGR#x -> MFGR#xy -> MFGR#xyzz)
+    mfgr_d = (mix(k, 9) % U64(5) + U64(1)).astype(np.int64)
+    cat_d = (mix(k, 32) % U64(5) + U64(1)).astype(np.int64)
+    brand_d = (mix(k, 33) % U64(40) + U64(1)).astype(np.int64)
+    part["p_category"] = pd.Series(
+        ["MFGR#" + str(a) + str(b) for a, b in zip(mfgr_d, cat_d)])
+    part["p_brand1"] = part["p_category"] + pd.Series(
+        brand_d.astype(str))
+    part["p_color"] = pick(k, 34, [
+        "red", "green", "blue", "yellow", "ivory", "salmon", "peach",
+        "orchid", "linen", "lemon", "khaki", "indigo",
+    ])
     _write(part, dest, "part")
 
     orders = _read(src, "orders")
@@ -240,6 +295,97 @@ def generate(src: str, dest: str) -> None:
         "ps_comment": sentence(psk, 21),
     })
     _write(partsupp, dest, "partsupp")
+
+    # ---- SSB star schema (reference DDL:
+    # mysql-test/columnstore/include/ssb/createTables.inc) ----
+
+    # lineorder: denormalized lineitem x orders; SSB date keys are int
+    # yyyymmdd, discount/tax are whole percents
+    def datekey(s: pd.Series) -> pd.Series:
+        return (
+            s.dt.year * 10000 + s.dt.month * 100 + s.dt.day
+        ).astype(np.int32)
+
+    lo = lineitem.merge(
+        orders[["o_orderkey", "o_custkey", "o_orderdate",
+                "o_orderpriority", "o_totalprice"]],
+        left_on="l_orderkey", right_on="o_orderkey", how="inner",
+    )
+    lo_discount = np.round(lo["l_discount"].to_numpy() * 100.0)
+    lineorder = pd.DataFrame({
+        "lo_orderkey": lo["l_orderkey"],
+        "lo_linenumber": lo["l_linenumber"],
+        "lo_custkey": lo["o_custkey"],
+        "lo_partkey": lo["l_partkey"],
+        "lo_suppkey": lo["l_suppkey"],
+        "lo_orderdate": datekey(lo["o_orderdate"]),
+        "lo_orderpriority": lo["o_orderpriority"],
+        "lo_shippriority": "0",  # SSB char(1) constant
+        "lo_quantity": lo["l_quantity"],
+        "lo_extendedprice": lo["l_extendedprice"],
+        "lo_ordtotalprice": lo["o_totalprice"],
+        "lo_discount": lo_discount,
+        "lo_revenue": np.round(
+            lo["l_extendedprice"].to_numpy()
+            * (100.0 - lo_discount) / 100.0, 2),
+        "lo_supplycost": np.round(
+            (mix(lo["l_partkey"].to_numpy().astype(U64), 35)
+             % U64(99900)).astype(np.float64) / 100.0 + 1.0, 2),
+        "lo_tax": np.round(lo["l_tax"].to_numpy() * 100.0),
+        "lo_commitdate": datekey(lo["l_commitdate"]),
+        "lo_shipmode": lo["l_shipmode"],
+    })
+    _write(lineorder, dest, "lineorder")
+
+    # dateinfo: one row per calendar day covering every lineorder date
+    lo_dates = pd.to_datetime(
+        pd.concat([
+            lo["o_orderdate"], lo["l_commitdate"],
+            lo["l_shipdate"], lo["l_receiptdate"],
+        ])
+    )
+    days = pd.date_range(lo_dates.min().normalize(),
+                         lo_dates.max().normalize(), freq="D")
+    season = pd.Series(
+        np.select(
+            [days.month == 12,
+             days.month.isin((6, 7, 8)),
+             days.month.isin((1, 2)),
+             days.month.isin((3, 4, 5))],
+            ["Christmas", "Summer", "Winter", "Spring"],
+            default="Fall",
+        )
+    )
+    is_last_dom = (days + pd.Timedelta(days=1)).month != days.month
+    dateinfo = pd.DataFrame({
+        "d_datekey": (days.year * 10000 + days.month * 100
+                      + days.day).astype(np.int32),
+        "d_date": pd.Series(days.strftime("%B %-d, %Y")),
+        "d_dayofweek": pd.Series(days.strftime("%A")),
+        "d_month": pd.Series(days.strftime("%B")),
+        "d_year": days.year.astype(np.int32),
+        "d_yearmonthnum": (days.year * 100 + days.month).astype(
+            np.int32),
+        "d_yearmonth": pd.Series(days.strftime("%b%Y")),
+        # SSB weeks start Sunday, day numbers are 1-based
+        "d_daynuminweek": ((days.dayofweek + 1) % 7 + 1).astype(
+            np.int32),
+        "d_daynuminmonth": days.day.astype(np.int32),
+        "d_daynuminyear": days.dayofyear.astype(np.int32),
+        "d_monthnuminyear": days.month.astype(np.int32),
+        "d_weeknuminyear": ((days.dayofyear - 1) // 7 + 1).astype(
+            np.int32),
+        "d_sellingseason": season,
+        "d_lastdayinweekfl": (days.dayofweek == 5).astype(np.int8),
+        "d_lastdayinmonthfl": is_last_dom.astype(np.int8),
+        "d_holidayfl": (
+            ((days.month == 12) & (days.day == 25))
+            | ((days.month == 1) & (days.day == 1))
+            | ((days.month == 7) & (days.day == 4))
+        ).astype(np.int8),
+        "d_weekdayfl": (days.dayofweek < 5).astype(np.int8),
+    })
+    _write(dateinfo, dest, "dateinfo")
 
 
 def main() -> int:

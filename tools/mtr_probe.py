@@ -28,8 +28,9 @@ KNOWN_TABLES = {
 }
 
 #: with the augmented fixture (tools/gen_probe_fixture.py) the
-#: partsupp table exists too, so statements over it become harvestable
-AUGMENTED_TABLES = KNOWN_TABLES | {"partsupp"}
+#: partsupp table and the SSB star schema exist too, so statements
+#: over them become harvestable
+AUGMENTED_TABLES = KNOWN_TABLES | {"partsupp", "lineorder", "dateinfo"}
 
 DEFAULT_SUITES = [
     "/root/reference/mysql-test/columnstore/devregression/t",
