@@ -143,6 +143,7 @@ class Engine:
             )
 
             query = translate_statement(query, self._string_columns())
+            query = self._normalize_setop_types(query)
         import re as _re_is
 
         if _re_is.search(
@@ -201,6 +202,196 @@ class Engine:
                 mode.fromString("formatted")
             )
         return df
+
+    @staticmethod
+    def _split_top_level_setops(sql: str) -> tuple[list[str], list[str]]:
+        """Split a statement on depth-0 UNION/INTERSECT/EXCEPT outside
+        quotes. Returns (branches, operators); a single branch means no
+        top-level set operation."""
+        import re
+
+        parts: list[str] = []
+        ops: list[str] = []
+        kw = re.compile(
+            r"(UNION(?:\s+ALL|\s+DISTINCT)?|INTERSECT(?:\s+ALL)?"
+            r"|EXCEPT(?:\s+ALL)?)\b",
+            re.IGNORECASE,
+        )
+        depth, last, i, n, in_str = 0, 0, 0, len(sql), None
+        while i < n:
+            c = sql[i]
+            if in_str:
+                if c == "\\" and in_str == "'":
+                    i += 2
+                    continue
+                if c == in_str:
+                    if i + 1 < n and sql[i + 1] == in_str:
+                        i += 2
+                        continue
+                    in_str = None
+                i += 1
+                continue
+            if c in ("'", '"', "`"):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c.upper() in "UIE":
+                if i == 0 or not (sql[i - 1].isalnum()
+                                  or sql[i - 1] == "_"):
+                    m = kw.match(sql, i)
+                    if m:
+                        parts.append(sql[last:i])
+                        ops.append(m.group(1))
+                        i = m.end()
+                        last = i
+                        continue
+            i += 1
+        parts.append(sql[last:])
+        return parts, ops
+
+    def _normalize_setop_types(self, query: str) -> str:
+        """MariaDB set operations coerce column-wise: a position mixing
+        a string branch with a numeric/temporal branch aggregates to a
+        character type (sql_union — the result field type is the
+        union of field types; mcs7126/mcs7195 ``select * from region
+        union select n_regionkey, ...``). Spark instead picks the
+        numeric side and fails casting 'AFRICA' at runtime. Analyze
+        each top-level branch (plan-only, no execution), and where a
+        position mixes string with non-string, wrap the non-string
+        branches to CAST that position AS STRING. No-conflict
+        statements return unchanged; any analysis error defers to the
+        normal execution path for its real message."""
+        import re
+
+        if not re.search(r"\b(UNION|INTERSECT|EXCEPT)\b", query,
+                         re.IGNORECASE):
+            return query
+        try:
+            # recurse into parenthesized subqueries first (derived
+            # tables carrying the set operation — mcs7195)
+            out, i, n, in_str = [], 0, len(query), None
+            while i < n:
+                c = query[i]
+                if in_str:
+                    if c == "\\" and in_str == "'":
+                        out.append(query[i:i + 2])
+                        i += 2
+                        continue
+                    if c == in_str:
+                        in_str = None
+                    out.append(c)
+                    i += 1
+                    continue
+                if c in ("'", '"', "`"):
+                    in_str = c
+                    out.append(c)
+                    i += 1
+                    continue
+                if c == "(":
+                    depth, j, instr2 = 0, i, None
+                    while j < n:
+                        cj = query[j]
+                        if instr2:
+                            if cj == "\\" and instr2 == "'":
+                                j += 2
+                                continue
+                            if cj == instr2:
+                                instr2 = None
+                        elif cj in ("'", '"', "`"):
+                            instr2 = cj
+                        elif cj == "(":
+                            depth += 1
+                        elif cj == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        j += 1
+                    inner = query[i + 1:j]
+                    if re.match(r"\s*SELECT\b", inner, re.IGNORECASE) \
+                            and re.search(
+                                r"\b(UNION|INTERSECT|EXCEPT)\b",
+                                inner, re.IGNORECASE):
+                        inner = self._normalize_setop_types(inner)
+                    out.append("(" + inner + ")")
+                    i = j + 1
+                    continue
+                out.append(c)
+                i += 1
+            query = "".join(out)
+
+            parts, ops = self._split_top_level_setops(query)
+            if len(parts) < 2:
+                return query
+            # the trailing ORDER BY / LIMIT of the LAST branch belongs
+            # to the whole set operation — split it off before wrapping
+            tail = ""
+            tm = None
+            depth, in_str = 0, None
+            last = parts[-1]
+            for i, c in enumerate(last):
+                if in_str:
+                    if c == in_str:
+                        in_str = None
+                    continue
+                if c in ("'", '"', "`"):
+                    in_str = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif depth == 0 and c.upper() in "OL":
+                    if i == 0 or not (last[i - 1].isalnum()
+                                      or last[i - 1] == "_"):
+                        tm = re.match(r"(?:ORDER\s+BY|LIMIT)\b",
+                                      last[i:], re.IGNORECASE)
+                        if tm:
+                            tail = last[i:]
+                            parts[-1] = last[:i]
+                            break
+            from pyspark.sql.types import StringType
+
+            with self._quiet_analyzer_errors():
+                schemas = [self.spark.sql(p).schema for p in parts]
+            width = min(len(s.fields) for s in schemas)
+            cast_pos = [
+                i for i in range(width)
+                if any(isinstance(s.fields[i].dataType, StringType)
+                       for s in schemas)
+                and not all(isinstance(s.fields[i].dataType, StringType)
+                            for s in schemas)
+            ]
+            if not cast_pos:
+                return query
+            names = [f.name for f in schemas[0].fields]
+            out_parts = []
+            for bi, (p, s) in enumerate(zip(parts, schemas)):
+                needs = [
+                    i for i in cast_pos
+                    if not isinstance(s.fields[i].dataType, StringType)
+                ]
+                if not needs:
+                    out_parts.append(p)
+                    continue
+                # positional column-alias list handles duplicate names
+                # in the branch's select list (mcs7195 selects
+                # r_regionkey three times)
+                cols = ", ".join(
+                    f"`__c{i}`" for i in range(len(s.fields)))
+                sel = ", ".join(
+                    (f"CAST(`__c{i}` AS STRING)" if i in needs
+                     else f"`__c{i}`") + f" AS `{names[i]}`"
+                    for i in range(len(s.fields))
+                )
+                out_parts.append(
+                    f" SELECT {sel} FROM ( {p} ) __setop_b{bi}({cols}) ")
+            rebuilt = out_parts[0]
+            for op, p in zip(ops, out_parts[1:]):
+                rebuilt += f" {op} {p}"
+            return rebuilt + (" " + tail if tail else "")
+        except Exception:  # noqa: BLE001 — defer to normal execution
+            return query
 
     def table(self, name: str) -> DataFrame:
         if name in getattr(self, "_user_tables", {}):

@@ -404,6 +404,15 @@ _FN_TEMPLATES: tuple[tuple[str, int, str], ...] = (
     ),
     ("SPACE", 1, "repeat(' ', {0})"),
     ("OCT", 1, "conv(cast({0} as string), 10, 8)"),
+    # MariaDB string functions coerce numeric args to their string
+    # form (Item_str_func; mcs7092 md5(d_datekey)); Spark's md5/sha
+    # require binary and reverse requires string/array — the cast is a
+    # no-op for string args and supplies the MariaDB read for numbers
+    ("MD5", 1, "md5(cast({0} as string))"),
+    ("SHA1", 1, "sha1(cast({0} as string))"),
+    ("SHA", 1, "sha1(cast({0} as string))"),
+    ("SHA2", 2, "sha2(cast({0} as string), cast({1} as int))"),
+    ("REVERSE", 1, "reverse(cast({0} as string))"),
     # func_makedate.cpp: Jan 1 of year + (doy - 1); NULL when doy < 1
     (
         "MAKEDATE",
@@ -1426,6 +1435,9 @@ def translate_statement(
     # precedence; Spark has no spelling) — runs early so later passes
     # still translate MariaDB-isms inside the captured operands
     masked = _rewrite_logical_xor(masked, store)
+    # row constructors compared with =/<> lower to the element-wise
+    # conjunction (Spark struct comparison demands exact type equality)
+    masked = _rewrite_row_constructor_cmp(masked, store)
     # double-quoted aliases: MariaDB (default sql_mode) accepts a
     # string literal in alias position (SELECT sum(x) "total");
     # Spark needs an identifier
@@ -1464,6 +1476,9 @@ def translate_statement(
         r"\bVARIANCE\s*\(", "VAR_POP(", masked, flags=re.IGNORECASE
     )
     masked = _rewrite_corr(masked, store)
+    # inverted literal ROWS frames (start > end) are EMPTY frames in
+    # MariaDB; Spark rejects them — lower to the empty-frame value
+    masked = _rewrite_inverted_frames(masked, store)
     # suffix ROWS frames ([k PRECEDING|CURRENT ROW] .. UNBOUNDED
     # FOLLOWING) are O(n^2) in Spark's UnboundedFollowing frame
     # processor; mirror them onto the reversed-order O(n) running
@@ -2857,7 +2872,20 @@ _LOOSE_NUM_ARG_FNS: dict[str, tuple[int, ...]] = {
     "ASIN": (0,), "ACOS": (0,), "ATAN": (0, 1), "DEGREES": (0,),
     "RADIANS": (0,), "POW": (0, 1), "POWER": (0, 1), "MOD": (0, 1),
     "LOG": (0, 1),
+    # FORMAT's value arg takes the same loose read (Item_func_format;
+    # mcs7088 format(cast(sum(..) as char), 0))
+    "FORMAT": (0,),
 }
+
+#: an expression that is string-typed by construction: a CAST/CONVERT
+#: to a character type, or CONCAT/CONCAT_WS (always string in MariaDB)
+_STRINGISH_EXPR_RE = re.compile(
+    r"^\s*(?:CAST\s*\(.*\bAS\s+(?:N?CHAR|N?VARCHAR|STRING|TEXT)\b"
+    r"|CONVERT\s*\(.*,\s*(?:N?CHAR|N?VARCHAR|STRING|TEXT)\b"
+    r"|CONVERT\s*\(.*\bUSING\b\s+\w+\s*\)"
+    r"|CONCAT(?:_WS)?\s*\()",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _loose_double_read(x: str, store: list[str]) -> str:
@@ -2906,6 +2934,7 @@ def _rewrite_loose_string_args(
             and (
                 _is_string_literal(args[k], store)
                 or _is_string_column(args[k], string_columns)
+                or _STRINGISH_EXPR_RE.match(args[k])
             )
         ]
         out.append(masked[i : m.start()])
@@ -2957,6 +2986,19 @@ def _rewrite_loose_string_args(
             after[:1] in (")", ";", "")
             or bool(nw and nw.group(0).upper() in bool_after)
         )
+        if next_ok and after[:1] == ")":
+            # peek past the closing paren(s): `AND (col) = x` is a
+            # comparison operand, not a bare boolean (mcs7246 row-
+            # constructor lowering wraps elements in parens)
+            past = after.lstrip(") \t\n")
+            pword = re.match(r"\w+", past)
+            if past[:1] in "=<>!+-*/%|&^" or (
+                pword and pword.group(0).upper() in {
+                    "IS", "LIKE", "RLIKE", "REGEXP", "IN", "BETWEEN",
+                    "SOUNDS", "COLLATE", "DIV", "MOD",
+                }
+            ):
+                next_ok = False
         out.append(masked[i : mm.start()])
         if prev_ok and next_ok:
             ph = _PH.format(len(store))
@@ -2970,6 +3012,144 @@ def _rewrite_loose_string_args(
             out.append(ref)
         i = mm.end()
     return "".join(out)
+
+
+def _rewrite_row_constructor_cmp(masked: str, store: list[str]) -> str:
+    """``(a, b, ...) = (c, d, ...)`` / ``<>`` → element-wise form.
+
+    MariaDB row comparisons (Item_row + Arg_comparator::compare_row,
+    sql/item_cmpfunc.cc; reference MTR mcs7246_regression_bug3038)
+    compare pairwise with per-element type coercion and NULL
+    propagation: equality is the conjunction of element equalities,
+    inequality its 3-valued NOT. Spark's struct comparison instead
+    requires EXACT struct type equality (bigint column vs int literal
+    fails analysis), so lower to the pairwise form, which coerces per
+    element like MariaDB."""
+    i = 0
+    while True:
+        j = masked.find("(", i)
+        if j < 0:
+            return masked
+        # a '(' after a word is a function call — unless the word is a
+        # clause/boolean keyword, where a row constructor can start
+        k = j - 1
+        while k >= 0 and masked[k].isspace():
+            k -= 1
+        if k >= 0 and (masked[k].isalnum() or masked[k] in "_\x00"):
+            pw = re.search(r"(\w+)$", masked[: k + 1])
+            if not (pw and pw.group(1).upper() in {
+                "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN",
+                "ELSE", "HAVING", "SELECT", "BY", "SET", "RETURN",
+            }):
+                i = j + 1
+                continue
+        try:
+            end = _find_balanced(masked, j)
+        except ValueError:
+            return masked
+        inner = masked[j + 1 : end - 1]
+        parts = _split_top_level_commas(inner)
+        if len(parts) < 2 or re.match(r"\s*SELECT\b", inner, re.I):
+            i = j + 1
+            continue
+        m = re.match(r"\s*(=|<>|!=)\s*\(", masked[end:])
+        if not m:
+            i = j + 1
+            continue
+        r_open = end + m.end() - 1
+        try:
+            r_end = _find_balanced(masked, r_open)
+        except ValueError:
+            return masked
+        rinner = masked[r_open + 1 : r_end - 1]
+        rparts = _split_top_level_commas(rinner)
+        if len(rparts) != len(parts) or re.match(
+            r"\s*SELECT\b", rinner, re.I
+        ):
+            i = j + 1
+            continue
+        conj = " AND ".join(
+            f"({a.strip()}) = ({b.strip()})"
+            for a, b in zip(parts, rparts)
+        )
+        repl = f"({conj})" if m.group(1) == "=" else f"(NOT ({conj}))"
+        masked = masked[:j] + repl + masked[r_end:]
+        i = j + 1
+
+
+#: window aggregates whose empty-frame value is NULL typed like their
+#: argument (everything else numeric defaults to a DOUBLE NULL)
+_ARG_TYPED_EMPTY = {
+    "SUM", "MIN", "MAX", "FIRST_VALUE", "LAST_VALUE", "NTH_VALUE",
+    "BIT_AND", "BIT_OR", "BIT_XOR",
+}
+
+
+def _rewrite_inverted_frames(masked: str, store: list[str]) -> str:
+    """``ROWS BETWEEN a AND b`` with literal bounds where start > end
+    is an EMPTY frame in MariaDB (frame cursor finds no rows —
+    reference MTR mcs7178_regression_bug5345: ``20 FOLLOWING AND
+    1 FOLLOWING`` / ``1 PRECEDING AND 20 PRECEDING`` yield NULL for
+    every row, COUNT yields 0). Spark rejects such frames at analysis,
+    so replace the whole windowed aggregate with its empty-frame
+    value."""
+    frame_re = re.compile(
+        r"ROWS\s+BETWEEN\s+(\d+)\s+(PRECEDING|FOLLOWING)\s+AND\s+"
+        r"(\d+)\s+(PRECEDING|FOLLOWING)",
+        re.IGNORECASE,
+    )
+    over_re = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+    while True:
+        target = None
+        for om in over_re.finditer(masked):
+            spec_open = masked.index("(", om.start())
+            spec_end = _find_balanced(masked, spec_open)
+            fm = frame_re.search(masked[spec_open:spec_end])
+            if not fm:
+                continue
+            lo = int(fm.group(1)) * (
+                -1 if fm.group(2).upper() == "PRECEDING" else 1)
+            hi = int(fm.group(3)) * (
+                -1 if fm.group(4).upper() == "PRECEDING" else 1)
+            if lo <= hi:
+                continue
+            target = (om, spec_end)
+            break
+        if target is None:
+            return masked
+        om, spec_end = target
+        # capture fn(args) immediately before OVER
+        k = om.start() - 1
+        while k >= 0 and masked[k].isspace():
+            k -= 1
+        if k < 0 or masked[k] != ")":
+            return masked  # non-call form; leave for Spark to report
+        depth = 0
+        fn_open = None
+        for j in range(k, -1, -1):
+            if masked[j] == ")":
+                depth += 1
+            elif masked[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    fn_open = j
+                    break
+        if fn_open is None:
+            return masked
+        wm = re.search(r"(\w+)\s*$", masked[:fn_open])
+        if not wm:
+            return masked
+        fn = wm.group(1).upper()
+        args = _split_top_level_commas(
+            masked[fn_open + 1 : k])
+        arg0 = args[0].strip() if args else ""
+        if fn == "COUNT":
+            repl = "CAST(0 AS BIGINT)"
+        elif fn in _ARG_TYPED_EMPTY and arg0 and arg0 != "*":
+            repl = f"(CASE WHEN 1=0 THEN ({arg0}) END)"
+        else:
+            repl = "CAST(NULL AS DOUBLE)"
+        masked = masked[: wm.start(1)] + repl + masked[spec_end:]
 
 
 #: tokens that DELIMIT an XOR operand (lower-or-equal precedence than

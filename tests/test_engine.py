@@ -47,3 +47,29 @@ def test_views_and_describe(spark, sf_dir, tmp_path):
     import json
     with open(os.path.join(wh, "_views.json")) as f:
         assert "big_orders" not in json.load(f)
+
+
+def test_setop_string_numeric_normalization(spark, sf_dir, duck):
+    """MariaDB set operations coerce a position mixing string and
+    numeric branches to a character type (sql_union result types;
+    mcs7126/mcs7195); Spark picks the numeric side and fails casting
+    'AFRICA' at runtime. The engine analyzes branches and casts the
+    conflicted positions to STRING — including set ops nested in
+    derived tables, duplicate select-list names, and the union-level
+    ORDER BY tail."""
+    eng = Engine(spark, sf_dir)
+    q1 = ("select * from region where 2=2 union "
+          "select n_regionkey, n_nationkey from nation "
+          "where 0=1")
+    got = {tuple(r) for r in eng.sql(q1).collect()}
+    want = {tuple(r) for r in duck.execute(q1).fetchall()}
+    assert got == want and len(got) == 5
+    # nested in a derived table + duplicate column names + tail
+    q2 = ("select count(*) from (select * from region union select "
+          "distinct r_regionkey, r_regionkey from "
+          "region)a order by 1")
+    assert eng.sql(q2).collect()[0][0] == \
+        duck.execute(q2).fetchall()[0][0]
+    # no-conflict set ops are left untouched (same text in, same out)
+    q3 = "select n_regionkey from nation union select r_regionkey from region"
+    assert eng._normalize_setop_types(q3) == q3

@@ -1450,3 +1450,64 @@ def test_population_stat_aliases():
         "SELECT STDDEV_POP(a), STDDEV_POP(a), VAR_POP(a),"
         " STDDEV_SAMP(a), VAR_SAMP(a), STDDEV_POP(a) FROM t"
     )
+
+
+def test_row_constructor_comparisons(spark):
+    """MariaDB row comparisons lower to element-wise conjunctions
+    with per-element coercion and 3-valued NOT (Item_row +
+    Arg_comparator::compare_row; mcs7246_regression_bug3038 —
+    Spark's struct comparison would reject bigint-vs-int-literal)."""
+    out = translate_statement(
+        "select 1 where (a, b) = (1, 'x') and (c, d) <> (2, 3)")
+    assert "(a) = (1) AND (b) = ('x')" in out
+    assert "NOT ((c) = (2) AND (d) = (3))" in out
+    # IN-lists and scalar subqueries stay untouched
+    q = "select 1 from t where a in (1, 2, 3)"
+    assert translate_statement(q) == q
+    r = spark.sql(translate_statement(
+        "select (1, 'a') = (1, 'a') x, (1, 'a') <> (1, 'b') y,"
+        " (1, NULL) = (1, 'a') z"
+    )).collect()[0]
+    assert (r.x, r.y, r.z) == (True, True, None)
+
+
+def test_inverted_rows_frames(spark):
+    """ROWS frames with literal start > end are EMPTY frames in
+    MariaDB (mcs7178_regression_bug5345: every row NULL, COUNT 0);
+    Spark rejects them at analysis, so the aggregate lowers to its
+    empty-frame value. Valid frames pass through untouched."""
+    rows = spark.sql(translate_statement(
+        "select avg(id) over (order by id rows between 20 following"
+        " and 1 following) a,"
+        " count(*) over (order by id rows between 1 preceding and"
+        " 20 preceding) c,"
+        " sum(id) over (order by id rows between 2 preceding and"
+        " 1 preceding) ok"
+        " from range(4)"
+    )).collect()
+    assert all(r.a is None and r.c == 0 for r in rows)
+    assert [r.ok for r in rows] == [None, 0, 1, 3]  # valid frame kept
+
+
+def test_string_fn_numeric_coercion(spark):
+    """MariaDB string functions read numeric args as their string
+    form (mcs7092 md5(d_datekey)); Spark's md5/sha need binary and
+    reverse needs string/array."""
+    r = spark.sql(translate_statement(
+        "select md5(19980404) m, reverse(12345) r, sha1(7) s"
+    )).collect()[0]
+    import hashlib
+
+    assert r.m == hashlib.md5(b"19980404").hexdigest()
+    assert r.r == "54321"
+    assert r.s == hashlib.sha1(b"7").hexdigest()
+
+
+def test_format_stringish_arg(spark):
+    """FORMAT's value arg takes the loose numeric read when it is a
+    string by construction (mcs7088 format(cast(sum(..) as char), 0))."""
+    r = spark.sql(translate_statement(
+        "select format(cast(1234567 as char), 0) a,"
+        " format('12345.678', 2) b, format(9876.5, 1) c"
+    )).collect()[0]
+    assert (r.a, r.b, r.c) == ("1,234,567", "12,345.68", "9,876.5")

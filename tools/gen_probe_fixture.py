@@ -146,9 +146,14 @@ def _read(src: str, name: str) -> pd.DataFrame:
 
 
 def _write(df: pd.DataFrame, dest: str, name: str) -> None:
+    # pandas datetime64[ns] would land as parquet TIMESTAMP(NANOS),
+    # which Spark only reads as LONG (the catalog sets nanosAsLong for
+    # events session-wide) — coerce to micros like the driver fixtures
     pq.write_table(
         pa.Table.from_pandas(df, preserve_index=False),
         f"{dest}/{name}.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
     )
 
 
@@ -196,6 +201,16 @@ def generate(src: str, dest: str) -> None:
     customer["c_city"] = c_city
     customer["c_nation"] = c_nation
     customer["c_region"] = c_region
+    # unsigned fixture family (basic/t/unsigned_joins.test:38-41 sets
+    # u_custkey = custkey for the join batteries; u_bigcustkey
+    # exercises the >2^62 UBIGINT range like unsigned_aggregate.test).
+    # Written as parquet UINT32/UINT64: Spark reads them as LONG /
+    # DECIMAL(20,0) (the engine's unsigned semantics), DuckDB as
+    # UINTEGER/UBIGINT.
+    customer["u_custkey"] = k.astype(np.uint32)
+    customer["u_bigcustkey"] = (
+        k.astype(U64) * k.astype(U64) + U64(4073709000000)
+    )
     _write(customer, dest, "customer")
 
     supplier = _read(src, "supplier")
@@ -240,6 +255,9 @@ def generate(src: str, dest: str) -> None:
     ).map(lambda i: f"Clerk#{i:09d}")
     orders["o_shippriority"] = np.int32(0)  # spec constant
     orders["o_comment"] = sentence(k, 13)
+    # unsigned join twin (unsigned_joins.test:40-41)
+    orders["u_custkey"] = orders["o_custkey"].to_numpy().astype(
+        np.uint32)
     _write(orders, dest, "orders")
 
     lineitem = _read(src, "lineitem")

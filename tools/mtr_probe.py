@@ -54,9 +54,24 @@ def harvest(
             if not fn.endswith(".test"):
                 continue
             text = open(os.path.join(d, fn), errors="replace").read()
-            # drop MTR directives and comments
+            # drop MTR directives and comments, then strip INLINE
+            # `# ...` trailers (MariaDB end-of-line comments: the SSB
+            # q*mod suites write `from a, b  # changed order` mid-
+            # statement) — quote-aware so '#' inside literals survives
+            def strip_inline_hash(ln: str) -> str:
+                in_str = None
+                for ci, ch in enumerate(ln):
+                    if in_str:
+                        if ch == in_str:
+                            in_str = None
+                    elif ch in ("'", '"', "`"):
+                        in_str = ch
+                    elif ch == "#":
+                        return ln[:ci]
+                return ln
+
             lines = [
-                ln
+                strip_inline_hash(ln)
                 for ln in text.splitlines()
                 if not ln.strip().startswith(("#", "--"))
             ]
@@ -257,7 +272,9 @@ def main() -> int:
             r"\bVARIANCE\s*\(", "VAR_POP(", stmt, flags=re.IGNORECASE
         )
 
-    for src, s in stmts:
+    for idx, (src, s) in enumerate(stmts):
+        if idx and idx % 500 == 0:
+            print(f"progress {idx}/{len(stmts)}", flush=True)
         derr = serr = None
         try:
             drows = con.execute(duck_dialect(s)).fetchall()

@@ -218,6 +218,10 @@ REFERENCE_COLUMNS: dict[str, tuple[str, ...]] = {
         "p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
         "p_size", "p_container", "p_retailprice", "p_comment",
     ),
+    "partsupp": (
+        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost",
+        "ps_comment",
+    ),
 }
 
 
@@ -258,8 +262,18 @@ _MISSING_COL_RES = [
 ]
 
 
+def _default_sf_dir() -> str:
+    """Mirror mtr_probe's fixture preference: audit against the
+    augmented probe fixture when it exists (gen_probe_fixture.py), so
+    'missing fixture column' reflects what the probe actually ran."""
+    import os
+
+    aug = ".fixtures/probe_sf0.01"
+    return aug if os.path.isdir(aug) else "/root/testdata/sf0.01"
+
+
 def neither_fixture_audit(
-    rows: list[dict], sf_dir: str = "/root/testdata/sf0.01"
+    rows: list[dict], sf_dir: str | None = None
 ) -> None:
     """Per-statement adjudication of the neither bucket (VERDICT r8
     #4): name the missing fixture column for every unresolved-column
@@ -267,6 +281,9 @@ def neither_fixture_audit(
     UNION arity over ``t.*`` whose reference width exceeds the
     fixture's), and leave an explicit remainder list that must be
     empty or individually explained in COVERAGE.md."""
+    if sf_dir is None:
+        sf_dir = _default_sf_dir()
+    print(f"   (fixture audited: {sf_dir})")
     ours = _fixture_columns(sf_dir)
     absent = {
         c: t
@@ -331,8 +348,10 @@ def neither_fixture_audit(
     for r in star_width[:5]:
         print(f"   e.g. [{r['src']}] {r['sql'][:120]}")
     print(
-        f"-- SSB-schema columns (reference's Star Schema Benchmark "
-        f"fixture family, not TPC-H): {len(ssb)} statements"
+        f"-- SSB-schema columns: {len(ssb)} statements"
+        + (" (augmented fixture carries the SSB schema — these need"
+           " individual adjudication)" if "probe_" in sf_dir else
+           " (reference's SSB fixture family, not TPC-H)")
     )
     for r in ssb[:3]:
         print(f"   e.g. [{r['src']}] {r['sql'][:120]}")
