@@ -114,6 +114,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # r8; udtf_split_sentences → udf_* r6 + win_pandas_udaf r8.
     # The 4 decimal-typed output variants remain structurally
     # driver-unhashable (policy above) with driver-green wire twins.
+    # POST-WINDOW r9 additions (first driver check due r10):
+    # sql_row_cmp_empty_frames, sql_setop_string_coercion — added
+    # after this window shipped, green in the local sf0.01 gate.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

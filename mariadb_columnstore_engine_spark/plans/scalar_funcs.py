@@ -2951,3 +2951,90 @@ def sql_population_stat_aliases(
     ORDER BY st;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sql_row_cmp_empty_frames",
+    section="front-end dialect: row-constructor comparisons + empty "
+    "ROWS frames (r9 — Arg_comparator::compare_row lowers (a,b)=(c,d) "
+    "element-wise with per-element coercion, mcs7246; a literal ROWS "
+    "frame with start > end is an EMPTY frame yielding NULL/0, "
+    "mcs7178_regression_bug5345 — Spark rejects both spellings).",
+    oracle="""
+    SELECT n_nationkey AS nk,
+           CAST(NULL AS DOUBLE) AS empty_avg,
+           CAST(0 AS BIGINT) AS empty_cnt,
+           CAST(CASE WHEN n_regionkey = 2 AND n_name LIKE 'NATION%'
+                THEN 1 ELSE 0 END AS INT) AS row_eq
+    FROM nation
+    WHERE NOT (n_regionkey = 99 AND n_name = 'NOWHERE')
+    ORDER BY nk
+    """,
+)
+def sql_row_cmp_empty_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverted literal frames (20 FOLLOWING..1 FOLLOWING and
+    1 PRECEDING..20 PRECEDING) lower to the empty-frame value (NULL
+    for AVG, 0 for COUNT — pinned against the reference's
+    mcs7178 golden output); row constructors in = and <> positions
+    lower to element-wise conjunctions. The oracle spells both
+    semantics explicitly since DuckDB rejects inverted frames at bind
+    time and struct-compares rows."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT n_nationkey AS nk,
+           AVG(n_nationkey) OVER (ORDER BY n_nationkey
+               ROWS BETWEEN 20 FOLLOWING AND 1 FOLLOWING) AS empty_avg,
+           COUNT(*) OVER (ORDER BY n_nationkey
+               ROWS BETWEEN 1 PRECEDING AND 20 PRECEDING) AS empty_cnt,
+           CAST(CASE WHEN (n_regionkey, LEFT(n_name, 6)) = (2, 'NATION')
+                THEN 1 ELSE 0 END AS INT) AS row_eq
+    FROM nation
+    WHERE (n_regionkey, n_name) <> (99, 'NOWHERE')
+    ORDER BY nk;
+    """
+    return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "sql_setop_string_coercion",
+    section="§2.7 set-operation type normalization (r9 — sql_union "
+    "result typing: a position mixing string and numeric branches "
+    "aggregates to a character type; Spark picks the numeric side "
+    "and fails casting the strings at runtime, mcs7126/mcs7195). "
+    "The Engine analyzes branches plan-only and casts conflicted "
+    "positions to STRING, recursing into derived tables.",
+    oracle="""
+    SELECT cnt FROM (
+        SELECT COUNT(*) AS cnt FROM (
+            SELECT r_regionkey AS a, r_name AS b FROM region
+            UNION
+            SELECT n_nationkey, CAST(n_regionkey AS VARCHAR)
+            FROM nation
+        ) u
+    ) x ORDER BY cnt
+    """,
+)
+def sql_setop_string_coercion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A UNION mixing region names (string) with region keys (number)
+    in the same position, nested inside a derived table, counted —
+    through the full Engine front end (the normalization needs branch
+    schemas, so it lives in Engine.sql, not the pure-text pass). The
+    oracle writes the coercion explicitly; DuckDB's own union typing
+    agrees with MariaDB here."""
+    from mariadb_columnstore_engine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT cnt FROM (SELECT COUNT(*) AS cnt FROM ("
+        "SELECT r_regionkey AS a, r_name AS b FROM region"
+        " UNION SELECT n_nationkey, n_regionkey FROM nation) u) x"
+        " ORDER BY cnt"
+    )

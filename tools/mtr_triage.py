@@ -110,6 +110,22 @@ SPELLING_FAMILIES: list[tuple[str, str, str]] = [
     ("PERCENTILE_CONT/DISC WITHIN GROUP .. OVER",
      r"\bPERCENTILE_(?:CONT|DISC)\s*\(",
      "win_percentiles_within_group"),
+    ("string-fn numeric-arg coercion (md5/reverse/sha of numbers — "
+     "r9: Item_str_func string read; DuckDB has no such coercion)",
+     r"\b(?:MD5|SHA1?|SHA2|REVERSE)\s*\(\s*[\w.]*(?:key|\d)",
+     "tests/test_sqltrans.py::test_string_fn_numeric_coercion "
+     "(md5/sha1/sha2/reverse numeric args; mcs7092 twin)"),
+    ("FORMAT(x, d) thousands-separator rendering "
+     "(r9: loose value-arg read; DuckDB's format() is printf-style)",
+     r"\bFORMAT\s*\(",
+     "tests/test_sqltrans.py::test_format_stringish_arg + mcs7088 "
+     "both-parsed twins"),
+    ("string column/name as numeric-fn arg or bare boolean operand "
+     "(r9 loose coercion: round(r_name,2), ON (b.n_name AND ...))",
+     r"\bROUND\s*\(\s*\w*name|\bAND\b\s*\w+\s*\.\s*\w*name\b"
+     r"|\(\s*\w+\s*\.\s*\w*name\s+AND\b",
+     "sql_loose_coercion_contexts (r9 gate row) + "
+     "tests/test_sqltrans.py loose-arg vectors"),
     ("math/crypto long tail (TRUNCATE scalar/CRC32/...)",
      r"\b(?:TRUNCATE|CRC32|MD5|SHA1?|SHA2|LOG2|LOG10|COT|RADIANS"
      r"|DEGREES|PI)\s*\(",
