@@ -1,0 +1,98 @@
+"""MTR cross-probe smoke: a deterministic slice of the full 8k-probe
+corpus (COVERAGE.md §r9) runs inside pytest so harvest + dialect
+wiring + augmented fixture stay green between full probe runs.
+
+The full probe (tools/mtr_probe.py, ~35 min) stays the authoritative
+tally; this slice pins the plumbing: statements harvest with the
+augmented table set, the engine and DuckDB read the same generated
+fixture, both-parsed statements value-match, and the only tolerated
+divergences are the adjudicated families (COVERAGE.md §r9: the
+round(int)-rendering DIFFs of mcs7005 and the under-determined
+ORDER-BY-ties LIMIT of mcs7041).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools"),
+)
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+#: statements sampled from the harvest (every STRIDE-th), capped
+STRIDE = 80
+CAP = 110
+
+#: adjudicated divergence sources (COVERAGE.md §r9)
+ADJUDICATED = {
+    "mcs7005_regression_bug2589.test",  # duckdb round(int) rendering
+    "mcs7041_regression_bug3019.test",  # ORDER BY cnt ties + LIMIT
+    "mcs7167_regression_bug5133.test",  # DDL-transient column (errors)
+}
+
+
+@pytest.fixture(scope="module")
+def probe_env(spark, tmp_path_factory):
+    from gen_probe_fixture import generate
+
+    from mariadb_columnstore_engine_spark.engine import Engine
+    from mariadb_columnstore_engine_spark.oracle import duckdb_connect
+
+    dest = str(tmp_path_factory.mktemp("probe_smoke") / "sf")
+    generate(SF_DIR, dest)
+    eng = Engine(spark, dest)
+    con = duckdb_connect(dest)
+    yield eng, con
+    con.close()
+
+
+def test_probe_corpus_slice(spark, probe_env):
+    from mtr_probe import (
+        AUGMENTED_TABLES,
+        DEFAULT_SUITES,
+        canon,
+        duck_dialect,
+        harvest,
+    )
+
+    eng, con = probe_env
+    stmts = harvest(DEFAULT_SUITES, AUGMENTED_TABLES)
+    assert len(stmts) > 7000  # the corpus keeps its r9 width
+    sample = stmts[::STRIDE][:CAP]
+    n_both = n_match = 0
+    diffs, neither = [], []
+    for src, s in sample:
+        try:
+            drows = con.execute(duck_dialect(s)).fetchall()
+        except Exception:  # noqa: BLE001 — bucketed like the probe
+            drows = None
+        try:
+            r = eng.execute(s)
+            srows = (
+                [tuple(x) for x in r.limit(100000).collect()]
+                if hasattr(r, "limit")
+                else [tuple(x) for x in r] if isinstance(r, list)
+                else [(r,)]
+            )
+        except Exception:  # noqa: BLE001
+            srows = None
+        if srows is None and drows is None and src not in ADJUDICATED:
+            neither.append((src, s))
+        if srows is None or drows is None:
+            continue
+        n_both += 1
+        if canon(srows) == canon(drows):
+            n_match += 1
+        elif src not in ADJUDICATED:
+            diffs.append((src, s))
+    assert not neither, neither
+    assert not diffs, diffs
+    # the slice must actually exercise the value-check path broadly
+    assert n_both >= 60 and n_match == n_both

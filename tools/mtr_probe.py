@@ -194,6 +194,22 @@ def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
     return result[0]
 
 
+def duck_dialect(stmt: str) -> str:
+    """MariaDB semantics the ORACLE side must mirror: bare
+    STDDEV()/STD()/VARIANCE() are the POPULATION variants in
+    MariaDB (wf_stats.cpp divides by n) while DuckDB's, like
+    Spark's, are the sample forms — spell them *_POP so both
+    engines compute what the reference computes. (*_SAMP/*_POP
+    spellings pass through untouched.)"""
+    stmt = re.sub(
+        r"\b(?:STDDEV|STD)\s*\(", "STDDEV_POP(", stmt,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"\bVARIANCE\s*\(", "VAR_POP(", stmt, flags=re.IGNORECASE
+    )
+
+
 def main() -> int:
     argv = sys.argv[1:]
     args, limit, dump, raw = [], None, None, False
@@ -257,21 +273,6 @@ def main() -> int:
     buckets = {
         "duck_only": [], "neither": [], "diff": [], "spark_only": [],
     }
-    def duck_dialect(stmt: str) -> str:
-        """MariaDB semantics the ORACLE side must mirror: bare
-        STDDEV()/STD()/VARIANCE() are the POPULATION variants in
-        MariaDB (wf_stats.cpp divides by n) while DuckDB's, like
-        Spark's, are the sample forms — spell them *_POP so both
-        engines compute what the reference computes. (*_SAMP/*_POP
-        spellings pass through untouched.)"""
-        stmt = re.sub(
-            r"\b(?:STDDEV|STD)\s*\(", "STDDEV_POP(", stmt,
-            flags=re.IGNORECASE,
-        )
-        return re.sub(
-            r"\bVARIANCE\s*\(", "VAR_POP(", stmt, flags=re.IGNORECASE
-        )
-
     for idx, (src, s) in enumerate(stmts):
         if idx and idx % 500 == 0:
             print(f"progress {idx}/{len(stmts)}", flush=True)
