@@ -3281,8 +3281,20 @@ def _rewrite_logical_xor(masked: str, store: list[str]) -> str:
             # defensive: malformed capture — leave as-is (Spark will
             # surface the parse error on the untouched XOR)
             return masked
-        t_l = f"(coalesce(try_cast(({left}) AS DOUBLE), 0d) <> 0d)"
-        t_r = f"(coalesce(try_cast(({right}) AS DOUBLE), 0d) <> 0d)"
+        # truthiness: direct numeric read first (numbers, booleans,
+        # fully-numeric strings), else the my_strtod PREFIX read
+        # ('5x' -> 5 -> truthy, like the server), else 0
+        def xor_truthy(x: str) -> str:
+            ph = _PH.format(len(store))
+            store.append(_NUM_PREFIX_RX)
+            return (
+                f"(coalesce(try_cast(({x}) AS DOUBLE), "
+                f"try_cast(regexp_extract(CAST(({x}) AS STRING), "
+                f"{ph}, 0) AS DOUBLE), 0d) <> 0d)"
+            )
+
+        t_l = xor_truthy(left)
+        t_r = xor_truthy(right)
         rendered = (
             f"(CASE WHEN ({left}) IS NULL OR ({right}) IS NULL"
             f" THEN NULL ELSE {t_l} <> {t_r} END)"
