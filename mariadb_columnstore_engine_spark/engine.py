@@ -355,25 +355,52 @@ class Engine:
             with self._quiet_analyzer_errors():
                 schemas = [self.spark.sql(p).schema for p in parts]
             width = min(len(s.fields) for s in schemas)
-            cast_pos = [
-                i for i in range(width)
-                if any(isinstance(s.fields[i].dataType, StringType)
-                       for s in schemas)
-                and not all(isinstance(s.fields[i].dataType, StringType)
-                            for s in schemas)
+
+            # INTERSECT binds tighter than UNION/EXCEPT in BOTH engines,
+            # so conflict analysis must respect that grouping: a string
+            # branch in one UNION arm must not force a numeric INTERSECT
+            # in another arm to compare as strings (DECIMAL '1.0' vs
+            # BIGINT '1' would stop matching — ADVICE r9). MariaDB
+            # evaluates the INTERSECT on native types and coerces only
+            # its RESULT at the UNION level; mirror that by grouping
+            # maximal INTERSECT chains before computing conflicts.
+            groups: list[list[int]] = [[0]]
+            group_ops: list[str] = []
+            for k, op in enumerate(ops):
+                if op.upper().startswith("INTERSECT"):
+                    groups[-1].append(k + 1)
+                else:
+                    group_ops.append(op)
+                    groups.append([k + 1])
+
+            def is_str(bi: int, i: int) -> bool:
+                return isinstance(
+                    schemas[bi].fields[i].dataType, StringType)
+
+            # group-effective type per position: string iff any branch
+            # in the chain is string (intra-group coercion makes it so)
+            eff = [
+                [any(is_str(bi, i) for bi in g) for i in range(width)]
+                for g in groups
             ]
-            if not cast_pos:
+            top_conflict = [
+                i for i in range(width)
+                if any(e[i] for e in eff)
+                and not all(e[i] for e in eff)
+            ]
+            intra = [
+                [
+                    i for i in range(width)
+                    if any(is_str(bi, i) for bi in g)
+                    and not all(is_str(bi, i) for bi in g)
+                ]
+                for g in groups
+            ]
+            if not top_conflict and not any(intra):
                 return query
             names = [f.name for f in schemas[0].fields]
-            out_parts = []
-            for bi, (p, s) in enumerate(zip(parts, schemas)):
-                needs = [
-                    i for i in cast_pos
-                    if not isinstance(s.fields[i].dataType, StringType)
-                ]
-                if not needs:
-                    out_parts.append(p)
-                    continue
+
+            def cast_wrap(body, s, needs, alias):
                 # positional column-alias list handles duplicate names
                 # in the branch's select list (mcs7195 selects
                 # r_regionkey three times)
@@ -384,10 +411,38 @@ class Engine:
                      else f"`__c{i}`") + f" AS `{names[i]}`"
                     for i in range(len(s.fields))
                 )
-                out_parts.append(
-                    f" SELECT {sel} FROM ( {p} ) __setop_b{bi}({cols}) ")
-            rebuilt = out_parts[0]
-            for op, p in zip(ops, out_parts[1:]):
+                return f" SELECT {sel} FROM ( {body} ) {alias}({cols}) "
+
+            group_sql: list[str] = []
+            for gi, g in enumerate(groups):
+                top_needs = [
+                    i for i in top_conflict if not eff[gi][i]]
+                branch_sql = []
+                for bi in g:
+                    needs = [
+                        i for i in intra[gi] if not is_str(bi, i)]
+                    if len(g) == 1:
+                        needs += [
+                            i for i in top_needs if i not in needs]
+                    if needs:
+                        branch_sql.append(cast_wrap(
+                            parts[bi], schemas[bi], sorted(needs),
+                            f"__setop_b{bi}"))
+                    else:
+                        branch_sql.append(parts[bi])
+                sql_g = branch_sql[0]
+                for op, p in zip(
+                        [ops[bi - 1] for bi in g[1:]], branch_sql[1:]):
+                    sql_g += f" {op} {p}"
+                if len(g) > 1 and top_needs:
+                    # evaluate the INTERSECT chain on native types,
+                    # coerce only its result for the outer UNION/EXCEPT
+                    sql_g = cast_wrap(
+                        sql_g, schemas[g[0]], top_needs,
+                        f"__setop_g{gi}")
+                group_sql.append(sql_g)
+            rebuilt = group_sql[0]
+            for op, p in zip(group_ops, group_sql[1:]):
                 rebuilt += f" {op} {p}"
             return rebuilt + (" " + tail if tail else "")
         except Exception:  # noqa: BLE001 — defer to normal execution

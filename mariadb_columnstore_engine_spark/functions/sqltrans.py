@@ -2992,7 +2992,10 @@ def _rewrite_loose_string_args(
             # constructor lowering wraps elements in parens)
             past = after.lstrip(") \t\n")
             pword = re.match(r"\w+", past)
-            if past[:1] in "=<>!+-*/%|&^" or (
+            # NB: guard past[:1] non-empty — `"" in "=<>..."` is True,
+            # which would wrongly suppress the rewrite for a bare
+            # boolean in parens at the very end of a statement.
+            if (past[:1] and past[:1] in "=<>!+-*/%|&^") or (
                 pword and pword.group(0).upper() in {
                     "IS", "LIKE", "RLIKE", "REGEXP", "IN", "BETWEEN",
                     "SOUNDS", "COLLATE", "DIV", "MOD",
@@ -3145,10 +3148,44 @@ def _rewrite_inverted_frames(masked: str, store: list[str]) -> str:
         arg0 = args[0].strip() if args else ""
         if fn == "COUNT":
             repl = "CAST(0 AS BIGINT)"
+        elif fn == "SUM" and arg0 and arg0 != "*":
+            # MariaDB SUM widens its result (int → DECIMAL); an
+            # arg-typed NULL would wire-compare as INT (ADVICE r9).
+            # DOUBLE is the widening both canonicalizers flatten to.
+            repl = (f"CAST((CASE WHEN 1=0 THEN ({arg0}) END)"
+                    f" AS DOUBLE)")
         elif fn in _ARG_TYPED_EMPTY and arg0 and arg0 != "*":
             repl = f"(CASE WHEN 1=0 THEN ({arg0}) END)"
         else:
             repl = "CAST(NULL AS DOUBLE)"
+        # the rewrite erases the `fn(...) OVER (...)` text MariaDB
+        # would use as the output column name — restore it via an
+        # alias when the expression is an UNALIASED select-list item
+        # (ADVICE r9). Select-list detection: the nearest clause
+        # keyword at this paren depth is SELECT; unaliased detection:
+        # the next token is `,`, FROM, or end-of-select-list.
+        expr_start = wm.start(1)
+        depth_at = masked[:expr_start].count("(") - \
+            masked[:expr_start].count(")")
+        clause = None
+        for cm in re.finditer(
+                r"\b(SELECT|FROM|WHERE|GROUP\s+BY|HAVING|"
+                r"ORDER\s+BY|RETURNING|PARTITION\s+BY)\b",
+                masked[:expr_start], re.IGNORECASE):
+            d = masked[:cm.start()].count("(") - \
+                masked[:cm.start()].count(")")
+            if d == depth_at:
+                clause = cm.group(1).upper()
+        nxt = masked[spec_end:].lstrip()
+        if clause == "SELECT" and (
+                nxt[:1] in (",", "", ")")
+                or re.match(r"FROM\b", nxt, re.IGNORECASE)):
+            name = _unmask(
+                masked[expr_start:spec_end], store
+            ).strip().replace("`", "")
+            ph = _PH.format(len(store))
+            store.append(f"`{name}`")
+            repl += f" AS {ph}"
         masked = masked[: wm.start(1)] + repl + masked[spec_end:]
 
 

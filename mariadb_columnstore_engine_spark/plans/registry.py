@@ -88,90 +88,86 @@ def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None
 # Non-window queries MAY keep decimal/array outputs — the local
 # type-aware gate still pins those carriages (the *_typed variants).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # ---- r9 rotation (VERDICT r8 #1 + the registry's own r8
-    # deferral note): the 5 permanent TPC-H bench anchors + the
-    # never-driver-checked sf_loose_numeric_casts + the full 12-row
-    # r4-stale cohort deferred from the r8 window + the 4 new r9 gate
-    # rows (logical XOR, non-CAST loose coercions, population stat
-    # aliases, suffix-frame stats) + 28 re-confirmation slots for the
-    # stalest remaining evidence (all last checked round 5). The 17
-    # r5 rows deferred to r10 each leave a FRESHER family member on
-    # the ledger: agg_hll_sketch_mergeable_rollup →
-    # agg_approx_count_distinct r7; collation_locale_battery →
-    # collation_pad_space_semantics r7; events_funnel_steps /
-    # events_gapfill_locf / events_hierarchical_rollup → five events_*
-    # r6 rows + 2 in-window; multimodal_frame_sample →
-    # multimodal_media_features r8; op_nested_shred_topk →
-    # op_skyline_pareto r8; sf_json_path_extensions →
-    # sf_json_long_tail r8; sf_week_modes → sf_datetime_matrix r8;
-    # sim_kmeans_two_iterations → three sim_* r8 rows;
-    # subq_having_scalar_q11 → three subq_* r8 rows;
-    # text_bpe_pair_frequency → text_bpe_regex_tokens r6;
-    # text_pii_redaction → text_* r6/r8 rows;
-    # tpch_q13_customer_distribution → join_left_outer_order_counts
-    # r7 (same outer-join-count shape); tpch_q20_excess_shippers →
-    # tpch_q20_partsupp r8; tpch_q9_product_profit → tpch_q9_partsupp
-    # r8; udtf_split_sentences → udf_* r6 + win_pandas_udaf r8.
+    # ---- r10 rotation (VERDICT r9 #1, executing the schedule the r9
+    # window comment recorded): the 5 permanent TPC-H bench anchors +
+    # the full 17-row r5-stale cohort (stalest driver evidence on the
+    # ledger after the r9 rotation) + first driver rows for the two
+    # post-window r9 additions (sql_row_cmp_empty_frames,
+    # sql_setop_string_coercion — judge-verified 2/2 at sf0.01 in r9)
+    # + 26 re-confirmation slots from the 45-row r6 cohort. The 19 r6
+    # rows deferred to r11 each leave a FRESHER (r8/r9) family member
+    # on the ledger: sf_datetime_matrix2/3 → sf_datetime_matrix r8 +
+    # sf_time_matrix r9; sf_string_matrix2/3 → sf_string_matrix r8;
+    # sf_json_matrix2 / sf_json_construct / sf_json_contains_array_ops
+    # / sf_json_events / sf_json_ext_classify / sf_json_ext_flat_ops →
+    # sql_json_table r9 + sf_json_long_tail r8;
+    # sf_decimal38_agg_wire / sf_decimal38_join_sort_wire →
+    # sf_decimal38_matrix r9; sim_embedding_quantize →
+    # sim_linear_model_inference r8; sim_embedding_stats →
+    # sim_bruteforce_cosine_topk r9; sim_lsh_recall_eval →
+    # sim_lsh_ann_topk r8; subq_in_semi → subq_exists_correlated_q4
+    # r9; subq_not_in_anti → subq_not_in_null_trap r8;
+    # subq_scalar_filter_avg → subq_correlated_scalar_q17 r8;
+    # subq_derived_table_items_per_order → subq_scalar_in_select_list
+    # r8. After this window lands green, no hashable row's last driver
+    # check is older than round 6 (r11 plan: the 19 deferred r6 rows +
+    # the r7 cohort head).
     # The 4 decimal-typed output variants remain structurally
     # driver-unhashable (policy above) with driver-green wire twins.
-    # POST-WINDOW r9 additions (first driver check due r10):
-    # sql_row_cmp_empty_frames, sql_setop_string_coercion — added
-    # after this window shipped, green in the local sf0.01 gate.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # never-driver-checked: r8 post-window addition (first driver row)
-    "sf_loose_numeric_casts",
-    # never-driver-checked: r9 gate rows (first driver check)
-    "sql_logical_xor",
-    "sql_loose_coercion_contexts",
-    "sql_population_stat_aliases",
-    "win_suffix_frame_stats",
-    # r4-stale cohort (the 12 rows whose last driver check is round 4)
-    "agg_cube",
-    "agg_group_concat_ordered",
-    "agg_moda",
-    "agg_rollup",
-    "collation_ci_battery",
-    "collation_ci_ai_battery",
-    "setop_distinct_limit_offset",
-    "setop_except_all",
-    "sf_decimal38_matrix",
-    "win_lag_lead",
-    "win_percentiles_within_group",
-    "win_rows_frame_running",
-    # r5-cohort re-confirmation (28 of 45; last driver check: round 5)
-    "agg_approx_percentile",
-    "agg_group_concat_limit",
-    "collation_ci_join_group",
-    "events_sessionization",
-    "events_tumbling_window",
-    "filter_extent_minmax_pseudocols",
-    "join_theta_band",
-    "pipeline_chunk_overlap",
-    "pipeline_sequence_packing",
-    "setop_except_distinct",
-    "setop_intersect_all",
-    "setop_union_distinct",
-    "sf_bitwise_matrix",
-    "sf_conditional_cast_matrix",
-    "sf_time_matrix",
-    "sim_bruteforce_cosine_topk",
-    "sql_json_table",
-    "sql_stored_function_pushdown",
-    "subq_exists_correlated_q4",
-    "subq_recursive_bfs_reachability",
-    "text_minhash_lsh_dedup",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_suppliers_kept_waiting",
-    "udf_apply_in_pandas_zscore",
-    "win_moda_analytic",
-    "win_range_interval_event_time",
+    # never-driver-checked: post-window r9 additions (first driver row)
+    "sql_row_cmp_empty_frames",
+    "sql_setop_string_coercion",
+    # r5-stale cohort (all 17 rows whose last driver check is round 5)
+    "agg_hll_sketch_mergeable_rollup",
+    "collation_locale_battery",
+    "events_funnel_steps",
+    "events_gapfill_locf",
+    "events_hierarchical_rollup",
+    "multimodal_frame_sample",
+    "op_nested_shred_topk",
+    "sf_json_path_extensions",
+    "sf_week_modes",
+    "sim_kmeans_two_iterations",
+    "subq_having_scalar_q11",
+    "text_bpe_pair_frequency",
+    "text_pii_redaction",
+    "tpch_q13_customer_distribution",
+    "tpch_q20_excess_shippers",
+    "tpch_q9_product_profit",
+    "udtf_split_sentences",
+    # r6-cohort re-confirmation (26 of 45; last driver check: round 6)
+    "agg_count_distinct_multiparam",
+    "collation_column_ddl",
+    "events_daily_activity",
+    "events_retention_cohorts",
+    "events_sliding_window",
+    "events_time_weighted_avg",
+    "events_transition_matrix",
+    "op_salted_skew_agg_join",
+    "pipeline_deterministic_shuffle",
+    "pipeline_mixture_upsample",
+    "pipeline_stratified_sample",
+    "setop_cte_window_union",
+    "sf_convert_tz_named",
+    "sf_date_format_patterns",
+    "sf_network_misc",
+    "sf_trig_time_constructors",
+    "sql_mariadb_front_end2",
+    "sql_stored_procedure_call",
+    "text_bpe_regex_tokens",
+    "text_decontaminate_ngram_overlap",
+    "text_dedup_cluster_canonical",
+    "text_heavy_hitter_shingles",
+    "text_repetition_ratio",
+    "text_rolling_hash_fingerprint",
+    "udf_pandas_scalar",
+    "win_bit_ops_over_partition",
 )
 
 

@@ -73,3 +73,25 @@ def test_setop_string_numeric_normalization(spark, sf_dir, duck):
     # no-conflict set ops are left untouched (same text in, same out)
     q3 = "select n_regionkey from nation union select r_regionkey from region"
     assert eng._normalize_setop_types(q3) == q3
+
+
+def test_setop_intersect_precedence_grouping(spark, sf_dir):
+    """INTERSECT binds tighter than UNION (both engines); a string
+    branch in one UNION arm must not force a numeric INTERSECT in
+    another arm to compare as strings — DECIMAL 1.0 vs BIGINT 1 must
+    still intersect numerically, with the coercion applied only to the
+    INTERSECT's result at the UNION level (ADVICE r9)."""
+    eng = Engine(spark, sf_dir)
+    q = ("SELECT 'x' UNION SELECT CAST(1.0 AS DECIMAL(5,1)) "
+         "INTERSECT SELECT CAST(1 AS BIGINT)")
+    got = sorted(r[0] for r in eng.sql(q).collect())
+    assert got == ["1.0", "x"], got
+    # pure INTERSECT chain with a genuine string/numeric conflict
+    # still coerces within the chain
+    got2 = [r[0] for r in eng.sql(
+        "SELECT '1' a INTERSECT SELECT 1").collect()]
+    assert got2 == ["1"]
+    # UNION/EXCEPT stay left-associative at the outer level
+    got3 = sorted(r[0] for r in eng.sql(
+        "SELECT 'x' a UNION SELECT 2 EXCEPT SELECT 2").collect())
+    assert got3 == ["x"]

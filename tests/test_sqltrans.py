@@ -1420,6 +1420,18 @@ def test_loose_string_args_schema_aware(spark):
     # schema-less call: untouched (ANSI behavior preserved)
     q = "select round(sname, 2) from loose_t"
     assert translate_statement(q) == q
+    # bare boolean in parens at the very END of the statement: the
+    # empty lookahead past the close-paren must NOT read as an
+    # operator (`"" in "=<>..."` is True — r9 regression, ADVICE r9).
+    got3 = spark.sql(
+        translate_statement(
+            "select k from loose_t where k > 0 and (sname)", cols
+        )
+    ).collect()
+    assert [g.k for g in got3] == [2]
+    # and a close-paren followed by a real comparison stays suppressed
+    q4 = "select k from loose_t where (sname) = 'AFRICA'"
+    assert translate_statement(q4, cols) == q4
 
 
 def test_truncate_large_magnitude_no_overflow(spark):
@@ -1487,6 +1499,24 @@ def test_inverted_rows_frames(spark):
     )).collect()
     assert all(r.a is None and r.c == 0 for r in rows)
     assert [r.ok for r in rows] == [None, 0, 1, 3]  # valid frame kept
+
+
+def test_inverted_frame_sum_type_and_alias(spark):
+    """Empty-frame SUM widens like MariaDB's SUM (int arg → numeric,
+    not an INT-typed NULL), and an UNALIASED select-list rewrite keeps
+    the original expression text as the output column name; MIN stays
+    argument-typed and explicit aliases are untouched (ADVICE r9)."""
+    df = spark.sql(translate_statement(
+        "select sum(id) over (rows between 20 following and"
+        " 1 following), min(id) over (rows between 2 preceding and"
+        " 20 preceding) m from range(2)"
+    ))
+    f_sum, f_min = df.schema.fields
+    assert f_sum.dataType.typeName() == "double"
+    assert f_sum.name == ("sum(id) over (rows between 20 following"
+                          " and 1 following)")
+    assert f_min.dataType.typeName() == "long" and f_min.name == "m"
+    assert all(r[0] is None and r.m is None for r in df.collect())
 
 
 def test_string_fn_numeric_coercion(spark):

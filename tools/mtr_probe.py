@@ -242,13 +242,20 @@ def main() -> int:
     # driver data + the standard TPC-H columns/partsupp the driver
     # subset omits — tools/gen_probe_fixture.py) so fixture-gap
     # statements become value-checked; --raw forces the driver dir.
-    augmented = ".fixtures/probe_sf0.01"
-    if not raw and os.path.isdir(augmented):
+    # An explicitly-set SPARK_GRAFT_SF_DIR wins over the auto-prefer
+    # (ADVICE r9: pointing the probe at sf1 must actually run sf1),
+    # and the augmented path resolves relative to the repo root so a
+    # different cwd doesn't silently fall back to raw.
+    augmented = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".fixtures/probe_sf0.01",
+    )
+    env_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not raw and env_dir is None and os.path.isdir(augmented):
         sf_dir = augmented
         tables = AUGMENTED_TABLES
     else:
-        sf_dir = os.environ.get(
-            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        sf_dir = env_dir or "/root/testdata/sf0.01"
         tables = KNOWN_TABLES
     print(f"fixture: {sf_dir}")
 
