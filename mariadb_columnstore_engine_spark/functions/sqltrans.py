@@ -872,33 +872,38 @@ def _loose_numeric_cast_emit(
     # numeric-operand branch: round half-away (decimal(38,0) HALF_UP),
     # clamp out-of-range (sign-aware when even DECIMAL(38,0) can't
     # hold |x| >= 1e38 doubles: MariaDB clamps, ANSI would throw)
-    es = f"CAST({e} AS STRING)"
-    sign_clamp_i64 = (
-        f"CASE WHEN try_cast({es} AS DOUBLE) IS NULL "
-        f"THEN CAST(0 AS DECIMAL(38,0)) "
-        f"WHEN try_cast({es} AS DOUBLE) < 0 "
-        f"THEN CAST({_I64_MIN} AS DECIMAL(38,0)) "
-        f"ELSE CAST({_I64_MAX} AS DECIMAL(38,0)) END"
-    )
-    if kind == "signed":
-        nbranch = (
-            f"try_cast(least(greatest(coalesce("
-            f"try_cast({es} AS DECIMAL(38,0)), {sign_clamp_i64}), "
-            f"{_I64_MIN}), {_I64_MAX}) AS BIGINT)"
+    def nb(x: str) -> str:
+        """Numeric-operand branch over operand text ``x``: round
+        half-away (decimal(38,0) HALF_UP), clamp out-of-range
+        (sign-aware when even DECIMAL(38,0) can't hold |x| >= 1e38
+        doubles: MariaDB clamps, ANSI would throw)."""
+        es = f"CAST({x} AS STRING)"
+        sign_clamp_i64 = (
+            f"CASE WHEN try_cast({es} AS DOUBLE) IS NULL "
+            f"THEN CAST(0 AS DECIMAL(38,0)) "
+            f"WHEN try_cast({es} AS DOUBLE) < 0 "
+            f"THEN CAST({_I64_MIN} AS DECIMAL(38,0)) "
+            f"ELSE CAST({_I64_MAX} AS DECIMAL(38,0)) END"
         )
-    elif kind == "unsigned":
-        n0 = f"coalesce(try_cast({es} AS DECIMAL(38,0)), {sign_clamp_i64})"
-        # clamp to [i64-min, u64-max] then wrap negatives mod 2^64
-        # (Item_func_unsigned::val_int casts through longlong, so a
-        # double below i64-min lands on i64-min and wraps to 2^63 —
-        # the old CASE-then-greatest form read 0 there)
-        nbranch = (
-            f"try_cast(pmod(least(greatest({n0}, {_I64_MIN}), "
-            f"{_U64_MAX}), {_U64_MOD}) AS DECIMAL(20,0))"
-        )
-    elif kind in ("double", "float"):
-        nbranch = f"try_cast({es} AS {spark_t})"
-    else:
+        if kind == "signed":
+            return (
+                f"try_cast(least(greatest(coalesce("
+                f"try_cast({es} AS DECIMAL(38,0)), {sign_clamp_i64}), "
+                f"{_I64_MIN}), {_I64_MAX}) AS BIGINT)"
+            )
+        if kind == "unsigned":
+            n0 = (f"coalesce(try_cast({es} AS DECIMAL(38,0)), "
+                  f"{sign_clamp_i64})")
+            # clamp to [i64-min, u64-max] then wrap negatives mod 2^64
+            # (Item_func_unsigned::val_int casts through longlong, so a
+            # double below i64-min lands on i64-min and wraps to 2^63 —
+            # the old CASE-then-greatest form read 0 there)
+            return (
+                f"try_cast(pmod(least(greatest({n0}, {_I64_MIN}), "
+                f"{_U64_MAX}), {_U64_MOD}) AS DECIMAL(20,0))"
+            )
+        if kind in ("double", "float"):
+            return f"try_cast({es} AS {spark_t})"
         max_lit = ("9" * (p - s) or "0") + (("." + "9" * s) if s else "")
         clamp = (
             f"CASE WHEN try_cast({es} AS DOUBLE) IS NULL "
@@ -907,27 +912,75 @@ def _loose_numeric_cast_emit(
             f"THEN CAST(-{max_lit} AS {spark_t}) "
             f"ELSE CAST({max_lit} AS {spark_t}) END"
         )
-        nbranch = f"coalesce(try_cast({es} AS {spark_t}), {clamp})"
-    # temporal operands: MariaDB numbers datetimes as yyyyMMdd[HHmmss]
-    # (Item_temporal_func::val_int), re-read through the string branch
-    # digits-only renderings built from string ops so the arm stays
-    # analysis-valid for EVERY operand type (date_format / try_cast-to-
-    # timestamp are static type errors even in a never-taken CASE arm);
-    # the arm only RUNS on temporals: '2000-01-01 00:00:01[.ffffff]' →
-    # '20000101000001' (seconds precision, like the server's 14-digit
-    # datetime number)
-    digits = (
-        f"translate(CAST({e} AS STRING), "
-        f"{lit(chr(39) + '- :.' + chr(39))}, {lit(chr(39) * 2)})"
-    )
-    d_num = f"(substring({digits}, 1, 8))"
-    ts_num = f"(substring({digits}, 1, 14))"
+        return f"coalesce(try_cast({es} AS {spark_t}), {clamp})"
+
+    def full_case(x: str) -> str:
+        """typeof-dispatch over operand text ``x``.
+
+        Temporal operands: MariaDB numbers datetimes as
+        yyyyMMdd[HHmmss] (Item_temporal_func::val_int), re-read
+        through the string branch on digits-only renderings built
+        from string ops so the arm stays analysis-valid for EVERY
+        operand type (date_format / try_cast-to-timestamp are static
+        type errors even in a never-taken CASE arm); the arm only
+        RUNS on temporals: '2000-01-01 00:00:01[.ffffff]' →
+        '20000101000001' (seconds precision, like the server's
+        14-digit datetime number)."""
+        digits = (
+            f"translate(CAST({x} AS STRING), "
+            f"{lit(chr(39) + '- :.' + chr(39))}, {lit(chr(39) * 2)})"
+        )
+        d_num = f"(substring({digits}, 1, 8))"
+        ts_num = f"(substring({digits}, 1, 14))"
+        return (
+            f"(CASE WHEN {x} IS NULL THEN try_cast(NULL AS {spark_t}) "
+            f"WHEN typeof({x}) LIKE "
+            f"{lit(chr(39) + 'string%' + chr(39))} "
+            f"THEN {sb(x)} "
+            f"WHEN typeof({x}) = {lit(chr(39) + 'date' + chr(39))} "
+            f"THEN {sb(d_num)} "
+            f"WHEN typeof({x}) LIKE "
+            f"{lit(chr(39) + 'timestamp%' + chr(39))} THEN {sb(ts_num)} "
+            f"WHEN typeof({x}) = {lit(chr(39) + 'boolean' + chr(39))} "
+            f"THEN CASE WHEN CAST({x} AS STRING) = "
+            f"{lit(chr(39) + 'true' + chr(39))} "
+            f"THEN CAST(1 AS {spark_t}) ELSE CAST(0 AS {spark_t}) END "
+            f"ELSE {nb(x)} END)"
+        )
+
     # static-type short-circuits: a literal operand's typeof() is known
     # at rewrite time, so emit ONLY its branch — the full typeof CASE
     # re-states the operand ~10x per emission, which both re-evaluates
     # non-deterministic operands per arm and blows up exponentially on
     # nested loose casts (deep MTR nestings hit the codegen limit)
     stripped = expr.strip()
+    # a trivial operand (literal / bare column reference) is cheap and
+    # deterministic — emit branches over it directly (codegen dedupes);
+    # anything else is BOUND EXACTLY ONCE via a one-element higher-
+    # order transform: the lambda variable carries the single evaluated
+    # value into every branch, so non-deterministic operands cannot
+    # draw differently per arm and nested loose casts stay linear in
+    # text instead of exponential (VERDICT r9 #2)
+    trivial = bool(
+        _PH_RE.fullmatch(stripped)
+        or re.fullmatch(
+            r"[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?",
+            stripped,
+        )
+        or re.fullmatch(
+            r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*|`[^`]+`", stripped
+        )
+    )
+
+    def bind_once(body) -> str:
+        if trivial:
+            return body(e)
+        var = f"__lc{len(store)}"
+        return (
+            f"element_at(transform(array({e}), {var} -> "
+            f"{body(var)}), 1)"
+        )
+
     phm = _PH_RE.fullmatch(stripped)
     if phm and store[int(phm.group(1))].startswith("'"):
         return sb(e)
@@ -937,23 +990,10 @@ def _loose_numeric_cast_emit(
     ):
         # a numeric literal, or an operand the caller knows is numeric
         # (e.g. a nested loose cast): NULL passes through try_cast
-        return nbranch
+        return bind_once(nb)
     if stripped.upper() == "NULL":
         return f"try_cast(NULL AS {spark_t})"
-    return (
-        f"(CASE WHEN {e} IS NULL THEN try_cast(NULL AS {spark_t}) "
-        f"WHEN typeof({e}) LIKE {lit(chr(39) + 'string%' + chr(39))} "
-        f"THEN {sb(e)} "
-        f"WHEN typeof({e}) = {lit(chr(39) + 'date' + chr(39))} "
-        f"THEN {sb(d_num)} "
-        f"WHEN typeof({e}) LIKE "
-        f"{lit(chr(39) + 'timestamp%' + chr(39))} THEN {sb(ts_num)} "
-        f"WHEN typeof({e}) = {lit(chr(39) + 'boolean' + chr(39))} THEN "
-        f"CASE WHEN CAST({e} AS STRING) = "
-        f"{lit(chr(39) + 'true' + chr(39))} "
-        f"THEN CAST(1 AS {spark_t}) ELSE CAST(0 AS {spark_t}) END "
-        f"ELSE {nbranch} END)"
-    )
+    return bind_once(full_case)
 
 
 def _operand_is_loose_cast(text: str) -> bool:
@@ -1934,15 +1974,25 @@ def _rewrite_suffix_frames(masked: str, store: list[str]) -> str:
 
     Only order-insensitive aggregates are rewritten; FIRST_VALUE and
     LAST_VALUE swap names under the mirror (DESC-first == ASC-last).
-    NTH_VALUE stays on the native path (nth-from-start has no mirrored
-    spelling). Frames whose current row's position among ORDER-BY TIES
+    NTH_VALUE(x, n) has no mirrored spelling (nth-from-START), but the
+    suffix frame's start is the fixed ASC position max(0, i-k), so the
+    read splits into two O(n) constant-offset forms (r10, reference
+    utils/windowfunction/wf_nth_value.cpp:273):
+
+        i >= k  →  LEAD(x, n-1-k)   (LAG when k > n-1)
+        i <  k  →  NTH_VALUE(x, n) over the WHOLE partition
+                   (Spark's unbounded-both frame evaluates once per
+                   partition — O(n), not the O(n^2) per-row processor)
+
+    Frames whose current row's position among ORDER-BY TIES
     differs between the two sort directions can legitimately read
     different (tie-permuted) frame contents — the reference has the
     same indeterminacy across its own sort implementations
     (idborderby.cpp comparator chains); the MTR batteries carry
     tie-breaking key columns."""
     pat = re.compile(
-        r"\b(" + "|".join(_SUFFIX_REVERSIBLE_FNS) + r")\s*\(",
+        r"\b(" + "|".join(_SUFFIX_REVERSIBLE_FNS + ("NTH_VALUE",))
+        + r")\s*\(",
         re.IGNORECASE,
     )
     swap = {"FIRST_VALUE": "LAST_VALUE", "LAST_VALUE": "FIRST_VALUE"}
@@ -1963,8 +2013,37 @@ def _rewrite_suffix_frames(masked: str, store: list[str]) -> str:
             continue
         new_end, part, order, k = parsed
         args = masked[open_at + 1 : end - 1]
-        bound = "CURRENT ROW" if k == 0 else f"{k} FOLLOWING"
         p = f"PARTITION BY {part} " if part else ""
+        if fn == "NTH_VALUE":
+            nth_args = _split_top_level_commas(args)
+            if len(nth_args) != 2 or not re.fullmatch(
+                    r"\d+", nth_args[1].strip()):
+                # non-literal n: no constant-offset spelling — native
+                out.append(masked[m.start() : open_at + 1])
+                i = open_at + 1
+                continue
+            x = nth_args[0].strip()
+            n = int(nth_args[1])
+            over_o = f"{p}ORDER BY {order}"
+            d = n - 1 - k
+            shift = (
+                f"LEAD({x}, {d})" if d >= 0 else f"LAG({x}, {-d})"
+            ) + f" OVER ({over_o})"
+            if k == 0:
+                out.append(shift)
+            else:
+                whole = (
+                    f"NTH_VALUE({x}, {n}) OVER ({over_o} "
+                    f"ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                    f"UNBOUNDED FOLLOWING)"
+                )
+                out.append(
+                    f"(CASE WHEN ROW_NUMBER() OVER ({over_o}) > {k} "
+                    f"THEN {shift} ELSE {whole} END)"
+                )
+            i = new_end
+            continue
+        bound = "CURRENT ROW" if k == 0 else f"{k} FOLLOWING"
         spec = (
             f"{p}ORDER BY {_reverse_order_by(order)} "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND {bound}"

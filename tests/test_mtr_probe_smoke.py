@@ -30,11 +30,12 @@ from tests.conftest import SF_DIR  # noqa: E402
 STRIDE = 80
 CAP = 110
 
-#: adjudicated divergence sources (COVERAGE.md §r9)
+#: adjudicated divergence sources (COVERAGE.md §r9; mcs7167 left the
+#: set in r10 — its transient ADD COLUMN now REPLAYS as a view
+#: overlay, so the statement value-checks)
 ADJUDICATED = {
     "mcs7005_regression_bug2589.test",  # duckdb round(int) rendering
     "mcs7041_regression_bug3019.test",  # ORDER BY cnt ties + LIMIT
-    "mcs7167_regression_bug5133.test",  # DDL-transient column (errors)
 }
 
 
@@ -49,7 +50,7 @@ def probe_env(spark, tmp_path_factory):
     generate(SF_DIR, dest)
     eng = Engine(spark, dest)
     con = duckdb_connect(dest)
-    yield eng, con
+    yield eng, con, dest
     con.close()
 
 
@@ -57,18 +58,23 @@ def test_probe_corpus_slice(spark, probe_env):
     from mtr_probe import (
         AUGMENTED_TABLES,
         DEFAULT_SUITES,
+        apply_overlays,
         canon,
         duck_dialect,
         harvest,
+        restore_overlays,
     )
 
-    eng, con = probe_env
+    eng, con, sf_dir = probe_env
     stmts = harvest(DEFAULT_SUITES, AUGMENTED_TABLES)
     assert len(stmts) > 7000  # the corpus keeps its r9 width
     sample = stmts[::STRIDE][:CAP]
     n_both = n_match = 0
     diffs, neither = [], []
-    for src, s in sample:
+    for src, s, ov in sample:
+        saved = (
+            apply_overlays(eng.spark, con, sf_dir, ov) if ov else {}
+        )
         try:
             drows = con.execute(duck_dialect(s)).fetchall()
         except Exception:  # noqa: BLE001 — bucketed like the probe
@@ -83,6 +89,8 @@ def test_probe_corpus_slice(spark, probe_env):
             )
         except Exception:  # noqa: BLE001
             srows = None
+        if saved:
+            restore_overlays(eng.spark, con, sf_dir, saved)
         if srows is None and drows is None and src not in ADJUDICATED:
             neither.append((src, s))
         if srows is None or drows is None:

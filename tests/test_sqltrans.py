@@ -447,7 +447,10 @@ def test_cast_char_n_truncates_and_nested_convert():
     # the numeric outer target carries the loose-cast lowering
     got = translate_statement("SELECT CONVERT(CONVERT(x, CHAR), SIGNED) FROM t")
     assert "CONVERT" not in got
-    assert "typeof((CAST(x AS STRING))) LIKE 'string%'" in got
+    # the non-trivial operand is bound exactly once (r10: a single
+    # array element feeds every typeof-dispatch arm via a lambda var)
+    assert got.count("CAST(x AS STRING)") == 1
+    assert "typeof(__lc0) LIKE 'string%'" in got
 
 
 def test_fn_templates_round4_vectors(spark):
@@ -1165,6 +1168,40 @@ def test_loose_cast_overflow_clamp_and_short_circuit(spark):
     assert len(nested) < 60_000
 
 
+def test_loose_cast_operand_binds_once(spark):
+    """A non-trivial operand of a loose cast is bound exactly once
+    via a one-element higher-order transform: a NON-DETERMINISTIC
+    operand cannot draw differently per CASE arm, and 4-deep nested
+    loose casts stay linear in emission size (VERDICT r9 #2)."""
+    from pyspark.sql.functions import udf
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def trace(s):
+        calls.add(1)
+        return s
+
+    spark.udf.register(
+        "trace_str_once", udf(trace, "string").asNondeterministic())
+    t = translate_statement(
+        "select cast(trace_str_once('45xyz') as signed) v"
+        " from range(10)")
+    rows = spark.sql(t).collect()
+    assert all(r.v == 45 for r in rows)
+    assert calls.value == 10  # exactly one evaluation per row
+    # 4-deep unknown-type nesting: linear emission, runs clean
+    spark.createDataFrame(
+        [("x1",), ("2y",)], "c string"
+    ).createOrReplaceTempView("bind_once_t")
+    tn = translate_statement(
+        "select cast(cast(cast(cast(concat(c,'9') as signed)"
+        " as unsigned) as signed) as decimal(10,2)) v"
+        " from bind_once_t order by v")
+    assert len(tn) < 10_000
+    assert [str(r.v) for r in spark.sql(tn).collect()] == \
+        ["0.00", "2.00"]
+
+
 def test_loose_numeric_cast_numeric_and_temporal(spark):
     """Numeric operands round half-away-from-zero and clamp (MariaDB
     Item_func_signed::val_int); UNSIGNED wraps numeric negatives;
@@ -1236,8 +1273,25 @@ def test_suffix_frame_rewrites_fire_and_skip():
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
     )
     assert "UNBOUNDED FOLLOWING" not in got and "REGR_SLOPE" in got
-    # NTH_VALUE has no mirrored spelling — stays native
-    q3 = ("SELECT NTH_VALUE(x, 2) OVER (ORDER BY o "
+    # NTH_VALUE(x, n) over a suffix frame → constant-offset reads
+    # (r10): k=0 is a pure LEAD; k>0 splits on row position — LEAD/LAG
+    # past the clamp point, whole-partition NTH_VALUE before it
+    got = translate_statement(
+        "SELECT NTH_VALUE(x, 2) OVER (ORDER BY o "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
+    )
+    assert got == "SELECT LEAD(x, 1) OVER (ORDER BY o) FROM t"
+    got = translate_statement(
+        "SELECT NTH_VALUE(x, 2) OVER (PARTITION BY g ORDER BY o "
+        "ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) FROM t"
+    )
+    assert "LAG(x, 2) OVER (PARTITION BY g ORDER BY o)" in got
+    assert "ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) > 3" in got
+    assert ("NTH_VALUE(x, 2) OVER (PARTITION BY g ORDER BY o ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            ) in got
+    # non-literal n has no constant-offset spelling — stays native
+    q3 = ("SELECT NTH_VALUE(x, n) OVER (ORDER BY o "
           "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t")
     assert translate_statement(q3) == q3
 
@@ -1279,6 +1333,9 @@ def test_suffix_frame_values_match_native(spark):
         ("REGR_COUNT(y, x)", True),
         ("REGR_AVGX(y, x)", False),
         ("REGR_AVGY(y, x)", False),
+        ("NTH_VALUE(x, 1)", True),
+        ("NTH_VALUE(x, 3)", True),
+        ("NTH_VALUE(y, 20)", True),
     ]
     for frame in (
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",

@@ -41,11 +41,53 @@ DEFAULT_SUITES = [
 ]
 
 
+#: transient in-test DDL the probe REPLAYS as view overlays
+#: (mcs7167_regression_bug5133: ALTER TABLE nation ADD COLUMN c1
+#: varchar(20) default 'abcd'; SELECT ...; DROP COLUMN c1 — the
+#: SELECT is only meaningful with the column present)
+_DDL_ADD_RE = re.compile(
+    r"^alter\s+table\s+`?(\w+)`?\s+add\s+(?:column\s+)?`?(\w+)`?\s+"
+    r"([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?:.*?\bdefault\s+('[^']*'|[-\w.]+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DDL_DROP_RE = re.compile(
+    r"^alter\s+table\s+`?(\w+)`?\s+drop\s+(?:column\s+)?`?(\w+)`?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _overlay_type(t: str) -> str | None:
+    """MariaDB column type → a cast target BOTH Spark and DuckDB
+    accept (None = unsupported, the ALTER is skipped and dependent
+    SELECTs stay in their error buckets)."""
+    tl = t.lower().replace(" ", "")
+    if tl.startswith(("varchar", "char", "text")):
+        lm = re.search(r"\((\d+)\)", tl)
+        # Spark needs a length on VARCHAR; STRING is a DuckDB alias
+        return f"VARCHAR({lm.group(1)})" if lm else "STRING"
+    if tl.startswith("decimal"):
+        return t.upper().replace(" ", "")
+    if tl.startswith(("double", "float", "real")):
+        return "DOUBLE"
+    if tl.startswith(("datetime", "timestamp")):
+        return "TIMESTAMP"
+    if tl.startswith("date"):
+        return "DATE"
+    if tl.startswith(("tinyint", "smallint", "mediumint", "bigint",
+                      "int")):
+        return "BIGINT"
+    return None
+
+
 def harvest(
     suite_dirs: list[str], tables: set[str] = KNOWN_TABLES
-) -> list[tuple[str, str]]:
-    """(source, statement) pairs: top-level SELECTs whose referenced
-    tables are all in the fixture catalog."""
+) -> list[tuple[str, str, tuple]]:
+    """(source, statement, overlays) triples: top-level SELECTs whose
+    referenced tables are all in the fixture catalog. ``overlays``
+    replays any transient in-test ADD COLUMN DDL active at that point
+    of the file as (table, column, cast_expr) items — empty for the
+    overwhelmingly common case."""
     out = []
     for d in suite_dirs:
         if not os.path.isdir(d):
@@ -76,8 +118,23 @@ def harvest(
                 if not ln.strip().startswith(("#", "--"))
             ]
             body = "\n".join(lines)
+            active: dict[str, dict[str, str]] = {}  # table → col → expr
             for stmt in body.split(";"):
                 s = stmt.strip()
+                am = _DDL_ADD_RE.match(s)
+                if am and am.group(1).lower() in tables:
+                    typ = _overlay_type(am.group(3))
+                    if typ:
+                        dflt = am.group(4) or "NULL"
+                        active.setdefault(am.group(1).lower(), {})[
+                            am.group(2).lower()
+                        ] = f"CAST({dflt} AS {typ})"
+                    continue
+                dm = _DDL_DROP_RE.match(s)
+                if dm:
+                    active.get(dm.group(1).lower(), {}).pop(
+                        dm.group(2).lower(), None)
+                    continue
                 if not re.match(r"select\b", s, re.IGNORECASE):
                     continue
                 refs = set()
@@ -107,15 +164,55 @@ def harvest(
                     re.IGNORECASE,
                 ):
                     continue
-                out.append((fn, re.sub(r"\s+", " ", s)))
-    # dedupe, keep first source
+                ov = tuple(
+                    (t, c, e)
+                    for t in sorted(active)
+                    if t in refs and active[t]
+                    for c, e in sorted(active[t].items())
+                )
+                out.append((fn, re.sub(r"\s+", " ", s), ov))
+    # dedupe, keep first source (overlay state is part of the key: the
+    # same SELECT text means different things under different DDL)
     seen, uniq = set(), []
-    for src, s in out:
-        k = s.lower()
+    for src, s, ov in out:
+        k = (s.lower(), ov)
         if k not in seen:
             seen.add(k)
-            uniq.append((src, s))
+            uniq.append((src, s, ov))
     return uniq
+
+
+def apply_overlays(spark, con, sf_dir: str, ov: tuple):
+    """Replay transient ADD COLUMN DDL as view overlays on BOTH
+    engines; returns the saved Spark DataFrames for restore_overlays."""
+    from mariadb_columnstore_engine_spark.oracle import table_glob
+
+    bytab: dict[str, list[tuple[str, str]]] = {}
+    for t, c, e in ov:
+        bytab.setdefault(t, []).append((c, e))
+    saved = {}
+    for t, cols in bytab.items():
+        saved[t] = spark.table(t)
+        saved[t].selectExpr(
+            "*", *[f"{e} AS {c}" for c, e in cols]
+        ).createOrReplaceTempView(t)
+        sel = ", ".join(f"{e} AS {c}" for c, e in cols)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT *, {sel} "
+            f"FROM '{table_glob(sf_dir, t)}'"
+        )
+    return saved
+
+
+def restore_overlays(spark, con, sf_dir: str, saved: dict) -> None:
+    from mariadb_columnstore_engine_spark.oracle import table_glob
+
+    for t, df in saved.items():
+        df.createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * "
+            f"FROM '{table_glob(sf_dir, t)}'"
+        )
 
 
 def canon(rows) -> list[tuple]:
@@ -280,10 +377,11 @@ def main() -> int:
     buckets = {
         "duck_only": [], "neither": [], "diff": [], "spark_only": [],
     }
-    for idx, (src, s) in enumerate(stmts):
+    for idx, (src, s, ov) in enumerate(stmts):
         if idx and idx % 500 == 0:
             print(f"progress {idx}/{len(stmts)}", flush=True)
         derr = serr = None
+        saved = apply_overlays(spark, con, sf_dir, ov) if ov else {}
         try:
             drows = con.execute(duck_dialect(s)).fetchall()
         except Exception as e:  # noqa: BLE001 — bucketed
@@ -292,6 +390,8 @@ def main() -> int:
             srows = _collect_with_timeout(spark, eng, s)
         except Exception as e:  # noqa: BLE001 — bucketed
             srows, serr = None, f"{type(e).__name__}: {e}"
+        if saved:
+            restore_overlays(spark, con, sf_dir, saved)
         if srows is None and drows is None:
             n_neither += 1
             buckets["neither"].append(
