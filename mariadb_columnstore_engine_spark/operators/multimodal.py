@@ -62,29 +62,58 @@ def _fake_decode(buf: bytes) -> tuple[int, int]:
     return len(buf), int(hashlib.md5(buf).hexdigest()[:6], 16)
 
 
+def _pil_decode(buf: bytes) -> tuple[int, int]:
+    """Real image decode (capability-gated, r10): byte length + packed
+    (width << 16) | height from Pillow — the same two-scalar contract
+    as the fake, so the Arrow plan shape is identical either way."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(buf)) as im:
+        w, h = im.size
+    return len(buf), (w << 16) | h
+
+
 def decode_image_meta(buf: bytes) -> tuple[int, int]:
-    """Decode one media payload to features. STUB: raises if a real
-    decoder is expected but unavailable; tests use the deterministic
-    fake via extract_media_features."""
-    if _HAVE_DECODER:
+    """Decode ONE media payload with the real decoder. Raises when no
+    decoder library is importable (this container) — batch pipelines
+    use extract_media_features, whose default resolves to whatever is
+    available."""
+    if not _HAVE_DECODER:
         raise NotImplementedError(
-            "real decode path not wired in this container"
+            "real decode needs Pillow; use extract_media_features"
+            " (decoder='fake') for the deterministic CI path"
         )
-    return _fake_decode(buf)
+    return _pil_decode(buf)
 
 
 def extract_media_features(df: DataFrame, media_col: str = "media",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           decoder: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` so one Python worker handles a whole Arrow batch —
     the vectorized path the §2.11 UDF SDK maps to, never per-row UDFs.
+
+    ``decoder``: ``"fake"`` (default — deterministic, oracle-checkable,
+    the CI path), ``"pil"`` (real Pillow decode, capability-gated), or
+    ``"auto"`` (pil when importable, else fake). Every choice shares
+    the same output schema and Arrow plan shape.
     """
+    if decoder == "auto":
+        decoder = "pil" if _HAVE_DECODER else "fake"
+    if decoder == "pil" and not _HAVE_DECODER:
+        raise NotImplementedError(
+            "decoder='pil' requires Pillow, which is not importable"
+        )
+    decode = _pil_decode if decoder == "pil" else _fake_decode
+    label = "pil" if decoder == "pil" else "fake-deterministic"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                (None, None) if b is None else _fake_decode(bytes(b))
+                (None, None) if b is None else decode(bytes(b))
                 for b in pdf[media_col]
             ]
             yield pd.DataFrame(
@@ -92,7 +121,7 @@ def extract_media_features(df: DataFrame, media_col: str = "media",
                     "doc_id": pdf[id_col].values,
                     "n_bytes": [f[0] for f in feats],
                     "checksum": [f[1] for f in feats],
-                    "decoder": "fake-deterministic",
+                    "decoder": label,
                 }
             )
 

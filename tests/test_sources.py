@@ -208,6 +208,44 @@ def test_multimodal_null_payloads_survive(spark):
     assert resized[2] is None and len(resized[1]) == 10
 
 
+def test_multimodal_real_decoder_capability_gate(spark):
+    """decoder='pil' runs a REAL Pillow decode through the identical
+    Arrow plan shape when Pillow is importable, and raises the
+    documented NotImplementedError when it is not (this container's CI
+    path). The fake path stays pinned either way."""
+    import pytest
+
+    from mariadb_columnstore_engine_spark.operators import multimodal
+    from mariadb_columnstore_engine_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    if not multimodal._HAVE_DECODER:
+        df = spark.createDataFrame(
+            [(1, bytearray(b"xx"))], "doc_id bigint, media binary")
+        with pytest.raises(NotImplementedError):
+            extract_media_features(df, decoder="pil")
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_meta(b"xx")
+        # 'auto' resolves to the deterministic fake
+        r = extract_media_features(df, decoder="auto").collect()[0]
+        assert r.decoder == "fake-deterministic" and r.n_bytes == 2
+        return
+    # real path (runs only where Pillow exists): a generated PNG's
+    # dimensions round-trip through the packed checksum
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (13, 7)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id bigint, media binary")
+    r = extract_media_features(df, decoder="pil").collect()[0]
+    assert r.decoder == "pil"
+    assert (r.checksum >> 16, r.checksum & 0xFFFF) == (13, 7)
+
+
 def test_instant_alter_add_drop_column(spark, tmp_path):
     """ADD COLUMN rewrites nothing: old files lack the column and read
     back the declared default; appended files carry real values. DROP
