@@ -114,6 +114,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # the r7 cohort head).
     # The 4 decimal-typed output variants remain structurally
     # driver-unhashable (policy above) with driver-green wire twins.
+    # POST-WINDOW r10 addition (first driver check due r11):
+    # win_nth_value_suffix — the r10 O(n) NTH_VALUE suffix lowering's
+    # gate row, green in the local sf0.01 gate.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -671,3 +671,63 @@ def win_suffix_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY ok;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "win_nth_value_suffix",
+    section="§2.5 NTH_VALUE over suffix ROWS frames (reference "
+    "utils/windowfunction/wf_nth_value.cpp:273) — r10 O(n) lowering: "
+    "the frame start is the fixed position max(0, i-k), so the read "
+    "splits into constant-offset LEAD/LAG past the clamp point and a "
+    "whole-partition NTH_VALUE (one evaluation per partition) before "
+    "it, replacing the last O(n^2) per-row frame processor. DuckDB "
+    "evaluates the same suffix frames natively as the oracle.",
+    oracle="""
+    SELECT o_orderkey AS ok,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+               2) AS nth2_cur,
+           ROUND(NTH_VALUE(o_totalprice, 3) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 5 PRECEDING AND UNBOUNDED FOLLOWING),
+               2) AS nth3_k5,
+           ROUND(NTH_VALUE(o_totalprice, 7) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING),
+               2) AS nth7_k2
+    FROM orders
+    WHERE o_custkey <= 300
+    ORDER BY ok
+    """,
+)
+def win_nth_value_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MariaDB statement goes through translate_statement so the
+    suffix NTH_VALUE lowering (sqltrans._rewrite_suffix_frames) is the
+    surface under test: n <= k (LAG), n > k (LEAD), and the clamped
+    head rows (whole-partition read). ORDER BY o_orderkey is unique
+    per partition — no tie indeterminacy."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT o_orderkey AS ok,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+               2) AS nth2_cur,
+           ROUND(NTH_VALUE(o_totalprice, 3) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 5 PRECEDING AND UNBOUNDED FOLLOWING),
+               2) AS nth3_k5,
+           ROUND(NTH_VALUE(o_totalprice, 7) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING),
+               2) AS nth7_k2
+    FROM orders
+    WHERE o_custkey <= 300
+    ORDER BY ok;
+    """
+    return spark.sql(translate_statement(stmt))

@@ -104,3 +104,38 @@ def test_probe_corpus_slice(spark, probe_env):
     assert not diffs, diffs
     # the slice must actually exercise the value-check path broadly
     assert n_both >= 60 and n_match == n_both
+
+
+def test_harvest_transient_ddl_overlays(tmp_path):
+    """r10: in-test ALTER TABLE ADD/DROP COLUMN replays as view
+    overlays — SELECTs between the ADD and DROP carry the overlay,
+    SELECTs after the DROP do not, and the dedup key includes the
+    overlay state so identical SELECT text under different DDL is NOT
+    collapsed."""
+    from mtr_probe import harvest
+
+    (tmp_path / "synthetic_ddl.test").write_text(
+        "alter table nation add column c1 varchar(20) default 'abcd';\n"
+        "select distinct(c1) from nation;\n"
+        "select n_name from nation;\n"
+        "alter table nation drop column c1;\n"
+        "select n_name from nation;\n"
+        "alter table nation add column c2 int;\n"
+        "select c2 from nation;\n"
+        "alter table nation drop column c2;\n"
+    )
+    stmts = harvest([str(tmp_path)], {"nation"})
+    by_sql = {}
+    for _, s, ov in stmts:
+        by_sql.setdefault(s, []).append(ov)
+    assert by_sql["select distinct(c1) from nation"] == [
+        (("nation", "c1", "CAST('abcd' AS VARCHAR(20))"),)
+    ]
+    # same text, two overlay states → two harvested entries
+    assert sorted(by_sql["select n_name from nation"]) == [
+        (), (("nation", "c1", "CAST('abcd' AS VARCHAR(20))"),)
+    ]
+    # ADD without DEFAULT overlays a typed NULL
+    assert by_sql["select c2 from nation"] == [
+        (("nation", "c2", "CAST(NULL AS BIGINT)"),)
+    ]
