@@ -1515,6 +1515,12 @@ def translate_statement(
     masked = re.sub(
         r"\bVARIANCE\s*\(", "VAR_POP(", masked, flags=re.IGNORECASE
     )
+    # named WINDOW clauses expand to inline OVER specs (r10) so the
+    # window rewrites below — CORR terms, empty frames, and above all
+    # the O(n) suffix-frame lowering — fire on named windows too (the
+    # MTR window batteries define their frames via WINDOW w AS (...);
+    # inline-only parsing left those on Spark's O(n^2) native path)
+    masked = _expand_named_windows(masked)
     masked = _rewrite_corr(masked, store)
     # inverted literal ROWS frames (start > end) are EMPTY frames in
     # MariaDB; Spark rejects them — lower to the empty-frame value
@@ -1869,6 +1875,70 @@ def _rewrite_corr(masked: str, store: list[str]) -> str:
         out.append(rendered)
         i = end
     return "".join(out)
+
+
+#: one WINDOW-clause item: name AS ( ...
+_WINDOW_DEF_RE = re.compile(
+    r"\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE
+)
+
+
+def _expand_named_windows(masked: str) -> str:
+    """Expand ``WINDOW name AS (spec)`` definitions into the ``OVER
+    name`` references and drop the clause — Spark evaluates named
+    windows identically, but the dialect window rewrites (suffix-frame
+    O(n) lowering, inverted empty frames, CORR terms) parse only
+    inline ``OVER (spec)`` text.
+
+    Conservative: exactly ONE window clause per statement (names are
+    per-SELECT-scope; with a single definition site, every bare ``OVER
+    name`` reference is unambiguous), no chained definitions (``w2 AS
+    (w1 ...)``) and no inheritance references (``OVER (w ORDER BY
+    ...)``) — anything fancier passes through untouched to Spark's
+    native named-window support."""
+    m = _WINDOW_DEF_RE.search(masked)
+    if not m or _WINDOW_DEF_RE.search(masked, m.end()):
+        return masked
+    # parse the comma-separated definition list: name AS (spec), ...
+    defs: dict[str, str] = {}
+    i = m.start()
+    cursor = i + len("WINDOW")
+    while True:
+        dm = re.match(
+            r"\s*([A-Za-z_]\w*)\s+AS\s*\(", masked[cursor:],
+            re.IGNORECASE,
+        )
+        if not dm:
+            return masked  # malformed / unsupported shape
+        open_at = cursor + dm.end() - 1
+        close = _find_balanced(masked, open_at)
+        defs[dm.group(1)] = masked[open_at + 1 : close - 1].strip()
+        cursor = close
+        nm = re.match(r"\s*,", masked[cursor:])
+        if not nm:
+            break
+        cursor += nm.end()
+    # unsupported: a spec that starts with (or references) another
+    # defined name (window chaining)
+    for spec in defs.values():
+        head = re.match(r"[A-Za-z_]\w*", spec)
+        if head and head.group(0) in defs:
+            return masked
+    # unsupported: inheritance form OVER (name ...) for a defined name
+    for name in defs:
+        if re.search(
+            rf"\bOVER\s*\(\s*{name}\b", masked, re.IGNORECASE
+        ):
+            return masked
+    out = masked[:i] + masked[cursor:]
+    for name, spec in defs.items():
+        out = re.sub(
+            rf"\bOVER\s+{re.escape(name)}\b(?!\s*\()",
+            lambda _m, s=spec: f"OVER ({s})",
+            out,
+            flags=re.IGNORECASE,
+        )
+    return out
 
 
 #: suffix ROWS frame at the END of an inline OVER spec:
