@@ -59,10 +59,10 @@ def test_probe_corpus_slice(spark, probe_env):
         AUGMENTED_TABLES,
         DEFAULT_SUITES,
         apply_overlays,
-        canon,
         duck_dialect,
         harvest,
         restore_overlays,
+        rows_match,
     )
 
     eng, con, sf_dir = probe_env
@@ -96,7 +96,7 @@ def test_probe_corpus_slice(spark, probe_env):
         if srows is None or drows is None:
             continue
         n_both += 1
-        if canon(srows) == canon(drows):
+        if rows_match(srows, drows):
             n_match += 1
         elif src not in ADJUDICATED:
             diffs.append((src, s))

@@ -224,6 +224,16 @@ def canon(rows) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return ("f", "nan")
+            if v and abs(v) >= 1e8:
+                # 4-decimal ABSOLUTE rounding on an e8+ value demands
+                # more significant digits than IEEE double carries
+                # (e12 moments: two correct engines agree to ~3e-15
+                # RELATIVE — a few ulps — yet differ by ~1e-3 absolute,
+                # mcs6203 REGR_SXX). Cap the canon at 12 significant
+                # digits for large magnitudes: strict far beyond any
+                # semantic difference, blind to accumulation-order ulps.
+                return ("f", round(v, 11 - int(math.floor(
+                    math.log10(abs(v))))))
             return ("f", round(v, 4))
         if isinstance(v, int):
             return ("f", round(float(v), 4))
@@ -241,6 +251,55 @@ def canon(rows) -> list[tuple]:
         return ("s", str(v))
 
     return sorted(tuple(c(v) for v in r) for r in rows)
+
+
+def rows_match(srows, drows) -> bool:
+    """Exact canon equality, with a float-tolerance fallback.
+
+    ANY grid rounding (canon's 4-decimal / significant-digit caps)
+    flips when two correct engines' values straddle a grid line —
+    at 15k rows/statement even a 1e-4 straddle probability yields ~1
+    flip per statement (the r10 TRUNCATE-battery experiment: REGR
+    moments agree to ~12.5 significant digits, grids at ANY width
+    still flip). The fallback re-pairs rows sorted by canon and
+    accepts numeric cells agreeing to 9 significant digits (rel 1e-9,
+    abs floor 1e-4) — two orders of magnitude stricter than any
+    semantic difference, blind to accumulation-order noise."""
+    ca, cb = canon(srows), canon(drows)
+    if ca == cb:
+        return True
+    if len(srows) != len(drows):
+        return False
+    import decimal
+
+    num = (int, float, decimal.Decimal)
+    # pair rows by sorting each side on its own canon tuple (leading
+    # key columns anchor the order; a mis-pairing just records a DIFF,
+    # exactly the pre-fallback behavior)
+    sa = sorted(srows, key=lambda r: tuple(map(str, canon([r])[0])))
+    sb = sorted(drows, key=lambda r: tuple(map(str, canon([r])[0])))
+    for ra, rb in zip(sa, sb):
+        if len(ra) != len(rb):
+            return False
+        for a, b in zip(ra, rb):
+            if a is None or b is None:
+                if a is not b:
+                    return False
+                continue
+            if isinstance(a, num) and isinstance(b, num) and not (
+                isinstance(a, bool) or isinstance(b, bool)
+            ):
+                fa, fb = float(a), float(b)
+                if math.isnan(fa) and math.isnan(fb):
+                    continue
+                if abs(fa - fb) > max(
+                    1e-4, 1e-9 * max(abs(fa), abs(fb))
+                ):
+                    return False
+                continue
+            if canon([(a,)]) != canon([(b,)]):
+                return False
+    return True
 
 
 def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
@@ -291,13 +350,94 @@ def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
     return result[0]
 
 
+#: MariaDB TRUNCATE(X, D) in DuckDB spelling — the IDENTICAL decimal
+#: remainder-strip arithmetic the engine emits (sqltrans fn template),
+#: so both engines truncate the same doubles the same way. This is
+#: what turns the ~2.2k TRUNCATE-wrapped window-battery statements
+#: from value-UNCHECKED spark-only rows into value-checked both-parsed
+#: rows (r10; DuckDB has no TRUNCATE(x, d) function of its own).
+_TRUNC_FORM = (
+    "cast((CASE WHEN ({1}) >= 0 THEN"
+    " cast({0} as decimal(38,15))"
+    "  - (cast({0} as decimal(38,15))"
+    "     % cast(power(10, -least(({1}), 15)) as decimal(38,15)))"
+    " ELSE"
+    " cast((CASE WHEN ({0}) >= 0"
+    "  THEN floor(cast({0} as decimal(38,15))"
+    "    / cast(power(10, -({1})) as decimal(20,0)))"
+    "  ELSE ceil(cast({0} as decimal(38,15))"
+    "    / cast(power(10, -({1})) as decimal(20,0))) END)"
+    "  as decimal(38,15))"
+    "  * cast(power(10, -({1})) as decimal(20,0))"
+    " END) as double)"
+)
+
+
+def _find_balanced_plain(s: str, open_at: int) -> int:
+    """Index just past the ')' matching s[open_at] == '(' (quote-aware)."""
+    depth, i, in_str, n = 0, open_at, None, len(s)
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return n
+
+
+def _split_args_plain(s: str) -> list[str]:
+    out, depth, last, in_str = [], 0, 0, None
+    for i, c in enumerate(s):
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[last:i])
+            last = i + 1
+    out.append(s[last:])
+    return out
+
+
+def _rewrite_truncate(stmt: str) -> str:
+    pat = re.compile(r"\bTRUNCATE\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(stmt)
+        if not m:
+            return stmt
+        open_at = stmt.index("(", m.start())
+        end = _find_balanced_plain(stmt, open_at)
+        args = _split_args_plain(stmt[open_at + 1 : end - 1])
+        if len(args) != 2:
+            return stmt  # not the 2-arg numeric form; leave as-is
+        inner = _rewrite_truncate(args[0].strip())  # nested TRUNCATEs
+        repl = _TRUNC_FORM.format(inner, args[1].strip())
+        stmt = stmt[: m.start()] + repl + stmt[end:]
+
+
 def duck_dialect(stmt: str) -> str:
     """MariaDB semantics the ORACLE side must mirror: bare
     STDDEV()/STD()/VARIANCE() are the POPULATION variants in
     MariaDB (wf_stats.cpp divides by n) while DuckDB's, like
     Spark's, are the sample forms — spell them *_POP so both
     engines compute what the reference computes. (*_SAMP/*_POP
-    spellings pass through untouched.)"""
+    spellings pass through untouched.) TRUNCATE(x, d) renders as
+    the engine's own decimal remainder-strip arithmetic (DuckDB
+    has no such function)."""
+    stmt = _rewrite_truncate(stmt)
     stmt = re.sub(
         r"\b(?:STDDEV|STD)\s*\(", "STDDEV_POP(", stmt,
         flags=re.IGNORECASE,
@@ -416,7 +556,7 @@ def main() -> int:
             )
             continue
         n_both += 1
-        if canon(srows) == canon(drows):
+        if rows_match(srows, drows):
             n_match += 1
         else:
             fails.append((src, s, len(srows), len(drows)))

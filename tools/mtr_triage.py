@@ -96,13 +96,14 @@ SPELLING_FAMILIES: list[tuple[str, str, str]] = [
      r"\bJSON_\w+\s*\(",
      "sf_json_* rows (6 driver-green) + sql_json_table"),
     ("TRUNCATE(x,d)-wrapped window-function batteries "
-     "(mcs6178-6205: CORR/REGR_*/STDDEV/VAR over frames)",
+     "(mcs6178-6205: CORR/REGR_*/STDDEV/VAR over frames) — since r10 "
+     "duck_dialect renders TRUNCATE as the engine's own decimal "
+     "remainder-strip, so these are VALUE-CHECKED both-parsed rows; "
+     "only statements failing DuckDB for OTHER reasons remain here",
      r"\bTRUNCATE\s*\(.*\bOVER\s*\(",
      "win_corr_running_null_semantics, win_regr_over_partition, "
      "win_stats_over_partition, win_range_frame_value_offset "
-     "(+ TRUNCATE vectors tests/test_sqltrans.py; 162 mcs6178 "
-     "statements ALSO exact-match in both-parsed via the DuckDB-"
-     "parsable spellings)"),
+     "(+ TRUNCATE vectors tests/test_sqltrans.py)"),
     ("STD()/VARIANCE() spellings (mcs6210 window battery)",
      r"\b(?:STD|VARIANCE)\s*\(",
      "agg_stddev_variance (STD = STDDEV_POP alias), "
