@@ -126,8 +126,24 @@ def main() -> int:
         except Exception:
             pass
         try:
-            sdf = spec.fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
+            try:
+                sdf = spec.fn(spark, sf_dir)
+                srows = [tuple(r) for r in sdf.collect()]
+            except Exception:
+                # One retry after a deep GC: in a shared JVM the
+                # broadcast-build memory check can fail on GC TIMING
+                # (storage blocks of the previous query's checkpoints
+                # not yet released) rather than on real pressure — a
+                # genuine failure fails identically on the clean heap.
+                spark.catalog.clearCache()
+                gc.collect()
+                try:
+                    spark._jvm.System.gc()
+                except Exception:
+                    pass
+                time.sleep(2)
+                sdf = spec.fn(spark, sf_dir)
+                srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception:
             print(f"FAIL  {name}: spark raised")
