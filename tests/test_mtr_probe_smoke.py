@@ -36,6 +36,8 @@ CAP = 110
 ADJUDICATED = {
     "mcs7005_regression_bug2589.test",  # duckdb round(int) rendering
     "mcs7041_regression_bug3019.test",  # ORDER BY cnt ties + LIMIT
+    "mcs7022_regression_bug2907.test",  # same tie-LIMIT family; the
+    # pair flip-flops between runs (COVERAGE.md §round 10b)
 }
 
 
