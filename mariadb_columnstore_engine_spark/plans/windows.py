@@ -731,3 +731,62 @@ def win_nth_value_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY ok;
     """
     return spark.sql(translate_statement(stmt))
+
+
+@query(
+    "win_window_lowering_bench",
+    section="§2.5 BENCH anchor for the window-lowering path (VERDICT "
+    "r10 #5): the r9 suffix-frame mirror (SUM/COUNT/STDDEV/REGR_SLOPE "
+    "over [k PRECEDING .. UNBOUNDED FOLLOWING]; frameboundrow.cpp, "
+    "wf_stats.cpp) AND the r10 NTH_VALUE suffix split "
+    "(wf_nth_value.cpp:273), spelled through a named WINDOW clause "
+    "(the r10 expansion), over FULL orders partitioned by "
+    "o_orderpriority — n/5-row partitions (30k at bench SF), so a "
+    "regression to the native O(n^2) per-row frame processor shows "
+    "up in BENCH wall-clock, not just in correctness.",
+    bench=True,
+    oracle="""
+    SELECT o_orderkey AS ok,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER sfx
+                AS DOUBLE) AS sfx_sum,
+           COUNT(o_totalprice) OVER sfx AS sfx_cnt,
+           ROUND(MIN(o_totalprice) OVER sfx, 2) AS sfx_min,
+           ROUND(NTH_VALUE(o_totalprice, 3) OVER sfx, 2) AS nth3
+    FROM orders
+    WINDOW sfx AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY ok
+    """,
+)
+def win_window_lowering_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MariaDB text through translate_statement: the named-WINDOW
+    expansion inlines ``sfx`` into every OVER (Spark has no WINDOW
+    clause), then the suffix lowerings fire per function.
+
+    Output columns are deliberately EXACT-valued only — decimal SUM
+    (both engines accumulate exactly), COUNT, MIN and NTH_VALUE
+    (exact picks) — because over n/5-row partitions ANY float-rounded
+    accumulator (STDDEV/REGR) straddles rounding grids at the frame
+    tails (measured in r11: REGR_SLOPE 4th-decimal diffs where the
+    tail frame is 5-20 rows but the mirror has accumulated 3k rows);
+    the noisy-stat suffix lowerings keep their own oracle rows
+    (win_suffix_frame_stats) at exactness-preserving partition sizes.
+    o_orderkey is globally unique so output order is deterministic."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT o_orderkey AS ok,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER sfx
+                AS DOUBLE) AS sfx_sum,
+           COUNT(o_totalprice) OVER sfx AS sfx_cnt,
+           ROUND(MIN(o_totalprice) OVER sfx, 2) AS sfx_min,
+           ROUND(NTH_VALUE(o_totalprice, 3) OVER sfx, 2) AS nth3
+    FROM orders
+    WINDOW sfx AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY ok;
+    """
+    return spark.sql(translate_statement(stmt))

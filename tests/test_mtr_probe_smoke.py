@@ -65,6 +65,7 @@ def test_probe_corpus_slice(spark, probe_env):
         harvest,
         restore_overlays,
         rows_match,
+        tolerance_family,
     )
 
     eng, con, sf_dir = probe_env
@@ -77,28 +78,33 @@ def test_probe_corpus_slice(spark, probe_env):
         saved = (
             apply_overlays(eng.spark, con, sf_dir, ov) if ov else {}
         )
+        # try/finally mirrors the probe (ADVICE r10): overlays must be
+        # restored even if an exception escapes the bucketed handlers
         try:
-            drows = con.execute(duck_dialect(s)).fetchall()
-        except Exception:  # noqa: BLE001 — bucketed like the probe
-            drows = None
-        try:
-            r = eng.execute(s)
-            srows = (
-                [tuple(x) for x in r.limit(100000).collect()]
-                if hasattr(r, "limit")
-                else [tuple(x) for x in r] if isinstance(r, list)
-                else [(r,)]
-            )
-        except Exception:  # noqa: BLE001
-            srows = None
-        if saved:
-            restore_overlays(eng.spark, con, sf_dir, saved)
+            try:
+                drows = con.execute(duck_dialect(s)).fetchall()
+            except Exception:  # noqa: BLE001 — bucketed like probe
+                drows = None
+            try:
+                r = eng.execute(s)
+                srows = (
+                    [tuple(x) for x in r.limit(100000).collect()]
+                    if hasattr(r, "limit")
+                    else [tuple(x) for x in r] if isinstance(r, list)
+                    else [(r,)]
+                )
+            except Exception:  # noqa: BLE001
+                srows = None
+        finally:
+            if saved:
+                restore_overlays(eng.spark, con, sf_dir, saved)
         if srows is None and drows is None and src not in ADJUDICATED:
             neither.append((src, s))
         if srows is None or drows is None:
             continue
         n_both += 1
-        if rows_match(srows, drows):
+        if rows_match(srows, drows,
+                      allow_tolerance=tolerance_family(src) is not None):
             n_match += 1
         elif src not in ADJUDICATED:
             diffs.append((src, s))
@@ -106,6 +112,105 @@ def test_probe_corpus_slice(spark, probe_env):
     assert not diffs, diffs
     # the slice must actually exercise the value-check path broadly
     assert n_both >= 60 and n_match == n_both
+
+
+def test_tolerance_fallback_scoped_to_battery_families():
+    """VERDICT r10 #3: the rel-1e-9/abs-floor re-pairing fires ONLY on
+    the declared window-battery families. A synthetic sub-1e-4
+    divergence on a non-battery statement registers as a DIFF; the
+    same rows pass (as "tol") for a battery source. The floor itself
+    tightens to 1e-6 for cells of magnitude below 1e-2 (ADVICE r10),
+    so tiny CORR/REGR moments can't hide unbounded relative error."""
+    from mtr_probe import rows_match, tolerance_family
+
+    # family detection
+    assert tolerance_family(
+        "mcs6178_windowFunctions_CORR.test"
+    ) == "mcs6178_windowFunctions_CORR"
+    assert tolerance_family("mcs7005_regression_bug2589.test") is None
+
+    # sub-grid divergence: 0.00003 vs 0.00012 differs under exact
+    # canon (4-dec rounds to 0.0 vs 0.0001) AND exceeds the scoped
+    # small-magnitude floor 1e-6 — DIFF regardless of scope
+    a, b = [(0.00003,)], [(0.00012,)]
+    assert rows_match(a, b, allow_tolerance=False) is None
+    assert rows_match(a, b, allow_tolerance=True) is None
+
+    # accumulation-order noise on a large moment straddling the
+    # 12-sig-digit canon grid: passes ONLY with tolerance enabled
+    # (the battery case the fallback exists for)
+    big_a, big_b = [(1234567890124.9,)], [(1234567890125.1,)]
+    # force a canon straddle by picking values across a grid line
+    ga, gb = [(0.12344999,)], [(0.12345001,)]
+    assert rows_match(ga, gb, allow_tolerance=True) == "tol"
+    assert rows_match(ga, gb, allow_tolerance=False) is None
+    assert rows_match(big_a, big_b, allow_tolerance=True) == "tol"
+
+    # exact path unaffected by scope
+    assert rows_match([(1, "x")], [(1, "x")],
+                      allow_tolerance=False) == "exact"
+
+
+def test_second_chance_dialect_families():
+    """r11 (VERDICT r10 #6): the second-chance dialect maps each
+    classified spark-only family onto DuckDB-expressible SQL with
+    MariaDB's values. Pinned per family against live DuckDB — these
+    are exactly the spellings the fallback exists for, with expected
+    values computed from MariaDB semantics by hand."""
+    import duckdb
+
+    from mtr_probe import duck_dialect_fallback, duck_dialect_fallback2
+
+    con = duckdb.connect()
+
+    def run(sql):
+        return con.execute(duck_dialect_fallback(sql)).fetchall()
+
+    # PERCENTILE_CONT/DISC .. WITHIN GROUP .. OVER → quantile window;
+    # DESC maps through the negation identity
+    got = run(
+        "select PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY x DESC)"
+        " OVER (PARTITION BY g) from (values (1,1),(2,1),(3,1),(4,1))"
+        " t(x,g) limit 1")
+    assert got[0][0] == 3.25  # 0.25 from the top of [1..4]
+    got = run(
+        "select PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY x)"
+        " OVER (PARTITION BY g) from (values (1,1),(2,1)) t(x,g)"
+        " limit 1")
+    assert got[0][0] == 1  # first value with cume_dist >= 0.5
+    # double-quoted literals convert ONLY in literal positions;
+    # aliases stay identifiers
+    got = run('select case when 1=1 then "yes" else "no" end as "a1"')
+    assert got == [("yes",)]
+    # isnull() / locate() / infix regexp / infix xor / limit n,m
+    assert run("select isnull(NULL), isnull(7)") == [(1, 0)]
+    assert run("select locate('A', 'BANANA'), locate('A', 'BANANA', 3)"
+               ) == [(2, 4)]
+    assert run("select 1 from (values ('ASIA')) t(r) where"
+               " r regexp '.*S.*'") == [(1,)]
+    assert run("select case when 3 xor 0 then 1 else 0 end") == [(1,)]
+    assert run("select x from (values (1),(2),(3)) t(x) order by x"
+               " limit 1, 2") == [(2,), (3,)]
+    # numeric coercions: substr/round/reverse on numbers, string+0,
+    # int × bool
+    assert run("select substr(12345, 2, 3)") == [("234",)]
+    assert run("select round('AFRICA', 2), round('12abc', 1)"
+               ) == [(0.0, 12.0)]
+    assert run("select reverse(123)") == [("321",)]
+    assert run("select substr('x075', 2, 3) + 0") == [(75.0,)]
+    assert run("select 5 * (2 > 1)") == [(5,)]
+    # format(n, 0) thousands separators; date_format/get_format
+    assert run("select format(1234567, 0)") == [("1,234,567",)]
+    assert run("select date_format('2011-06-16', '%y:%m:%d')"
+               ) == [("11:06:16",)]
+    assert run("select get_format(date, 'USA')") == [("%m.%d.%Y",)]
+    # value-match CASE over a boolean operand (MariaDB coerces to 0/1)
+    assert run("select case 1=2 when 0 then 'ne' else 'eq' end"
+               ) == [("ne",)]
+    # last-resort pass: mixed-type IF branches stringify like MariaDB
+    got = con.execute(duck_dialect_fallback2(
+        "select if(1 > 2, 'name', 42)")).fetchall()
+    assert got == [("42",)]
 
 
 def test_harvest_transient_ddl_overlays(tmp_path):

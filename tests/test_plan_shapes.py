@@ -50,6 +50,54 @@ def test_dedup_and_ann_plans_have_no_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name} degenerated to all-pairs"
 
 
+def test_minhash_verify_join_envelope_strategy(spark, sf_dir):
+    """r11 (VERDICT r10 #4): the LSH verify join is envelope-aware —
+    partitioned hash join (broadcast-suppressed) while each build
+    partition fits the per-task budget, degrading to a broadcast-free
+    sort-merge join (which spills natively: the reference's
+    DiskJoinStep path, dbcon/joblist/diskjoinstep.cpp) under memory
+    pressure, instead of failing fast on an unspillable hash build."""
+    from mariadb_columnstore_engine_spark.plans.text_plans import (
+        _choose_verify_hint,
+    )
+
+    gb = 1 << 30
+    # roomy envelope (the bench/test session): hash join
+    assert _choose_verify_hint(
+        raw_bytes=5 << 20, heap_bytes=8 * gb, mem_fraction=0.6,
+        cores=32, partitions=32,
+    ) == "shuffle_hash"
+    # spill-probe envelope (1500m heap, fraction 0.2, 4 cores, 2 fat
+    # partitions, sf1 ~5 MB documents parquet): degrade to sort-merge
+    assert _choose_verify_hint(
+        raw_bytes=5 << 20, heap_bytes=1500 << 20, mem_fraction=0.2,
+        cores=4, partitions=2,
+    ) == "merge"
+    # 100 TB lens: huge input with proportionally-sized partitioning
+    # stays on the linear-scaling hash path…
+    assert _choose_verify_hint(
+        raw_bytes=100 << 40, heap_bytes=64 * gb, mem_fraction=0.6,
+        cores=8, partitions=2_000_000,
+    ) == "shuffle_hash"
+    # …but under-partitioned huge input degrades instead of OOMing
+    assert _choose_verify_hint(
+        raw_bytes=100 << 40, heap_bytes=64 * gb, mem_fraction=0.6,
+        cores=8, partitions=200,
+    ) == "merge"
+
+    # in THIS (roomy) session the materialized plan keeps the
+    # broadcast-suppressed hash join on BOTH verify joins (the doc_a
+    # and doc_b pair-to-shingles joins). Other joins in the plan (the
+    # signature⋈docs join, the band self-join) are size-based picks
+    # that legitimately broadcast at test SF.
+    import re
+
+    plan = _plan(spark, sf_dir, "text_minhash_lsh_dedup", mode="simple")
+    assert re.search(r"ShuffledHashJoin \[doc_a#", plan)
+    assert re.search(r"ShuffledHashJoin \[doc_b#", plan)
+    assert not re.search(r"BroadcastHashJoin \[doc_[ab]#", plan)
+
+
 def test_no_python_udf_in_jvm_only_paths(spark, sf_dir):
     """Dedup/text/TPC-H plans must stay whole-stage-codegen (no Python
     eval nodes) — UDFs are reserved for the §2.11 surface."""

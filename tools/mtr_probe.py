@@ -253,8 +253,28 @@ def canon(rows) -> list[tuple]:
     return sorted(tuple(c(v) for v in r) for r in rows)
 
 
-def rows_match(srows, drows) -> bool:
-    """Exact canon equality, with a float-tolerance fallback.
+#: Source files whose statements may use the float-tolerance fallback:
+#: the TRUNCATE-wrapped window-function batteries (mcs6178–6205,
+#: autopilot `mcs6*_windowFunctions_*.test`) — the ONLY corpus family
+#: where two correct engines' e12-magnitude REGR/CORR moments straddle
+#: canon's rounding grid (COVERAGE.md §r10b). Everything else must
+#: match under exact canon; a sub-grid divergence elsewhere is a DIFF.
+_TOLERANCE_SRC_RE = re.compile(r"_windowFunctions_", re.IGNORECASE)
+
+
+def tolerance_family(src: str) -> str | None:
+    """Battery family name for per-family fallback tallies, or None
+    when the source is not a declared tolerance family."""
+    if _TOLERANCE_SRC_RE.search(src or ""):
+        return os.path.basename(src).replace(".test", "")
+    return None
+
+
+def rows_match(srows, drows, allow_tolerance: bool = True):
+    """Exact canon equality, with a SCOPED float-tolerance fallback.
+
+    Returns "exact", "tol", or None (no match) — truthy iff matched,
+    so boolean call sites keep working.
 
     ANY grid rounding (canon's 4-decimal / significant-digit caps)
     flips when two correct engines' values straddle a grid line —
@@ -262,14 +282,20 @@ def rows_match(srows, drows) -> bool:
     flip per statement (the r10 TRUNCATE-battery experiment: REGR
     moments agree to ~12.5 significant digits, grids at ANY width
     still flip). The fallback re-pairs rows sorted by canon and
-    accepts numeric cells agreeing to 9 significant digits (rel 1e-9,
-    abs floor 1e-4) — two orders of magnitude stricter than any
-    semantic difference, blind to accumulation-order noise."""
+    accepts numeric cells agreeing to 9 significant digits (rel 1e-9;
+    abs floor 1e-4 for cells of magnitude ≥ 1e-2, 1e-6 below that so
+    small-magnitude moments — CORR, REGR_SLOPE near 0 — can't hide
+    unbounded relative error under the floor). Callers scope it:
+    ``allow_tolerance`` is True only for the declared window-battery
+    families (``tolerance_family``); every other statement must match
+    under exact canon (VERDICT r10 #3 + ADVICE r10)."""
     ca, cb = canon(srows), canon(drows)
     if ca == cb:
-        return True
+        return "exact"
+    if not allow_tolerance:
+        return None
     if len(srows) != len(drows):
-        return False
+        return None
     import decimal
 
     num = (int, float, decimal.Decimal)
@@ -280,11 +306,11 @@ def rows_match(srows, drows) -> bool:
     sb = sorted(drows, key=lambda r: tuple(map(str, canon([r])[0])))
     for ra, rb in zip(sa, sb):
         if len(ra) != len(rb):
-            return False
+            return None
         for a, b in zip(ra, rb):
             if a is None or b is None:
                 if a is not b:
-                    return False
+                    return None
                 continue
             if isinstance(a, num) and isinstance(b, num) and not (
                 isinstance(a, bool) or isinstance(b, bool)
@@ -292,14 +318,14 @@ def rows_match(srows, drows) -> bool:
                 fa, fb = float(a), float(b)
                 if math.isnan(fa) and math.isnan(fb):
                     continue
-                if abs(fa - fb) > max(
-                    1e-4, 1e-9 * max(abs(fa), abs(fb))
-                ):
-                    return False
+                mag = max(abs(fa), abs(fb))
+                floor = 1e-4 if mag >= 1e-2 else 1e-6
+                if abs(fa - fb) > max(floor, 1e-9 * mag):
+                    return None
                 continue
             if canon([(a,)]) != canon([(b,)]):
-                return False
-    return True
+                return None
+    return "tol"
 
 
 def _collect_with_timeout(spark, eng, s: str, seconds: int = 20):
@@ -447,6 +473,294 @@ def duck_dialect(stmt: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Second-chance dialect (r11, VERDICT r10 #6): MariaDB spellings DuckDB
+# cannot parse, each mapped onto DuckDB-expressible SQL so the statement
+# moves from value-UNCHECKED spark-only to value-checked both-parsed.
+# Applied ONLY after the conservative duck_dialect pass raised — the 8k+
+# statements that already match are never touched (same reason the
+# TRUNCATE rendering lives behind its own function: blast-radius zero).
+# ---------------------------------------------------------------------------
+
+#: MariaDB strtod semantics for a string used as a number: the leading
+#: numeric prefix, else 0 (sql/item_func.cc val_real of string args).
+_STRTOD = (
+    "COALESCE(TRY_CAST(regexp_extract(CAST({0} AS VARCHAR),"
+    " '^\\s*[+-]?([0-9]*[.])?[0-9]+([eE][+-]?[0-9]+)?')"
+    " AS DOUBLE), 0)"
+)
+
+
+def _rewrite_calls(s: str, fname: str, fn) -> str:
+    """Rewrite every ``fname( ... )`` call: ``fn(args) -> str | None``
+    (None keeps the original text). Quote- and paren-aware."""
+    pat = re.compile(r"\b" + fname + r"\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        open_at = s.index("(", m.end() - 1)
+        end = _find_balanced_plain(s, open_at)
+        args = [a.strip() for a in
+                _split_args_plain(s[open_at + 1 : end - 1])]
+        repl = fn(args)
+        out.append(s[i : m.start()])
+        out.append(s[m.start() : end] if repl is None else repl)
+        i = end
+
+
+def _rewrite_percentile_over(s: str) -> str:
+    """MariaDB `PERCENTILE_CONT/DISC(p) WITHIN GROUP (ORDER BY e
+    [DESC]) OVER (...)` (wf_percentile.cpp) → DuckDB's quantile_cont /
+    quantile_disc used AS a window aggregate. DESC ordering maps to
+    the negation identity: pct over DESC(e) == -(quantile over -e)."""
+    pat = re.compile(
+        r"\bPERCENTILE_(CONT|DISC)\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(s)
+        if not m:
+            return s
+        kind = m.group(1).lower()
+        open_at = s.index("(", m.end() - 1)
+        p_end = _find_balanced_plain(s, open_at)
+        p = s[open_at + 1 : p_end - 1].strip()
+        wg = re.match(
+            r"\s*WITHIN\s+GROUP\s*\(", s[p_end:], re.IGNORECASE)
+        if not wg:
+            return s
+        wg_open = p_end + wg.end() - 1
+        wg_end = _find_balanced_plain(s, wg_open)
+        ob = re.match(r"\s*ORDER\s+BY\s+(.+?)(\s+DESC|\s+ASC)?\s*$",
+                      s[wg_open + 1 : wg_end - 1],
+                      re.IGNORECASE | re.DOTALL)
+        if not ob:
+            return s
+        expr = ob.group(1).strip()
+        desc = bool(ob.group(2)) and ob.group(2).strip().upper() == "DESC"
+        ov = re.match(r"\s*OVER\s*\(", s[wg_end:], re.IGNORECASE)
+        if not ov:
+            return s
+        ov_open = wg_end + ov.end() - 1
+        ov_end = _find_balanced_plain(s, ov_open)
+        over = s[ov_open : ov_end]
+        if desc:
+            repl = f"(- quantile_{kind}(-({expr}), {p}) OVER {over})"
+        else:
+            repl = f"quantile_{kind}({expr}, {p}) OVER {over}"
+        s = s[: m.start()] + repl + s[ov_end:]
+
+
+def _rewrite_dquote_literals(s: str) -> str:
+    """MariaDB default mode treats "..." as a STRING literal; DuckDB
+    as an identifier. Convert only when the token before the quote is
+    literal-position syntax (comma, open paren, comparison, THEN/ELSE/
+    WHEN/AND/OR/REGEXP) — never after an expression, where "..." is a
+    legitimate column alias the engines must keep as an identifier."""
+    out, i, n = [], 0, len(s)
+    lit_kw = re.compile(
+        r"(?:,|\(|=|<|>|\bthen|\belse|\bwhen|\band|\bor|\bregexp"
+        r"|\bbetween|\blike|\bin)\s*$",
+        re.IGNORECASE,
+    )
+    in_str = None
+    while i < n:
+        c = s[i]
+        if in_str:
+            out.append(c)
+            if c == in_str:
+                in_str = None
+            i += 1
+            continue
+        if c == "'":
+            in_str = "'"
+            out.append(c)
+            i += 1
+            continue
+        if c == '"':
+            j = s.index('"', i + 1) if '"' in s[i + 1 :] else -1
+            if j == -1:
+                out.append(s[i:])
+                break
+            if lit_kw.search("".join(out)):
+                body = s[i + 1 : j].replace("'", "''")
+                out.append(f"'{body}'")
+            else:
+                out.append(s[i : j + 1])
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_case_value_bool(s: str) -> str:
+    """Value-match CASE where the match operand or a WHEN item is a
+    comparison: MariaDB coerces the boolean to 0/1 and compares
+    numerically; DuckDB refuses int=bool. Wrap comparison-containing
+    operands of value-match CASEs in CAST((..) AS INT)."""
+    cmp_re = re.compile(r"[<>=]|!=")
+    pat = re.compile(r"\bcase\s+", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if not m:
+            return s
+        # the operand runs to the first top-level WHEN
+        w = re.compile(r"\bwhen\b", re.IGNORECASE).search(s, m.end())
+        if not w:
+            return s
+        operand = s[m.end() : w.start()].strip()
+        if not operand:  # searched CASE (CASE WHEN ...): leave alone
+            pos = m.end()
+            continue
+        changed = False
+        if cmp_re.search(operand):
+            operand = f"CAST(({operand}) AS INT)"
+            changed = True
+        # value-match CASE: WHEN items are compared by equality —
+        # wrap comparison-containing items too (stop at THEN)
+        seg_start = w.start()
+        end_m = re.compile(r"\bend\b", re.IGNORECASE).search(s, seg_start)
+        seg_end = end_m.end() if end_m else len(s)
+        seg = s[seg_start:seg_end]
+
+        def fix_when(mm):
+            nonlocal changed
+            item = mm.group(1)
+            if cmp_re.search(item):
+                changed = True
+                return f"when CAST(({item.strip()}) AS INT) then"
+            return mm.group(0)
+
+        seg = re.sub(r"\bwhen\b(.+?)\bthen\b", fix_when, seg,
+                     flags=re.IGNORECASE | re.DOTALL)
+        if changed:
+            s = (s[: m.end()] + operand + " " + seg + s[seg_end:])
+        pos = m.end()
+
+
+def duck_dialect_fallback(stmt: str) -> str:
+    """All second-chance rewrites, applied on top of duck_dialect."""
+    s = duck_dialect(stmt)
+    s = _rewrite_percentile_over(s)
+    s = _rewrite_dquote_literals(s)
+    # backtick identifiers → standard double quotes
+    s = re.sub(r"`(\w+)`", r'"\1"', s)
+    # infix REGEXP → regexp_matches (partial-match, like MariaDB)
+    s = re.sub(
+        r"(\w+(?:\.\w+)?)\s+regexp\s+('(?:[^']|'')*')",
+        r"regexp_matches(\1, \2)", s, flags=re.IGNORECASE)
+    # infix XOR (no NULL operands in the corpus): bool-inequality form
+    s = re.sub(
+        r"(\w+(?:\.\w+)?)\s+xor\s+(\w+(?:\.\w+)?)",
+        r"((\1 <> 0) <> (\2 <> 0))", s, flags=re.IGNORECASE)
+    # LIMIT offset,count → LIMIT count OFFSET offset
+    s = re.sub(
+        r"\blimit\s+(\d+)\s*,\s*(\d+)", r"limit \2 offset \1", s,
+        flags=re.IGNORECASE)
+    # int × bool products: CAST the comparison to INT
+    s = re.sub(
+        r"\*\s*\(([^()]*(?:[<>]=?|!?=)[^()]*)\)",
+        r"* CAST((\1) AS INT)", s)
+    # isnull(x) → 0/1 like MariaDB
+    s = _rewrite_calls(
+        s, "isnull",
+        lambda a: f"(CASE WHEN ({a[0]}) IS NULL THEN 1 ELSE 0 END)"
+        if len(a) == 1 else None)
+    # locate(sub, s[, pos]) → instr arithmetic (1-based, 0 = absent)
+    def _locate(a):
+        if len(a) == 2:
+            return f"instr({a[1]}, {a[0]})"
+        if len(a) == 3:
+            return (
+                f"(CASE WHEN instr(substr({a[1]}, {a[2]}), {a[0]}) > 0"
+                f" THEN instr(substr({a[1]}, {a[2]}), {a[0]})"
+                f" + {a[2]} - 1 ELSE 0 END)")
+        return None
+
+    s = _rewrite_calls(s, "locate", _locate)
+    # substr/substring over numbers: MariaDB stringifies arg 1 and
+    # truncates the position args to integers
+    def _substr(name):
+        def fix(a):
+            if len(a) not in (2, 3):
+                return None
+            args = [f"CAST({a[0]} AS VARCHAR)"] + [
+                f"CAST({x} AS BIGINT)" for x in a[1:]]
+            return f"{name}({', '.join(args)})"
+        return fix
+
+    s = _rewrite_calls(s, "substring", _substr("substring"))
+    s = _rewrite_calls(s, "substr", _substr("substr"))
+    # round/reverse/md5 over strings/numbers: MariaDB coerces
+    s = _rewrite_calls(
+        s, "round",
+        lambda a: (f"round({_STRTOD.format(a[0])}"
+                   + (f", {a[1]}" if len(a) == 2 else "") + ")")
+        if len(a) in (1, 2) else None)
+    s = _rewrite_calls(
+        s, "reverse",
+        lambda a: f"reverse(CAST({a[0]} AS VARCHAR))"
+        if len(a) == 1 else None)
+    s = _rewrite_calls(
+        s, "md5",
+        lambda a: f"md5(CAST({a[0]} AS VARCHAR))"
+        if len(a) == 1 else None)
+    # format(x, 0) → thousands-separated integer rendering
+    s = _rewrite_calls(
+        s, "format",
+        lambda a: f"format('{{:,}}', CAST(round({a[0]}) AS BIGINT))"
+        if len(a) == 2 and a[1] == "0" else None)
+    # date_format → strftime (the corpus uses %Y/%y/%m/%d only);
+    # get_format(DATE,'USA') is the MariaDB format-string constant
+    s = _rewrite_calls(
+        s, "date_format",
+        lambda a: f"strftime(CAST({a[0]} AS TIMESTAMP), {a[1]})"
+        if len(a) == 2 else None)
+    s = re.sub(
+        r"\bget_format\s*\(\s*date\s*,\s*'USA'\s*\)", "'%m.%d.%Y'",
+        s, flags=re.IGNORECASE)
+    # string + 0 (strtod coercion): fires on the substr(...)+0 idiom —
+    # the CAST-wrapped substr text produced above
+    s = re.sub(
+        r"(substr\([^;]*?\))\s*\+\s*0(?!\d)",
+        lambda m: _STRTOD.format(m.group(1)), s, flags=re.IGNORECASE)
+    s = _rewrite_case_value_bool(s)
+    # bare string column used as a boolean conjunct in an ON clause:
+    # MariaDB coerces via strtod (non-numeric text → 0 → false)
+    s = re.sub(
+        r"\bon\s*\(\s*(\w+(?:\.\w+)?)\s+and\s+",
+        lambda m: f"on (({_STRTOD.format(m.group(1))} <> 0) and ",
+        s, flags=re.IGNORECASE)
+    return s
+
+
+def duck_dialect_fallback2(stmt: str) -> str:
+    """Last-resort pass for mixed-type CASE/IF branches, applied only
+    when duck_dialect_fallback also failed: MariaDB's result-type
+    rules make a string/number branch mix VARCHAR (rendering numbers
+    as text), and a comparison THEN-branch an 0/1 integer — DuckDB
+    refuses both mixes outright. Casting every branch is too blunt
+    for the general corpus (it would stringify clean numeric IFs),
+    hence the separate attempt."""
+    s = duck_dialect_fallback(stmt)
+    # comparison inside a THEN branch → MariaDB 0/1 int, rendered as
+    # text when siblings are strings
+    s = re.sub(
+        r"\bthen\s+('(?:[^']|'')*'\s*(?:[<>]=?|!?=)\s*'(?:[^']|'')*')",
+        r"then CAST(CAST((\1) AS INT) AS VARCHAR)", s,
+        flags=re.IGNORECASE)
+    # if(c, a, b) with mixed branch types → both branches VARCHAR
+    s = _rewrite_calls(
+        s, "if",
+        lambda a: (f"if({a[0]}, CAST({a[1]} AS VARCHAR),"
+                   f" CAST({a[2]} AS VARCHAR))")
+        if len(a) == 3 else None)
+    return s
+
+
 def main() -> int:
     argv = sys.argv[1:]
     args, limit, dump, raw = [], None, None, False
@@ -517,21 +831,42 @@ def main() -> int:
     buckets = {
         "duck_only": [], "neither": [], "diff": [], "spark_only": [],
     }
+    from collections import Counter
+
+    tol_fired: Counter = Counter()
+    n_fallback_dialect = 0
     for idx, (src, s, ov) in enumerate(stmts):
         if idx and idx % 500 == 0:
             print(f"progress {idx}/{len(stmts)}", flush=True)
         derr = serr = None
         saved = apply_overlays(spark, con, sf_dir, ov) if ov else {}
+        # try/finally: an exception escaping the bucketed handlers
+        # (KeyboardInterrupt, a failure inside the collectors) must
+        # not leave overlay views registered — they would corrupt
+        # every subsequent statement's results (ADVICE r10)
         try:
-            drows = con.execute(duck_dialect(s)).fetchall()
-        except Exception as e:  # noqa: BLE001 — bucketed
-            drows, derr = None, f"{type(e).__name__}: {e}"
-        try:
-            srows = _collect_with_timeout(spark, eng, s)
-        except Exception as e:  # noqa: BLE001 — bucketed
-            srows, serr = None, f"{type(e).__name__}: {e}"
-        if saved:
-            restore_overlays(spark, con, sf_dir, saved)
+            try:
+                drows = con.execute(duck_dialect(s)).fetchall()
+            except Exception as e:  # noqa: BLE001 — bucketed
+                # second/third-chance spellings (r11): keep the FIRST
+                # error for family classification if all passes fail
+                drows, derr = None, f"{type(e).__name__}: {e}"
+                for dialect_fn in (duck_dialect_fallback,
+                                   duck_dialect_fallback2):
+                    try:
+                        drows = con.execute(dialect_fn(s)).fetchall()
+                        derr = None
+                        n_fallback_dialect += 1
+                        break
+                    except Exception:  # noqa: BLE001
+                        pass
+            try:
+                srows = _collect_with_timeout(spark, eng, s)
+            except Exception as e:  # noqa: BLE001 — bucketed
+                srows, serr = None, f"{type(e).__name__}: {e}"
+        finally:
+            if saved:
+                restore_overlays(spark, con, sf_dir, saved)
         if srows is None and drows is None:
             n_neither += 1
             buckets["neither"].append(
@@ -556,8 +891,13 @@ def main() -> int:
             )
             continue
         n_both += 1
-        if rows_match(srows, drows):
+        fam = tolerance_family(src)
+        verdict = rows_match(srows, drows,
+                             allow_tolerance=fam is not None)
+        if verdict:
             n_match += 1
+            if verdict == "tol":
+                tol_fired[fam] += 1
         else:
             fails.append((src, s, len(srows), len(drows)))
             buckets["diff"].append(
@@ -567,13 +907,20 @@ def main() -> int:
     print(
         f"both-parsed {n_both}: {n_match} match, {len(fails)} DIFFER; "
         f"spark-only {n_spark_only}, duck-only {n_duck_only}, "
-        f"neither {n_neither}"
+        f"neither {n_neither} "
+        f"(second-chance dialect parsed {n_fallback_dialect})"
     )
+    if tol_fired:
+        print(f"tolerance fallback fired on {sum(tol_fired.values())} "
+              f"statements across {len(tol_fired)} battery families:")
+        for fam, n in sorted(tol_fired.items()):
+            print(f"  tol {n:5d}  {fam}")
     for src, s, a, b in fails:
         print(f"DIFF [{src}] spark_rows={a} duck_rows={b}: {s[:160]}")
     if dump:
         import json
 
+        buckets["tolerance_fired"] = dict(sorted(tol_fired.items()))
         with open(dump, "w") as f:
             json.dump(buckets, f, indent=1)
         print(f"bucket detail written to {dump}")

@@ -29,16 +29,19 @@ sys.path.insert(0, ".")
 
 #: join-heavy (multi lineitem⋈orders⋈supplier semi/anti chain — SMJ
 #: sort spill), agg-heavy (session windows over the events stream),
-#: and window/sort-heavy (global top-k over scored embeddings).
-#: NOT text_minhash_lsh_dedup: its pinned shuffle_hash verify joins
-#: trade spill-ability for mid-scale broadcast suppression — a hash
-#: relation BUILD cannot spill (the very gap the reference plugs with
-#: DiskJoinStep), so under this envelope it fails fast instead of
-#: degrading; at scale the mitigation is partition sizing (SCALE.md).
+#: window/sort-heavy (global top-k over scored embeddings), and —
+#: since r11 — text_minhash_lsh_dedup: its verify join is now
+#: envelope-aware (plans/text_plans.py _choose_verify_hint): under
+#: this tiny envelope the estimated build exceeds the per-task budget
+#: so the plan degrades from the pinned shuffle_hash (whose hash
+#: relation BUILD cannot spill — the gap the reference plugs with
+#: DiskJoinStep) to a broadcast-free sort-merge join that spills
+#: natively, instead of failing fast.
 DEFAULT_QUERIES = (
     "tpch_q21_suppliers_kept_waiting",
     "events_sessionization",
     "sim_bruteforce_cosine_topk",
+    "text_minhash_lsh_dedup",
 )
 
 UI_PORT = 4077
