@@ -38,6 +38,11 @@ ADJUDICATED = {
     "mcs7041_regression_bug3019.test",  # ORDER BY cnt ties + LIMIT
     "mcs7022_regression_bug2907.test",  # same tie-LIMIT family; the
     # pair flip-flops between runs (COVERAGE.md §round 10b)
+    "unsigned_aggregate.test",  # AVG(unsigned u64): the engine keeps
+    # MariaDB's DECIMAL(·,4) HALF_UP average; DuckDB's AVG routes
+    # through binary DOUBLE — agreement to 16 significant digits,
+    # divergence at the 17th. Surfaced by the r11 tolerance scoping
+    # (it previously hid under the global fallback); COVERAGE.md §r11
 }
 
 
