@@ -13,7 +13,10 @@ own SF1 regression corpus 10x up
 (devregression/t/mcs7536_q4_2.test:1-12 runs TPC-H SF1).
 
 Usage: python tools/tpch_anchor_scale_probe.py [small_dir] [big_dir]
-Defaults: .fixtures/sf1 .fixtures/sf10. Prints one JSON line with
+                                               [query ...]
+Defaults: .fixtures/sf1 .fixtures/sf10 and the 5 TPC-H anchors; extra
+args select other registry queries (r11: used to anchor the §2.5
+window-lowering bench row at two scales). Prints one JSON line with
 per-scale medians of 2 runs.
 """
 
@@ -38,6 +41,7 @@ QUERIES = (
 def main() -> int:
     small = sys.argv[1] if len(sys.argv) > 1 else ".fixtures/sf1"
     big = sys.argv[2] if len(sys.argv) > 2 else ".fixtures/sf10"
+    queries = tuple(sys.argv[3:]) or QUERIES
 
     from mariadb_columnstore_engine_spark.plans import load_all
     from mariadb_columnstore_engine_spark.session import get_session
@@ -54,7 +58,7 @@ def main() -> int:
     for sf_label, sf_dir in (("small", small), ("big", big)):
         out[f"{sf_label}_lineitem"] = spark.read.parquet(
             f"{sf_dir}/lineitem.parquet").count()
-        for name in QUERIES:
+        for name in queries:
             times = []
             rows = None
             for _ in range(2):
