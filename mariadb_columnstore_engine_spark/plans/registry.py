@@ -107,9 +107,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # r8 cohort head).
     # The 4 decimal-typed output variants remain structurally
     # driver-unhashable (policy above) with driver-green wire twins.
-    # POST-WINDOW r11 addition (first driver check due r12):
+    # POST-WINDOW r11 additions (first driver check due r12):
     # win_window_lowering_bench — the §2.5 bench anchor (VERDICT r10
-    # #5), green in the local sf0.01 gate and value-checked vs DuckDB.
+    # #5), green in the local sf0.01 gate and value-checked vs DuckDB;
+    # stream_tumbling_window_counts — first DRIVER-evidenced streaming
+    # row (§2.10: incremental readStream → watermarked tumbling agg →
+    # availableNow sink, oracle = the batch SQL), green at sf0.01.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -184,6 +187,7 @@ def load_all() -> dict[str, QuerySpec]:
         text_plans,
         similarity_plans,
         pipeline_plans,
+        streaming_plans,
         udf_plans,
     )
 
