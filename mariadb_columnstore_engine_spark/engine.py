@@ -142,6 +142,12 @@ class Engine:
                 translate_statement,
             )
 
+            if getattr(self, "_sysvars", {}).get("sql_mode") == "ORACLE":
+                from mariadb_columnstore_engine_spark.functions.sqltrans import (  # noqa: E501
+                    oracle_mode_prepass,
+                )
+
+                query = oracle_mode_prepass(query)
             query = translate_statement(query, self._string_columns())
             query = self._normalize_setop_types(query)
         import re as _re_is
@@ -2266,11 +2272,19 @@ class Engine:
             if val in ("", "''"):
                 svars[name] = ""
                 return None
+            if str(val).strip().strip("'\"").upper() == "ORACLE":
+                # r11: true Oracle-mode session support — the SELECT
+                # path routes through sqltrans.oracle_mode_prepass
+                # (infix || concat, DECODE NULL-matching, TRIM/REPLACE
+                # empty→NULL), mirroring the reference's *_oracle
+                # funcexp entries (utils/funcexp/func_concat.cpp etc.,
+                # pinned by mysql-test/columnstore/oracle/*.result)
+                svars[name] = "ORACLE"
+                return None
             raise ValueError(
-                "SET sql_mode with flags is not supported (behavior-"
-                "changing modes would silently mistranslate; Oracle-"
-                "mode function variants are available as *_oracle "
-                "spellings / dialect helpers)"
+                "SET sql_mode with flags is not supported beyond "
+                "ORACLE (other behavior-changing modes would silently "
+                "mistranslate)"
             )
         if name.startswith(("columnstore_", "infinidb_")) or name in (
             "autocommit", "character_set_client", "character_set_results",

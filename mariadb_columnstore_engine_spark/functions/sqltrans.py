@@ -1390,6 +1390,188 @@ def _rewrite_json_table(masked: str, store: list[str]) -> str:
         masked = masked[: m.start()] + ph + masked[end:]
 
 
+def _ora_operand_right(s: str, i: int) -> int | None:
+    """End index (exclusive) of the ||-operand starting at/after i on
+    MASKED text: placeholder, (dotted) identifier / function call, or
+    parenthesized expression. None when unparsable."""
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    if i >= n:
+        return None
+    if s[i] == "\x00":
+        j = s.index("\x00", i + 1)
+        return j + 1
+    if s[i] == "(":
+        return _find_balanced(s, i)
+    m = re.match(r"\w+(?:\.\w+)*", s[i:])
+    if not m:
+        return None
+    j = i + m.end()
+    k = j
+    while k < n and s[k].isspace():
+        k += 1
+    if k < n and s[k] == "(":
+        return _find_balanced(s, k)
+    return j
+
+
+def _ora_operand_left(s: str, i: int) -> int | None:
+    """Start index of the ||-operand ending just before i (mirrored
+    scan of ``_ora_operand_right``)."""
+    j = i
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        return None
+    c = s[j - 1]
+    if c == "\x00":
+        return s.rindex("\x00", 0, j - 1)
+    if c == ")":
+        depth, k = 0, j - 1
+        while k >= 0:
+            if s[k] == ")":
+                depth += 1
+            elif s[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            return None
+        m = re.search(r"(\w+(?:\.\w+)*)\s*$", s[:k])
+        return m.start(1) if m else k
+    m = re.search(r"(\w+(?:\.\w+)*)$", s[:j])
+    return m.start(1) if m else None
+
+
+def _oracle_concat_chain(masked: str) -> str:
+    """Infix ``a || b || ...`` → Oracle concat
+    (func_concat.cpp Item_func_concat_operator_oracle, exercised by
+    mysql-test/columnstore/oracle/func_concat_oracle.test): NULL
+    operands become '' — unless EVERY operand is NULL, in which case
+    the result is NULL ('a'||NULL → 'a'; NULL||NULL → NULL;
+    ''||'' → ''). Token-scanner based (not a fixed-depth regex):
+    Spark's native || is valid-but-NULL-PROPAGATING SQL, so a missed
+    rewrite would silently change answers — every chain must be
+    found, and operands are rewritten recursively so chains nested
+    inside function arguments are handled too. An unparsable operand
+    raises instead of passing through."""
+    while True:
+        p = masked.find("||")
+        if p == -1:
+            return masked
+        lstart = _ora_operand_left(masked, p)
+        rend = _ora_operand_right(masked, p + 2)
+        if lstart is None or rend is None:
+            raise ValueError(
+                "oracle-mode || operand not understood near: "
+                + masked[max(0, p - 40) : p + 40]
+            )
+        ops = [masked[lstart:p].strip(), masked[p + 2 : rend].strip()]
+        start, end = lstart, rend
+        while True:  # extend the chain rightward (left-associative)
+            m2 = re.match(r"\s*\|\|", masked[end:])
+            if not m2:
+                break
+            nend = _ora_operand_right(masked, end + m2.end())
+            if nend is None:
+                raise ValueError(
+                    "oracle-mode || operand not understood near: "
+                    + masked[end : end + 60]
+                )
+            ops.append(masked[end + m2.end() : nend].strip())
+            end = nend
+        # chains hiding inside function-call operands
+        ops = [_oracle_concat_chain(o) for o in ops]
+        all_null = " AND ".join(f"({o}) IS NULL" for o in ops)
+        parts = ", ".join(
+            f"coalesce(CAST({o} AS STRING), '')" for o in ops)
+        repl = (f"(CASE WHEN {all_null} THEN NULL"
+                f" ELSE concat({parts}) END)")
+        masked = masked[:start] + repl + masked[end:]
+
+
+def _oracle_decode(masked: str) -> str:
+    """DECODE(expr, s1, r1[, s2, r2 ...][, default]) → null-safe CASE
+    (func_case.cpp decode_oracle; MDEV-13863: two NULLs are
+    equivalent, unlike CASE equality)."""
+    pat = re.compile(r"\bDECODE\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(masked)
+        if not m:
+            return masked
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = [a.strip() for a in
+                _split_top_level_commas(masked[open_at + 1 : end - 1])]
+        if len(args) < 3:
+            return masked  # MariaDB errors; let Spark error loudly too
+        expr, rest = args[0], args[1:]
+        default = rest.pop() if len(rest) % 2 == 1 else "NULL"
+        whens = "".join(
+            f" WHEN ({expr}) <=> ({rest[i]}) THEN {rest[i + 1]}"
+            for i in range(0, len(rest), 2)
+        )
+        repl = f"(CASE{whens} ELSE {default} END)"
+        masked = masked[: m.start()] + repl + masked[end:]
+
+
+def _oracle_empty_to_null_fns(masked: str) -> str:
+    """TRIM/LTRIM/RTRIM (incl. [BOTH|LEADING|TRAILING x FROM y]) and
+    REPLACE under Oracle mode: '' IS NULL, so an empty RESULT collapses
+    to NULL (func_trim.cpp / func_replace.cpp *_oracle;
+    func_trim_oracle.result shows TRIM('  ') → NULL). REPLACE
+    additionally treats a NULL search as a no-op and a NULL
+    replacement as deletion (func_replace_oracle.result)."""
+    calls = [
+        (m.start(), masked.index("(", m.start()),
+         m.group(1).upper())
+        for m in re.finditer(
+            r"\b(TRIM|LTRIM|RTRIM|REPLACE)\s*\(", masked, re.IGNORECASE)
+    ]
+    # rewrite right-to-left so earlier offsets stay valid; each call
+    # is wrapped exactly once (the wrapper's own text contains no
+    # TRIM/REPLACE tokens)
+    for start, open_at, fn in reversed(calls):
+        end = _find_balanced(masked, open_at)
+        call = masked[start:end]
+        if fn == "REPLACE":
+            args = [a.strip() for a in
+                    _split_top_level_commas(masked[open_at + 1 : end - 1])]
+            if len(args) != 3:
+                continue
+            call = (f"replace({args[0]}, coalesce({args[1]}, ''),"
+                    f" coalesce({args[2]}, ''))")
+        masked = (masked[:start] + f"nullif({call}, '')"
+                  + masked[end:])
+    return masked
+
+
+def oracle_mode_prepass(sql: str) -> str:
+    """sql_mode=ORACLE function-variant pre-pass (r11).
+
+    The reference implements Oracle mode as alternate funcexp entries
+    (concat_oracle, decode_oracle, trim_oracle, replace_oracle — see
+    utils/funcexp/func_concat.cpp, func_case.cpp, func_trim.cpp,
+    func_replace.cpp) selected when the session runs under
+    sql_mode=ORACLE, with expected behavior pinned by
+    mysql-test/columnstore/oracle/*.result. This pass rewrites exactly
+    those variants into Spark-SQL spellings BEFORE the normal dialect
+    translation; everything else flows through unchanged. NVL is the
+    Oracle-mode alias of IFNULL."""
+    masked, store = _mask(sql)
+    masked = _oracle_decode(masked)
+    masked = _oracle_empty_to_null_fns(masked)
+    masked = _oracle_concat_chain(masked)
+    masked = re.sub(r"\bNVL\s*\(", "coalesce(", masked,
+                    flags=re.IGNORECASE)
+    # FROM dual: Oracle's dummy table — Spark needs no FROM at all
+    masked = re.sub(r"\s+FROM\s+dual\b", " ", masked,
+                    flags=re.IGNORECASE)
+    return _unmask(masked, store)
+
+
 def translate_statement(
     sql: str, string_columns: frozenset[str] = frozenset()
 ) -> str:
