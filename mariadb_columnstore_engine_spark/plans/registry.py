@@ -112,7 +112,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # #5), green in the local sf0.01 gate and value-checked vs DuckDB;
     # stream_tumbling_window_counts — first DRIVER-evidenced streaming
     # row (§2.10: incremental readStream → watermarked tumbling agg →
-    # availableNow sink, oracle = the batch SQL), green at sf0.01.
+    # availableNow sink, oracle = the batch SQL), green at sf0.01;
+    # sql_oracle_mode_session — the r11 SET sql_mode=ORACLE surface
+    # (||-chains, DECODE, TRIM FROM, REPLACE NULL rules, NVL through
+    # oracle_mode_prepass), green at sf0.01.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

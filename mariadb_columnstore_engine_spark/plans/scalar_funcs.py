@@ -1993,6 +1993,56 @@ def sql_mariadb_front_end4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_oracle_mode_session",
+    section="§2.8 sql_mode=ORACLE session surface (r11): the *_oracle "
+    "funcexp variants the reference selects under Oracle mode "
+    "(func_concat.cpp Item_func_concat_operator_oracle, func_case.cpp "
+    "decode_oracle, func_trim.cpp, func_replace.cpp) spelled exactly "
+    "as an Oracle-mode user types them — infix || chains, DECODE, "
+    "TRIM(BOTH..FROM), REPLACE NULL rules, NVL — routed through "
+    "sqltrans.oracle_mode_prepass; behavior pinned by the reference's "
+    "own mysql-test/columnstore/oracle/*.result matrices.",
+    oracle="""
+    SELECT n_nationkey AS nk,
+           concat('n:', n_name, NULL) AS tagged,
+           CASE WHEN n_regionkey IS NOT DISTINCT FROM 0 THEN 'AFR'
+                WHEN n_regionkey IS NOT DISTINCT FROM 1 THEN 'AME'
+                WHEN n_regionkey IS NOT DISTINCT FROM 2 THEN 'ASI'
+                ELSE 'OTH' END AS region_code,
+           NULLIF(trim(n_name, 'A'), '') AS trimmed,
+           NULLIF(replace(n_name, 'A', ''), '') AS stripped,
+           coalesce(NULLIF(n_name, 'ALGERIA'), 'default') AS nvl_col
+    FROM nation
+    ORDER BY nk
+    """,
+)
+def sql_oracle_mode_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-mode statement exactly as a reference user under SET
+    sql_mode=ORACLE would type it; the DuckDB oracle hand-spells the
+    Oracle semantics in ANSI (DuckDB's concat already skips NULLs;
+    null-safe compares via IS NOT DISTINCT FROM; empty-string results
+    collapsed with NULLIF)."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        oracle_mode_prepass,
+        translate_statement,
+    )
+
+    Catalog(spark, sf_dir).register_views()
+    stmt = """
+    SELECT n_nationkey AS nk,
+           'n:' || n_name || NULL AS tagged,
+           DECODE(n_regionkey, 0, 'AFR', 1, 'AME', 2, 'ASI', 'OTH')
+               AS region_code,
+           TRIM(BOTH 'A' FROM n_name) AS trimmed,
+           REPLACE(n_name, 'A', NULL) AS stripped,
+           NVL(NULLIF(n_name, 'ALGERIA'), 'default') AS nvl_col
+    FROM nation
+    ORDER BY nk;
+    """
+    return spark.sql(translate_statement(oracle_mode_prepass(stmt)))
+
+
+@query(
     "op_skyline_pareto",
     section="custom operator: skyline / Pareto-optimal selection "
     "(EDBT 2023 'Integration of Skyline Queries into Spark SQL' "
