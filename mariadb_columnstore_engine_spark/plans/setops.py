@@ -224,11 +224,16 @@ sql_query(
     FROM cust_orders WHERE rk <= 3
     UNION ALL
     SELECT 'ALL' AS segment, CAST(0 AS INTEGER) AS rk,
-           round(sum(o_totalprice), 2) AS price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price
     FROM orders
     ORDER BY segment, rk
     """,
     section="§2.6/§2.7 SQL front end: CTE + window top-k + UNION ALL in "
     "one pushed statement (ha_mcs_pushdown full-statement path) — the "
-    "identical ANSI text runs through Spark's parser/analyzer and DuckDB",
+    "identical ANSI text runs through Spark's parser/analyzer and DuckDB. "
+    "The ALL-total carries DECIMAL(18,2) so both engines accumulate "
+    "exactly (r11: a 1.5M-row double sum at sf1 straddled the "
+    "cents-rounding boundary run-to-run); the top-3 prices are single "
+    "2-decimal doubles, exact under round(,2) by construction.",
 )
