@@ -1390,13 +1390,65 @@ def _rewrite_json_table(masked: str, store: list[str]) -> str:
         masked = masked[: m.start()] + ph + masked[end:]
 
 
-def _ora_operand_right(s: str, i: int) -> int | None:
-    """End index (exclusive) of the ||-operand starting at/after i on
-    MASKED text: placeholder, (dotted) identifier / function call, or
-    parenthesized expression. None when unparsable."""
+#: Binary operators that bind TIGHTER than Oracle-mode || in MariaDB
+#: (sql_yacc_ora.yy: '+'/'-'/'*'/'/'/'%'/'^' all sit above the concat
+#: production), so `a + b || c` parses `(a + b) || c` and the operand
+#: scanner must swallow the whole arithmetic expression.
+_ORA_ARITH = "+-*/%^"
+#: Word-spelled tight-binding operators the scanner does NOT extend
+#: across — raise loudly instead of silently mis-associating.
+_ORA_WORD_OPS = frozenset({"DIV", "MOD"})
+#: Bare words that can never be a ||-operand (clause keywords); NULL /
+#: TRUE / FALSE / literals stay valid operands.
+_ORA_NON_OPERAND_WORDS = frozenset({
+    "SELECT", "FROM", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR",
+    "NOT", "XOR", "ON", "BY", "AS", "IN", "IS", "LIKE", "BETWEEN",
+    "ESCAPE", "HAVING", "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT",
+    "SET", "VALUES", "RETURNING", "JOIN", "USING", "CASE",
+})
+
+_ORA_CASE_TOK = re.compile(r"\b(CASE|END)\b", re.IGNORECASE)
+
+
+def _ora_case_right(s: str, i: int) -> int | None:
+    """End index (exclusive) of the CASE...END expression whose CASE
+    keyword starts at i (CASE/END pairs nest)."""
+    depth = 0
+    for m in _ORA_CASE_TOK.finditer(s, i):
+        if m.group(1).upper() == "CASE":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                return m.end()
+    return None
+
+
+def _ora_case_left(s: str, j: int) -> int | None:
+    """Start index of the CASE matching the END that ends at j."""
+    depth = 0
+    for m in reversed(list(_ORA_CASE_TOK.finditer(s, 0, j))):
+        if m.group(1).upper() == "END":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                return m.start()
+    return None
+
+
+def _ora_primary_right(s: str, i: int) -> int | None:
+    """End index (exclusive) of ONE primary starting at/after i on
+    MASKED text: placeholder, (dotted) identifier / function call,
+    parenthesized expression, CASE...END, with unary +/- prefixes.
+    None when unparsable."""
     n = len(s)
     while i < n and s[i].isspace():
         i += 1
+    while i < n and s[i] in "+-":  # unary sign(s)
+        i += 1
+        while i < n and s[i].isspace():
+            i += 1
     if i >= n:
         return None
     if s[i] == "\x00":
@@ -1407,6 +1459,11 @@ def _ora_operand_right(s: str, i: int) -> int | None:
     m = re.match(r"\w+(?:\.\w+)*", s[i:])
     if not m:
         return None
+    word = m.group(0).upper()
+    if word == "CASE":
+        return _ora_case_right(s, i)
+    if word in _ORA_NON_OPERAND_WORDS or word in _ORA_WORD_OPS:
+        return None
     j = i + m.end()
     k = j
     while k < n and s[k].isspace():
@@ -1416,9 +1473,42 @@ def _ora_operand_right(s: str, i: int) -> int | None:
     return j
 
 
-def _ora_operand_left(s: str, i: int) -> int | None:
-    """Start index of the ||-operand ending just before i (mirrored
-    scan of ``_ora_operand_right``)."""
+def _ora_operand_right(s: str, i: int) -> int | None:
+    """End index (exclusive) of the ||-operand starting at/after i:
+    a primary, extended across binary arithmetic operators (which
+    bind tighter than Oracle-mode ||). None when unparsable; raises
+    on DIV/MOD adjacency (word operators the scanner refuses to
+    silently mis-associate)."""
+    n = len(s)
+    end = _ora_primary_right(s, i)
+    if end is None:
+        return None
+    while True:
+        k = end
+        while k < n and s[k].isspace():
+            k += 1
+        if k < n and s[k] in _ORA_ARITH:
+            nxt = _ora_primary_right(s, k + 1)
+            if nxt is None:
+                raise ValueError(
+                    "oracle-mode || arithmetic operand not understood "
+                    "near: " + s[max(0, k - 40) : k + 40]
+                )
+            end = nxt
+            continue
+        m = re.match(r"(\w+)", s[k:])
+        if m and m.group(1).upper() in _ORA_WORD_OPS:
+            raise ValueError(
+                "oracle-mode || adjacent to word operator "
+                f"{m.group(1)}: not supported near: "
+                + s[max(0, k - 40) : k + 40]
+            )
+        return end
+
+
+def _ora_primary_left(s: str, i: int) -> int | None:
+    """Start index of ONE primary ending just before i (mirrored scan
+    of ``_ora_primary_right``)."""
     j = i
     while j > 0 and s[j - 1].isspace():
         j -= 1
@@ -1440,9 +1530,52 @@ def _ora_operand_left(s: str, i: int) -> int | None:
         if k < 0:
             return None
         m = re.search(r"(\w+(?:\.\w+)*)\s*$", s[:k])
+        if m and m.group(1).upper() in _ORA_NON_OPERAND_WORDS:
+            return k
         return m.start(1) if m else k
     m = re.search(r"(\w+(?:\.\w+)*)$", s[:j])
-    return m.start(1) if m else None
+    if not m:
+        return None
+    word = m.group(1).upper()
+    if word == "END":
+        return _ora_case_left(s, j)
+    if word in _ORA_NON_OPERAND_WORDS or word in _ORA_WORD_OPS:
+        return None
+    return m.start(1)
+
+
+def _ora_operand_left(s: str, i: int) -> int | None:
+    """Start index of the ||-operand ending just before i: a primary,
+    extended across binary arithmetic (and unary signs) to the left.
+    Raises on DIV/MOD adjacency instead of mis-associating."""
+    start = _ora_primary_left(s, i)
+    if start is None:
+        return None
+    while True:
+        k = start
+        while k > 0 and s[k - 1].isspace():
+            k -= 1
+        if k > 0 and s[k - 1] in _ORA_ARITH:
+            op = s[k - 1]
+            prev = _ora_primary_left(s, k - 1)
+            if prev is not None:
+                start = prev  # binary: swallow the left operand too
+                continue
+            if op in "+-":
+                start = k - 1  # unary sign: part of this operand
+                continue
+            raise ValueError(
+                "oracle-mode || arithmetic operand not understood "
+                "near: " + s[max(0, k - 40) : k + 40]
+            )
+        m = re.search(r"(\w+)\s*$", s[:k])
+        if m and m.group(1).upper() in _ORA_WORD_OPS:
+            raise ValueError(
+                "oracle-mode || adjacent to word operator "
+                f"{m.group(1)}: not supported near: "
+                + s[max(0, k - 40) : k + 40]
+            )
+        return start
 
 
 def _oracle_concat_chain(masked: str) -> str:
@@ -1492,13 +1625,46 @@ def _oracle_concat_chain(masked: str) -> str:
         masked = masked[:start] + repl + masked[end:]
 
 
+def _oracle_concat_fn(masked: str) -> str:
+    """CONCAT(...) under Oracle mode maps to the same null-skipping
+    concat (funcexp.cpp:98 registers concat_operator_oracle; the
+    reference's oracle/func_concat_oracle.test runs
+    ``SELECT CONCAT('a'||'b'||'c')`` and the .result shows the server
+    lowering BOTH the function and the operator to the oracle concat).
+    Rewrite each call into a parenthesized ||-chain and let
+    ``_oracle_concat_chain`` (which runs next in the prepass) expand
+    the null-skipping semantics. Every arg is parenthesized so
+    operator precedence inside an arg can never re-associate across
+    the chain. CONCAT()/empty args are left verbatim so Spark errors
+    loudly, mirroring the MariaDB parse error."""
+    pat = re.compile(r"\bCONCAT\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            return masked
+        open_at = masked.index("(", m.start())
+        end = _find_balanced(masked, open_at)
+        args = [a.strip() for a in
+                _split_top_level_commas(masked[open_at + 1 : end - 1])]
+        if not args or not all(args):
+            pos = open_at + 1
+            continue
+        repl = "(" + " || ".join(f"({a})" for a in args) + ")"
+        masked = masked[: m.start()] + repl + masked[end:]
+        # re-scan from the replacement: CONCATs nested inside the args
+        # are still present verbatim and get found on the next pass
+        pos = m.start()
+
+
 def _oracle_decode(masked: str) -> str:
     """DECODE(expr, s1, r1[, s2, r2 ...][, default]) → null-safe CASE
     (func_case.cpp decode_oracle; MDEV-13863: two NULLs are
     equivalent, unlike CASE equality)."""
     pat = re.compile(r"\bDECODE\s*\(", re.IGNORECASE)
+    pos = 0
     while True:
-        m = pat.search(masked)
+        m = pat.search(masked, pos)
         if not m:
             return masked
         open_at = masked.index("(", m.start())
@@ -1506,7 +1672,12 @@ def _oracle_decode(masked: str) -> str:
         args = [a.strip() for a in
                 _split_top_level_commas(masked[open_at + 1 : end - 1])]
         if len(args) < 3:
-            return masked  # MariaDB errors; let Spark error loudly too
+            # MariaDB errors on <3 args; leave THIS call verbatim so
+            # Spark errors loudly too — but keep scanning so later
+            # well-formed DECODEs in the same statement still get the
+            # null-safe rewrite (r11 ADVICE #4)
+            pos = open_at + 1
+            continue
         expr, rest = args[0], args[1:]
         default = rest.pop() if len(rest) % 2 == 1 else "NULL"
         whens = "".join(
@@ -1559,10 +1730,18 @@ def oracle_mode_prepass(sql: str) -> str:
     mysql-test/columnstore/oracle/*.result. This pass rewrites exactly
     those variants into Spark-SQL spellings BEFORE the normal dialect
     translation; everything else flows through unchanged. NVL is the
-    Oracle-mode alias of IFNULL."""
+    Oracle-mode alias of IFNULL.
+
+    Coverage vs the reference's oracle funcexp registrations
+    (funcexp.cpp:98-253): concat_operator_oracle (both infix || and
+    the CONCAT() spelling), decode_oracle, ltrim/rtrim/trim_oracle,
+    replace_oracle — the complete *_oracle inventory. Unparsable
+    ||-operand shapes (DIV/MOD adjacency, malformed arithmetic) raise
+    rather than silently emitting semantics-changing SQL."""
     masked, store = _mask(sql)
     masked = _oracle_decode(masked)
     masked = _oracle_empty_to_null_fns(masked)
+    masked = _oracle_concat_fn(masked)
     masked = _oracle_concat_chain(masked)
     masked = re.sub(r"\bNVL\s*\(", "coalesce(", masked,
                     flags=re.IGNORECASE)

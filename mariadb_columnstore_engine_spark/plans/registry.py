@@ -88,88 +88,81 @@ def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None
 # Non-window queries MAY keep decimal/array outputs — the local
 # type-aware gate still pins those carriages (the *_typed variants).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # ---- r11 rotation (VERDICT r10 #1, executing the schedule the r10
+    # ---- r12 rotation (VERDICT r11 #1, executing the schedule the r11
     # window comment recorded): the 5 permanent TPC-H bench anchors +
-    # first driver row for the post-window r10 addition
-    # win_nth_value_suffix (judge-verified green at sf0.01 in r10,
-    # 2992 rows) + the full 19-row r6-stale cohort (stalest driver
-    # evidence on the ledger after the r10 rotation: the rows deferred
-    # from the r10 window) + the head 25 of the 45-row r7 cohort in
-    # registry insertion order. After this window lands green, no
-    # hashable row's last driver check is older than round 7.
-    # The 20 r7 rows deferred to r12 (filter_constant_false onward)
-    # each leave a fresher r8–r11 family member on the ledger: the
-    # join_* outer/semi/cross variants → tpch anchors r11 + theta r9;
-    # agg_* family tails → r10/r11 agg rows; win_* family tails →
-    # win_nth_value_suffix r11 + win_bit_ops r10; the sql_* procedure
-    # variants → sql_stored_procedure_call r10; text/sim tails →
-    # r10/r11 text/sim rows (r12 plan: the 20 deferred r7 rows + the
-    # r8 cohort head).
+    # first driver rows for the 3 post-window r11 additions
+    # (win_window_lowering_bench, stream_tumbling_window_counts,
+    # sql_oracle_mode_session — all judge-green vs DuckDB at sf0.01 in
+    # the r11 verdict's independent run) + the full 20-row r7-stale
+    # cohort (stalest driver evidence on the ledger after the r11
+    # rotation) + the head 22 of the 45-row r8 cohort in registry
+    # insertion order. After this window lands green, no hashable row's
+    # last driver check is older than round 8.
+    # The 23 r8 rows deferred to r13 (sql_stored_procedure_cursor
+    # onward) each leave a fresher r9-r12 family member on the ledger:
+    # sql_* procedure/trigger/DML variants -> sql_oracle_mode_session
+    # r12 + sql_stored_procedure_call r10; subq_* tails -> the r11
+    # subq_* quartet; events_asof_join -> events_* r10 rows; text/sim
+    # tails -> r11/r12 text/sim rows; pipeline/multimodal tails ->
+    # r10 pipeline rows (r13 plan: the 23 deferred r8 rows + the r9
+    # cohort head + a first driver row for the r12 post-window
+    # addition stream_session_window_counts).
     # The 4 decimal-typed output variants remain structurally
     # driver-unhashable (policy above) with driver-green wire twins.
-    # POST-WINDOW r11 additions (first driver check due r12):
-    # win_window_lowering_bench — the §2.5 bench anchor (VERDICT r10
-    # #5), green in the local sf0.01 gate and value-checked vs DuckDB;
-    # stream_tumbling_window_counts — first DRIVER-evidenced streaming
-    # row (§2.10: incremental readStream → watermarked tumbling agg →
-    # availableNow sink, oracle = the batch SQL), green at sf0.01;
-    # sql_oracle_mode_session — the r11 SET sql_mode=ORACLE surface
-    # (||-chains, DECODE, TRIM FROM, REPLACE NULL rules, NVL through
-    # oracle_mode_prepass), green at sf0.01.
     # TPC-H bench anchors (flagship scan/join/agg path, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # never-driver-checked: post-window r10 addition (first driver row)
-    "win_nth_value_suffix",
-    # r6-stale cohort (all 19 rows whose last driver check is round 6)
-    "sf_datetime_matrix2",
-    "sf_datetime_matrix3",
-    "sf_decimal38_agg_wire",
-    "sf_decimal38_join_sort_wire",
-    "sf_json_construct",
-    "sf_json_contains_array_ops",
-    "sf_json_events",
-    "sf_json_ext_classify",
-    "sf_json_ext_flat_ops",
-    "sf_json_matrix2",
-    "sf_string_matrix2",
-    "sf_string_matrix3",
-    "sim_embedding_quantize",
-    "sim_embedding_stats",
-    "sim_lsh_recall_eval",
-    "subq_derived_table_items_per_order",
-    "subq_in_semi",
-    "subq_not_in_anti",
-    "subq_scalar_filter_avg",
-    # r7-cohort re-confirmation (head 25 of 45; last driver check: r7)
-    "tpch_q7_volume_shipping",
-    "tpch_q16_supplier_counts",
-    "tpch_q18_large_orders",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "filter_like_patterns",
-    "filter_in_null_semantics",
-    "filter_col_vs_col",
-    "filter_compound_boolean_tree",
-    "filter_constant_select_literals",
-    "filter_constant_false",
-    "join_left_outer_order_counts",
-    "join_right_outer_supplier_nation",
-    "join_full_outer_nation_balances",
-    "join_semi_customers_with_f_orders",
-    "join_cross_region_priorities",
-    "agg_min_max",
-    "agg_stddev_variance",
-    "agg_multi_distinct",
-    "agg_bit_ops",
-    "agg_json_arrayagg",
-    "agg_grouping_sets",
-    "agg_having_top_groups",
-    "agg_approx_count_distinct",
-    "agg_group_concat_distinct",
+    # never-driver-checked: post-window r11 additions (first driver rows)
+    "win_window_lowering_bench",
+    "stream_tumbling_window_counts",
+    "sql_oracle_mode_session",
+    # r7-stale cohort (all 20 rows whose last driver check is round 7)
+    "collation_pad_space_semantics",
+    "setop_union_all_normalized",
+    "sf_oracle_mode_dialect",
+    "sim_cosine_neardup_pairs",
+    "sql_loose_group_by_hidden",
+    "sql_mariadb_front_end",
+    "sql_stored_procedure_control_flow",
+    "sql_stored_procedure_declare_repeat",
+    "sql_trigger_before_insert",
+    "text_simhash_neardup",
+    "text_token_stats",
+    "text_unigram_freq_score",
+    "udf_pandas_median",
+    "win_distinct_agg_over_partition",
+    "win_ntile_first_last_nth",
+    "win_range_frame_value_offset",
+    "win_ranking_family",
+    "win_regr_over_partition",
+    "win_stats_over_partition",
+    "win_topn_per_group",
+    # r8-cohort re-confirmation (head 22 of 45; last driver check: r8)
+    "tpch_q12_priority_buckets",
+    "tpch_q14_promo_revenue",
+    "tpch_q2_partsupp",
+    "tpch_q9_partsupp",
+    "tpch_q20_partsupp",
+    "filter_metadata_pseudocols",
+    "join_anti_customers_without_orders",
+    "join_bucketed_zero_exchange",
+    "agg_count_variants",
+    "agg_regr_family",
+    "win_pandas_udaf_over_window",
+    "win_corr_running_null_semantics",
+    "setop_intersect",
+    "setop_order_nulls_first_last",
+    "sf_math_matrix",
+    "sf_string_matrix",
+    "sf_datetime_matrix",
+    "sf_json_long_tail",
+    "sf_unsigned_semantics",
+    "sql_mariadb_front_end3",
+    "sql_mariadb_front_end4",
+    "op_skyline_pareto",
 )
 
 

@@ -6,9 +6,9 @@ The full probe (tools/mtr_probe.py, ~35 min) stays the authoritative
 tally; this slice pins the plumbing: statements harvest with the
 augmented table set, the engine and DuckDB read the same generated
 fixture, both-parsed statements value-match, and the only tolerated
-divergences are the adjudicated families (COVERAGE.md §r9: the
-round(int)-rendering DIFFs of mcs7005 and the under-determined
-ORDER-BY-ties LIMIT of mcs7041).
+divergences are the adjudicated families (r12: none left — mcs7005
+matches via the render retry and the mcs7041/mcs7022 tie-LIMIT pair
+is stabilized by a deterministic tie-break on both engines).
 """
 
 from __future__ import annotations
@@ -34,9 +34,11 @@ CAP = 110
 #: set in r10 — its transient ADD COLUMN now REPLAYS as a view
 #: overlay, so the statement value-checks)
 ADJUDICATED = {
-    "mcs7041_regression_bug3019.test",  # ORDER BY cnt ties + LIMIT
-    "mcs7022_regression_bug2907.test",  # same tie-LIMIT family; the
-    # pair flip-flops between runs (COVERAGE.md §round 10b)
+    # r12: the tie-LIMIT pair (mcs7041/mcs7022) left the set — the
+    # probe now appends a deterministic tie-break (ordinal 1, the
+    # unique grouped key) to their ORDER BY ... LIMIT derived tables
+    # on BOTH engines (mtr_probe.stabilize_tie_limit), so the
+    # compared sets are well-defined and the statements value-check.
     # r11: mcs7005 left the set — its round(int)-inside-concat rows
     # now MATCH via the retry-on-DIFF MariaDB text rendering
     # (duck_dialect_render); unsigned_aggregate's AVG divergence was
@@ -70,6 +72,7 @@ def test_probe_corpus_slice(spark, probe_env):
         harvest,
         restore_overlays,
         rows_match,
+        stabilize_tie_limit,
         tolerance_family,
     )
 
@@ -80,6 +83,7 @@ def test_probe_corpus_slice(spark, probe_env):
     n_both = n_match = 0
     diffs, neither = [], []
     for src, s, ov in sample:
+        s = stabilize_tie_limit(src, s)
         saved = (
             apply_overlays(eng.spark, con, sf_dir, ov) if ov else {}
         )
@@ -261,3 +265,56 @@ def test_harvest_transient_ddl_overlays(tmp_path):
     assert by_sql["select c2 from nation"] == [
         (("nation", "c2", "CAST(NULL AS BIGINT)"),)
     ]
+
+
+def test_canon_exact_ints_capped_floats():
+    """r12 (r11 ADVICE #3): Python-int cells compare EXACTLY — two
+    13-digit BIGINT sums differing in trailing digits must NOT
+    canon-equal under the 12-significant-digit cap (which exists for
+    IEEE-double accumulation ulps, not exact integers). Cross-type
+    equality survives: an int and the same value as a grid float
+    still match via the shared tag + Python numeric ==."""
+    from decimal import Decimal
+
+    from mtr_probe import canon
+
+    # two different exact 13-digit integers: MUST differ
+    a, b = 1234567890123, 1234567890124
+    assert canon([(a,)]) != canon([(b,)])
+    # ...whereas two floats at the same magnitude differing only in
+    # the sub-cap digits ride the grid (accumulation-order ulps)
+    assert canon([(1.2345678901234e12,)]) == canon([(1.2345678901235e12,)])
+    # cross-type: int vs integral float vs integral Decimal all equal
+    assert canon([(10500,)]) == canon([(10500.0,)]) == \
+        canon([(Decimal("10500.0000"),)])
+    # a float a hair off the integer still lands ON it via the grid
+    assert canon([(10500.000000000002,)]) == canon([(10500,)])
+    # integral Decimal below 2^53 (double-exact range): exact
+    assert canon([(Decimal("1234567890123"),)]) != \
+        canon([(Decimal("1234567890124"),)])
+    # non-integral Decimal vs DOUBLE AVG (the r11 root-cause pair)
+    # keeps matching through the shared grid
+    assert canon([(Decimal("92233720368547.7580"),)]) == \
+        canon([(92233720368547.758,)])
+
+
+def test_stabilize_tie_limit_scoped_rewrite():
+    """r12 (VERDICT r11 #6): the tie-LIMIT stabilizer appends ordinal
+    1 (the unique grouped key) to every ORDER BY feeding a LIMIT —
+    only for the two adjudicated sources; other statements and
+    LIMIT-less ORDER BYs pass through verbatim."""
+    from mtr_probe import stabilize_tie_limit
+
+    s = ("select col1 from (select c col1, count(*) cnt from t"
+         " group by 1 having cnt > 2 order by cnt desc limit 100) a"
+         " order by 1")
+    out = stabilize_tie_limit("mcs7041_regression_bug3019.test", s)
+    assert "order by cnt desc, 1 limit 100" in out
+    assert out.endswith("order by 1")  # the LIMIT-less outer untouched
+    out2 = stabilize_tie_limit(
+        "mcs7022_regression_bug2907.test",
+        "select * from (select k, count(*) from d group by 1"
+        " order by 2 desc limit 1) x")
+    assert "order by 2 desc, 1 limit 1" in out2
+    # any other source: verbatim
+    assert stabilize_tie_limit("mcs7005_regression.test", s) == s

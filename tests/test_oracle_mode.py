@@ -133,3 +133,70 @@ def test_oracle_mode_is_session_scoped(spark):
     # default mode: statement flows the normal path (Spark || is ANSI
     # concat — NULL-propagating), proving the prepass is OFF
     assert one_row(eng, "SELECT 'a' || NULL") == (None,)
+
+
+def test_oracle_concat_case_and_arithmetic_operands(ora):
+    """r12 (r11 ADVICE #1): the ||-operand scanner must treat
+    CASE...END and arithmetic expressions as single operands —
+    sql_yacc_ora.yy binds + - * / tighter than the concat operator,
+    so `a + b || c` is `(a + b) || c`, and `CASE...END || x` must not
+    shred the CASE."""
+    assert one_row(
+        ora, "SELECT CASE WHEN 1=1 THEN 'x' END || 'y'") == ("xy",)
+    assert one_row(
+        ora, "SELECT CASE WHEN 1=0 THEN 'x' END || 'y'") == ("y",)
+    assert one_row(
+        ora,
+        "SELECT CASE WHEN 1=0 THEN 'x' END"
+        " || CASE WHEN 1=0 THEN 'y' END") == (None,)
+    assert one_row(ora, "SELECT 1 + 2 || 'x'") == ("3x",)
+    assert one_row(ora, "SELECT 'x' || 1 + 2") == ("x3",)
+    assert one_row(ora, "SELECT 2 * 3 || '-' || 8 - 1") == ("6-7",)
+    # nested: a chain INSIDE a CASE that is itself a || operand
+    assert one_row(
+        ora,
+        "SELECT CASE WHEN 1=1 THEN 'a' || 'b' END || 'c'") == ("abc",)
+
+
+def test_oracle_concat_word_operator_adjacency_raises():
+    """DIV/MOD adjacency must fail loudly (r11 ADVICE #1), never emit
+    silently re-associated SQL."""
+    import pytest as _pytest
+
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        oracle_mode_prepass,
+    )
+
+    with _pytest.raises(ValueError, match="DIV"):
+        oracle_mode_prepass("SELECT a DIV 2 || 'x' FROM t")
+    with _pytest.raises(ValueError, match="MOD"):
+        oracle_mode_prepass("SELECT 'x' || b MOD 2 FROM t")
+
+
+def test_oracle_concat_function_null_skipping(ora):
+    """r12 (r11 ADVICE #2): the CONCAT() FUNCTION maps to the same
+    null-skipping oracle concat (funcexp.cpp:98
+    concat_operator_oracle; oracle/func_concat_oracle.test runs
+    SELECT CONCAT('a'||'b'||'c'))."""
+    assert one_row(ora, "SELECT CONCAT('a'||'b'||'c')") == ("abc",)
+    assert one_row(ora, "SELECT CONCAT('a', NULL)") == ("a",)
+    assert one_row(ora, "SELECT CONCAT(NULL, 'b')") == ("b",)
+    assert one_row(ora, "SELECT CONCAT(NULL, NULL)") == (None,)
+    assert one_row(ora, "SELECT CONCAT('a')") == ("a",)
+    assert one_row(
+        ora, "SELECT CONCAT('x', CONCAT(NULL, 'y'))") == ("xy",)
+    assert one_row(ora, "SELECT CONCAT('n', 1 + 2)") == ("n3",)
+
+
+def test_oracle_decode_continues_past_malformed_call():
+    """r12 (r11 ADVICE #4): a <3-arg DECODE is left verbatim (Spark
+    errors loudly, like MariaDB) but must not stop the scan — later
+    well-formed DECODEs in the same statement still get the
+    null-safe <=> CASE rewrite."""
+    from mariadb_columnstore_engine_spark.functions.sqltrans import (
+        oracle_mode_prepass,
+    )
+
+    out = oracle_mode_prepass("SELECT DECODE(x), DECODE(10,10,'y')")
+    assert "DECODE(x)" in out
+    assert "DECODE(10" not in out and "<=>" in out

@@ -84,17 +84,55 @@ def test_minhash_verify_join_envelope_strategy(spark, sf_dir):
         raw_bytes=100 << 40, heap_bytes=64 * gb, mem_fraction=0.6,
         cores=8, partitions=200,
     ) == "merge"
+    # r12 (VERDICT r11 #2): UNKNOWN footprint — a remote path the
+    # driver could not stat (s3a:// without the Hadoop FS fallback
+    # reachable) — must take the spill-safe path, never gamble on a
+    # non-spillable hash build. Mirrors DiskJoinStep's unconditional
+    # degradation (dbcon/joblist/diskjoinstep.cpp).
+    for unknown in (None, 0, -1):
+        assert _choose_verify_hint(
+            raw_bytes=unknown, heap_bytes=64 * gb, mem_fraction=0.6,
+            cores=8, partitions=200,
+        ) == "merge"
 
-    # in THIS (roomy) session the materialized plan keeps the
-    # broadcast-suppressed hash join on BOTH verify joins (the doc_a
-    # and doc_b pair-to-shingles joins). Other joins in the plan (the
-    # signature⋈docs join, the band self-join) are size-based picks
-    # that legitimately broadcast at test SF.
+
+def test_minhash_verify_join_plan_shape_pinned(spark, sf_dir, monkeypatch):
+    """With the envelope PINNED to the roomy outcome (r11 ADVICE #5:
+    the live-JVM hint may legitimately return 'merge' on a constrained
+    host, which is correct behavior, not a plan regression), the
+    materialized plan keeps the broadcast-suppressed hash join on BOTH
+    verify joins (the doc_a and doc_b pair-to-shingles joins). Other
+    joins in the plan (the signature⋈docs join, the band self-join)
+    are size-based picks that legitimately broadcast at test SF."""
     import re
 
+    from mariadb_columnstore_engine_spark.plans import text_plans
+
+    monkeypatch.setattr(
+        text_plans, "_verify_join_hint", lambda *_a, **_k: "shuffle_hash"
+    )
     plan = _plan(spark, sf_dir, "text_minhash_lsh_dedup", mode="simple")
     assert re.search(r"ShuffledHashJoin \[doc_a#", plan)
     assert re.search(r"ShuffledHashJoin \[doc_b#", plan)
+    assert not re.search(r"BroadcastHashJoin \[doc_[ab]#", plan)
+
+
+def test_minhash_verify_join_merge_hint_is_broadcast_free(
+    spark, sf_dir, monkeypatch
+):
+    """The degraded path must also stay broadcast-free: with the hint
+    pinned to 'merge' (the unstatable-storage / memory-pressure
+    outcome) the verify joins materialize as SortMergeJoin."""
+    import re
+
+    from mariadb_columnstore_engine_spark.plans import text_plans
+
+    monkeypatch.setattr(
+        text_plans, "_verify_join_hint", lambda *_a, **_k: "merge"
+    )
+    plan = _plan(spark, sf_dir, "text_minhash_lsh_dedup", mode="simple")
+    assert re.search(r"SortMergeJoin \[doc_a#", plan)
+    assert re.search(r"SortMergeJoin \[doc_b#", plan)
     assert not re.search(r"BroadcastHashJoin \[doc_[ab]#", plan)
 
 

@@ -217,11 +217,14 @@ def restore_overlays(spark, con, sf_dir: str, saved: dict) -> None:
 
 def canon(rows) -> list[tuple]:
     def num(f: float):
-        """Shared numeric canon for float/int/Decimal cells — the same
+        """Grid canon for inexact (float-backed) cells — the same
         grid REGARDLESS of the Python type the driver happened to
         return (r11 root-cause: a DECIMAL-typed Spark AVG vs DuckDB's
         DOUBLE AVG false-DIFFed because only the float branch carried
-        the large-magnitude cap)."""
+        the large-magnitude cap). Tag "n" is shared with the exact
+        branch: Python's cross-type numeric equality (10500 ==
+        10500.0) keeps an exact int cell equal to the same value
+        arriving as a grid-rounded float on the other engine."""
         if math.isnan(f):
             return ("f", "nan")
         if f and abs(f) >= 1e8:
@@ -232,23 +235,37 @@ def canon(rows) -> list[tuple]:
             # mcs6203 REGR_SXX). Cap the canon at 12 significant
             # digits for large magnitudes: strict far beyond any
             # semantic difference, blind to accumulation-order ulps.
-            return ("f", round(f, 11 - int(math.floor(
+            return ("n", round(f, 11 - int(math.floor(
                 math.log10(abs(f))))))
-        return ("f", round(f, 4))
+        return ("n", round(f, 4))
 
     def c(v):
+        # r12 (r11 ADVICE #3): EXACT comparison for exact types — the
+        # 12-significant-digit cap exists for IEEE-double accumulation
+        # ulps and must not let two genuinely different 13+-digit
+        # BIGINT sums/keys canon-equal. Python ints stay exact
+        # (both engines return int for BIGINT/HUGEINT cells, so the
+        # cross-type partner of an int cell is an int); integral
+        # Decimals below 2^53 (double-exact range) normalize to
+        # exact ints too. Floats and beyond-double-exact Decimals
+        # ride the capped grid — a float oracle cannot distinguish
+        # trailing digits past ~15 significant anyway, and the shared
+        # "n" tag + cross-type == keeps 10500 equal to 10500.0.
         if v is None:
             return ("\x00null",)
         if isinstance(v, bool):
             return ("b", int(v))
+        if isinstance(v, int):
+            return ("n", v)
         if isinstance(v, float):
             return num(v)
-        if isinstance(v, int):
-            return num(float(v))
         try:
             import decimal
 
             if isinstance(v, decimal.Decimal):
+                if v.is_finite() and v == v.to_integral_value() \
+                        and abs(v) < 2**53:
+                    return ("n", int(v))
                 return num(float(v))
         except Exception:  # noqa: BLE001
             pass
@@ -276,6 +293,34 @@ def tolerance_family(src: str) -> str | None:
     if _TOLERANCE_SRC_RE.search(src or ""):
         return os.path.basename(src).replace(".test", "")
     return None
+
+
+#: The adjudicated ORDER-BY-ties LIMIT pair (COVERAGE.md §round 10b):
+#: each statement ranks a derived table by a COUNT and LIMITs it, so
+#: when counts tie at the boundary the selected row SET is
+#: under-determined — both engines are self-consistent but the pair
+#: flip-flopped between runs (the single residual DIFF of r11).
+_TIE_LIMIT_SOURCES = frozenset({
+    "mcs7041_regression_bug3019.test",
+    "mcs7022_regression_bug2907.test",
+})
+
+_TIE_LIMIT_RE = re.compile(
+    r"(order\s+by\s+[\w()*,.\s]+?)\s+(limit\s+\d+)", re.IGNORECASE)
+
+
+def stabilize_tie_limit(src: str, stmt: str) -> str:
+    """Deterministic tie-break for the adjudicated tie-LIMIT pair
+    (VERDICT r11 #6): append ordinal 1 — the grouped key, unique
+    within each derived table — to every ORDER BY that feeds a LIMIT,
+    applied IDENTICALLY to both engines. The compared set becomes
+    well-defined (a total order ends at a unique cut), so the probe
+    tally is stable run-to-run instead of 8198±1. Scoped to the two
+    adjudicated sources; every other statement runs verbatim."""
+    if os.path.basename(src or "") not in _TIE_LIMIT_SOURCES:
+        return stmt
+    return _TIE_LIMIT_RE.sub(
+        lambda m: f"{m.group(1)}, 1 {m.group(2)}", stmt)
 
 
 def rows_match(srows, drows, allow_tolerance: bool = True):
@@ -870,6 +915,7 @@ def main() -> int:
         if idx and idx % 500 == 0:
             print(f"progress {idx}/{len(stmts)}", flush=True)
         derr = serr = None
+        s = stabilize_tie_limit(src, s)
         saved = apply_overlays(spark, con, sf_dir, ov) if ov else {}
         # try/finally: an exception escaping the bucketed handlers
         # (KeyboardInterrupt, a failure inside the collectors) must
