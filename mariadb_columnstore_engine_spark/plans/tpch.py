@@ -475,6 +475,10 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q18_large_orders",
     section="§2.9 IN over grouped HAVING subquery (TPC-H Q18 shape)",
+    # bench anchor (r12, VERDICT r11 #4): the headline set covered
+    # scan/agg/join/window/events/text/sim but no §2.9 shape — Q18
+    # stresses the semi-join over a derived grouped-HAVING aggregate.
+    bench=True,
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            round(sum(l_quantity), 2) AS total_qty
