@@ -76,9 +76,10 @@ def _pil_decode(buf: bytes) -> tuple[int, int]:
 
 
 def _header_decode(buf: bytes) -> tuple[int, int]:
-    """Real (library-free) image decode for PNG, JPEG, uncompressed
-    BMP and PPM (r11 BMP/PPM, VERDICT r10 #7; r12 PNG/JPEG, VERDICT
-    r11 #5 — real corpora are PNG/JPEG): parse actual pixel
+    """Real (library-free) image decode for PNG, JPEG, GIF,
+    uncompressed BMP and PPM (r11 BMP/PPM, VERDICT r10 #7; r12
+    PNG/JPEG/GIF, VERDICT r11 #5 — real corpora are PNG/JPEG): parse
+    actual pixel
     dimensions from the container header, so the non-fake decode
     branch runs in every CI environment while Pillow stays
     capability-gated. Same two-scalar contract as ``_pil_decode``:
@@ -91,6 +92,8 @@ def _header_decode(buf: bytes) -> tuple[int, int]:
       frame marker (SOF0-15 excluding DHT/DAC/RST C4/C8/CC); the
       frame header carries height/width big-endian at +5/+7 past the
       marker.
+    - GIF: 'GIF87a'/'GIF89a' signature; logical-screen width/height
+      are little-endian uint16 at offsets 6/8.
     - BMP: 'BM' magic; width/height are little-endian int32 at byte
       offsets 18/22 of the BITMAPINFOHEADER (height may be negative
       for top-down rows — absolute value is the pixel height).
@@ -121,6 +124,10 @@ def _header_decode(buf: bytes) -> tuple[int, int]:
                 return len(buf), (w << 16) | h
             i += 2 + seg_len
         raise ValueError("JPEG without a start-of-frame segment")
+    if len(buf) >= 10 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(buf[6:8], "little")
+        h = int.from_bytes(buf[8:10], "little")
+        return len(buf), (w << 16) | h
     if len(buf) >= 26 and buf[:2] == b"BM":
         w = int.from_bytes(buf[18:22], "little", signed=True)
         h = abs(int.from_bytes(buf[22:26], "little", signed=True))
@@ -143,8 +150,8 @@ def _header_decode(buf: bytes) -> tuple[int, int]:
         w, h = tokens
         return len(buf), (w << 16) | h
     raise ValueError(
-        "header decoder understands PNG, JPEG, uncompressed BMP ('BM') "
-        "and binary PPM ('P6') only"
+        "header decoder understands PNG, JPEG, GIF, uncompressed BMP "
+        "('BM') and binary PPM ('P6') only"
     )
 
 

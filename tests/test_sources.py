@@ -391,10 +391,18 @@ def test_multimodal_header_decoder_png_jpeg(spark):
                 + b"\xff\xc2" + struct.pack(">H", len(payload) + 2)
                 + payload + b"\xff\xd9")
 
+    def gif(w: int, h: int) -> bytes:
+        # GIF89a logical screen descriptor + trailer — dims are
+        # little-endian uint16 right after the 6-byte signature
+        return (b"GIF89a" + struct.pack("<HH", w, h)
+                + b"\x00\x00\x00" + b"\x3b")
+
     _, packed = _header_decode(png(640, 480))
     assert (packed >> 16, packed & 0xFFFF) == (640, 480)
     _, packed = _header_decode(jpeg(1024, 768))
     assert (packed >> 16, packed & 0xFFFF) == (1024, 768)
+    _, packed = _header_decode(gif(320, 200))
+    assert (packed >> 16, packed & 0xFFFF) == (320, 200)
 
     df = spark.createDataFrame(
         [(1, bytearray(png(12, 34))), (2, bytearray(jpeg(56, 78)))],
