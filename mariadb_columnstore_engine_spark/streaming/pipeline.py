@@ -124,6 +124,62 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str,
     q.awaitTermination()
 
 
+#: Spark's bundled on-disk state store (off-heap native memory + local
+#: disk, spillable) — the streaming analogue of the reference's
+#: disk-backed execution structures (DiskJoinStep / RowAggStorage
+#: degrade to disk instead of failing; dbcon/joblist/diskjoinstep.cpp).
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+_STATE_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def run_available_now_to_dir(
+    stream_df: DataFrame, *, checkpoint: str, out_dir: str
+) -> None:
+    """Drain the source and land the COMPLETE result under ``out_dir``
+    as parquet, keeping the JVM heap scale-independent where the memory
+    sink is not:
+
+    - state goes to RocksDB (off-heap, spills to local disk) instead of
+      the heap-resident HDFS-backed map — complete-mode session state
+      is O(total sessions), which at sf1 already OOMs a default heap;
+    - each trigger's full result is OVERWRITTEN to parquet via
+      ``foreachBatch`` (runs on the driver, writes distributed) instead
+      of accumulating rows in the in-memory sink.
+
+    Complete-mode-with-overwrite is the HARNESS parity device (every
+    session present for the oracle compare); a deployment runs the same
+    plan in append mode, where the watermark finalizes sessions
+    incrementally and state stays bounded by the horizon.
+    """
+    spark = stream_df.sparkSession
+    try:
+        prev = spark.conf.get(_STATE_PROVIDER_CONF)
+    except Exception:  # unset in a vanilla session
+        prev = None
+    spark.conf.set(_STATE_PROVIDER_CONF, ROCKSDB_STATE_PROVIDER)
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(
+                lambda df, _epoch: df.write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(_STATE_PROVIDER_CONF)
+        else:
+            spark.conf.set(_STATE_PROVIDER_CONF, prev)
+
+
 def dedup_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on ingest: drop re-delivered events by key
     within the watermark horizon (``dropDuplicates`` keeps per-key state;

@@ -269,3 +269,47 @@ def test_stream_embedding_intake_matches_batch_bucketing(
     )
 
     assert all(0 <= v[1] < (1 << N_PLANES) for v in got.values())
+
+
+def test_run_available_now_to_dir_disk_sink_and_conf_restore(
+    spark, sf_dir, tmp_path
+):
+    """r12: the disk-sink drain helper must (a) land the complete
+    result as parquet matching the batch answer, (b) run under the
+    RocksDB state provider, and (c) restore the session's provider
+    conf afterwards — it executes inside the SHARED engine session."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    sentinel = "org.apache.spark.sql.execution.streaming.state." \
+        "HDFSBackedStateStoreProvider"
+    spark.conf.set(conf_key, sentinel)
+    try:
+        src = _stage_events(spark, sf_dir, tmp_path)
+        stream = pipeline.sessionized(
+            pipeline.read_event_stream(spark, src))
+        out = str(tmp_path / "sess_out")
+        pipeline.run_available_now_to_dir(
+            stream,
+            checkpoint=str(tmp_path / "ckpt_sess_dir"),
+            out_dir=out,
+        )
+        assert spark.conf.get(conf_key) == sentinel  # restored
+        got = spark.read.parquet(out)
+        expected = (
+            spark.read.parquet(src)
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("s"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect()))
+    finally:
+        spark.conf.unset(conf_key)
