@@ -51,8 +51,54 @@ _TS_NTZ_FROM_NANOS = (
 )
 
 
+def _stat_key(path: str):
+    """(size, mtime_ns) staleness fingerprint for a single-file table,
+    or None when the path is a directory / missing (never cached)."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isfile(path):
+        return None
+    return (st.st_size, st.st_mtime_ns)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing physical quirks."""
+    """Load one fixture table, normalizing physical quirks.
+
+    Plan-metadata reuse (NOT data caching): the reference engine keeps
+    table/column metadata in its system catalog and never re-reads it
+    per statement (dbcon/execplan/calpontsystemcatalog.h SYSTABLE /
+    SYSCOLUMN); re-creating the DataFrame on every query forces Spark
+    to re-infer the parquet schema from the footer each time (~0.2 s
+    of driver-side work per table, measured r12 — it dominated the
+    sub-second bench queries). Cache the LAZY DataFrame per session,
+    fingerprinted by (size, mtime_ns) so any rewrite of the fixture
+    file invalidates the entry. The DataFrame holds no rows — every
+    execution still scans the parquet input."""
+    key = (sf_dir.rstrip("/"), name)
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    stat = _stat_key(path)
+    cache = getattr(spark, "_mcs_plan_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._mcs_plan_cache = cache
+        except AttributeError:  # frozen session wrapper — skip caching
+            cache = None
+    if cache is not None and stat is not None:
+        hit = cache.get(key)
+        if hit is not None and hit[0] == stat:
+            return hit[1]
+    df = _read_table(spark, sf_dir, name)
+    if cache is not None and stat is not None:
+        cache[key] = (stat, df)
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Session-level legacy flag required to decode TIMESTAMP(NANOS).
         # Deliberately NOT restored after the read: SQLConf is consulted at
@@ -110,3 +156,56 @@ class Catalog:
             names = TABLES + self.optional_tables_present()
         for name in names:
             self.table(name).createOrReplaceTempView(name)
+
+    def tables_referenced(self, sql: str) -> tuple[str, ...]:
+        """Catalog tables whose names appear as identifier tokens in
+        ``sql`` (word-boundary match — a table name inside another
+        identifier like ``l_partkey`` never matches). Falls back to the
+        full set when nothing matches, so a FROM-less statement still
+        gets a complete namespace."""
+        import re
+
+        known = TABLES + self.optional_tables_present()
+        hit = tuple(
+            t for t in known
+            if re.search(rf"\b{t}\b", sql, re.IGNORECASE)
+        )
+        return hit or known
+
+    def numeric_columns(self, names: tuple[str, ...]) -> frozenset[str]:
+        """Lowercase names of int/bigint/short/byte/double/decimal
+        columns across ``names`` — the statically-safe operand set for
+        the dialect layer's direct loose-cast parse (sqltrans r12 fast
+        path). FLOAT columns are deliberately excluded: their widening
+        to double drifts from their string render, so they stay on the
+        proven CAST-to-string path."""
+        from pyspark.sql.types import (
+            ByteType,
+            DecimalType,
+            DoubleType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        numeric = (
+            ByteType, ShortType, IntegerType, LongType, DoubleType,
+            DecimalType,
+        )
+        cols: set[str] = set()
+        other: set[str] = set()
+        for t in names:
+            for f in self.table(t).schema.fields:
+                (cols if isinstance(f.dataType, numeric) else other).add(
+                    f.name.lower()
+                )
+        # a name that is numeric in one table but not in another is
+        # ambiguous — keep it on the slow path
+        return frozenset(cols - other)
+
+    def register_views_for(self, sql: str) -> None:
+        """Register only the views ``sql`` references — per-statement
+        view registration costs ~13 ms/view (measured r12), so the
+        front-end paths that re-register per call should not pay for
+        the 10-table namespace when the statement touches one table."""
+        self.register_views(self.tables_referenced(sql))

@@ -765,6 +765,7 @@ _U64_MOD = "18446744073709551616"
 def _loose_numeric_cast_emit(
     expr: str, kind: str, p: int, s: int, store: list[str],
     numeric_operand: bool = False,
+    direct: bool = False,
 ) -> str:
     """Render MariaDB's loose number-cast semantics (func_cast.cpp;
     server my_strtoll10/my_strtod + Item_func_signed/unsigned::val_int):
@@ -799,6 +800,10 @@ def _loose_numeric_cast_emit(
         store.append(text)
         return ph
 
+    # FLOAT targets never use the direct parse: nearest-float of the
+    # operand's shortest string render can differ from the IEEE
+    # double→float narrowing on boundary-straddling values.
+    direct = direct and kind != "float"
     e = f"({expr})"
     if kind == "signed":
         spark_t = "BIGINT"
@@ -876,8 +881,21 @@ def _loose_numeric_cast_emit(
         """Numeric-operand branch over operand text ``x``: round
         half-away (decimal(38,0) HALF_UP), clamp out-of-range
         (sign-aware when even DECIMAL(38,0) can't hold |x| >= 1e38
-        doubles: MariaDB clamps, ANSI would throw)."""
-        es = f"CAST({x} AS STRING)"
+        doubles: MariaDB clamps, ANSI would throw).
+
+        ``direct`` (r12 fast path): when the operand is STATICALLY
+        known to be int/bigint/double/decimal-typed (catalog schema or
+        aggregate shape — never float, whose widening drifts from its
+        string render), parse the value itself instead of routing it
+        through CAST(x AS STRING). BigDecimal.valueOf(double) IS
+        ``new BigDecimal(Double.toString(d))`` (JDK), so the direct
+        double→decimal cast rounds identically to the string
+        round-trip the slow path uses — bit-equality pinned by
+        tests/test_sqltrans_fast_cast.py over an adversarial value
+        battery. This removes a per-row string render+parse from
+        every hot loose cast (measured ~0.3 s on the window bench's
+        150k-row DECIMAL(18,2) projection)."""
+        es = x if direct else f"CAST({x} AS STRING)"
         sign_clamp_i64 = (
             f"CASE WHEN try_cast({es} AS DOUBLE) IS NULL "
             f"THEN CAST(0 AS DECIMAL(38,0)) "
@@ -984,6 +1002,26 @@ def _loose_numeric_cast_emit(
     phm = _PH_RE.fullmatch(stripped)
     if phm and store[int(phm.group(1))].startswith("'"):
         return sb(e)
+    if stripped.upper() == "NULL":
+        return f"try_cast(NULL AS {spark_t})"
+    if direct:
+        # Statically numeric operand (never float): parse the value
+        # directly. For shapes that today route through full_case
+        # (bare numeric columns, aggregates) NULL is guarded
+        # explicitly — nb()'s clamp fallback reads a NULL parse as
+        # "no numeric prefix" → 0, while full_case had a dedicated
+        # NULL arm. Nested loose casts (numeric_operand) keep nb's
+        # existing un-guarded semantics exactly, just without the
+        # string round-trip.
+        if kind == "double" or numeric_operand:
+            return bind_once(nb)  # double: try_cast maps NULL → NULL
+        return bind_once(
+            lambda v: (
+                f"(CASE WHEN {v} IS NULL "
+                f"THEN try_cast(NULL AS {spark_t}) "
+                f"ELSE {nb(v)} END)"
+            )
+        )
     if numeric_operand or re.fullmatch(
         r"[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?",
         stripped,
@@ -991,8 +1029,6 @@ def _loose_numeric_cast_emit(
         # a numeric literal, or an operand the caller knows is numeric
         # (e.g. a nested loose cast): NULL passes through try_cast
         return bind_once(nb)
-    if stripped.upper() == "NULL":
-        return f"try_cast(NULL AS {spark_t})"
     return bind_once(full_case)
 
 
@@ -1013,7 +1049,79 @@ def _operand_is_loose_cast(text: str) -> bool:
     return _top_level_search(_LOOSE_TARGET_RE.pattern, inner) is not None
 
 
-def _loose_cast_pass(masked: str, store: list[str]) -> str:
+#: identifier (optionally table-qualified / backticked) — the shapes a
+#: bare catalog column reference can take inside an expression
+_BARE_COL_RE = re.compile(
+    r"(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)|`([^`]+)`"
+)
+
+#: aggregates whose result type equals (or integrally widens) their
+#: statically-numeric argument's type — safe carriers for the direct
+#: loose-cast parse. AVG excluded: its decimal result gains scale, and
+#: float AVG widens — keep it on the proven slow path.
+_NUM_AGG_RE = re.compile(
+    r"(?:SUM|MIN|MAX|COUNT)\s*\(", re.IGNORECASE
+)
+
+
+def _operand_static_numeric(
+    text: str, numeric_columns: frozenset[str]
+) -> bool:
+    """True when ``text`` is STATICALLY known to evaluate to an
+    int/bigint/double/decimal value (never float, never string/date),
+    so the loose-cast emission may parse the value directly instead of
+    routing it through CAST(x AS STRING) (r12 fast path):
+
+    - a bare column reference whose lowercase name is in
+      ``numeric_columns`` (the caller's catalog schema, float columns
+      already excluded);
+    - ``COUNT(...)`` / ``SUM/MIN/MAX(<static-numeric>)``, optionally
+      with an ``OVER (...)`` window suffix — the exact shape the
+      suffix-frame benchmark casts (``CAST(SUM(CAST(x AS
+      DECIMAL(18,2))) OVER w AS DOUBLE)``);
+    - a nested loose cast to SIGNED/UNSIGNED/DOUBLE/DECIMAL (its
+      emission's Spark type is statically numeric; FLOAT is excluded
+      because float→decimal widening drifts from the float's string
+      render).
+    """
+    t = text.strip()
+    m = _BARE_COL_RE.fullmatch(t)
+    if m:
+        name = (m.group(1) or m.group(2) or "").lower()
+        return name in numeric_columns
+    am = _NUM_AGG_RE.match(t)
+    if am:
+        open_at = t.index("(", am.start())
+        try:
+            end = _find_balanced(t, open_at)
+        except Exception:  # noqa: BLE001 — unbalanced, not our shape
+            return False
+        rest = t[end:].strip()
+        if rest and not re.fullmatch(
+            r"OVER\s*\(.*\)", rest, re.IGNORECASE | re.DOTALL
+        ) and not re.fullmatch(r"OVER\s+\w+", rest, re.IGNORECASE):
+            return False
+        if t[: am.end() - 1].strip().upper() == "COUNT":
+            return True  # COUNT is bigint whatever the argument
+        arg = t[open_at + 1 : end - 1].strip()
+        if re.fullmatch(
+            r"[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?", arg
+        ):
+            return True
+        return _operand_static_numeric(arg, numeric_columns)
+    if _operand_is_loose_cast(t):
+        tm = _top_level_search(
+            _LOOSE_TARGET_RE.pattern,
+            t[t.index("(") + 1 : _find_balanced(t, t.index("(")) - 1],
+        )
+        return tm is not None and not tm.group("float")
+    return False
+
+
+def _loose_cast_pass(
+    masked: str, store: list[str],
+    numeric_columns: frozenset[str] = frozenset(),
+) -> str:
     """Lower ``CAST(x AS SIGNED/UNSIGNED/DOUBLE/FLOAT/DECIMAL)`` to the
     loose-semantics form. Innermost-first via recursion on the operand;
     emissions stay MASKED text (quoted literals stashed as
@@ -1035,7 +1143,7 @@ def _loose_cast_pass(masked: str, store: list[str]) -> str:
         out.append(masked[i : m.start()])
         if tm:
             raw_op = inner[: tm.start()].strip()
-            expr = _loose_cast_pass(raw_op, store)
+            expr = _loose_cast_pass(raw_op, store, numeric_columns)
             if tm.group("signed"):
                 kind, p, s = "signed", 0, 0
             elif tm.group("unsigned"):
@@ -1053,6 +1161,9 @@ def _loose_cast_pass(masked: str, store: list[str]) -> str:
                 _loose_numeric_cast_emit(
                     expr, kind, p, s, store,
                     numeric_operand=_operand_is_loose_cast(raw_op),
+                    direct=_operand_static_numeric(
+                        raw_op, numeric_columns
+                    ),
                 )
             )
             i = end
@@ -1063,7 +1174,10 @@ def _loose_cast_pass(masked: str, store: list[str]) -> str:
     return "".join(out)
 
 
-def _rewrite_cast_targets(masked: str, store: list[str]) -> str:
+def _rewrite_cast_targets(
+    masked: str, store: list[str],
+    numeric_columns: frozenset[str] = frozenset(),
+) -> str:
     """``CAST(x AS SIGNED)`` / ``AS UNSIGNED`` / ``AS DATETIME`` /
     ``AS CHAR[(n)]`` → Spark-typed CAST targets (CHAR(n) spelled as an
     explicit truncation — MariaDB truncates where Spark's CHAR(n) pads),
@@ -1187,7 +1301,7 @@ def _rewrite_cast_targets(masked: str, store: list[str]) -> str:
     # LAST: MariaDB loose string→number cast semantics for the numeric
     # targets (runs after CHAR(n)/CONVERT so every nested cast spelling
     # inside an operand is already normalized)
-    return _loose_cast_pass(masked, store)
+    return _loose_cast_pass(masked, store, numeric_columns)
 
 
 _JT_TYPES: tuple[tuple[str, str], ...] = (
@@ -1752,7 +1866,8 @@ def oracle_mode_prepass(sql: str) -> str:
 
 
 def translate_statement(
-    sql: str, string_columns: frozenset[str] = frozenset()
+    sql: str, string_columns: frozenset[str] = frozenset(),
+    numeric_columns: frozenset[str] = frozenset(),
 ) -> str:
     """MariaDB statement → Spark SQL statement (see module docstring).
 
@@ -1853,7 +1968,7 @@ def translate_statement(
     masked = _rewrite_case_coercions(masked, store, string_columns)
     masked = _rewrite_loose_string_args(masked, store, string_columns)
     masked = _rewrite_with_rollup(masked, store)
-    masked = _rewrite_cast_targets(masked, store)
+    masked = _rewrite_cast_targets(masked, store, numeric_columns)
     # inline collation forms run AFTER cast targets so CAST(x AS
     # BINARY) / CONVERT(x USING binary) are already consumed and the
     # bare unary BINARY / expr COLLATE spellings are all that remain

@@ -59,7 +59,7 @@ def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from mariadb_columnstore_engine_spark.catalog import Catalog
 
-        Catalog(spark, sf_dir).register_views()
+        Catalog(spark, sf_dir).register_views_for(sql)
         return spark.sql(sql)
 
     fn.__name__ = f"sql_{name}"

@@ -1601,7 +1601,6 @@ def sql_mariadb_front_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT SQL_CALC_FOUND_ROWS
            n_regionkey,  # per-region member roster
@@ -1612,6 +1611,7 @@ def sql_mariadb_front_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_regionkey
     LIMIT 1, 3;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -1645,7 +1645,6 @@ def sql_mariadb_front_end2(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT o_orderkey,
            CAST(WEEK(o_orderdate, 3) AS INT)     AS wk_iso,
@@ -1658,6 +1657,7 @@ def sql_mariadb_front_end2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey < 200
     ORDER BY o_orderkey;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -1700,7 +1700,6 @@ def convert_tz_named(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT event_id,
            CONVERT_TZ(ts, 'UTC', 'America/New_York')  AS ny,
@@ -1714,6 +1713,7 @@ def convert_tz_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_id < 500
     ORDER BY event_id;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -1748,7 +1748,6 @@ def sql_mariadb_front_end3(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
            COALESCE(o_orderstatus, 'ALL')   AS st,
@@ -1761,6 +1760,7 @@ def sql_mariadb_front_end3(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority, o_orderstatus WITH ROLLUP
     ORDER BY pri, st;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -1970,7 +1970,6 @@ def sql_mariadb_front_end4(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT o_orderkey,
            CAST(STRCMP(o_orderstatus, 'O') AS SIGNED) AS cmp_o,
@@ -1989,6 +1988,7 @@ def sql_mariadb_front_end4(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey < 100
     ORDER BY o_orderkey;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -2027,7 +2027,6 @@ def sql_oracle_mode_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT n_nationkey AS nk,
            'n:' || n_name || NULL AS tagged,
@@ -2039,6 +2038,7 @@ def sql_oracle_mode_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation
     ORDER BY nk;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(oracle_mode_prepass(stmt)))
 
 
@@ -2167,7 +2167,6 @@ def sql_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     WITH src AS (
       SELECT r.r_regionkey AS rkey,
@@ -2191,6 +2190,7 @@ def sql_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))) AS jt
     ORDER BY src.rkey, jt.ord, jt.lord;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -2736,7 +2736,6 @@ def sql_index_hint_collate_binary(
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT v.nk, v.mixed,
            CAST(IF(BINARY v.mixed = v.orig, 1, 0) AS SIGNED) AS bin_eq,
@@ -2752,6 +2751,7 @@ def sql_index_hint_collate_binary(
     WHERE BINARY v.orig = UPPER(v.orig)
     ORDER BY v.mixed COLLATE utf8mb4_general_ci, v.nk;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -2843,7 +2843,6 @@ def sf_loose_numeric_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT n_nationkey AS nk,
            CAST(n_name AS DOUBLE) AS d_name,
@@ -2861,6 +2860,7 @@ def sf_loose_numeric_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation
     ORDER BY nk;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -2897,7 +2897,6 @@ def sql_logical_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT n_nationkey AS nk,
            CAST(CASE WHEN n_nationkey XOR n_regionkey THEN 1 ELSE 0 END
@@ -2908,6 +2907,7 @@ def sql_logical_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation
     ORDER BY nk;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -2945,7 +2945,6 @@ def sql_loose_coercion_contexts(
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     # the Engine passes its catalog's string columns; mirror that here
     stmt = """
     SELECT n_nationkey AS nk,
@@ -2956,6 +2955,7 @@ def sql_loose_coercion_contexts(
     WHERE n_name OR n_nationkey < 5
     ORDER BY nk;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt, frozenset({"n_name"})))
 
 
@@ -2989,7 +2989,6 @@ def sql_population_stat_aliases(
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT o_orderstatus AS st,
            ROUND(STDDEV(o_totalprice), 2) AS std_bare,
@@ -3000,6 +2999,7 @@ def sql_population_stat_aliases(
     GROUP BY o_orderstatus
     ORDER BY st;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -3035,7 +3035,6 @@ def sql_row_cmp_empty_frames(
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT n_nationkey AS nk,
            AVG(n_nationkey) OVER (ORDER BY n_nationkey
@@ -3048,6 +3047,7 @@ def sql_row_cmp_empty_frames(
     WHERE (n_regionkey, n_name) <> (99, 'NOWHERE')
     ORDER BY nk;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 

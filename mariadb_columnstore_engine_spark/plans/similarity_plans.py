@@ -114,13 +114,26 @@ def _sql_cos(a: str, b: str) -> str:
 def bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
+    # Norms are hoisted BELOW the join (r12, guide §1.2 step 1 — don't
+    # recompute what a pass already knows): the corpus self-dot ran once
+    # per (probe, corpus) pair, i.e. N_PROBES times per vector, and the
+    # probe self-dot once per corpus row. Computing each side's norm in
+    # its own projection keeps the per-pair work to ONE dot product.
+    # sqrt(pp * nn) multiplies the same doubles the inline form did, so
+    # results are bit-identical.
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         _as_double(F.col("embedding")).alias("pe"),
     )
+    probes = probes.select(
+        "probe_id", "pe", _dot(F.col("pe"), F.col("pe")).alias("pp")
+    )
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("ne"),
+    )
+    corpus = corpus.select(
+        "neighbor_id", "ne", _dot(F.col("ne"), F.col("ne")).alias("nn")
     )
     from pyspark.sql import Window
 
@@ -130,7 +143,10 @@ def bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "neighbor_id",
-            _cosine(F.col("pe"), F.col("ne")).alias("cos"),
+            (
+                _dot(F.col("pe"), F.col("ne"))
+                / F.sqrt(F.col("pp") * F.col("nn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -204,11 +220,18 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         plane = F.array(*[F.lit(float(s)) for s in PLANES[p]])
         term = F.when(_dot(F.col("e"), plane) > 0, F.lit(1 << p)).otherwise(0)
         bucket = term if bucket is None else bucket + term
-    sig = emb.select("vec_id", "e", bucket.alias("bucket"))
+    # Per-vector norm rides next to the bucket signature (r12): the
+    # rerank's self-dots otherwise recompute per candidate pair. Same
+    # doubles, same multiply order — bit-identical cosines.
+    sig = emb.select(
+        "vec_id", "e", bucket.alias("bucket"),
+        _dot(F.col("e"), F.col("e")).alias("ee"),
+    )
     probes = sig.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
         F.col("bucket").alias("pbucket"),
+        F.col("ee").alias("pp"),
     )
     cands = sig.join(
         F.broadcast(probes),
@@ -217,7 +240,10 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("pe"), F.col("e")).alias("cos"),
+        (
+            _dot(F.col("pe"), F.col("e"))
+            / F.sqrt(F.col("pp") * F.col("ee"))
+        ).alias("cos"),
     )
     from pyspark.sql import Window
 
@@ -372,9 +398,20 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = _cosine(F.col("ea"), F.col("eb"))
+    # Hoisted per-vector norms (r12): the rerank previously evaluated
+    # dot(ea,ea) and dot(eb,eb) once per candidate PAIR — and the
+    # filter + projection each re-evaluated the full cosine. One norm
+    # per vector, one dot per pair; sqrt(na * nb) multiplies the same
+    # doubles in the same order, so cosines are bit-identical.
+    x = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        _dot(F.col("e"), F.col("e")).alias("na"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        _dot(F.col("e"), F.col("e")).alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
     return (
         cands.join(x, "vec_a")
         .join(y, "vec_b")
@@ -433,11 +470,17 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Catalog(spark, sf_dir)
+    # Hoisted norms (r12): the cell-assignment cosine recomputed the
+    # vector's self-dot once per CENTROID and the rerank once per
+    # candidate pair. One norm per vector / per seed; sqrt(ee * cn)
+    # multiplies the same doubles in the same order — bit-identical.
     emb = t.embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
+    emb = emb.select("vec_id", "e", _dot(F.col("e"), F.col("e")).alias("ee"))
     seeds = emb.where(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"),
+        F.col("ee").alias("cn"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cell_cos"), "cell_id"
@@ -447,11 +490,15 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "e",
+            "ee",
             "cell_id",
-            _cosine(F.col("e"), F.col("ce")).alias("cell_cos"),
+            (
+                _dot(F.col("e"), F.col("ce"))
+                / F.sqrt(F.col("ee") * F.col("cn"))
+            ).alias("cell_cos"),
         )
         .select(
-            "vec_id", "e", "cell_id",
+            "vec_id", "e", "ee", "cell_id",
             F.row_number().over(w_assign).alias("rn"),
         )
         .where(F.col("rn") == 1)
@@ -461,6 +508,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
         F.col("cell_id").alias("pcell"),
+        F.col("ee").alias("pp"),
     )
     cands = assigned.join(
         F.broadcast(probes),
@@ -469,7 +517,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("pe"), F.col("e")).alias("cos"),
+        (
+            _dot(F.col("pe"), F.col("e"))
+            / F.sqrt(F.col("pp") * F.col("ee"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -494,10 +545,23 @@ def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    # Hoisted norms (r12): self-dots once per vector / per centroid
+    # instead of once per (vector, centroid); same multiply order, so
+    # assignments are bit-identical.
+    emb_n = emb.select(
+        "vec_id", "e", _dot(F.col("e"), F.col("e")).alias("_ee")
+    )
+    cents_n = cents.select(
+        "cid", "ce", _dot(F.col("ce"), F.col("ce")).alias("_cn")
+    )
     return (
-        emb.join(F.broadcast(cents))
+        emb_n.join(F.broadcast(cents_n))
         .select(
-            "vec_id", "e", "cid", _cosine(F.col("e"), F.col("ce")).alias("cos")
+            "vec_id", "e", "cid",
+            (
+                _dot(F.col("e"), F.col("ce"))
+                / F.sqrt(F.col("_ee") * F.col("_cn"))
+            ).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

@@ -652,7 +652,7 @@ def win_suffix_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
+    Catalog(spark, sf_dir).register_views_for("orders")
     sfx = (
         "PARTITION BY o_custkey ORDER BY o_orderkey "
         "ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING"
@@ -711,7 +711,6 @@ def win_nth_value_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT o_orderkey AS ok,
            ROUND(NTH_VALUE(o_totalprice, 2) OVER (
@@ -730,6 +729,7 @@ def win_nth_value_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_custkey <= 300
     ORDER BY ok;
     """
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -776,7 +776,6 @@ def win_window_lowering_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views()
     stmt = """
     SELECT o_orderkey AS ok,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER sfx
@@ -789,4 +788,13 @@ def win_window_lowering_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 4 PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY ok;
     """
-    return spark.sql(translate_statement(stmt))
+    cat = Catalog(spark, sf_dir)
+    cat.register_views_for(stmt)
+    # catalog schema → direct loose-cast parse for the DECIMAL(18,2)
+    # projection (sqltrans r12 fast path; the server's parser has the
+    # same catalog at hand)
+    return spark.sql(
+        translate_statement(
+            stmt, numeric_columns=cat.numeric_columns(("orders",))
+        )
+    )
