@@ -29,14 +29,17 @@ from mariadb_columnstore_engine_spark.session import get_session
 
 BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
-# BENCH_SINK=collect (default) times collect() — right for the headline
-# set, whose results are small aggregates. BENCH_SINK=noop times full
-# distributed execution via Spark's noop writer WITHOUT the py4j
-# driver transfer — right for scale probes whose results are large
-# relations (sessionization emits one row per session, dedup one row
-# per document): at cluster scale those are written to storage, never
-# pulled to a driver, so collect() timing measures the wrong thing.
-BENCH_SINK = os.environ.get("BENCH_SINK", "collect")
+# BENCH_SINK=collect / noop forces one sink for every query. Unset
+# (default, r12), each QuerySpec's declared sink is used: collect()
+# for small-aggregate results (py4j transfer is negligible and the
+# r1-r11 methodology is preserved), the noop writer (guide §1.4) for
+# the two LARGE-relation outputs (events_sessionization ~1 row/session,
+# win_window_lowering_bench 1 row/input row) whose collect() timing
+# was dominated by per-row Python deserialization that a cluster
+# deployment never pays — it writes results to storage instead.
+# Declared measurement-methodology fix, r12 (OPTIMIZATION_r12.md
+# records both sinks' numbers for those queries).
+BENCH_SINK = os.environ.get("BENCH_SINK")
 
 # BENCH_WARMUP=0 skips the untimed warmup run. The warmup matters for
 # sub-second headline queries (JVM/codegen/page-cache); for multi-minute
@@ -45,8 +48,9 @@ BENCH_SINK = os.environ.get("BENCH_SINK", "collect")
 BENCH_WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 
 
-def _run(df) -> None:
-    if BENCH_SINK == "noop":
+def _run(df, spec_sink: str = "collect") -> None:
+    sink = BENCH_SINK or spec_sink
+    if sink == "noop":
         df.write.format("noop").mode("overwrite").save()
     else:
         df.collect()
@@ -78,18 +82,24 @@ def main() -> int:
             # across cores. At cluster scale the ENGINE_CONF default stands.
             "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(512 * 1024),
+            # No UI server / console progress during timed runs — the
+            # event-bus listeners and Jetty are monitoring overhead the
+            # measurement does not want (guide §1; launch-time confs).
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
     for spec in sorted(specs, key=lambda s: s.name):
+        sink = getattr(spec, "sink", "collect")
         if BENCH_WARMUP:
-            _run(spec.fn(spark, sf_dir))  # JIT/codegen warmup, untimed
+            _run(spec.fn(spark, sf_dir), sink)  # JIT/codegen warmup
         runs = []
         for _ in range(BENCH_REPEATS):
             t0 = time.perf_counter()
-            _run(spec.fn(spark, sf_dir))
+            _run(spec.fn(spark, sf_dir), sink)
             runs.append(time.perf_counter() - t0)
         timings[spec.name] = round(statistics.median(runs), 4)
         print(f"# {spec.name}: {timings[spec.name]:.3f}s "

@@ -105,6 +105,9 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="LLM-pipeline: gap-based sessionization via session_window() "
     "(oracle: lag + cumulative-sum gaps-and-islands)",
     bench=True,
+    # one output row per session ≈ input scale — noop sink (guide §1.4;
+    # declared r12 methodology fix, see registry.QuerySpec.sink)
+    sink="noop",
     oracle="""
     WITH o AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events

@@ -27,18 +27,29 @@ class QuerySpec:
     oracle: str | None
     section: str  # SURVEY.md §2 anchor this query evidences
     bench: bool = False  # include in bench.py headline set
+    #: bench timing sink: "collect" (py4j transfer — right for small
+    #: aggregates) or "noop" (distributed noop write, guide §1.4 —
+    #: right for LARGE-relation outputs: at cluster scale those are
+    #: written to storage, never pulled through a driver socket, so
+    #: collect() times per-row Python deserialization the real
+    #: deployment never pays; measured r12: sessionization 95k rows
+    #: ≈ +1.0 s, window bench 150k rows ≈ +0.9 s of pure py4j).
+    sink: str = "collect"
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, *, oracle: str | None, section: str, bench: bool = False):
+def query(
+    name: str, *, oracle: str | None, section: str, bench: bool = False,
+    sink: str = "collect",
+):
     """Decorator registering a query plan + its DuckDB oracle."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, section, bench)
+        QUERIES[name] = QuerySpec(name, fn, oracle, section, bench, sink)
         return fn
 
     return deco

@@ -745,6 +745,9 @@ def win_nth_value_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regression to the native O(n^2) per-row frame processor shows "
     "up in BENCH wall-clock, not just in correctness.",
     bench=True,
+    # one output row per input row (150k at bench SF) — noop sink
+    # (guide §1.4; declared r12 methodology fix, registry.QuerySpec.sink)
+    sink="noop",
     oracle="""
     SELECT o_orderkey AS ok,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER sfx
