@@ -495,23 +495,33 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 optimization (guide §1.2 step 1 — remove a full pass): the
+    literal IN-subquery plan scanned lineitem TWICE (the HAVING
+    aggregate, then the probe side), semi-joined, and re-aggregated
+    the surviving lineitems to recover the per-order quantity it had
+    already computed. The per-order SUM is computed ONCE and joined
+    back instead. Equivalence: the outer GROUP BY's grain is
+    o_orderkey (orders⋈customer is 1:1 per order), so its
+    sum(l_quantity) over the semi-join survivors IS the HAVING
+    aggregate's value for that order; l_quantity is integral by TPC-H
+    definition, so the double sums are exact regardless of
+    accumulation order — bit-identical to the oracle's two-pass
+    spelling. Oracle SQL unchanged (still the IN-subquery shape);
+    the semi-join plan family keeps its own evidence rows
+    (subq_in_semi, join_semi_customers_with_f_orders)."""
     t = Catalog(spark, sf_dir)
     big = (
         t.lineitem.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .where(F.col("_q") > 150)
-        .select(F.col("l_orderkey").alias("_big_key"))
     )
     return (
-        t.lineitem.join(
-            big, F.col("l_orderkey") == F.col("_big_key"), "left_semi"
-        )
-        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        big.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.round(F.col("_q"), 2).alias("total_qty"),
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
