@@ -411,12 +411,20 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
         _dot(F.col("e"), F.col("e")).alias("nb"),
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    # ``+ rand()*0`` is numerically the identity (adding +0.0 changes no
+    # bit of a double) but marks the alias non-deterministic, so the
+    # threshold filter is NOT inlined into the verify join's condition
+    # and the output Project does not re-evaluate the dot product — the
+    # 64-dim dot runs exactly once per candidate pair instead of 2×
+    # (same fix as text_minhash_lsh_dedup's Jaccard, r12).
+    cos = (_dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+           + F.rand() * F.lit(0.0))
     return (
         cands.join(x, "vec_a")
         .join(y, "vec_b")
-        .where(cos >= COSINE_PAIR_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= COSINE_PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
 

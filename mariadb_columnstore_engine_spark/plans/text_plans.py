@@ -569,7 +569,16 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = mh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = mh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    # ``+ rand()*0`` is numerically the identity (jac is a non-negative
+    # double or NaN; +0.0 changes no bit of either) but marks the alias
+    # non-deterministic, which stops PushPredicateThroughNonJoin from
+    # inlining the threshold filter into the verify join's condition and
+    # the optimizer from duplicating it into the output Project. Without
+    # it the plan evaluated array_intersect (the expensive O(|sh|) part)
+    # up to 4× per candidate pair — join condition (2×: numerator +
+    # denominator) plus output Project (2×); now exactly once per pair.
+    jac = (inter / (F.size("sh_a") + F.size("sh_b") - inter)
+           + F.rand() * F.lit(0.0))
     # Envelope-aware verify-join strategy (_choose_verify_hint):
     # shuffle_hash (partitioned build, broadcast-suppressed) when each
     # build partition fits the per-task budget; merge (sort-merge,
@@ -579,8 +588,9 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(x.hint(vhint), "doc_a")
         .join(y.hint(vhint), "doc_b")
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
