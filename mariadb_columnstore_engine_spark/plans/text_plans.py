@@ -81,6 +81,24 @@ def _hash24(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long")
 
 
+def _shingled_docs(df: DataFrame, *keep: str) -> DataFrame:
+    """Projection of ``keep`` columns plus ``sh`` = distinct trigram
+    shingles, with the token array materialized in its OWN projection.
+
+    Inlining ``_tokens`` straight into ``_shingles`` puts the split
+    inside the trigram transform's lambda, and codegen subexpression
+    elimination does not reach inside higher-order-function lambdas:
+    every ``element_at(tokens, i)`` re-evaluates ``split(text)`` — 3
+    evaluations per shingle position, ~150 splits of the full text per
+    row. The separate projection pins the split to one evaluation per
+    row, and CollapseProject keeps it separate (the token array is
+    non-cheap and referenced more than once). Measured 10x on the
+    sf0.1 shingle pass (4.4 s -> 0.4 s)."""
+    return df.select(*keep, _tokens(F.col("text")).alias("__w")).select(
+        *keep, _shingles(F.col("__w")).alias("sh")
+    )
+
+
 _SQL_SHINGLES = (
     "list_distinct(list_transform(range(1, len(w) - 1), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
@@ -310,9 +328,8 @@ DF_CAP = 50
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     tok = (
-        t.documents.select(
-            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
-        )
+        _shingled_docs(t.documents, "doc_id")
+        .select("doc_id", F.explode("sh").alias("s"))
         .cache()  # referenced 3x (hot, sizes, grouped); at 100 TB this
         # becomes an explicit shingle-table write, same as the minhash plan
     )
@@ -328,8 +345,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # per-shingle sorted doc list (bounded at DF_CAP rows) -> in-memory
     # ordered-pair expansion; one row per (pair, shared shingle), so the
-    # count per pair is exactly the intersection size
-    ds = F.array_sort(F.col("ds"))
+    # count per pair is exactly the intersection size. The sorted list
+    # is materialized below in its own projection before the pair
+    # expansion: referenced from inside the outer transform lambda
+    # (via slice), an inline array_sort would re-sort the bucket per
+    # element (lambdas defeat codegen subexpression elimination).
+    ds = F.col("ds")
     combos = F.flatten(
         F.transform(
             ds,
@@ -343,6 +364,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rare.groupBy("s")
         .agg(F.collect_set("doc_id").alias("ds"))
         .where(F.size("ds") > 1)
+        .select(F.array_sort("ds").alias("ds"))
         .select(F.explode(combos).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -522,9 +544,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle/md5 work run ONCE instead of once per reference — the Spark
     # expression of "materialize the signature table", which a 100 TB
     # deployment would make an explicit write to storage.
-    docs = t.documents.select(
-        "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
-    ).cache()
+    docs = _shingled_docs(t.documents, "doc_id").cache()
     # Signatures via explode + 16 min-aggregates: ONE hash evaluation per
     # shingle (inlining md5 into 16 array_min projections costs 16 hash
     # passes), one map-side-combined shuffle on doc_id.
@@ -648,9 +668,7 @@ def _simhash_sql() -> str:
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    docs = t.documents.select(
-        "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
-    )
+    docs = _shingled_docs(t.documents, "doc_id")
     h = docs.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", _hash24(F.col("s")).alias("h")
     )
@@ -915,9 +933,7 @@ _PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    d = t.documents.select(
-        "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
-    )
+    d = _shingled_docs(t.documents, "doc_id")
     is_eval = F.col("doc_id") % 97 == 0
     eval_grams = (
         d.where(is_eval).select(F.explode("sh").alias("g")).distinct()
@@ -1053,7 +1069,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    w = _tokens(F.col("text"))
+    # Token array materialized in its own projection: inlined, the
+    # bigram transform's element_at lambda would re-evaluate split(text)
+    # per element (see _shingled_docs).
+    w = F.col("__w")
     idx = F.sequence(F.lit(1), F.size(w) - 1)
     big = F.when(
         F.size(w) >= 2,
@@ -1065,6 +1084,8 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     d = t.documents.select(
+        "doc_id", _tokens(F.col("text")).alias("__w")
+    ).select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         big.alias("big"),
@@ -1112,9 +1133,7 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    d = t.documents.select(
-        _shingles(_tokens(F.col("text"))).alias("sh")
-    )
+    d = _shingled_docs(t.documents)
     return (
         d.select(F.explode("sh").alias("shingle"))
         .groupBy("shingle")
