@@ -369,6 +369,8 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).cache()
+    # Per-vector self-norm hoisted below the explode (r12): one dot per
+    # vector, not per pair; rides the band rows through the self-join.
     band_structs = []
     for k in range(PAIR_BANDS):
         key = None
@@ -382,11 +384,48 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit(k).alias("band_id"), key.alias("key"))
         )
     bands = emb.select(
-        "vec_id", "e", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("vec_id", "e", "bk.band_id", "bk.key")
+        "vec_id", "e", _dot(F.col("e"), F.col("e")).alias("n2"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("vec_id", "e", "n2", "bk.band_id", "bk.key")
+    # Join strategy, MEASURED at sf0.1 and sf1 (r12): the band key
+    # space is only PAIR_BANDS x 2^PAIR_ROWS = 48 values, so the
+    # in-bucket work skews. Salting (a-side xxhash64 salt, b-side
+    # exploded k ways, guide §2.5) and a SHUFFLE_HASH hint were both
+    # tried: at sf1 the unsalted sort-merge is FASTEST (14.7 s vs 15.8
+    # salt=8, 21.8 salt=8+SHJ, 58.8 SHJ) because AQE's skew-join split
+    # already parallelizes the oversized sort-merge partitions there,
+    # while salting pays b-side replication for nothing; only below
+    # AQE's 256 MB skew threshold (sf0.1 fixtures) would salt+SHJ win
+    # (2.2 s vs 4.6 s) — the wrong regime to tune for. Sort-merge also
+    # spills natively (DiskJoinStep parity, as in the minhash verify).
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    # Score INSIDE the band self-join (r12, guide §8: move the payload
+    # once). The 4-bit band keys are a recall device, not a filter —
+    # measured 18% of ALL pairs collide in some band — so the former
+    # shape (distinct pair list, then two joins back to the embedding
+    # table) re-shuffled a 64-double payload per candidate pair:
+    # ~0.18·N²/2 pairs × 2·512 B, quadratic in bytes (≈19 GB at sf1).
+    # Both self-join sides already carry the vector, so the cosine is
+    # computed where the pair is born; only the sparse survivors
+    # (cos ≥ threshold) reach the dedup shuffle. A pair colliding in
+    # several bands is scored up to PAIR_BANDS times, but each
+    # evaluation folds the same doubles in the same order, so the
+    # rounded copies are identical and distinct() collapses them —
+    # results bit-identical to the join-back shape (oracle-verified).
+    #
+    # ``+ rand()*0`` is numerically the identity (adding +0.0 changes no
+    # bit of a double) but marks the alias non-deterministic, so the
+    # threshold filter is NOT inlined into the join condition and the
+    # output Project does not re-evaluate the dot product — the 64-dim
+    # dot runs exactly once per collision (same fix as
+    # text_minhash_lsh_dedup's Jaccard, r12).
+    cos = (
+        _dot(F.col("a.e"), F.col("b.e"))
+        / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+        + F.rand() * F.lit(0.0)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -394,37 +433,13 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
         )
-        .distinct()
-    )
-    # Hoisted per-vector norms (r12): the rerank previously evaluated
-    # dot(ea,ea) and dot(eb,eb) once per candidate PAIR — and the
-    # filter + projection each re-evaluated the full cosine. One norm
-    # per vector, one dot per pair; sqrt(na * nb) multiplies the same
-    # doubles in the same order, so cosines are bit-identical.
-    x = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-        _dot(F.col("e"), F.col("e")).alias("na"),
-    )
-    y = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-        _dot(F.col("e"), F.col("e")).alias("nb"),
-    )
-    # ``+ rand()*0`` is numerically the identity (adding +0.0 changes no
-    # bit of a double) but marks the alias non-deterministic, so the
-    # threshold filter is NOT inlined into the verify join's condition
-    # and the output Project does not re-evaluate the dot product — the
-    # 64-dim dot runs exactly once per candidate pair instead of 2×
-    # (same fix as text_minhash_lsh_dedup's Jaccard, r12).
-    cos = (_dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
-           + F.rand() * F.lit(0.0))
-    return (
-        cands.join(x, "vec_a")
-        .join(y, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos"))
         .where(F.col("cos") >= COSINE_PAIR_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 
