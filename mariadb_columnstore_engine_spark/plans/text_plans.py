@@ -81,6 +81,18 @@ def _hash24(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long")
 
 
+#: SQL spelling of _shingles(F.col("__w")) — parses to the identical
+#: analyzed plan (same transform/element_at/array_distinct operators,
+#: pinned by tests/test_text_edges.py equality assert) in ONE py4j
+#: round trip instead of the ~30 the Column-API lambda issues.
+_SHINGLE_EXPR = (
+    "CASE WHEN size(__w) >= 3 THEN array_distinct(transform("
+    "sequence(1, size(__w) - 2), i -> concat_ws(' ', "
+    "element_at(__w, i), element_at(__w, i + 1), element_at(__w, i + 2))"
+    ")) ELSE CAST(array() AS array<string>) END"
+)
+
+
 def _shingled_docs(df: DataFrame, *keep: str) -> DataFrame:
     """Projection of ``keep`` columns plus ``sh`` = distinct trigram
     shingles, with the token array materialized in its OWN projection.
@@ -94,8 +106,8 @@ def _shingled_docs(df: DataFrame, *keep: str) -> DataFrame:
     row, and CollapseProject keeps it separate (the token array is
     non-cheap and referenced more than once). Measured 10x on the
     sf0.1 shingle pass (4.4 s -> 0.4 s)."""
-    return df.select(*keep, _tokens(F.col("text")).alias("__w")).select(
-        *keep, _shingles(F.col("__w")).alias("sh")
+    return df.selectExpr(*keep, "split(text, ' ') AS __w").selectExpr(
+        *keep, f"{_SHINGLE_EXPR} AS sh"
     )
 
 
@@ -548,29 +560,33 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signatures via explode + 16 min-aggregates: ONE hash evaluation per
     # shingle (inlining md5 into 16 array_min projections costs 16 hash
     # passes), one map-side-combined shuffle on doc_id.
+    # Expression groups are built as single F.expr strings (r12): the
+    # Column-API spelling issued ~10 py4j round-trips per permutation —
+    # 0.2 s of driver-side plan construction per invocation at 16
+    # permutations + 4 band structs, measured. One parse call per
+    # group yields the IDENTICAL analyzed plan (same operators, same
+    # literal types: a, b < P < 2^24 stay int32 and promote to bigint
+    # against h exactly as lit() did) — oracle parity pins the results.
     tok = docs.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", _hash24(F.col("s")).alias("h")
     )
     mh_cols = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{j}")
+        F.expr(f"min(({a} * h + {b}) % {P}) AS m{j}")
         for j, (a, b) in enumerate(HASH_AB)
     ]
     mh = tok.groupBy("doc_id").agg(*mh_cols).join(docs, "doc_id").cache()
-    band_structs = [
-        F.struct(
-            F.lit(k).alias("band_id"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"m{j}")
-                    for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)
-                ],
-            ).alias("key"),
+    band_structs = ", ".join(
+        "struct({k} as band_id, concat_ws('_', {cols}) as key)".format(
+            k=k,
+            cols=", ".join(
+                f"m{j}"
+                for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)
+            ),
         )
         for k in range(N_BANDS)
-    ]
+    )
     bands = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bk")
     ).select("doc_id", "bk.band_id", "bk.key")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -586,9 +602,8 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    x = mh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = mh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    x = mh.selectExpr("doc_id AS doc_a", "sh AS sh_a")
+    y = mh.selectExpr("doc_id AS doc_b", "sh AS sh_b")
     # ``+ rand()*0`` is numerically the identity (jac is a non-negative
     # double or NaN; +0.0 changes no bit of either) but marks the alias
     # non-deterministic, which stops PushPredicateThroughNonJoin from
@@ -596,9 +611,14 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the optimizer from duplicating it into the output Project. Without
     # it the plan evaluated array_intersect (the expensive O(|sh|) part)
     # up to 4× per candidate pair — join condition (2×: numerator +
-    # denominator) plus output Project (2×); now exactly once per pair.
-    jac = (inter / (F.size("sh_a") + F.size("sh_b") - inter)
-           + F.rand() * F.lit(0.0))
+    # denominator) plus output Project (2×); now exactly once per pair
+    # (the two textual array_intersect occurrences below are one tree
+    # node after codegen subexpression elimination, same as the former
+    # shared Column object).
+    jac_expr = (
+        "size(array_intersect(sh_a, sh_b)) / (size(sh_a) + size(sh_b)"
+        " - size(array_intersect(sh_a, sh_b))) + rand() * 0.0 AS jac"
+    )
     # Envelope-aware verify-join strategy (_choose_verify_hint):
     # shuffle_hash (partitioned build, broadcast-suppressed) when each
     # build partition fits the per-task budget; merge (sort-merge,
@@ -608,9 +628,9 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(x.hint(vhint), "doc_a")
         .join(y.hint(vhint), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jac"))
+        .selectExpr("doc_a", "doc_b", jac_expr)
         .where(F.col("jac") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+        .selectExpr("doc_a", "doc_b", "round(jac, 4) AS jaccard")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -35,6 +35,32 @@ def test_shingles_short_docs_empty_not_crash(spark):
     assert got[4] == ["one two three", "two three four"]
 
 
+def test_shingled_docs_sql_spelling_equals_column_api(spark):
+    """_SHINGLE_EXPR (the one-round-trip SQL spelling the plans use)
+    must stay the same computation as _shingles(_tokens(...)) — same
+    short-doc gating, same trigram strings, same distinct order."""
+    from mariadb_columnstore_engine_spark.plans.text_plans import (
+        _shingled_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["", "one", "one two", "one two three",
+             "one two three four", "a a a a a", "x  y", "a b c a b c"])],
+        "doc_id long, text string",
+    )
+    via_sql = [
+        r.sh for r in _shingled_docs(df, "doc_id").orderBy("doc_id").collect()
+    ]
+    via_api = [
+        r.sh
+        for r in df.select(
+            "doc_id", _shingles(_tokens(F.col("text"))).alias("sh")
+        ).orderBy("doc_id").collect()
+    ]
+    assert via_sql == via_api
+
+
 def test_shingles_match_duckdb_on_short_docs(spark, duck):
     rows = duck.execute(
         "SELECT list_distinct(list_transform(range(1, len(w) - 1), "
