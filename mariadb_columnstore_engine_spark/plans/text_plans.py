@@ -93,7 +93,7 @@ _SHINGLE_EXPR = (
 )
 
 
-def _shingled_docs(df: DataFrame, *keep: str) -> DataFrame:
+def _shingled_docs(df: DataFrame, *keep: str, pin: bool = False) -> DataFrame:
     """Projection of ``keep`` columns plus ``sh`` = distinct trigram
     shingles, with the token array materialized in its OWN projection.
 
@@ -105,9 +105,29 @@ def _shingled_docs(df: DataFrame, *keep: str) -> DataFrame:
     row. The separate projection pins the split to one evaluation per
     row, and CollapseProject keeps it separate (the token array is
     non-cheap and referenced more than once). Measured 10x on the
-    sf0.1 shingle pass (4.4 s -> 0.4 s)."""
+    sf0.1 shingle pass (4.4 s -> 0.4 s).
+
+    ``pin=True`` wraps ``sh`` in an always-true non-deterministic CASE
+    (``monotonically_increasing_id() >= -1``): when a caller explodes
+    ``sh`` directly, InferFiltersFromGenerate adds a ``size(sh) > 0``
+    filter and pushes it through this projection, re-inlining the
+    ENTIRE shingle expression (split-in-lambda pathology included)
+    into the filter condition — the shingle pass then runs twice per
+    row. The pin keeps the inferred filter above the projection,
+    reading the computed attribute. mid() rather than rand(): the
+    optimizer knows rand's [0,1) range and folds ``rand() >= 0`` away
+    (verified on 4.1), and mid has no per-analysis seed, so pinned
+    plans still canonicalize equal across invocations (cache lookups
+    keep matching). Use only where no row filter needs to push
+    through to the scan — the non-determinism blocks ALL filter
+    pushdown through the projection — weigh that against the
+    doubled shingle pass per site (decontaminate's doc_id % 97 filter
+    loses nothing: a modulo can't use parquet min/max stats, and
+    pinning measured 7x faster there)."""
+    sh = (f"CASE WHEN monotonically_increasing_id() >= -1 "
+          f"THEN {_SHINGLE_EXPR} END" if pin else _SHINGLE_EXPR)
     return df.selectExpr(*keep, "split(text, ' ') AS __w").selectExpr(
-        *keep, f"{_SHINGLE_EXPR} AS sh"
+        *keep, f"{sh} AS sh"
     )
 
 
@@ -340,7 +360,7 @@ DF_CAP = 50
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     tok = (
-        _shingled_docs(t.documents, "doc_id")
+        _shingled_docs(t.documents, "doc_id", pin=True)
         .select("doc_id", F.explode("sh").alias("s"))
         .cache()  # referenced 3x (hot, sizes, grouped); at 100 TB this
         # becomes an explicit shingle-table write, same as the minhash plan
@@ -688,7 +708,7 @@ def _simhash_sql() -> str:
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    docs = _shingled_docs(t.documents, "doc_id")
+    docs = _shingled_docs(t.documents, "doc_id", pin=True)
     h = docs.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", _hash24(F.col("s")).alias("h")
     )
@@ -953,7 +973,11 @@ _PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    d = _shingled_docs(t.documents, "doc_id")
+    # pin=True despite the is_eval row filter: doc_id % 97 is not a
+    # range predicate, so parquet stats can never skip on it — the
+    # pushdown the pin blocks was worthless, while the inferred-filter
+    # re-evaluation it prevents cost 7x (9.3 s -> 1.4 s at sf0.1).
+    d = _shingled_docs(t.documents, "doc_id", pin=True)
     is_eval = F.col("doc_id") % 97 == 0
     eval_grams = (
         d.where(is_eval).select(F.explode("sh").alias("g")).distinct()
@@ -1153,7 +1177,7 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    d = _shingled_docs(t.documents)
+    d = _shingled_docs(t.documents, pin=True)
     return (
         d.select(F.explode("sh").alias("shingle"))
         .groupBy("shingle")
