@@ -63,6 +63,16 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL spelling of _dot over column NAMES — parses to the identical
+    analyzed plan (same ArrayAggregate/ZipWith, 0.0D is the same
+    Literal(0.0, Double) as F.lit(0.0)) in one py4j round trip where
+    the Column form issues ~40 (two Python lambda conversions plus the
+    operator chain) — plan-construction cost, r12 change 12."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
@@ -121,41 +131,39 @@ def bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own projection keeps the per-pair work to ONE dot product.
     # sqrt(pp * nn) multiplies the same doubles the inline form did, so
     # results are bit-identical.
-    probes = emb.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        _as_double(F.col("embedding")).alias("pe"),
+    # selectExpr throughout (r12 change 12): the Column-API spelling of
+    # this build issued ~790 py4j round trips (~0.17 s per invocation);
+    # the SQL strings parse to the identical analyzed plan.
+    probes = emb.where(F.col("vec_id") < N_PROBES).selectExpr(
+        "vec_id AS probe_id",
+        "CAST(embedding AS array<double>) AS pe",
     )
-    probes = probes.select(
-        "probe_id", "pe", _dot(F.col("pe"), F.col("pe")).alias("pp")
+    probes = probes.selectExpr(
+        "probe_id", "pe", f"{_dot_sql('pe', 'pe')} AS pp"
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _as_double(F.col("embedding")).alias("ne"),
+    corpus = emb.selectExpr(
+        "vec_id AS neighbor_id",
+        "CAST(embedding AS array<double>) AS ne",
     )
-    corpus = corpus.select(
-        "neighbor_id", "ne", _dot(F.col("ne"), F.col("ne")).alias("nn")
+    corpus = corpus.selectExpr(
+        "neighbor_id", "ne", f"{_dot_sql('ne', 'ne')} AS nn"
     )
-    from pyspark.sql import Window
-
     scored = (
         corpus.join(F.broadcast(probes))
         .where(F.col("neighbor_id") != F.col("probe_id"))
-        .select(
+        .selectExpr(
             "probe_id",
             "neighbor_id",
-            (
-                _dot(F.col("pe"), F.col("ne"))
-                / F.sqrt(F.col("pp") * F.col("nn"))
-            ).alias("cos"),
+            f"{_dot_sql('pe', 'ne')} / sqrt(pp * nn) AS cos",
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        scored.select(
+        scored.selectExpr(
             "probe_id",
             "neighbor_id",
             "cos",
-            F.row_number().over(w).alias("rank"),
+            "row_number() OVER (PARTITION BY probe_id "
+            "ORDER BY cos DESC, neighbor_id) AS rank",
         )
         .where(F.col("rank") <= TOP_K)
         .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"),

@@ -59,6 +59,16 @@ ENGINE_CONF: dict[str, str] = {
     # Turn full-precision decimal ops on (reference supports DECIMAL(38)
     # via int128, datatypes/mcs_int128.h:56).
     "spark.sql.decimalOperations.allowPrecisionLoss": "false",
+    # PySpark 4's DataFrame-debugging hook wraps EVERY DataFrame/Column
+    # API call to capture the Python call site and ship it to the JVM
+    # (PySparkCurrentOrigin.set/clear = 2 extra py4j round trips per
+    # call). That is error-message enrichment, not semantics; on a
+    # query engine issuing hundreds of calls per plan it is pure
+    # driver-side construction overhead — measured 30-45% of plan-build
+    # time (q1 0.156->0.090 s, bruteforce 0.122->0.073 s per build,
+    # r12 change 12). Any driver at any scale pays it; off by default
+    # here, overridable like every other entry.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Long-lived sessions run thousands of statements; the SQL UI's
     # default retention (1000 executions, each holding full plan strings
     # and per-stage metrics) grows driver heap without bound and can OOM
