@@ -73,6 +73,15 @@ def _dot_sql(a: str, b: str) -> str:
             f"(acc, v) -> acc + v)")
 
 
+def _plane_array_sql(plane: list[int]) -> str:
+    """SQL literal spelling of a ±1 hyperplane as array<double> — the
+    same Literal(±1.0, Double) elements F.lit(float(s)) produced, with
+    ZERO py4j calls (the Column form issued one per element: 65 round
+    trips per 64-dim plane, ~780 per 12-plane bank — measured 0.3 s of
+    the cosine_neardup build)."""
+    return "array(" + ", ".join(f"{float(s)!r}D" for s in plane) + ")"
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
@@ -225,7 +234,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = None
     for p in range(N_PLANES):
-        plane = F.array(*[F.lit(float(s)) for s in PLANES[p]])
+        plane = F.expr(_plane_array_sql(PLANES[p]))
         term = F.when(_dot(F.col("e"), plane) > 0, F.lit(1 << p)).otherwise(0)
         bucket = term if bucket is None else bucket + term
     # Per-vector norm rides next to the bucket signature (r12): the
@@ -383,9 +392,7 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(PAIR_BANDS):
         key = None
         for r in range(PAIR_ROWS):
-            plane = F.array(
-                *[F.lit(float(s)) for s in PAIR_PLANES[k * PAIR_ROWS + r]]
-            )
+            plane = F.expr(_plane_array_sql(PAIR_PLANES[k * PAIR_ROWS + r]))
             bit = F.when(_dot(F.col("e"), plane) > 0, F.lit(1 << r)).otherwise(0)
             key = bit if key is None else key + bit
         band_structs.append(
