@@ -2082,7 +2082,15 @@ def _render_column_sql(build, *, arg_type: str = "date"):
     from pyspark.sql import SparkSession
     import pyspark.sql.functions as F
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession() resolves through a JVM-thread-local, and py4j
+    # maps each *Python* thread to its own JVM thread — so a worker
+    # thread that never built the session sees None even while the
+    # process has one running (surfaced by the 8-thread concurrency
+    # probe: sql_mariadb_front_end2 failed only under interleaving,
+    # only on a cold template cache). Fall back to the process-global
+    # instantiated session (set on creation, cleared on stop); the
+    # truly-session-less error stays for the no-session case.
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
         raise ValueError(
             "WEEK/YEARWEEK/JSON-format translation needs an active "

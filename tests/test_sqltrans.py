@@ -103,7 +103,10 @@ def test_week_specifier_needs_session():
     # (the happy path is test_date_format_week_specifiers_no_longer_raise)
     from pyspark.sql import SparkSession
 
-    if SparkSession.getActiveSession() is None:
+    if (
+        SparkSession.getActiveSession() is None
+        and SparkSession._instantiatedSession is None
+    ):
         with pytest.raises(ValueError, match="active SparkSession"):
             translate_statement("SELECT DATE_FORMAT(d, '%X-%V') FROM t")
 
@@ -238,6 +241,39 @@ def test_date_format_week_specifiers_no_longer_raise(spark):
     row = spark.sql(q).collect()[0]
     # MariaDB: SELECT DATE_FORMAT('2000-01-01', '%X-%V') -> '1999-52'
     assert row.xv == "1999-52"
+
+
+def test_week_specifier_translates_from_worker_thread(spark):
+    # getActiveSession() is JVM-thread-local and py4j gives each Python
+    # thread its own JVM thread, so a worker thread that never touched
+    # the session sees None there — the Catalyst bridge must fall back
+    # to the process-global instantiated session (8-thread concurrency
+    # probe regression: sql_mariadb_front_end2 failed only when a cold
+    # template cache was first hit from a worker thread).
+    import threading
+
+    from mariadb_columnstore_engine_spark.functions import sqltrans
+
+    saved = dict(sqltrans._TPL_CACHE)
+    sqltrans._TPL_CACHE.clear()  # force the render path, not a cache hit
+    result: dict = {}
+
+    def worker():
+        try:
+            result["q"] = translate_statement(
+                "SELECT DATE_FORMAT(DATE '2000-01-01', '%X-%V') AS xv"
+            )
+        except Exception as ex:  # noqa: BLE001 — recorded for the assert
+            result["err"] = ex
+
+    try:
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join(60)
+        assert "err" not in result, f"worker-thread translate: {result.get('err')}"
+        assert spark.sql(result["q"]).collect()[0].xv == "1999-52"
+    finally:
+        sqltrans._TPL_CACHE.update(saved)
 
 
 # --- round-4 rewrites: WITH ROLLUP, CONVERT, CAST AS SIGNED/UNSIGNED ------
