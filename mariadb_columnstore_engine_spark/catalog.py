@@ -91,6 +91,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cache is not None and stat is not None:
         hit = cache.get(key)
         if hit is not None and hit[0] == stat:
+            if name == "events":
+                # The cached lazy DataFrame decodes TIMESTAMP(NANOS)
+                # only while the session conf holds; _read_table set it
+                # on the miss, but anything may have reset it since —
+                # re-assert on every hit (cheap conf get) so execution
+                # of the cached plan cannot misdecode (ADVICE r12).
+                _ensure_nanos_conf(spark)
             return hit[1]
     df = _read_table(spark, sf_dir, name)
     if cache is not None and stat is not None:
@@ -98,17 +105,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Session-level legacy flag required to decode TIMESTAMP(NANOS).
+    Deliberately NOT restored after the read: SQLConf is consulted at
+    execution time too, so reverting it would break a later collect()
+    of the returned (lazy) DataFrame. The flag only affects parquet
+    nanos columns, which no other fixture table has. Sessions built
+    via session.get_session carry it from ENGINE_CONF already; this
+    runtime set covers vanilla sessions (e.g. the driver's)."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # Session-level legacy flag required to decode TIMESTAMP(NANOS).
-        # Deliberately NOT restored after the read: SQLConf is consulted at
-        # execution time too, so reverting it would break a later collect()
-        # of the returned (lazy) DataFrame. The flag only affects parquet
-        # nanos columns, which no other fixture table has. Sessions built
-        # via session.get_session carry it from ENGINE_CONF already; this
-        # runtime set covers vanilla sessions (e.g. the driver's).
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_nanos_conf(spark)
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr(_TS_NTZ_FROM_NANOS))

@@ -1057,11 +1057,45 @@ _BARE_COL_RE = re.compile(
 
 #: aggregates whose result type equals (or integrally widens) their
 #: statically-numeric argument's type — safe carriers for the direct
-#: loose-cast parse. AVG excluded: its decimal result gains scale, and
-#: float AVG widens — keep it on the proven slow path.
+#: loose-cast parse. AVG included since r13 for STATIC-NUMERIC args
+#: only: avg(int/bigint) → double, avg(decimal(p,s)) → decimal(p+4,s+4),
+#: avg(double) → double — all statically numeric, and float args can
+#: never prove static (float columns are excluded from
+#: Catalog.numeric_columns), so the float-AVG widening hazard that kept
+#: AVG out in r12 cannot reach the fast path. Bit-equality pinned by
+#: tests/test_sqltrans_fast_cast.py's AVG battery.
 _NUM_AGG_RE = re.compile(
-    r"(?:SUM|MIN|MAX|COUNT)\s*\(", re.IGNORECASE
+    r"(?:SUM|MIN|MAX|COUNT|AVG)\s*\(", re.IGNORECASE
 )
+
+#: numeric literal (int / fixed-point / E-notation), optionally signed
+_NUM_LIT_RE = re.compile(
+    r"[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?"
+)
+
+
+def _split_top_level_arith(text: str) -> list[str] | None:
+    """Split ``text`` on top-level ``+ - *`` (the arithmetic operators
+    whose Spark result type over int/bigint/double/decimal operands is
+    again int/bigint/double/decimal — ``/`` and ``%`` were already
+    rewritten to try_divide/try_mod by the null-safe-division pass).
+    Returns None when no top-level operator exists. Parenthesized and
+    placeholder-masked regions are opaque to the scan."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and ch in "+-*":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts if len(parts) > 1 else None
 
 
 def _operand_static_numeric(
@@ -1075,20 +1109,62 @@ def _operand_static_numeric(
     - a bare column reference whose lowercase name is in
       ``numeric_columns`` (the caller's catalog schema, float columns
       already excluded);
-    - ``COUNT(...)`` / ``SUM/MIN/MAX(<static-numeric>)``, optionally
-      with an ``OVER (...)`` window suffix — the exact shape the
-      suffix-frame benchmark casts (``CAST(SUM(CAST(x AS
+    - ``COUNT(...)`` / ``SUM/MIN/MAX/AVG(<static-numeric>)``,
+      optionally with an ``OVER (...)`` window suffix — the exact
+      shape the suffix-frame benchmark casts (``CAST(SUM(CAST(x AS
       DECIMAL(18,2))) OVER w AS DOUBLE)``);
     - a nested loose cast to SIGNED/UNSIGNED/DOUBLE/DECIMAL (its
       emission's Spark type is statically numeric; FLOAT is excluded
       because float→decimal widening drifts from the float's string
-      render).
+      render);
+    - (r13, VERDICT r12 #6) arithmetic COMPOSITIONS of the above:
+      a parenthesized static-numeric expression, ``+ - *`` chains
+      whose every term is static-numeric or a numeric literal (the
+      result type of those operators over int/bigint/double/decimal
+      is again one of them), and ``try_divide/try_mod(<static>,
+      <static>)`` — the forms the null-safe-division pass emits for
+      the user's ``/`` and ``%``.
     """
     t = text.strip()
+    # strip redundant wrapping parens: (expr) has expr's type
+    while t.startswith("(") and t.endswith(")"):
+        try:
+            if _find_balanced(t, 0) != len(t):
+                break
+        except Exception:  # noqa: BLE001 — unbalanced, not our shape
+            return False
+        t = t[1:-1].strip()
     m = _BARE_COL_RE.fullmatch(t)
     if m:
         name = (m.group(1) or m.group(2) or "").lower()
         return name in numeric_columns
+    parts = _split_top_level_arith(t)
+    if parts is not None:
+        terms = [p.strip() for p in parts]
+        # empty terms are unary signs / operator runs (a + -b); at
+        # least one real term must remain and every real term must be
+        # static-numeric or a numeric literal
+        real = [p for p in terms if p]
+        return bool(real) and all(
+            _NUM_LIT_RE.fullmatch(p)
+            or _operand_static_numeric(p, numeric_columns)
+            for p in real
+        )
+    dm = re.match(r"(?:TRY_DIVIDE|TRY_MOD)\s*\(", t, re.IGNORECASE)
+    if dm:
+        open_at = t.index("(", dm.start())
+        try:
+            end = _find_balanced(t, open_at)
+        except Exception:  # noqa: BLE001
+            return False
+        if t[end:].strip():
+            return False
+        args = _split_top_level_commas(t[open_at + 1 : end - 1])
+        return len(args) == 2 and all(
+            _NUM_LIT_RE.fullmatch(a.strip())
+            or _operand_static_numeric(a, numeric_columns)
+            for a in args
+        )
     am = _NUM_AGG_RE.match(t)
     if am:
         open_at = t.index("(", am.start())
@@ -1880,8 +1956,31 @@ def translate_statement(
     at every numeric context; with the set provided, string columns
     used as math-function args or as bare boolean operands get the
     same my_strtod prefix read instead of Spark's ANSI cast error.
+
+    ``numeric_columns``: lowercase names of catalog columns statically
+    known numeric (Catalog.numeric_columns) — enables the r12 direct
+    loose-cast parse for bare references to them. PRECONDITION: a name
+    in the set must really be the catalog column wherever it appears
+    in ``sql``. Explicit ``AS <name>`` aliases that shadow a set member
+    (e.g. a derived table re-deriving a numeric name from a string
+    expression) are detected below and the shadowed name is dropped
+    back to the proven CAST-to-string path; an IMPLICIT (AS-less)
+    column alias that shadows a set member is the caller's
+    responsibility to avoid (ADVICE r12).
     """
     masked, store = _mask(sql)
+
+    if numeric_columns:
+        # shadowing guard: any `AS <name>` alias target in the statement
+        # may redefine <name> with non-catalog semantics — drop those
+        # names from the fast-path set (conservative: table aliases and
+        # unrelated column aliases only disable an optimization)
+        shadowed = {
+            m.group(1).lower()
+            for m in re.finditer(r"\bAS\s+`?(\w+)`?", masked, re.IGNORECASE)
+        }
+        if shadowed & numeric_columns:
+            numeric_columns = numeric_columns - frozenset(shadowed)
 
     masked = re.sub(rf"\b({_SELECT_OPTIONS})\b\s*", "", masked, flags=re.I)
     masked = re.sub(

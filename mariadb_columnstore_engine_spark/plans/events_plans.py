@@ -33,6 +33,7 @@ from mariadb_columnstore_engine_spark.plans.registry import query
     section="LLM-pipeline: event-time tumbling window (Spark window(); "
     "no reference analogue — batch-only engine, SURVEY §2.10)",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
                AS window_start,
@@ -105,6 +106,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="LLM-pipeline: gap-based sessionization via session_window() "
     "(oracle: lag + cumulative-sum gaps-and-islands)",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     # one output row per session ≈ input scale — noop sink (guide §1.4;
     # declared r12 methodology fix, see registry.QuerySpec.sink)
     sink="noop",

@@ -40,16 +40,106 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
+def _fixture_fingerprint(sf_dir: str):
+    """(name, size, mtime_ns) of every single-file parquet table under
+    ``sf_dir`` — the staleness key for the built-plan cache. Returns
+    None (never cache) for directory tables, empty dirs, or unstatable
+    paths (s3a:// etc.), matching catalog._stat_key's conservatism."""
+    import os
+
+    try:
+        entries = []
+        with os.scandir(sf_dir) as it:
+            for e in it:
+                if not e.name.endswith(".parquet"):
+                    continue
+                if e.is_dir():
+                    return None
+                st = e.stat()
+                entries.append((e.name, st.st_size, st.st_mtime_ns))
+        return tuple(sorted(entries)) or None
+    except OSError:
+        return None
+
+
+def _cached_plan(name: str, fn):
+    """Session-scoped memo of the BUILT (lazy, analyzed) DataFrame per
+    (query, sf_dir, fixture fingerprint) — VERDICT r12 #7.
+
+    This is plan reuse, not result caching: the DataFrame holds no
+    rows; every action still scans the parquet inputs. It is the
+    prepared-statement behavior every server engine has (the reference
+    parses/plans a pushed-down statement once per statement handle,
+    not once per fetch), and it composes with the r12 catalog
+    plan-metadata cache: that one removed per-build schema
+    re-inference, this one removes the remaining per-build analysis
+    (measured r12: ~0.09 s per TPC-H build, ~0.26 s for minhash —
+    driver-side py4j/analysis the bench re-paid on every timed run).
+
+    Only queries declared ``cache_plan=True`` (pure plan builders: no
+    DML, no engine session state) take this path. ``MCS_PLAN_CACHE=0``
+    disables it process-wide — tests/conftest.py sets it so plan-shape
+    tests that monkeypatch builder internals keep building fresh
+    plans."""
+    import os
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if os.environ.get("MCS_PLAN_CACHE", "1") == "0":
+            return fn(spark, sf_dir)
+        fp = _fixture_fingerprint(sf_dir)
+        if fp is None:
+            return fn(spark, sf_dir)
+        key = (name, sf_dir.rstrip("/"))
+        try:
+            cache = spark._mcs_query_plan_cache
+        except AttributeError:
+            cache = {}
+            try:
+                spark._mcs_query_plan_cache = cache
+            except AttributeError:  # frozen session wrapper
+                return fn(spark, sf_dir)
+        hit = cache.get(key)
+        if hit is not None and hit[0] == fp:
+            if hit[2]:
+                # the plan decodes events TIMESTAMP(NANOS): re-assert
+                # the session conf the build set (see catalog fix)
+                from mariadb_columnstore_engine_spark.catalog import (
+                    _ensure_nanos_conf,
+                )
+
+                _ensure_nanos_conf(spark)
+            return hit[1]
+        df = fn(spark, sf_dir)
+        nanos = (
+            spark.conf.get(
+                "spark.sql.legacy.parquet.nanosAsLong", "false"
+            ) == "true"
+        )
+        cache[key] = (fp, df, nanos)
+        return df
+
+    build.__name__ = f"cached_{getattr(fn, '__name__', name)}"
+    build.__wrapped__ = fn
+    return build
+
+
 def query(
     name: str, *, oracle: str | None, section: str, bench: bool = False,
-    sink: str = "collect",
+    sink: str = "collect", cache_plan: bool = False,
 ):
-    """Decorator registering a query plan + its DuckDB oracle."""
+    """Decorator registering a query plan + its DuckDB oracle.
+
+    ``cache_plan=True`` opts a PURE plan builder (no DML / engine
+    state side effects) into the session-scoped built-plan memo
+    (_cached_plan). Leave it False for anything that executes
+    statements, mutates views with non-catalog data, or must observe
+    per-call session state."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, section, bench, sink)
+        use = _cached_plan(name, fn) if cache_plan else fn
+        QUERIES[name] = QuerySpec(name, use, oracle, section, bench, sink)
         return fn
 
     return deco

@@ -108,6 +108,7 @@ def _sql_cos(a: str, b: str) -> str:
     section="LLM-pipeline: brute-force cosine top-k for a constant probe "
     "set (broadcast probe × corpus scan; linear, no all-pairs)",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle=f"""
     WITH probes AS (
         SELECT vec_id AS probe_id, embedding AS pe FROM embeddings

@@ -567,6 +567,7 @@ def _verify_join_hint(spark: SparkSession, sf_dir: str) -> str:
     "within-bucket exact-Jaccard verify. Candidate generation shuffles on "
     "the band key only; signature computation is map-side; NO crossJoin.",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle=_minhash_sql(),
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,6 +83,7 @@ def _dollars2_sql(inner: str) -> str:
     "tpch_q1_pricing_summary",
     section="§2.1 scan, §2.2 filter pushdown, §2.4 two-phase agg, §2.6 sort",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle="""
     WITH c AS (
         SELECT l_returnflag, l_linestatus,
@@ -160,6 +161,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     section="§2.3 hash join (broadcast small dim), §2.4 agg, §2.6 top-k",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle=f"""
     SELECT l_orderkey,
            {_dollars2_sql(_REV4_SQL)} AS revenue,
@@ -206,6 +208,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     section="§2.3 multi-way join w/ join ordering, §2.4 agg",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle=f"""
     SELECT n_name,
            {_dollars2_sql(_REV4_SQL)} AS revenue
@@ -251,6 +254,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast_revenue",
     section="§2.1 scan w/ multi-predicate pushdown, §2.4 scalar agg",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle=f"""
     SELECT {_dollars2_sql(_DISC4_SQL)} AS revenue
     FROM lineitem
@@ -278,6 +282,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     section="§2.3 join, §2.4 agg w/ wide group key, §2.6 top-k",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle=f"""
     SELECT c_custkey, c_name,
            {_dollars2_sql(_REV4_SQL)} AS revenue,
@@ -479,6 +484,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan/agg/join/window/events/text/sim but no §2.9 shape — Q18
     # stresses the semi-join over a derived grouped-HAVING aggregate.
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            round(sum(l_quantity), 2) AS total_qty

@@ -652,7 +652,6 @@ def win_suffix_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
-    Catalog(spark, sf_dir).register_views_for("orders")
     sfx = (
         "PARTITION BY o_custkey ORDER BY o_orderkey "
         "ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING"
@@ -670,6 +669,10 @@ def win_suffix_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_custkey <= 300
     ORDER BY ok;
     """
+    # registration from the statement text (not a bare table name) so
+    # the view list can never silently diverge from the tables the
+    # statement references (ADVICE r12)
+    Catalog(spark, sf_dir).register_views_for(stmt)
     return spark.sql(translate_statement(stmt))
 
 
@@ -745,6 +748,7 @@ def win_nth_value_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regression to the native O(n^2) per-row frame processor shows "
     "up in BENCH wall-clock, not just in correctness.",
     bench=True,
+    cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     # one output row per input row (150k at bench SF) — noop sink
     # (guide §1.4; declared r12 methodology fix, registry.QuerySpec.sink)
     sink="noop",

@@ -136,6 +136,84 @@ def test_minhash_verify_join_merge_hint_is_broadcast_free(
     assert not re.search(r"BroadcastHashJoin \[doc_[ab]#", plan)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_minhash_lsh_dedup",
+        "text_simhash_neardup",
+        "text_ngram_jaccard_pairs",
+        "text_heavy_hitter_shingles",
+        "text_decontaminate_ngram_overlap",
+    ],
+)
+def test_shingle_split_never_reinlined(spark, sf_dir, name):
+    """r13 (VERDICT r12 #4): the r12 shingle fixes depend on two
+    version-fragile devices — the split-before-lambda projection
+    (change 8) and the mid()>=-1 CASE pin against
+    InferFiltersFromGenerate (change 11). If a Spark upgrade
+    constant-folds either, the plan silently re-inlines
+    ``element_at(split(text...))`` into the shingle lambda (3 split
+    evaluations per shingle position, measured 4.4 s vs 0.4 s per
+    projection at sf0.1). Pin the effect, not the device: the final
+    plan must never contain a split re-evaluation inside a lambda."""
+    plan = _plan(spark, sf_dir, name)
+    assert "element_at(split(" not in plan, (
+        f"{name}: split re-inlined into the shingle lambda — the "
+        "projection barrier (text_plans._shingled_docs / the mid() "
+        "CASE pin) stopped working on this Spark version"
+    )
+
+
+def _filter_conditions(plan: str) -> list[str]:
+    """The ``Condition :`` detail lines of every Filter in a formatted
+    plan (join conditions print as ``Join condition:`` and are not
+    matched)."""
+    return [
+        line for line in plan.splitlines()
+        if line.strip().startswith("Condition :")
+    ]
+
+
+def test_minhash_jaccard_single_evaluation_pinned(spark, sf_dir):
+    """r13 (VERDICT r12 #4): the ``+ rand()*0.0`` alias barrier keeps
+    the verify threshold filter referencing the aliased score column.
+    If Catalyst ever folds the barrier, PushPredicateThroughNonJoin
+    re-inlines the Jaccard into the filter (and the join condition) —
+    up to 4 ``array_intersect`` evaluations per candidate pair. Pin
+    the effect: exactly ONE array_intersect site in the whole plan,
+    and no Filter condition may compute it."""
+    plan = _plan(spark, sf_dir, "text_minhash_lsh_dedup")
+    hit_lines = [
+        line for line in plan.splitlines() if "array_intersect" in line
+    ]
+    # exactly one operator computes the jaccard: the scoring Project
+    # (its detail line holds the numerator+denominator pair, one tree
+    # node after codegen subexpression elimination)
+    assert len(hit_lines) == 1 and hit_lines[0].lstrip().startswith(
+        "Output"
+    ), (
+        "jaccard no longer evaluated exactly once per candidate pair: "
+        f"{hit_lines!r}"
+    )
+    for cond in _filter_conditions(plan):
+        assert "array_intersect" not in cond, (
+            "threshold filter re-inlined the jaccard expression — the "
+            "rand()*0.0 non-determinism barrier was optimized away"
+        )
+
+
+def test_cosine_neardup_dot_single_evaluation_pinned(spark, sf_dir):
+    """Same pin for sim_cosine_neardup_pairs: the cosine (zip_with dot
+    product) must stay out of every Filter condition — the threshold
+    filter reads the barrier-aliased score attribute."""
+    plan = _plan(spark, sf_dir, "sim_cosine_neardup_pairs")
+    for cond in _filter_conditions(plan):
+        assert "zip_with" not in cond, (
+            "threshold filter re-inlined the cosine dot product — the "
+            "rand()*0.0 non-determinism barrier was optimized away"
+        )
+
+
 def test_no_python_udf_in_jvm_only_paths(spark, sf_dir):
     """Dedup/text/TPC-H plans must stay whole-stage-codegen (no Python
     eval nodes) — UDFs are reserved for the §2.11 surface."""

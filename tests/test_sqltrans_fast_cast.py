@@ -157,6 +157,101 @@ def test_detector_shapes():
     )
     assert _operand_static_numeric("MIN(o_totalprice) OVER w", ncols)
     assert not _operand_static_numeric("SUM(x)", frozenset())
-    assert not _operand_static_numeric("AVG(o_totalprice)", ncols)
-    assert not _operand_static_numeric("o_totalprice + 1", ncols)
     assert not _operand_static_numeric("'12'", frozenset())
+    # r13 (VERDICT r12 #6): AVG over static-numeric args
+    assert _operand_static_numeric("AVG(o_totalprice)", ncols)
+    assert _operand_static_numeric("AVG(o_totalprice) OVER w", ncols)
+    assert not _operand_static_numeric("AVG(x)", frozenset())
+    # r13: arithmetic compositions
+    assert _operand_static_numeric("o_totalprice + 1", ncols)
+    assert _operand_static_numeric("o_totalprice * 2 - 0.5", ncols)
+    assert _operand_static_numeric("(o_totalprice)", ncols)
+    assert _operand_static_numeric("-o_totalprice", ncols)
+    assert _operand_static_numeric(
+        "try_divide(o_totalprice, 7)", ncols
+    )
+    assert _operand_static_numeric(
+        "try_mod(o_totalprice, 97) + SUM(o_totalprice) OVER w", ncols
+    )
+    assert not _operand_static_numeric("o_comment + 1", ncols)
+    assert not _operand_static_numeric("o_totalprice + o_comment", ncols)
+    assert not _operand_static_numeric("try_divide(o_comment, 2)", ncols)
+    assert not _operand_static_numeric("o_totalprice || 'x'", ncols)
+    # unbalanced / odd shapes stay conservative
+    assert not _operand_static_numeric("(o_totalprice", ncols)
+    assert not _operand_static_numeric("1e-5 * o_comment", ncols)
+
+
+@pytest.mark.parametrize("target", TARGETS)
+def test_avg_operand_equality(spark, target):
+    """r13: AVG over an int column (→ double in Spark) through both
+    emissions — bit-equal on the battery."""
+    rows = [(i, v) for i, v in enumerate(BIGINTS)]
+    df = spark.createDataFrame(rows, "id INT, x BIGINT")
+    df.createOrReplaceTempView("fastcast_avg")
+    stmt = (
+        f"SELECT id, CAST(AVG(x) OVER (ORDER BY id ROWS BETWEEN 2 "
+        f"PRECEDING AND CURRENT ROW) AS {target}) AS v FROM fastcast_avg"
+    )
+    fast_sql = translate_statement(stmt, numeric_columns=frozenset({"x"}))
+    orig = sqltrans._operand_static_numeric
+    sqltrans._operand_static_numeric = lambda *a, **k: False
+    try:
+        slow_sql = translate_statement(stmt)
+    finally:
+        sqltrans._operand_static_numeric = orig
+    assert fast_sql != slow_sql, "fast path did not engage"
+    slow = {r["id"]: r["v"] for r in spark.sql(slow_sql).collect()}
+    fast = {r["id"]: r["v"] for r in spark.sql(fast_sql).collect()}
+    _assert_equal(slow, fast, target, "avg(bigint)")
+
+
+@pytest.mark.parametrize("target", TARGETS)
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "x + 1",
+        "x * 2 - 0.5",
+        "-x",
+        "try_divide(x, 7)",
+        "x % 97",  # the division pass rewrites % to try_mod first
+        "(x + x) * 0.25",
+    ],
+)
+def test_composition_operand_equality(spark, target, expr):
+    """r13: arithmetic compositions of static-numeric terms through
+    both emissions over the double battery (specials, clamp bounds,
+    NULL) — bit-equal everywhere."""
+    rows = [(i, v) for i, v in enumerate(DOUBLES)]
+    df = spark.createDataFrame(rows, "id INT, x DOUBLE")
+    df.createOrReplaceTempView("fastcast_comp")
+    stmt = f"SELECT id, CAST({expr} AS {target}) AS v FROM fastcast_comp"
+    fast_sql = translate_statement(stmt, numeric_columns=frozenset({"x"}))
+    orig = sqltrans._operand_static_numeric
+    sqltrans._operand_static_numeric = lambda *a, **k: False
+    try:
+        slow_sql = translate_statement(stmt)
+    finally:
+        sqltrans._operand_static_numeric = orig
+    assert fast_sql != slow_sql, "fast path did not engage"
+    slow = {r["id"]: r["v"] for r in spark.sql(slow_sql).collect()}
+    fast = {r["id"]: r["v"] for r in spark.sql(fast_sql).collect()}
+    _assert_equal(slow, fast, target, f"double comp {expr!r}")
+
+
+def test_alias_shadowing_disables_fast_path(spark):
+    """r13 (ADVICE r12): an AS alias that shadows a numeric_columns
+    member must drop that name back to the slow path — a derived
+    table may have redefined it with non-catalog semantics."""
+    stmt = (
+        "SELECT CAST(x AS SIGNED) AS v FROM "
+        "(SELECT '12abc' AS x FROM t) d"
+    )
+    shadowed = translate_statement(stmt, numeric_columns=frozenset({"x"}))
+    plain = translate_statement(stmt)
+    assert shadowed == plain, "shadowed name must not take the fast path"
+    # an alias that does NOT shadow the operand leaves the fast path on
+    stmt2 = "SELECT CAST(x AS SIGNED) AS v FROM t"
+    assert translate_statement(
+        stmt2, numeric_columns=frozenset({"x"})
+    ) != translate_statement(stmt2)

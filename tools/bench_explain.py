@@ -30,7 +30,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", os.environ.get("PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
