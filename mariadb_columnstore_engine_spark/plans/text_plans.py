@@ -564,8 +564,10 @@ def _verify_join_hint(spark: SparkSession, sf_dir: str) -> str:
 @query(
     "text_minhash_lsh_dedup",
     section="LLM-pipeline: MinHash signatures → banded LSH bucketing → "
-    "within-bucket exact-Jaccard verify. Candidate generation shuffles on "
-    "the band key only; signature computation is map-side; NO crossJoin.",
+    "within-bucket exact-Jaccard verify, scored inside the band "
+    "self-join (r13: shingles ride the band rows; only threshold "
+    "survivors reach the dedup shuffle). Signature computation is "
+    "map-side; NO crossJoin.",
     bench=True,
     cache_plan=True,  # pure plan builder (VERDICT r12 #7)
     oracle=_minhash_sql(),
@@ -606,52 +608,58 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in range(N_BANDS)
     )
+    # r13 (VERDICT r12 #3): the shingle array rides the band rows and
+    # the Jaccard is scored INSIDE the band self-join — where the pair
+    # is born — instead of building a distinct pair list and joining it
+    # back to ``mh`` twice. The former shape moved the pair list across
+    # THREE exchanges (distinct + re-key by doc_a + re-key by doc_b)
+    # plus the signature table across two hinted joins; this one pays a
+    # ×N_BANDS(4) replication of ``sh`` into one self-join and then
+    # shuffles only threshold SURVIVORS into the dedup. Pairs colliding
+    # in several bands are scored identically each time and collapse in
+    # distinct() — results bit-identical (sf1 A/B: rows equal on all
+    # 250,300; interleaved noop timings 3.9/3.8 s → 3.6/2.5 s at sf1,
+    # 2.2–2.9 → 1.6 s at sf0.1; plan: verify joins 2 → 0, exchanges
+    # after the band join 3 → 1).
     bands = mh.select(
-        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bk")
-    ).select("doc_id", "bk.band_id", "bk.key")
+        "doc_id", "sh", F.expr(f"explode(array({band_structs}))").alias("bk")
+    ).select("doc_id", "sh", "bk.band_id", "bk.key")
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
+    # ``+ rand()*0`` is numerically the identity (jac is a non-negative
+    # double or NaN; +0.0 changes no bit of either) but marks the alias
+    # non-deterministic, which stops PushPredicateThroughNonJoin from
+    # inlining the threshold filter into the join condition and the
+    # optimizer from duplicating it into the output Project. Without it
+    # the plan evaluated array_intersect (the expensive O(|sh|) part)
+    # up to 4× per candidate pair; now exactly once (the two textual
+    # array_intersect occurrences below are one tree node after codegen
+    # subexpression elimination). Pinned by
+    # tests/test_plan_shapes.py::test_minhash_jaccard_single_evaluation_pinned.
+    jac_expr = (
+        "size(array_intersect(a.sh, b.sh)) / (size(a.sh) + size(b.sh)"
+        " - size(array_intersect(a.sh, b.sh))) + rand() * 0.0 AS jac"
+    )
+    # Envelope-aware join strategy (_choose_verify_hint), now on the
+    # band self-join (the one join that remains): shuffle_hash
+    # (partitioned build, broadcast-suppressed — the band rows carry
+    # the sh payload, so a mid-scale broadcast temptation is wrong at
+    # 100 TB by construction) while each build partition fits the
+    # per-task budget; merge (sort-merge, spills natively) when it
+    # wouldn't — the reference's DiskJoinStep degradation path instead
+    # of a fail-fast build OOM.
+    vhint = _verify_join_hint(spark, sf_dir)
+    return (
+        a.hint(vhint).join(
+            b.hint(vhint),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    x = mh.selectExpr("doc_id AS doc_a", "sh AS sh_a")
-    y = mh.selectExpr("doc_id AS doc_b", "sh AS sh_b")
-    # ``+ rand()*0`` is numerically the identity (jac is a non-negative
-    # double or NaN; +0.0 changes no bit of either) but marks the alias
-    # non-deterministic, which stops PushPredicateThroughNonJoin from
-    # inlining the threshold filter into the verify join's condition and
-    # the optimizer from duplicating it into the output Project. Without
-    # it the plan evaluated array_intersect (the expensive O(|sh|) part)
-    # up to 4× per candidate pair — join condition (2×: numerator +
-    # denominator) plus output Project (2×); now exactly once per pair
-    # (the two textual array_intersect occurrences below are one tree
-    # node after codegen subexpression elimination, same as the former
-    # shared Column object).
-    jac_expr = (
-        "size(array_intersect(sh_a, sh_b)) / (size(sh_a) + size(sh_b)"
-        " - size(array_intersect(sh_a, sh_b))) + rand() * 0.0 AS jac"
-    )
-    # Envelope-aware verify-join strategy (_choose_verify_hint):
-    # shuffle_hash (partitioned build, broadcast-suppressed) when each
-    # build partition fits the per-task budget; merge (sort-merge,
-    # spills natively) when it wouldn't — the reference's DiskJoinStep
-    # degradation path instead of a fail-fast build OOM.
-    vhint = _verify_join_hint(spark, sf_dir)
-    return (
-        cands.join(x.hint(vhint), "doc_a")
-        .join(y.hint(vhint), "doc_b")
-        .selectExpr("doc_a", "doc_b", jac_expr)
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b", jac_expr)
         .where(F.col("jac") >= JACCARD_THRESHOLD)
         .selectExpr("doc_a", "doc_b", "round(jac, 4) AS jaccard")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -100,10 +100,13 @@ def test_minhash_verify_join_plan_shape_pinned(spark, sf_dir, monkeypatch):
     """With the envelope PINNED to the roomy outcome (r11 ADVICE #5:
     the live-JVM hint may legitimately return 'merge' on a constrained
     host, which is correct behavior, not a plan regression), the
-    materialized plan keeps the broadcast-suppressed hash join on BOTH
-    verify joins (the doc_a and doc_b pair-to-shingles joins). Other
-    joins in the plan (the signature⋈docs join, the band self-join)
-    are size-based picks that legitimately broadcast at test SF."""
+    materialized plan keeps the broadcast-suppressed hash join on the
+    band self-join — since r13 the ONE join that remains (the Jaccard
+    is scored inside it; the former doc_a/doc_b joins back to the
+    signature table are gone). Its rows carry the sh payload, so a
+    broadcast pick would be wrong at 100 TB by construction. The
+    signature⋈docs join is a size-based pick that legitimately
+    broadcasts at test SF."""
     import re
 
     from mariadb_columnstore_engine_spark.plans import text_plans
@@ -112,9 +115,10 @@ def test_minhash_verify_join_plan_shape_pinned(spark, sf_dir, monkeypatch):
         text_plans, "_verify_join_hint", lambda *_a, **_k: "shuffle_hash"
     )
     plan = _plan(spark, sf_dir, "text_minhash_lsh_dedup", mode="simple")
-    assert re.search(r"ShuffledHashJoin \[doc_a#", plan)
-    assert re.search(r"ShuffledHashJoin \[doc_b#", plan)
-    assert not re.search(r"BroadcastHashJoin \[doc_[ab]#", plan)
+    assert re.search(r"ShuffledHashJoin \[band_id#", plan)
+    assert not re.search(r"BroadcastHashJoin \[band_id#", plan)
+    # the pair list must never be re-joined back to the signatures
+    assert not re.search(r"Join \[doc_[ab]#", plan)
 
 
 def test_minhash_verify_join_merge_hint_is_broadcast_free(
@@ -122,7 +126,8 @@ def test_minhash_verify_join_merge_hint_is_broadcast_free(
 ):
     """The degraded path must also stay broadcast-free: with the hint
     pinned to 'merge' (the unstatable-storage / memory-pressure
-    outcome) the verify joins materialize as SortMergeJoin."""
+    outcome) the band self-join materializes as SortMergeJoin, which
+    spills natively (the reference's DiskJoinStep degradation)."""
     import re
 
     from mariadb_columnstore_engine_spark.plans import text_plans
@@ -131,9 +136,9 @@ def test_minhash_verify_join_merge_hint_is_broadcast_free(
         text_plans, "_verify_join_hint", lambda *_a, **_k: "merge"
     )
     plan = _plan(spark, sf_dir, "text_minhash_lsh_dedup", mode="simple")
-    assert re.search(r"SortMergeJoin \[doc_a#", plan)
-    assert re.search(r"SortMergeJoin \[doc_b#", plan)
-    assert not re.search(r"BroadcastHashJoin \[doc_[ab]#", plan)
+    assert re.search(r"SortMergeJoin \[band_id#", plan)
+    assert not re.search(r"BroadcastHashJoin \[band_id#", plan)
+    assert not re.search(r"Join \[doc_[ab]#", plan)
 
 
 @pytest.mark.parametrize(
