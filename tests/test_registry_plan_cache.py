@@ -34,12 +34,30 @@ def plan_cache_on(monkeypatch, spark):
         spark._mcs_query_plan_cache.clear()
 
 
-def test_cache_hit_returns_same_dataframe(spark, sf_dir, plan_cache_on):
+def test_cache_hit_returns_fresh_wrap_over_same_plan(
+    spark, sf_dir, plan_cache_on
+):
+    """A hit must NOT return the memoized Dataset instance (re-running
+    one instance lets the DAGScheduler skip its already-computed
+    shuffle stages — result caching, not plan reuse). It returns a
+    fresh Dataset (new QueryExecution, new shuffle IDs) over the SAME
+    analyzed plan."""
     fn = SPECS["tpch_q1_pricing_summary"].fn
     assert hasattr(fn, "__wrapped__"), "bench query not wrapped by memo"
     df1 = fn(spark, sf_dir)
     df2 = fn(spark, sf_dir)
-    assert df1 is df2, "identical (query, sf_dir, fingerprint) must hit"
+    assert df2 is not df1, "hit must wrap, never hand back the instance"
+    # same analyzed plan (the thing being memoized)…
+    assert df2._jdf.queryExecution().analyzed().sameResult(
+        df1._jdf.queryExecution().analyzed()
+    )
+    # …but a distinct QueryExecution, so execution starts from parquet
+    assert not df2._jdf.queryExecution().equals(
+        df1._jdf.queryExecution()
+    )
+    # and the memo key keeps hitting (the stored entry is stable)
+    df3 = fn(spark, sf_dir)
+    assert df3 is not df2
 
 
 def test_cache_disabled_rebuilds(spark, sf_dir, monkeypatch):
@@ -91,7 +109,7 @@ def test_events_nanos_conf_reasserted_on_hit(spark, sf_dir, plan_cache_on):
     df1 = fn(spark, sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     df2 = fn(spark, sf_dir)
-    assert df2 is df1
+    assert df2 is not df1  # fresh wrap over the cached plan
     assert (
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     )
