@@ -783,8 +783,20 @@ def win_window_lowering_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         translate_statement,
     )
 
+    # /*+ REPARTITION */ materializes an exchange boundary between the
+    # window passes and the global ORDER BY (r13, guide §2.4/§7.2):
+    # the range exchange's boundary sampling otherwise RE-EXECUTES its
+    # whole un-materialized child — both window passes — once for the
+    # sample and once for the shuffle write (measured sf1: final sort
+    # step 1.76 s of the 3.3 s query; with the boundary the sampler
+    # re-reads the round-robin shuffle instead: 3.2-3.3 → 2.3 s sf1,
+    # 1.1-1.4 → 0.74 s sf0.1, rows identical). This is the reference's
+    # own structure — WindowFunctionStep materializes its RowGroup
+    # output before the idborderby sort step consumes it. MariaDB
+    # parses /*+ */ optimizer-hint comments, so the statement stays
+    # front-end-valid; the DuckDB oracle text is unchanged.
     stmt = """
-    SELECT o_orderkey AS ok,
+    SELECT /*+ REPARTITION */ o_orderkey AS ok,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER sfx
                 AS DOUBLE) AS sfx_sum,
            COUNT(o_totalprice) OVER sfx AS sfx_cnt,
