@@ -217,81 +217,88 @@ def sql_query(name: str, sql: str, *, section: str, bench: bool = False) -> None
 # Non-window queries MAY keep decimal/array outputs — the local
 # type-aware gate still pins those carriages (the *_typed variants).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # ---- r12 rotation (VERDICT r11 #1, executing the schedule the r11
-    # window comment recorded): the 5 permanent TPC-H bench anchors +
-    # first driver rows for the 3 post-window r11 additions
-    # (win_window_lowering_bench, stream_tumbling_window_counts,
-    # sql_oracle_mode_session — all judge-green vs DuckDB at sf0.01 in
-    # the r11 verdict's independent run) + the full 20-row r7-stale
-    # cohort (stalest driver evidence on the ledger after the r11
-    # rotation) + the head 22 of the 45-row r8 cohort in registry
-    # insertion order. After this window lands green, no hashable row's
-    # last driver check is older than round 8.
-    # The 23 r8 rows deferred to r13 (sql_stored_procedure_cursor
-    # onward) each leave a fresher r9-r12 family member on the ledger:
-    # sql_* procedure/trigger/DML variants -> sql_oracle_mode_session
-    # r12 + sql_stored_procedure_call r10; subq_* tails -> the r11
-    # subq_* quartet; events_asof_join -> events_* r10 rows; text/sim
-    # tails -> r11/r12 text/sim rows; pipeline/multimodal tails ->
-    # r10 pipeline rows (r13 plan: the 23 deferred r8 rows + the r9
-    # cohort head + a first driver row for the r12 post-window
-    # addition stream_session_window_counts).
+    # ---- r13 rotation (executing the schedule the r12 window comment
+    # recorded): the 5 permanent TPC-H bench anchors +
+    # win_window_lowering_bench KEPT (its statement gained the
+    # REPARTITION sort-boundary this round — a modified plan keeps its
+    # driver row) + the first driver row for the r12 post-window
+    # addition stream_session_window_counts + the full 23-row r8
+    # cohort tail deferred by r12 (sql_stored_procedure_cursor onward
+    # — stalest driver evidence on the ledger) + the r9-stale cohort
+    # head in registry insertion order, with the two r13-modified
+    # bench rows (events_sessionization single-exchange shape,
+    # text_minhash_lsh_dedup band-self-join scoring) force-included so
+    # every plan this round restructured lands driver evidence. After
+    # this window lands green, no hashable row's last driver check is
+    # older than round 9; the remaining r9 tail (25 rows:
+    # sf_loose_numeric_casts, sql_logical_xor, collation batteries,
+    # setop tails, sf_* matrices, subq/udf/pipeline tails,
+    # sim_bruteforce_cosine_topk, events_tumbling_window) is the r14
+    # cohort — each leaves a fresher r10-r13 family member on the
+    # ledger (sf_oracle_mode_dialect/sf_math|string|datetime_matrix
+    # r12, collation_pad_space_semantics r12, setop_intersect/
+    # order_nulls r12, the r11 subq_* quartet, udf_pandas_median r12,
+    # pipeline rows rotated in THIS round, and the r13 bench anchors
+    # cover the bruteforce/tumbling paths).
     # The 4 decimal-typed output variants remain structurally
     # driver-unhashable (policy above) with driver-green wire twins.
-    # TPC-H bench anchors (flagship scan/join/agg path, every round)
+    # permanent TPC-H bench anchors (flagship scan/join/agg, every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # never-driver-checked: post-window r11 additions (first driver rows)
+    # r13-modified bench plan — keeps its driver row
     "win_window_lowering_bench",
-    "stream_tumbling_window_counts",
-    "sql_oracle_mode_session",
-    # r7-stale cohort (all 20 rows whose last driver check is round 7)
-    "collation_pad_space_semantics",
-    "setop_union_all_normalized",
-    "sf_oracle_mode_dialect",
-    "sim_cosine_neardup_pairs",
-    "sql_loose_group_by_hidden",
-    "sql_mariadb_front_end",
-    "sql_stored_procedure_control_flow",
-    "sql_stored_procedure_declare_repeat",
-    "sql_trigger_before_insert",
-    "text_simhash_neardup",
-    "text_token_stats",
-    "text_unigram_freq_score",
-    "udf_pandas_median",
-    "win_distinct_agg_over_partition",
-    "win_ntile_first_last_nth",
-    "win_range_frame_value_offset",
-    "win_ranking_family",
-    "win_regr_over_partition",
-    "win_stats_over_partition",
-    "win_topn_per_group",
-    # r8-cohort re-confirmation (head 22 of 45; last driver check: r8)
-    "tpch_q12_priority_buckets",
-    "tpch_q14_promo_revenue",
-    "tpch_q2_partsupp",
-    "tpch_q9_partsupp",
-    "tpch_q20_partsupp",
-    "filter_metadata_pseudocols",
-    "join_anti_customers_without_orders",
-    "join_bucketed_zero_exchange",
-    "agg_count_variants",
-    "agg_regr_family",
-    "win_pandas_udaf_over_window",
-    "win_corr_running_null_semantics",
-    "setop_intersect",
-    "setop_order_nulls_first_last",
-    "sf_math_matrix",
-    "sf_string_matrix",
-    "sf_datetime_matrix",
-    "sf_json_long_tail",
-    "sf_unsigned_semantics",
-    "sql_mariadb_front_end3",
-    "sql_mariadb_front_end4",
-    "op_skyline_pareto",
+    # never-driver-checked: r12 post-window addition (first driver row)
+    "stream_session_window_counts",
+    # r8-cohort tail (23 rows deferred by the r12 rotation; last
+    # driver check: round 8)
+    "sql_stored_procedure_cursor",
+    "sql_trigger_before_delete",
+    "sql_dml_ordered_limit",
+    "sql_index_hint_collate_binary",
+    "sql_stored_procedure_signal",
+    "pipeline_mixture_weights",
+    "text_language_id_heuristic",
+    "text_quality_scores",
+    "events_asof_join",
+    "multimodal_media_features",
+    "pipeline_hash_split",
+    "pipeline_quality_dedup_budget",
+    "sim_ivf_ann_topk",
+    "sim_linear_model_inference",
+    "sim_lsh_ann_topk",
+    "subq_correlated_scalar_q17",
+    "subq_not_in_null_trap",
+    "subq_scalar_in_select_list",
+    "text_bm25_topk",
+    "text_dedup_cluster_star",
+    "text_fingerprint_exact_dedup",
+    "text_ngram_jaccard_pairs",
+    "text_vocab_zipf",
+    # r13-modified bench plans (r9-stale AND restructured this round)
+    "events_sessionization",
+    "text_minhash_lsh_dedup",
+    # r9-stale cohort head (registry insertion order)
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "filter_extent_minmax_pseudocols",
+    "join_theta_band",
+    "agg_group_concat_ordered",
+    "agg_rollup",
+    "agg_cube",
+    "agg_approx_percentile",
+    "agg_group_concat_limit",
+    "agg_moda",
+    "win_lag_lead",
+    "win_rows_frame_running",
+    "win_percentiles_within_group",
+    "win_range_interval_event_time",
+    "win_moda_analytic",
+    "win_suffix_frame_stats",
 )
 
 
