@@ -521,8 +521,21 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("_q"))
         .where(F.col("_q") > 150)
     )
+    # r13 (guide §3.1): the orders side is hinted to a sort-merge join.
+    # Both join sides are SF-scaled — the filtered aggregate keeps ~20%
+    # of all orders (292,940 of 1.5 M at sf1) — so a broadcast is wrong
+    # at 100 TB by construction; locally the planner's 64 MB threshold
+    # still chose to broadcast FULL orders at sf1, paying a
+    # single-threaded 1.5 M-entry hashed-relation build (measured:
+    # 1.44-1.63 s total vs 0.88 s with the hint; sf0.1 statistically
+    # unchanged, 0.395 vs 0.42 interleaved medians). SMJ also spills
+    # natively — the reference's DiskJoinStep degradation — where a
+    # forced hash build could not.
     return (
-        big.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        big.join(
+            t.orders.hint("merge"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
