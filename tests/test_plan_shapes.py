@@ -219,6 +219,46 @@ def test_cosine_neardup_dot_single_evaluation_pinned(spark, sf_dir):
         )
 
 
+def test_sessionization_single_exchange(spark, sf_dir):
+    """r13: repartitionByRange(user_id) serves BOTH the session-window
+    aggregation's clustering and the final ORDER BY (user_id,
+    session_start) — the plan must keep exactly ONE exchange (a
+    second one means the range-rides property regressed and the
+    global sort pays a full extra shuffle)."""
+    plan = _plan(spark, sf_dir, "events_sessionization")
+    n = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and ") Exchange" in line
+    )
+    assert n == 1, f"expected 1 exchange, plan has {n}"
+    assert "rangepartitioning(user_id" in plan
+
+
+def test_window_bench_sort_boundary_pinned(spark, sf_dir):
+    """r13: the window bench keeps a round-robin exchange between the
+    window passes and the global sort, so the range-sampler re-reads
+    a materialized shuffle instead of re-executing both window passes
+    (measured 2× window subtree execution without it)."""
+    plan = _plan(spark, sf_dir, "win_window_lowering_bench")
+    assert "REPARTITION_BY_NUM" in plan or "ROUND_ROBIN" in plan or (
+        "RoundRobinPartitioning" in plan
+    ), "round-robin boundary before the global sort disappeared"
+    assert "rangepartitioning(ok" in plan
+
+
+def test_q18_orders_join_is_sort_merge(spark, sf_dir):
+    """r13: both q18 join sides are SF-scaled (the filtered aggregate
+    keeps ~20% of orders), so the orders join must stay on the
+    spill-safe sort-merge path, never a broadcast of either side."""
+    import re
+
+    plan = _plan(spark, sf_dir, "tpch_q18_large_orders", mode="simple")
+    assert re.search(r"SortMergeJoin \[l_orderkey#", plan)
+    assert not re.search(
+        r"BroadcastHashJoin \[l_orderkey#\d+L?\], \[o_orderkey#", plan
+    )
+
+
 def test_no_python_udf_in_jvm_only_paths(spark, sf_dir):
     """Dedup/text/TPC-H plans must stay whole-stage-codegen (no Python
     eval nodes) — UDFs are reserved for the §2.11 surface."""
